@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.functions.VectorFunctions
+import graft.operators.Knn
+
+/** The engine's judge-visible query surface: every entry is a named operator
+  * from SURVEY.md §2 with (Spark implementation, DuckDB oracle SQL).
+  *
+  * Determinism conventions (SURVEY.md §5/§7.4):
+  *  - every float column is computed in double and `round`ed to a fixed
+  *    number of decimals in BOTH the Spark plan and the oracle SQL;
+  *  - every ranking is canonicalized with tie-break on the row id;
+  *  - count-like columns are long in both engines.
+  */
+object Queries {
+
+  case class Q(name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  private def table(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** embeddings as an (id, vector) store */
+  private def store(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+
+  private def queriesDf(s: SparkSession, dir: String, n: Int): DataFrame =
+    table(s, dir, "embeddings").where(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvector"))
+
+  // ---------------------------------------------------------------- q1_agg
+  /** TPC-H Q1-shaped scan+aggregate (SURVEY §2.4 aggregation). */
+  private val q1Agg = Q("q1_agg",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus"),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus
+    """))
+
+  // ------------------------------------------------------------ q_knn_cosine
+  /** Q1 k-NN top-k per query vector (SURVEY §2.1 Q1), cosine metric. */
+  private val qKnnCosine = Q("q_knn_cosine",
+    (s, dir) => Knn.query(store(s, dir), queriesDf(s, dir, 5), 10, Metric.Cosine)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"), col("rank")),
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  // --------------------------------------------------------- q_knn_euclidean
+  private val qKnnEuclidean = Q("q_knn_euclidean",
+    (s, dir) => Knn.query(store(s, dir), queriesDf(s, dir, 5), 10, Metric.Euclidean)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"), col("rank")),
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               list_distance(CAST(s.embedding AS DOUBLE[]),
+                             CAST(q.embedding AS DOUBLE[])) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean)
+
+  def queryMap: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> { (s: SparkSession, dir: String) =>
+      VectorFunctions.register(s); q.fn(s, dir)
+    }).toMap
+
+  def oracleMap: Map[String, String] =
+    all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+}
