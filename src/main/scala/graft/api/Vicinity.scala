@@ -1,0 +1,354 @@
+package graft.api
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Backend, BackendArgs, Metric}
+import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy}
+
+/** The user-facing vector store facade — the Spark-native `Vicinity[T]`
+  * (`/root/reference/vicinity/vicinity.py:23-393`).
+  *
+  * Data model (SURVEY.md §1.4): one DataFrame with schema
+  * `(id: Long, item: String, vector: array<double>)`. `id` materializes the
+  * reference's positional index (`vicinity.py:136` — positional semantics
+  * don't survive shuffles, so the id is assigned once at ingest via
+  * zipWithIndex and re-derived after deletes, matching the reference's
+  * list-pop reindexing). `item` is a free-form JSON document, which keeps
+  * the reference's heterogeneous items (`tests/conftest.py:27`) lossless.
+  */
+class Vicinity private (
+    val spark: SparkSession,
+    /** (id, item, vector) — raw ingested store */
+    val store: DataFrame,
+    val backend: Backend,
+    val args: BackendArgs,
+    val metadata: Map[String, String],
+    val storeVectors: Boolean,
+    val strategy: IndexStrategy,
+    /** strategy-prepared (cached) store */
+    private val prepared: DataFrame,
+    val count: Long,
+    val dim: Int) {
+
+  def metric: Metric = args.metric
+
+  private def queriesDf(vectors: Seq[Seq[Double]]): DataFrame = {
+    val rows = vectors.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("qvector", ArrayType(DoubleType, containsNull = false)))))
+  }
+
+  /** k-NN as a DataFrame: (query_id, id, item, dist, rank).
+    * ≙ `vicinity.query` (`vicinity.py:114-138`): distances clipped ≥ 0,
+    * indices joined back to items, ascending by (dist, id).
+    */
+  def queryDf(queries: DataFrame, k: Int): DataFrame = {
+    val res = strategy.query(prepared, queries, k)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist", "rank")
+  }
+
+  /** Driver-side result, one list per query vector of (item, dist) pairs —
+    * the reference's `SimilarityResult` shape (`datatypes.py:12-16`).
+    */
+  def query(vectors: Seq[Seq[Double]], k: Int = 10): Seq[Seq[(String, Double)]] = {
+    val res = queryDf(queriesDf(vectors), k)
+      .select("query_id", "item", "dist", "rank").collect()
+    val byQ = res.groupBy(_.getLong(0))
+    vectors.indices.map { i =>
+      byQ.getOrElse(i.toLong, Array.empty[Row]).sortBy(_.getInt(3))
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    }
+  }
+
+  /** 1-D convenience (`vicinity.py:129-131` promotes 1-D to batch). */
+  def queryOne(vector: Seq[Double], k: Int = 10): Seq[(String, Double)] =
+    query(Seq(vector), k).head
+
+  /** ≙ `vicinity.query_threshold` (`vicinity.py:140-165`). */
+  def queryThresholdDf(queries: DataFrame, threshold: Double,
+      maxK: Int = 100): DataFrame = {
+    val res = strategy.queryThreshold(prepared, queries, threshold, maxK)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist")
+  }
+
+  def queryThreshold(vectors: Seq[Seq[Double]], threshold: Double = 0.5,
+      maxK: Int = 100): Seq[Seq[(String, Double)]] = {
+    val res = queryThresholdDf(queriesDf(vectors), threshold, maxK)
+      .select("query_id", "item", "dist").collect()
+    val byQ = res.groupBy(_.getLong(0))
+    vectors.indices.map { i =>
+      byQ.getOrElse(i.toLong, Array.empty[Row])
+        .map(r => (r.getString(1), r.getDouble(2))).toSeq
+    }
+  }
+
+  /** ≙ `get_vector_by_index` (`vicinity.py:58-68`): bounds-checked; requires
+    * the vector store. */
+  def getVectorByIndex(ids: Seq[Long]): Seq[Seq[Double]] = {
+    if (!storeVectors) throw new IllegalStateException(
+      "No vector store was provided. Pass storeVectors=true on index creation.")
+    if (ids.exists(i => i < 0 || i >= count))
+      throw new IndexOutOfBoundsException("Index out of bounds.")
+    val got = store.where(col("id").isin(ids: _*))
+      .select("id", "vector").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    ids.map(got)
+  }
+
+  def length: Long = count // ≙ __len__ (vicinity.py:70-72)
+
+  /** ≙ `insert` (`vicinity.py:236-253`): validates aligned lengths and dim.
+    * New rows get ids `count..count+n-1` (list-extend semantics). Note the
+    * reference does NOT reject duplicate items — neither do we.
+    */
+  def insert(items: Seq[String], vectors: Seq[Seq[Double]]): Vicinity = {
+    if (!strategy.supportsInsert) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} does not support insertion.")
+    if (items.length != vectors.length) throw new IllegalArgumentException(
+      s"Your tokens and vectors are not the same length: ${items.length} != ${vectors.length}")
+    if (vectors.exists(_.length != dim)) throw new IllegalArgumentException(
+      "The inserted vectors must have the same dimension as the backend.")
+    val rows = items.zip(vectors).zipWithIndex.map { case ((it, v), i) =>
+      Row(count + i, it, v)
+    }
+    val newDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), store.schema)
+    Vicinity.build(spark, store.unionByName(newDf), backend, args, metadata,
+      storeVectors, strategy)
+  }
+
+  /** ≙ `delete` (`vicinity.py:255-283`): for each distinct token, delete the
+    * FIRST matching item occurrence (all duplicate copies of a token in the
+    * argument consume that same single occurrence — `vicinity.py:265-272`);
+    * raise if any token matches nothing. Surviving rows are re-indexed
+    * 0..n-1 in id order (list-pop semantics).
+    */
+  def delete(tokens: Seq[String]): Vicinity = {
+    if (!strategy.supportsDelete) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} does not support deletion.")
+    val distinctTokens = tokens.distinct
+    val tokDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(distinctTokens.map(Row(_)), 1),
+      StructType(Seq(StructField("item", StringType, nullable = false))))
+    // first occurrence of each matched token value
+    val w = Window.partitionBy("item").orderBy("id")
+    val firstMatches = store.join(tokDf, Seq("item"), "left_semi")
+      .withColumn("occ", row_number().over(w)).where(col("occ") === 1)
+      .select("id", "item")
+    val matched = firstMatches.select("item").distinct()
+      .collect().map(_.getString(0)).toSet
+    val missing = distinctTokens.filterNot(matched)
+    if (missing.nonEmpty) throw new IllegalArgumentException(
+      s"Tokens ${missing.mkString(", ")} were not in the vector space.")
+    val survivors = store.join(firstMatches.select("id"), Seq("id"), "left_anti")
+    val reindexed = Vicinity.zipWithId(
+      survivors.orderBy("id").select("item", "vector"))
+    Vicinity.build(spark, reindexed, backend, args, metadata, storeVectors,
+      strategy)
+  }
+
+  /** ≙ `save` (`vicinity.py:167-202`). Directory format (FIXTURES.md §2):
+    * `data.json` (metadata + backend_type + items when the store is small),
+    * `arguments.json`, `store/vectors.parquet` (always written — with the
+    * vector column only when storeVectors; dropping it ≙ store_vectors=False).
+    */
+  def save(dir: String, overwrite: Boolean = false): Unit = {
+    val path = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(path) && !overwrite)
+      throw new IllegalArgumentException(s"Path $dir already exists.")
+    java.nio.file.Files.createDirectories(path)
+    val mapper = new ObjectMapper()
+    // items must be JSON-serializable (vicinity.py:191-196 raises otherwise).
+    // Plain strings always are; items that claim to be structured JSON
+    // (leading '{'/'[') must actually parse.
+    val structured = store.select("item").limit(100001).collect()
+      .map(_.getString(0))
+      .filter(it => it.startsWith("{") || it.startsWith("["))
+    structured.foreach { it =>
+      try mapper.readTree(it)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"Item is not JSON-serializable: ${it.take(80)}", e) }
+    }
+    val root = mapper.createObjectNode()
+    root.put("backend_type", backend.name)
+    root.put("count", count)
+    root.put("dim", dim)
+    root.put("store_vectors", storeVectors)
+    val meta = root.putObject("metadata")
+    metadata.foreach { case (k, v) => meta.put(k, v) }
+    java.nio.file.Files.writeString(path.resolve("data.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    val argsNode = mapper.createObjectNode()
+    args.toJsonFields.foreach {
+      case (k, v: String) => argsNode.put(k, v)
+      case (k, v: Int) => argsNode.put(k, v)
+      case (k, v: Long) => argsNode.put(k, v)
+      case (k, v: Double) => argsNode.put(k, v)
+      case (k, v: Boolean) => argsNode.put(k, v)
+      case (k, null) => argsNode.putNull(k)
+      case (k, v) => argsNode.put(k, String.valueOf(v))
+    }
+    java.nio.file.Files.writeString(path.resolve("arguments.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(argsNode))
+    // the prepared frame IS the index (≙ the reference backend's vectors.npy
+    // / index.bin file); the optional store/ dir is the raw-vector side
+    // store, present only with store_vectors=True (vicinity.py:199-202)
+    prepared.write.mode("overwrite").parquet(s"$dir/index/data.parquet")
+    if (storeVectors) {
+      store.write.mode("overwrite").parquet(s"$dir/store/vectors.parquet")
+    }
+  }
+
+  /** Recall/QPS evaluation ≙ `vicinity.evaluate` (`vicinity.py:328-393`):
+    * exact ground truth on the same metric, recall@k with epsilon per the
+    * ann-benchmarks methodology, QPS timed around the strategy's query only.
+    * Cosine/euclidean only (`vicinity.py:341`).
+    */
+  def evaluate(queryVectors: Seq[Seq[Double]], k: Int = 10,
+      epsilon: Double = 1e-3): (Double, Double) = {
+    if (metric != Metric.Cosine && metric != Metric.Euclidean)
+      throw new IllegalArgumentException(
+        s"Unsupported metric for evaluation: ${metric.name}")
+    val q = queriesDf(queryVectors).cache()
+    q.count()
+    val exact = ExactStrategy(metric)
+    val exactPrepared = exact.prepare(store).cache()
+    val gt = exact.query(exactPrepared, q, k)
+      .groupBy("query_id").agg(max("dist").as("gt_kth"))
+    val t0 = System.nanoTime()
+    val approx = strategy.query(prepared, q, k).cache()
+    approx.count()
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val qps = queryVectors.length / math.max(elapsed, 1e-9)
+    // recall per query = #(approx_dist <= gt_kth + eps) / k  (vicinity.py:386-392)
+    val recall = approx.join(gt, "query_id")
+      .groupBy("query_id")
+      .agg((sum(when(col("dist") <= col("gt_kth") + epsilon, 1)
+        .otherwise(0)) / k.toDouble).as("r"))
+      .agg(avg("r")).head.getDouble(0)
+    q.unpersist(); approx.unpersist(); exactPrepared.unpersist()
+    (qps, recall)
+  }
+}
+
+object Vicinity {
+
+  /** Contiguous 0..n-1 id assignment — materializes the reference's
+    * positional index at ingest (SURVEY.md §1.4). */
+  private[graft] def zipWithId(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(
+      StructField("id", LongType, nullable = false) +: df.schema.fields)
+    val rows = df.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(i +: r.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  private def strategyFor(backend: Backend, args: BackendArgs): IndexStrategy =
+    backend match {
+      case Backend.Basic => ExactStrategy(args.metric)
+      case Backend.Faiss =>
+        val fa = args.asInstanceOf[BackendArgs.FaissArgs]
+        fa.indexType match {
+          case "flat" | "scalar" | "pq" => ExactStrategy(fa.metric)
+          case t if t.startsWith("ivf") => IvfStrategy(fa.metric, fa.nlist)
+          case "lsh" | "hnsw" => LshStrategy(fa.metric)
+          case other => throw new IllegalArgumentException(
+            s"Unknown FAISS index type: $other")
+        }
+      // HNSW-family backends: ANN semantics served by the LSH strategy
+      case Backend.Hnsw | Backend.Annoy | Backend.Usearch | Backend.Voyager |
+           Backend.Pynndescent => LshStrategy(args.metric)
+    }
+
+  private[api] def build(spark: SparkSession, store: DataFrame,
+      backend: Backend, args: BackendArgs, metadata: Map[String, String],
+      storeVectors: Boolean, strategy: IndexStrategy): Vicinity = {
+    val cached = store.cache()
+    val n = cached.count()
+    val d = if (n == 0) 0 else
+      cached.select(size(col("vector"))).head.getInt(0)
+    val prepared = strategy.prepare(cached).cache()
+    new Vicinity(spark, cached, backend, args, metadata, storeVectors,
+      strategy, prepared, n, d)
+  }
+
+  /** ≙ `Vicinity.from_vectors_and_items` (`vicinity.py:74-102`). Items and
+    * vectors must be aligned (`vicinity.py:49-52`). */
+  def fromVectorsAndItems(spark: SparkSession, items: Seq[String],
+      vectors: Seq[Seq[Double]], backend: Backend = Backend.Basic,
+      args: Option[BackendArgs] = None,
+      metadata: Map[String, String] = Map.empty,
+      storeVectors: Boolean = false): Vicinity = {
+    if (items.length != vectors.length) throw new IllegalArgumentException(
+      s"Your items and vectors must have the same length. " +
+        s"Your items have length ${items.length}, and your vectors have length ${vectors.length}.")
+    val rows = items.zip(vectors).zipWithIndex.map { case ((it, v), i) =>
+      Row(i.toLong, it, v)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, items.length / 10000)),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("item", StringType, nullable = false),
+        StructField("vector", ArrayType(DoubleType, containsNull = false)))))
+    val a = args.getOrElse(BackendArgs.defaultFor(backend))
+    build(spark, df, backend, a, metadata, storeVectors, strategyFor(backend, a))
+  }
+
+  /** DataFrame-first builder for at-scale ingest: any (item, vector) frame. */
+  def fromDataFrame(df: DataFrame, itemCol: String, vectorCol: String,
+      backend: Backend = Backend.Basic, args: Option[BackendArgs] = None,
+      metadata: Map[String, String] = Map.empty,
+      storeVectors: Boolean = true): Vicinity = {
+    val a = args.getOrElse(BackendArgs.defaultFor(backend))
+    val base = df.select(col(itemCol).cast(StringType).as("item"),
+      col(vectorCol).cast(ArrayType(DoubleType)).as("vector"))
+    build(df.sparkSession, zipWithId(base), backend, a, metadata, storeVectors,
+      strategyFor(backend, a))
+  }
+
+  /** ≙ `Vicinity.load` (`vicinity.py:204-234`). */
+  def load(spark: SparkSession, dir: String): Vicinity = {
+    val mapper = new ObjectMapper()
+    val data = mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "data.json")))
+    val argsJson = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dir, "arguments.json")))
+    val backend = Backend.fromString(data.get("backend_type").asText())
+    val metric = Metric.fromString(argsJson.get("metric").asText())
+    val storeVectors = data.get("store_vectors").asBoolean()
+    val args: BackendArgs = backend match {
+      case Backend.Basic => BackendArgs.BasicArgs(metric)
+      case Backend.Hnsw => BackendArgs.HnswArgs(metric)
+      case Backend.Annoy => BackendArgs.AnnoyArgs(metric)
+      case Backend.Pynndescent => BackendArgs.PynndescentArgs(metric)
+      case Backend.Faiss => BackendArgs.FaissArgs(metric,
+        indexType = Option(argsJson.get("index_type")).map(_.asText()).getOrElse("flat"))
+      case Backend.Usearch => BackendArgs.UsearchArgs(metric)
+      case Backend.Voyager => BackendArgs.VoyagerArgs(metric)
+    }
+    val metadata = Option(data.get("metadata")).map { m =>
+      m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    // prefer the raw side store (exact round-trip of ingested vectors);
+    // fall back to the index frame (normalized for cosine — same content
+    // the reference's basic backend persists, basic.py:144-147)
+    val df =
+      if (storeVectors) spark.read.parquet(s"$dir/store/vectors.parquet")
+      else spark.read.parquet(s"$dir/index/data.parquet")
+    build(spark, df.select("id", "item", "vector"), backend, args,
+      metadata, storeVectors, strategyFor(backend, args))
+  }
+}

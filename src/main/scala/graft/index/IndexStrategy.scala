@@ -1,0 +1,92 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.functions.{TopK, VectorFunctions}
+import graft.operators.Knn
+
+/** Physical index strategy behind the [[graft.api.Vicinity]] facade —
+  * mirrors the reference's `AbstractBackend` surface
+  * (`/root/reference/vicinity/backends/base.py:42-107`) minus persistence,
+  * which the facade owns.
+  *
+  * A strategy consumes a store DataFrame with schema
+  * `(id: Long, item: String, vector: array<float|double>)` (possibly plus
+  * strategy-maintained aux columns) and answers top-k / radius queries
+  * against a `(query_id, qvector)` DataFrame.
+  */
+trait IndexStrategy extends Serializable {
+  def metric: Metric
+  def name: String
+
+  /** Materialize build-time artifacts (normalized vectors, centroid
+    * assignments, bucket hashes...) onto the store. Called once at index
+    * build and again after insert/delete. Returns the augmented store the
+    * strategy wants to be queried against.
+    */
+  def prepare(store: DataFrame): DataFrame
+
+  /** Top-k per query: (query_id, id, dist, rank). */
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame
+
+  /** Radius query. ANN strategies use strict `<` and a max_k cap, the exact
+    * strategy uses inclusive `<=` and no cap — reference semantics quirk
+    * (`basic.py:168` vs `hnsw.py:111` et al.; SURVEY.md §2.1 Q2).
+    */
+  def queryThreshold(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, maxK: Int): DataFrame
+
+  def supportsInsert: Boolean = true
+  def supportsDelete: Boolean = false
+}
+
+/** Exact brute-force strategy ≙ reference BASIC backend
+  * (`/root/reference/vicinity/backends/basic.py:98-247`).
+  *
+  * Build-time precompute mirrors the reference: cosine stores get
+  * unit-normalized vectors once at build (`basic.py:216`), so the per-pair
+  * kernel is a bare dot product (`1 − x·v`, `basic.py:218-222`); euclidean
+  * queries use the direct single-pass √Σ(x−y)² kernel.
+  */
+case class ExactStrategy(metric: Metric) extends IndexStrategy {
+  val name = "exact"
+  override def supportsDelete: Boolean = true // only BASIC supports delete
+
+  def prepare(store: DataFrame): DataFrame = metric match {
+    case Metric.Cosine =>
+      store.withColumn("vector", VectorFunctions.l2_normalize(col("vector")))
+    case _ => store
+  }
+
+  private def dist(metric: Metric) = metric match {
+    // vectors pre-normalized at build: cosine == 1 - dot == inner-product dist
+    case Metric.Cosine => VectorFunctions.inner_product_distance _
+    case m             => VectorFunctions.distance(m) _
+  }
+
+  private def normalizedQueries(queries: DataFrame): DataFrame = metric match {
+    case Metric.Cosine =>
+      queries.withColumn("qvector", VectorFunctions.l2_normalize(col("qvector")))
+    case _ => queries
+  }
+
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val q = normalizedQueries(queries)
+    val d = dist(metric)(col("vector"), col("qvector"))
+    val pairs = prepared.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+    TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+  }
+
+  def queryThreshold(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, maxK: Int): DataFrame = {
+    val q = normalizedQueries(queries)
+    val d = dist(metric)(col("vector"), col("qvector"))
+    prepared.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+      .where(col("dist") <= threshold) // inclusive: basic.py:168
+  }
+}

@@ -1,0 +1,96 @@
+package graft.index
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.functions.{TopK, VectorFunctions}
+
+/** IVF (inverted-file) strategy ≙ the reference's FAISS `ivf*` index family
+  * (`/root/reference/vicinity/backends/faiss.py:101-118`): train a KMeans
+  * codebook (MLlib — the "MLlib for batch vector index building" north
+  * star), assign every store row to its nearest centroid, and at query time
+  * search only the `nprobe` nearest cells.
+  *
+  * Scale story (SURVEY.md §4): the prepared store carries a `_centroid`
+  * column; persisted indexes are partitioned by it, so the `isin(probes)`
+  * filter becomes Parquet partition pruning — a query touches nprobe/nlist
+  * of the data. Cosine is served as inner-product over pre-normalized
+  * vectors, exactly like FAISS (`faiss.py:49-52`, `82-83`).
+  *
+  * Insert assigns new rows to existing centroids without retraining
+  * (≙ FAISS `add` after `train`); delete is unsupported (`faiss.py:163-165`).
+  */
+case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
+    seed: Long = 42L) extends IndexStrategy {
+  require(metric == Metric.Cosine || metric == Metric.Euclidean,
+    s"Metric '${metric.name}' is not supported by the IVF backend.")
+  val name = "ivf"
+
+  /** trained codebook, set during prepare (deterministic: fixed seed) */
+  @transient private var centroids: Array[Array[Double]] = _
+
+  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
+    if (metric == Metric.Cosine)
+      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
+    else df.withColumn(c, col(c).cast("array<double>"))
+
+  private def nearestCentroidsUdf(cents: Array[Array[Double]], n: Int) =
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val dists = cents.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < arr.length) { val d = arr(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      dists.zipWithIndex.sortBy(_._1).take(n).map(_._2)
+    }
+
+  def prepare(store: DataFrame): DataFrame = {
+    val normed = maybeNormalize(store, "vector")
+    val k = math.min(nlist, math.max(1, store.count().toInt))
+    val feat = normed.select(col("id"),
+      array_to_vector(col("vector")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+      .setFeaturesCol("features").setPredictionCol("_centroid")
+      .fit(feat)
+    centroids = model.clusterCenters.map(_.toArray)
+    val assigned = model.transform(feat).select(col("id"), col("_centroid"))
+    normed.join(assigned, "id")
+  }
+
+  private def candidates(prepared: DataFrame, queries: DataFrame,
+      probes: Int): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    val q = maybeNormalize(queries, "qvector")
+    val nprobeEff = math.min(probes, centroids.length)
+    val qProbes = q.withColumn("_probe",
+      explode(nearestCentroidsUdf(centroids, nprobeEff)(col("qvector"))))
+      .select(col("query_id"), col("qvector"), col("_probe"))
+    val d = metric match {
+      // pre-normalized: cosine == 1 - dot (faiss.py:150-155)
+      case Metric.Cosine =>
+        VectorFunctions.inner_product_distance(col("vector"), col("qvector"))
+      case m => VectorFunctions.distance(m)(col("vector"), col("qvector"))
+    }
+    prepared.join(broadcast(qProbes),
+        prepared("_centroid") === qProbes("_probe"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+  }
+
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    TopK.topKPerGroup(candidates(prepared, queries, nprobe),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  def queryThreshold(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, maxK: Int): DataFrame = {
+    val capped = TopK.topKPerGroup(candidates(prepared, queries, nprobe),
+      Seq("query_id"), "id", "dist", math.max(maxK, 1))
+    capped.where(col("dist") < threshold).drop("rank")
+  }
+}

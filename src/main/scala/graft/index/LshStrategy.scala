@@ -1,0 +1,121 @@
+package graft.index
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.functions.{TopK, VectorFunctions}
+
+/** Random-projection LSH strategy — the Spark-native stand-in for the
+  * reference's ANN backend family (ANNOY's random-projection forest,
+  * `/root/reference/vicinity/backends/annoy.py:25-134`; FAISS `lsh`,
+  * `faiss.py:93-100`; capability-equivalence note in SURVEY.md §2.3).
+  *
+  * Cosine: sign-LSH — `nTables` independent `nBits`-bit signatures from
+  * seeded Gaussian hyperplanes; a store row and a query collide if any
+  * table's full signature matches (`nTables` ≙ ANNOY's `trees`).
+  * Euclidean: E2LSH — per table, `nBits` seeded projections quantized by
+  * width `w`, hashed together.
+  *
+  * Physical shape: the index is the store exploded to `(table, bucket)`
+  * posting rows WITHOUT the vector payload (bucket joins move only ids);
+  * candidates are re-ranked with the exact kernel against the original
+  * store. Collision join is an equi-join on (table, bucket) — broadcast on
+  * the query side, so the store never shuffles.
+  *
+  * Like the reference's ANN backends, only cosine/euclidean are supported
+  * (`hnsw.py:25-29`, `annoy.py:28-31`, `voyager.py:25-29`), threshold
+  * queries use strict `<` and a `max_k` cap (`hnsw.py:107-114`), and
+  * delete is unsupported (`hnsw.py:103-105`).
+  */
+case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
+    w: Double = 1.0, seed: Long = 42L) extends IndexStrategy {
+  require(metric == Metric.Cosine || metric == Metric.Euclidean,
+    s"Metric '${metric.name}' is not supported by the LSH backend.")
+  val name = "lsh"
+
+  /** Seeded projection matrix: nTables × nBits hyperplanes, lazily sized to
+    * the data dimension on first use. Gaussian entries, deterministic. */
+  private def planes(dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new Random(seed)
+    Array.fill(nTables, nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+  private def offsets(dim: Int): Array[Array[Double]] = {
+    val rnd = new Random(seed + 1)
+    Array.fill(nTables, nBits)(rnd.nextDouble() * w)
+  }
+
+  /** vector -> one bucket hash per table; planes generated ONCE on the
+    * driver (deterministic from seed+dim) and shipped in the closure. */
+  private def bucketUdf(dim: Int) = {
+    val isCosine = metric == Metric.Cosine
+    val nt = nTables; val nb = nBits; val ww = w
+    val pl = planes(dim)
+    val off = offsets(dim)
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      Array.tabulate(nt) { t =>
+        var h = 1125899906842597L
+        var b = 0
+        while (b < nb) {
+          var dot = 0.0
+          val p = pl(t)(b)
+          var i = 0
+          while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
+          val code: Long =
+            if (isCosine) { if (dot >= 0) 1L else 0L }
+            else math.floor((dot + off(t)(b)) / ww).toLong
+          h = h * 31 + code
+          b += 1
+        }
+        h
+      }
+    }
+  }
+
+  @transient private var cachedDim: Int = -1
+
+  def prepare(store: DataFrame): DataFrame = {
+    cachedDim = store.select(size(col("vector"))).head.getInt(0)
+    store.withColumn("_buckets",
+      bucketUdf(cachedDim)(col("vector").cast("array<double>")))
+  }
+
+  /** exploded (table, bucket) postings without the vector payload */
+  private def postings(prepared: DataFrame): DataFrame =
+    prepared.select(col("id"), posexplode(col("_buckets")))
+      .toDF("id", "table", "bucket")
+
+  private def candidates(prepared: DataFrame, queries: DataFrame): DataFrame = {
+    val dim = if (cachedDim > 0) cachedDim
+      else queries.select(size(col("qvector"))).head.getInt(0)
+    val qb = queries
+      .withColumn("_buckets", bucketUdf(dim)(col("qvector").cast("array<double>")))
+    val qPost = qb.select(col("query_id"), posexplode(col("_buckets")))
+      .toDF("query_id", "table", "bucket")
+    val cand = postings(prepared)
+      .join(broadcast(qPost), Seq("table", "bucket"))
+      .select("query_id", "id").distinct()
+    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
+    cand
+      .join(prepared.select(col("id"), col("vector")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvector"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+  }
+
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    TopK.topKPerGroup(candidates(prepared, queries), Seq("query_id"), "id",
+      "dist", k)
+  }
+
+  def queryThreshold(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, maxK: Int): DataFrame = {
+    val capped = TopK.topKPerGroup(candidates(prepared, queries),
+      Seq("query_id"), "id", "dist", math.max(maxK, 1))
+    capped.where(col("dist") < threshold).drop("rank") // strict <: hnsw.py:111
+  }
+}

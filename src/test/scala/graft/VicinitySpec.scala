@@ -1,0 +1,192 @@
+package graft
+
+import scala.util.Random
+
+import graft.api.Vicinity
+import graft.core.{Backend, BackendArgs, Metric}
+
+/** Mirrors the reference's test suite behaviors (SURVEY.md §5,
+  * /root/reference/tests/test_vicinity.py), parametrized over the three
+  * physical strategies behind the 7-backend surface.
+  */
+class VicinitySpec extends SparkSpec {
+
+  // reference fixture shape: seeded uniform vectors, heterogeneous items
+  // (conftest.py:9,24-45) — 1000×8 for test speed
+  private val n = 1000
+  private val dim = 8
+  private lazy val rnd = new Random(42)
+  private lazy val vectors: Seq[Seq[Double]] =
+    Seq.fill(n)(Seq.fill(dim)(rnd.nextDouble()))
+  private lazy val items: Seq[String] = (1 to n).map { i =>
+    if (i % 2 == 0) s"item$i" else s"""{"name":"item$i","id":$i}"""
+  }
+  private lazy val queryVec: Seq[Double] = Seq.fill(dim)(rnd.nextDouble())
+
+  private def build(backend: Backend = Backend.Basic,
+      store: Boolean = false,
+      args: Option[BackendArgs] = None): Vicinity =
+    Vicinity.fromVectorsAndItems(spark, items, vectors, backend, args,
+      storeVectors = store)
+
+  private lazy val basic = build()
+
+  test("build: aligned items/vectors; mismatched lengths raise (vicinity.py:49-52)") {
+    assert(basic.length === n)
+    assert(basic.dim === dim)
+    intercept[IllegalArgumentException] {
+      Vicinity.fromVectorsAndItems(spark, items.take(5), vectors.take(4))
+    }
+  }
+
+  test("query: k results sorted ascending, self-ish neighbor first (test_vicinity.py:51-64)") {
+    val res = basic.queryOne(vectors.head, 10)
+    assert(res.length === 10)
+    assert(res.map(_._2) === res.map(_._2).sorted)
+    // querying with a stored vector: nearest item is that row's item, dist ~ 0
+    assert(res.head._1 === items.head)
+    assert(res.head._2 < 1e-9)
+  }
+
+  test("query: duplicate queries in one batch give identical rows (test_vicinity.py:62-64)") {
+    val res = basic.query(Seq(queryVec, queryVec), 10)
+    assert(res(0) === res(1))
+  }
+
+  test("query_threshold returns neighbors under threshold (test_vicinity.py:67-80)") {
+    val res = basic.queryThreshold(Seq(vectors.head), threshold = 0.1)
+    assert(res.head.nonEmpty)
+    assert(res.head.forall(_._2 <= 0.1))
+  }
+
+  test("insert: appears in subsequent query (test_vicinity.py:83-101)") {
+    val v2 = basic.insert(Seq("new_item"), Seq(queryVec))
+    assert(v2.length === n + 1)
+    val res = v2.queryOne(queryVec, 3)
+    assert(res.head._1 === "new_item")
+    assert(res.head._2 < 1e-9)
+  }
+
+  test("insert: mismatched lengths / wrong dim raise (test_vicinity.py:258-283)") {
+    intercept[IllegalArgumentException] {
+      basic.insert(Seq("a", "b"), Seq(queryVec))
+    }
+    intercept[IllegalArgumentException] {
+      basic.insert(Seq("a"), Seq(Seq(1.0, 2.0)))
+    }
+  }
+
+  test("delete: removes item, reindexes, query unaffected (test_vicinity.py:104-131, 286-315)") {
+    val tgt = items(2)
+    val v2 = basic.delete(Seq(tgt))
+    assert(v2.length === n - 1)
+    val res = v2.queryOne(vectors(2), 5)
+    assert(!res.exists(_._1 == tgt))
+    // ids re-indexed 0..n-2 (list-pop semantics, vicinity.py:277-283)
+    import org.apache.spark.sql.functions._
+    val ids = v2.store.agg(min("id"), max("id"), count("id")).head
+    assert(ids.getLong(0) === 0L)
+    assert(ids.getLong(1) === (n - 2).toLong)
+    assert(ids.getLong(2) === (n - 1).toLong)
+  }
+
+  test("delete: first-occurrence-only for duplicate items (vicinity.py:265-272)") {
+    val dup = Vicinity.fromVectorsAndItems(spark,
+      Seq("a", "b", "a", "c"),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(1.0, 1.0), Seq(0.5, 0.5)))
+    // delete("a", "a"): all copies of a token consume ONE occurrence
+    val v2 = dup.delete(Seq("a", "a"))
+    assert(v2.length === 3)
+    val remaining = v2.store.select("id", "item").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(remaining.map(_._2).toSeq === Seq("b", "a", "c"))
+  }
+
+  test("delete: nonexistent token raises (test_vicinity.py:215-226)") {
+    intercept[IllegalArgumentException] { basic.delete(Seq("item10002_nope")) }
+  }
+
+  test("get_vector_by_index: roundtrip, bounds, store-required (test_vicinity.py:181-199)") {
+    val withStore = build(store = true)
+    val got = withStore.getVectorByIndex(Seq(0L, 7L))
+    assert(got(0) === vectors(0))
+    assert(got(1) === vectors(7))
+    intercept[IndexOutOfBoundsException] { withStore.getVectorByIndex(Seq(n.toLong)) }
+    intercept[IndexOutOfBoundsException] { withStore.getVectorByIndex(Seq(-1L)) }
+    intercept[IllegalStateException] { basic.getVectorByIndex(Seq(0L)) }
+  }
+
+  test("save/load roundtrip with and without store (test_vicinity.py:134-163)") {
+    for (withStore <- Seq(true, false)) {
+      val dir = s"/tmp/graft_vicinity_save_$withStore"
+      val v = build(store = withStore)
+      v.save(dir, overwrite = true)
+      assert(new java.io.File(s"$dir/store").exists() === withStore)
+      val loaded = Vicinity.load(spark, dir)
+      assert(loaded.length === n)
+      assert(loaded.backend === Backend.Basic)
+      assert(loaded.metric === Metric.Cosine)
+      assert(loaded.storeVectors === withStore)
+      val res = loaded.queryOne(vectors.head, 5)
+      assert(res.head._1 === items.head)
+    }
+  }
+
+  test("save: non-JSON items raise (vicinity.py:191-196, test_vicinity.py:166-178)") {
+    val bad = Vicinity.fromVectorsAndItems(spark,
+      Seq("{not json"), Seq(Seq(1.0, 2.0)))
+    intercept[IllegalArgumentException] {
+      bad.save("/tmp/graft_vicinity_bad", overwrite = true)
+    }
+  }
+
+  test("save: existing dir without overwrite raises (vicinity.py:185-189)") {
+    val dir = "/tmp/graft_vicinity_exists"
+    build().save(dir, overwrite = true)
+    intercept[IllegalArgumentException] { build().save(dir) }
+  }
+
+  for (backend <- Seq(Backend.Hnsw, Backend.Annoy, Backend.Usearch)) {
+    test(s"${backend.name} (LSH strategy): query shape ok, delete unsupported") {
+      val v = build(backend)
+      val res = v.queryOne(vectors.head, 10)
+      assert(res.nonEmpty && res.length <= 10)
+      assert(res.head._1 === items.head) // identical vector always collides
+      intercept[UnsupportedOperationException] { v.delete(Seq(items.head)) }
+    }
+  }
+
+  test("faiss ivf: query works, insert keeps centroids, delete unsupported (faiss.py:157-165)") {
+    val v = build(Backend.Faiss,
+      args = Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = "ivf", nlist = 8)))
+    val res = v.queryOne(vectors.head, 10)
+    assert(res.length === 10)
+    assert(res.head._1 === items.head)
+    intercept[UnsupportedOperationException] { v.delete(Seq(items.head)) }
+  }
+
+  test("evaluate: qps > 0, 0 <= recall <= 1 (test_vicinity.py:318-331)") {
+    val queries = vectors.take(10)
+    val (qps, recall) = basic.evaluate(queries, k = 10)
+    assert(qps > 0)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall > 0.999) // exact backend: perfect recall
+  }
+
+  test("evaluate: ANN strategies hit recall >= 0.8 at k=10 (BASELINE.md target)") {
+    val queries = vectors.take(10)
+    val lsh = build(Backend.Annoy)
+    val (_, lshRecall) = lsh.evaluate(queries, k = 10)
+    assert(lshRecall >= 0.8, s"LSH recall $lshRecall < 0.8")
+    val ivf = build(Backend.Faiss,
+      args = Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = "ivf", nlist = 8)))
+    val (_, ivfRecall) = ivf.evaluate(queries, k = 10)
+    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall < 0.8")
+  }
+
+  test("evaluate: unsupported metric raises (vicinity.py:341, test_vicinity.py:332-335)") {
+    val v = Vicinity.fromVectorsAndItems(spark, items.take(10), vectors.take(10),
+      Backend.Basic, Some(BackendArgs.BasicArgs(Metric.Manhattan)))
+    intercept[IllegalArgumentException] { v.evaluate(vectors.take(2)) }
+  }
+}
