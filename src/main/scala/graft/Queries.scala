@@ -104,7 +104,8 @@ object Queries {
       ORDER BY query_id, rank
     """))
 
-  val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean)
+  val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean) ++
+    QueriesRelational.all ++ QueriesVector.all ++ QueriesText.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

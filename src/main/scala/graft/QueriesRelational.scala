@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+
+/** Relational data-prep operators over the TPC-H-ish testdata (SURVEY.md
+  * §2.4): scans, filters, equi/semi/anti joins, aggregation, windows, set
+  * ops, time-bucketed event analytics. Float outputs are rounded per the
+  * determinism conventions in [[Queries]].
+  */
+object QueriesRelational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read it with nanosAsLong and expose `ts_s` = exact epoch
+    * seconds (long) plus a microsecond-precision timestamp for windowing.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_s", floor(col("ts") / 1000000000L).cast("long"))
+      .withColumn("ts_t", timestamp_seconds(col("ts_s")))
+  }
+
+  /** join + grouped revenue + top-n (TPC-H Q3 shape). Ranked by the rounded
+    * revenue so FP summation order can't flip the cut. */
+  val q3JoinTopn = Q("q3_join_topn",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""
+      SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey
+      ORDER BY revenue DESC, o_orderkey
+      LIMIT 10
+    """))
+
+  /** six-table join, revenue by customer nation (TPC-H Q5 shape) */
+  val q5Multijoin = Q("q5_multijoin",
+    (s, dir) => {
+      val region = t(s, dir, "region"); val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer"); val orders = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem"); val supp = t(s, dir, "supplier")
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(cust, orders("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey"))
+        .join(nation, cust("c_nationkey") === nation("n_nationkey"))
+        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      GROUP BY n_name
+      ORDER BY n_name
+    """))
+
+  /** selective filter + scalar aggregate (TPC-H Q6 shape) */
+  val q6Filter = Q("q6_filter",
+    (s, dir) => t(s, dir, "lineitem")
+      .where(col("l_discount").between(0.02, 0.06) && col("l_quantity") < 10)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_rows")),
+    Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
+    """))
+
+  /** per-group top-k via window rank (SURVEY §2.4 window/top-k) */
+  val qWindowRank = Q("q_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice, rn
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+      WHERE rn <= 3
+      ORDER BY o_custkey, rn
+    """))
+
+  /** running (cumulative) sum per customer over order time */
+  val qWindowRunning = Q("q_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+        .select("o_custkey", "o_orderkey", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""
+      SELECT o_custkey, o_orderkey,
+             round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      FROM orders
+      ORDER BY o_custkey, o_orderkey
+    """))
+
+  /** anti join: customers with no six-figure order, counted by segment */
+  val qAntiJoin = Q("q_anti_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
+  /** semi join: customers with at least one big order, counted by segment */
+  val qSemiJoin = Q("q_semi_join",
+    (s, dir) => t(s, dir, "customer")
+      .join(t(s, dir, "orders").where(col("o_totalprice") > 200000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment"),
+    Some("""
+      SELECT c_mktsegment, count(*) AS n_customers
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment
+    """))
+
+  /** set difference: active customers minus big spenders (SURVEY §2.4 set ops) */
+  val qSetOps = Q("q_setops",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      orders.select(col("o_custkey"))
+        .except(orders.where(col("o_totalprice") > 150000).select(col("o_custkey")))
+        .orderBy("o_custkey")
+    },
+    Some("""
+      SELECT o_custkey FROM orders
+      EXCEPT
+      SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+      ORDER BY o_custkey
+    """))
+
+  /** hourly event rollup (epoch-seconds buckets for oracle parity) */
+  val qEventsHourly = Q("q_events_hourly",
+    (s, dir) => events(s, dir)
+      .groupBy((floor(col("ts_s") / 3600) * 3600).cast("long").as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour_epoch", "event_type"),
+    Some("""
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+             event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_epoch, event_type
+    """))
+
+  /** lag window: mean inter-event gap per event type */
+  val qEventsLag = Q("q_events_lag",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir)
+        .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+        .where(col("prev_s").isNotNull)
+        .withColumn("gap_s", col("ts_s") - col("prev_s"))
+        .groupBy("event_type")
+        .agg(round(avg("gap_s"), 2).as("avg_gap_s"), count(lit(1)).as("n_gaps"))
+        .orderBy("event_type")
+    },
+    Some("""
+      WITH gaps AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) -
+               CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id))) AS BIGINT) AS gap_s
+        FROM events)
+      SELECT event_type, round(avg(gap_s), 2) AS avg_gap_s,
+             count(*) AS n_gaps
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** tumbling-window aggregation via the streaming `window()` operator run
+    * in batch mode — the exact code path StreamOps uses under readStream
+    * (SURVEY §2.4 streaming). Output = epoch seconds of window start/end. */
+  val qStreamHourly = Q("q_stream_hourly",
+    (s, dir) => events(s, dir)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("ws"),
+        unix_timestamp(col("window.end")).as("we"), col("event_type"), col("n"))
+      .orderBy("ws", "event_type"),
+    Some("""
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+             CAST(floor(epoch(date_trunc('hour', ts) + INTERVAL 1 HOUR)) AS BIGINT) AS we,
+             event_type, count(*) AS n
+      FROM events
+      GROUP BY 1, 2, 3
+      ORDER BY ws, event_type
+    """))
+
+  val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
+    qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
+    qStreamHourly)
+}

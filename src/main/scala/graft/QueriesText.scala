@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.prep.{Dedup, TextFunctions => TF}
+
+/** Text-analysis + dedup operators over the documents table (the
+  * training-data-pipeline surface from BASELINE.json's north star).
+  */
+object QueriesText {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val stopwordsSql = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** per-document stats: words, chars, punct, stopword ratio, quality */
+  val qDocStats = Q("q_doc_stats",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.wordCount(col("text")).cast("long").as("n_words"),
+        length(col("text")).cast("long").as("n_chars_text"),
+        TF.tokenEstimate(col("text")).as("n_tokens_est"),
+        TF.punctCount(col("text")).cast("long").as("n_punct"),
+        round(TF.stopwordRatio(col("text")), 6).as("stop_ratio"),
+        round(TF.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id"),
+    Some(s"""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(length(text) AS BIGINT) AS n_chars_text,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est,
+             CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+             round(len(list_filter(string_split(text, ' '),
+                     w -> list_contains($stopwordsSql, w))) * 1.0 /
+                   greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio,
+             round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0) +
+                   0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                          * 1.0 / greatest(length(text), 1)) +
+                   0.3 * (len(list_filter(string_split(text, ' '),
+                          w -> list_contains($stopwordsSql, w))) * 1.0 /
+                          greatest(len(string_split(text, ' ')), 1)), 6) AS quality
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** marker-word language ID vs the labeled lang column */
+  val qLangid = Q("q_langid",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        TF.langId(col("text")).as("pred_lang"),
+        TF.langScore(col("text"), TF.langMarkers.head._2).cast("long")
+          .as("en_score"))
+      .orderBy("doc_id"),
+    Some {
+      val scores = TF.langMarkers.map { case (code, m) =>
+        val lst = m.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), w -> list_contains($lst, w))) AS s_$code"
+      }.mkString(",\n               ")
+      val codes = TF.langMarkers.map(_._1)
+      val maxExpr = s"greatest(${codes.map("s_" + _).mkString(", ")})"
+      val caseExpr = codes.map(c => s"WHEN s_$c = $maxExpr THEN '$c'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               $scores
+        FROM documents)
+      SELECT doc_id, lang, $caseExpr AS pred_lang,
+             CAST(s_en AS BIGINT) AS en_score
+      FROM scored
+      ORDER BY doc_id
+    """
+    })
+
+  /** md5 + winnowing (min rolling-window hash) fingerprints */
+  val qFingerprint = Q("q_fingerprint",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.fingerprint(col("text")).as("md5_fp"),
+        TF.winnowFingerprint(col("text")).as("winnow_fp"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, md5(text) AS md5_fp,
+             list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+               i -> md5(substr(text, CAST(i AS INT), 8)))) AS winnow_fp
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** exact dedup: deterministic survivor (min doc_id) per (lang, source) */
+  val qDedupExact = Q("q_dedup_exact",
+    (s, dir) => Dedup.exactDedup(t(s, dir, "documents"), "doc_id",
+        Seq(col("lang"), col("source")))
+      .orderBy("lang", "source"),
+    Some("""
+      SELECT lang, source, min(doc_id) AS survivor_id, count(*) AS n_dups
+      FROM documents
+      GROUP BY lang, source
+      ORDER BY lang, source
+    """))
+
+  /** MinHash+LSH near-dup detection, exact-verified: output IS the
+    * brute-force word-3-gram Jaccard >= 0.7 pair set (Dedup.minhashDedup
+    * scaladoc derives the miss probability <= 1e-3 at the 0.7 boundary;
+    * observed pairs in this corpus are all >= 0.9 where it is <= 1e-14). */
+  val qMinhashDedup = Q("q_minhash_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+      Dedup.minhashDedup(docs, "doc_id", "shingles", threshold = 0.7)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard
+      FROM pairs
+        JOIN sizes si ON si.doc_id = i
+        JOIN sizes sj ON sj.doc_id = j
+      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7
+      ORDER BY i, j
+    """))
+
+  /** SimHash near-dup pairs: banding is exact by pigeonhole (hamming <= 3
+    * over 4 bands of 8 bits forces one identical band), so the output
+    * equals the brute-force all-pairs hamming computation in the oracle. */
+  val qSimhashPairs = Q("q_simhash_pairs",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.simhash32(TF.words(col("text"))).as("sh"))
+      Dedup.simhashPairs(docs, "doc_id", "sh", maxHamming = 3)
+        .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      bitsum AS (
+        SELECT doc_id, r.b,
+               sum(CASE WHEN
+                 ((strpos('0123456789abcdef',
+                    substr(md5(tok), CAST(r.b // 4 + 1 AS INT), 1)) - 1)
+                   // CAST(pow(2, 3 - (r.b % 4)) AS INT)) % 2 = 1
+                 THEN 1 ELSE -1 END) AS s
+        FROM toks CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r
+        GROUP BY doc_id, r.b),
+      sh AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN CAST(pow(2, 31 - b) AS BIGINT)
+                   ELSE 0 END) AS sh
+        FROM bitsum GROUP BY doc_id)
+      SELECT a.doc_id AS i, b.doc_id AS j,
+             CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+      ORDER BY i, j
+    """))
+
+  /** multimodal plumbing: opaque binary payloads + typed metadata — byte
+    * length, md5, header bytes (SURVEY stance: decode itself is stubbed,
+    * the schema/partitioning/batching plumbing is real). */
+  val qBinaryMeta = Q("q_binary_meta",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        hex(encode(substring(col("text"), 1, 4), "UTF-8")).as("header_hex"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("header_hex"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS payload_md5,
+             upper(hex(encode(substr(text, 1, 4)))) AS header_hex
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
+    qMinhashDedup, qSimhashPairs, qBinaryMeta)
+}

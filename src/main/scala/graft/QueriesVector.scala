@@ -1,0 +1,272 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.core.Metric
+import graft.functions.VectorFunctions._
+import graft.index.{IvfStrategy, LshStrategy}
+import graft.operators.Knn
+
+/** Vector-engine operators over the embeddings table: k-NN variants, radius
+  * queries, point lookups, the full metric kernel family, normalize, ANN
+  * strategies, and store-mutation (insert/delete) semantics expressed as
+  * queries (SURVEY.md §2.1/§2.2).
+  */
+object QueriesVector {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def store(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+
+  private def queriesDf(s: SparkSession, dir: String, n: Int): DataFrame =
+    t(s, dir, "embeddings").where(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvector"))
+
+  /** k-NN similarity self-join: every embedding's nearest other embedding
+    * (SURVEY §2.4 similarity join; the dedup/graph-building workhorse). */
+  val qKnnSelfjoin = Q("q_knn_selfjoin",
+    (s, dir) => Knn.selfJoin(store(s, dir), 1, Metric.Cosine)
+      .select(col("query_id").as("vec_id"), col("id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist")),
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(a.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ), ranked AS (
+        SELECT vec_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rn
+        FROM pairs)
+      SELECT vec_id, neighbor_id, round(d, 6) AS dist
+      FROM ranked WHERE rn = 1
+      ORDER BY vec_id
+    """))
+
+  /** radius / threshold query (Q2), exact inclusive semantics */
+  val qRadius = Q("q_radius",
+    (s, dir) => Knn.queryThreshold(store(s, dir), queriesDf(s, dir, 5),
+        0.8, Metric.Cosine)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("query_id", "neighbor_id"),
+    Some("""
+      SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+             round(greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])), 0), 6) AS dist
+      FROM embeddings s, embeddings q
+      WHERE q.vec_id < 5
+        AND greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 0) <= 0.8
+      ORDER BY query_id, neighbor_id
+    """))
+
+  /** point lookup by id (Q3) — broadcast semi join on a small id list */
+  val qPointLookup = Q("q_point_lookup",
+    (s, dir) => t(s, dir, "embeddings")
+      .where(col("vec_id").isin(0L, 10L, 20L, 30L, 40L))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(sqrt(dot_product(col("embedding"), col("embedding"))), 6)
+          .as("l2_norm"))
+      .orderBy("vec_id"),
+    Some("""
+      SELECT vec_id, CAST(label AS BIGINT) AS label,
+             CAST(len(embedding) AS BIGINT) AS dim,
+             round(sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                           CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+      FROM embeddings
+      WHERE vec_id IN (0, 10, 20, 30, 40)
+      ORDER BY vec_id
+    """))
+
+  /** count (Q4) */
+  val qCount = Q("q_count",
+    (s, dir) => t(s, dir, "embeddings")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("label")).as("n_labels"),
+        min("vec_id").as("min_id"), max("vec_id").as("max_id")),
+    Some("""
+      SELECT count(*) AS n, count(DISTINCT label) AS n_labels,
+             min(vec_id) AS min_id, max(vec_id) AS max_id
+      FROM embeddings
+    """))
+
+  /** the full distance kernel family (K1/K2/K5) on a pair grid; hamming and
+    * tanimoto over sign-binarized vectors as in bitset metrics */
+  val qMetricsPairs = Q("q_metrics_pairs",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings").where(col("vec_id") < 8)
+      val a = e.select(col("vec_id").as("i"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("j"), col("embedding").as("vb"))
+      val bin = (c: org.apache.spark.sql.Column) =>
+        transform(c, x => when(x > 0, 1.0).otherwise(0.0))
+      a.crossJoin(b).where(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          round(dot_product(col("va"), col("vb")), 6).as("dot"),
+          round(cosine_distance(col("va"), col("vb")), 6).as("cosine"),
+          round(euclidean_distance(col("va"), col("vb")), 6).as("euclidean"),
+          round(l2sq_distance(col("va"), col("vb")), 6).as("l2sq"),
+          round(manhattan_distance(col("va"), col("vb")), 6).as("manhattan"),
+          round(inner_product_distance(col("va"), col("vb")), 6).as("ip_dist"),
+          hamming_distance(bin(col("va")), bin(col("vb"))).cast("long").as("hamming"),
+          round(tanimoto_distance(bin(col("va")), bin(col("vb"))), 6).as("tanimoto"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH g AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings WHERE vec_id < 8),
+      p AS (
+        SELECT a.vec_id i, b.vec_id j, a.v va, b.v vb,
+               list_inner_product(a.v, b.v) AS dot,
+               list_transform(range(1, len(a.v)+1),
+                 x -> CASE WHEN a.v[x] > 0 THEN 1.0 ELSE 0.0 END) AS ba,
+               list_transform(range(1, len(b.v)+1),
+                 x -> CASE WHEN b.v[x] > 0 THEN 1.0 ELSE 0.0 END) AS bb
+        FROM g a, g b WHERE a.vec_id < b.vec_id)
+      SELECT i, j,
+             round(dot, 6) AS dot,
+             round(1 - list_cosine_similarity(va, vb), 6) AS cosine,
+             round(list_distance(va, vb), 6) AS euclidean,
+             round(list_inner_product(va, va) + list_inner_product(vb, vb)
+                   - 2 * dot, 6) AS l2sq,
+             round(list_sum(list_transform(range(1, len(va)+1),
+                   x -> abs(va[x] - vb[x]))), 6) AS manhattan,
+             round(1 - dot, 6) AS ip_dist,
+             CAST(list_sum(list_transform(range(1, len(ba)+1),
+                   x -> CASE WHEN ba[x] <> bb[x] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming,
+             round(CASE WHEN list_inner_product(ba, ba) + list_inner_product(bb, bb)
+                             - list_inner_product(ba, bb) = 0 THEN 0
+                   ELSE 1 - list_inner_product(ba, bb) /
+                        (list_inner_product(ba, ba) + list_inner_product(bb, bb)
+                         - list_inner_product(ba, bb)) END, 6) AS tanimoto
+      FROM p
+      ORDER BY i, j
+    """))
+
+  /** zero-safe L2 normalize (K3) — unit norm + first component check */
+  val qNormalize = Q("q_normalize",
+    (s, dir) => t(s, dir, "embeddings").where(col("vec_id") < 20)
+      .select(col("vec_id"),
+        round(sqrt(dot_product(l2_normalize(col("embedding")),
+          l2_normalize(col("embedding")))), 6).as("unit_norm"),
+        round(element_at(l2_normalize(col("embedding").cast("array<double>")), 1), 6)
+          .as("first_component"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH n AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings WHERE vec_id < 20)
+      SELECT vec_id,
+             round(CASE WHEN nrm = 0 THEN 0 ELSE
+               sqrt(list_inner_product(list_transform(v, x -> x / nrm),
+                                       list_transform(v, x -> x / nrm))) END, 6) AS unit_norm,
+             round(CASE WHEN nrm = 0 THEN v[1] ELSE v[1] / nrm END, 6) AS first_component
+      FROM n
+      ORDER BY vec_id
+    """))
+
+  /** insert = union (Q5): append shifted copies, then aggregate */
+  val qInsertUnion = Q("q_insert_union",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val inserted = e.where(col("vec_id") < 3)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"),
+          col("label"))
+      e.select("vec_id", "embedding", "label").unionByName(inserted)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n"), max("vec_id").as("max_id"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH u AS (
+        SELECT vec_id, label FROM embeddings
+        UNION ALL
+        SELECT vec_id + 100000, label FROM embeddings WHERE vec_id < 3)
+      SELECT CAST(label AS BIGINT) AS label, count(*) AS n, max(vec_id) AS max_id
+      FROM u GROUP BY 1 ORDER BY label
+    """))
+
+  /** delete-by-value, first-occurrence-only semantics (Q6) on documents:
+    * remove the first doc of each target lang, count survivors by lang */
+  val qDeleteFirstocc = Q("q_delete_firstocc",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("occ", row_number().over(w))
+        .where(!(col("lang").isin("en", "es") && col("occ") === 1))
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+    Some("""
+      WITH occ AS (
+        SELECT lang, row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        FROM documents)
+      SELECT lang, count(*) AS n_docs
+      FROM occ
+      WHERE NOT (lang IN ('en', 'es') AND rn = 1)
+      GROUP BY lang
+      ORDER BY lang
+    """))
+
+  /** embedding-cosine near-dup pairs (north-star dedup op) */
+  val qEmbedNeardup = Q("q_embed_neardup",
+    (s, dir) => {
+      val e = store(s, dir)
+      val a = e.select(col("id").as("i"), col("vector").as("va"))
+      val b = e.select(col("id").as("j"), col("vector").as("vb"))
+      a.crossJoin(b).where(col("i") < col("j"))
+        .withColumn("dist", cosine_distance(col("va"), col("vb")))
+        .where(col("dist") < 0.55)
+        .select(col("i"), col("j"), round(col("dist"), 6).as("dist"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             round(1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])), 6) AS dist
+      FROM embeddings a, embeddings b
+      WHERE a.vec_id < b.vec_id
+        AND 1 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) < 0.55
+      ORDER BY i, j
+    """))
+
+  /** ANN top-k via sign-LSH (B3/B5-lsh family) — approximate by design, so
+    * rows-only check; quality is asserted by the evaluate() spec. */
+  val qLshKnn = Q("q_lsh_knn",
+    (s, dir) => {
+      val strat = LshStrategy(Metric.Cosine)
+      val prepared = strat.prepare(store(s, dir)
+        .withColumn("vector", col("vector").cast("array<double>")))
+      strat.query(prepared, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
+  /** ANN top-k via IVF/KMeans cells (B5-ivf family) — rows-only check. */
+  val qIvfKnn = Q("q_ivf_knn",
+    (s, dir) => {
+      val strat = IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 4)
+      val prepared = strat.prepare(store(s, dir)
+        .withColumn("vector", col("vector").cast("array<double>")))
+      strat.query(prepared, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(qKnnSelfjoin, qRadius, qPointLookup, qCount,
+    qMetricsPairs, qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup,
+    qLshKnn, qIvfKnn)
+}

@@ -15,7 +15,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // remove any stale dump first: a failed query must not leave a
+      // previous run's output behind for the comparer to pick up
+      val dest = new java.io.File(s"$outDir/$name")
+      if (dest.exists()) deleteRec(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

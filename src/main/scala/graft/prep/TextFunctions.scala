@@ -1,0 +1,89 @@
+package graft.prep
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star): tokenization, quality scoring, language ID,
+  * document fingerprinting. All pure Column expressions (codegen'd
+  * higher-order functions — no UDFs in these paths), each with an exact
+  * DuckDB-SQL-expressible definition so every operator is oracle-checkable.
+  */
+object TextFunctions {
+
+  /** whitespace tokens */
+  def words(text: Column): Column = split(text, " ")
+
+  def wordCount(text: Column): Column = size(words(text))
+
+  /** BPE-ish token-count estimate: chars/4, the standard heuristic. */
+  def tokenEstimate(text: Column): Column =
+    ceil(length(text) / lit(4.0)).cast("long")
+
+  /** count of punctuation chars */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,;:!?]", ""))
+
+  /** fraction of tokens in the stopword list */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "on", "for")
+
+  def stopwordRatio(text: Column): Column = {
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(words(text), w => array_contains(sw, w))) /
+      greatest(wordCount(text), lit(1))
+  }
+
+  /** Length/punctuation/stopword quality score in [0,1] — the standard
+    * heuristic-quality-filter shape (length-normalized + punct penalty +
+    * stopword prior). */
+  def qualityScore(text: Column): Column =
+    lit(0.4) * least(wordCount(text) / lit(100.0), lit(1.0)) +
+      lit(0.3) * (lit(1.0) - punctCount(text) / greatest(length(text), lit(1))) +
+      lit(0.3) * stopwordRatio(text)
+
+  /** Marker-word language-ID heuristic: per-language function-word lists,
+    * predicted language = argmax marker hits with a fixed priority order on
+    * ties (en > es > fr > de > zh). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "es" -> Seq("el", "la", "de", "y", "que"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "das", "und", "zu"),
+    "zh" -> Seq("de", "le", "shi", "zai", "he"))
+
+  def langScore(text: Column, markers: Seq[String]): Column = {
+    val m = array(markers.map(lit): _*)
+    size(filter(words(text), w => array_contains(m, w)))
+  }
+
+  /** predicted language code */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (code, m) => code -> langScore(text, m) }
+    // first language (in priority order) whose score equals the max
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.reverse.foldLeft(lit(scores.last._1)) { case (acc, (code, s)) =>
+      when(s === maxScore, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** whole-document fingerprint */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Winnowing-style robust fingerprint: the minimum md5 over all 8-char
+    * rolling windows — stable under small edits anywhere but the minimal
+    * window. */
+  def winnowFingerprint(text: Column): Column =
+    array_min(transform(
+      sequence(lit(1), greatest(length(text) - 7, lit(1))),
+      i => md5(substring(text, i, lit(8)).cast("binary"))))
+
+  /** word n-gram shingles (distinct), the dedup unit */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(
+      when(size(w) < n, array())
+        .otherwise(transform(sequence(lit(0), size(w) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+  }
+}
