@@ -51,6 +51,33 @@ object Demo {
       val (qps, recall) = ann.evaluate(vectors.take(20), k = 10)
       println(f"${b.name}%-8s qps=$qps%.1f recall@10=$recall%.3f")
     }
+
+    // streaming: grow an index from an append stream, then query it
+    locally {
+      import spark.implicits._
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Seq[Double])]
+      val dir = java.nio.file.Files.createTempDirectory("graft_demo_stream")
+      val q = graft.streaming.StreamOps.appendVectorsToIndex(
+        input.toDF().toDF("id", "item", "vector"),
+        s"$dir/index", s"$dir/ckpt").start()
+      input.addData((0L, "s0", Seq(1.0, 0.0)), (1L, "s1", Seq(0.0, 1.0)))
+      q.processAllAvailable(); q.stop()
+      val grown = spark.read.parquet(s"$dir/index")
+      println(s"streamed index rows=${grown.count()}")
+    }
+
+    // multimodal: binary payloads -> stub decode -> feature buckets
+    locally {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val media = graft.prep.Multimodal.asMedia(docs.limit(20), "doc_id", "text", "image")
+      val decoded = graft.prep.Multimodal.decodeStub(media)
+      val buckets = graft.prep.Multimodal.featureBuckets(decoded)
+      println("media buckets: " + buckets.groupBy("bucket").count()
+        .orderBy("bucket").collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}")
+        .mkString(" "))
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.core.Metric
+import graft.operators.Knn
+
+/** Structured Streaming operators. The reference mutates its store in place
+  * (`/root/reference/vicinity/vicinity.py:236-283`); the streaming-native
+  * equivalent is an append stream of (item, vector) rows folded into the
+  * index, plus windowed analytics over the events stream. Every transform
+  * here works identically on a batch DataFrame and a readStream DataFrame —
+  * the specs drive them through a real streaming query (memory sink).
+  */
+object StreamOps {
+
+  /** Tumbling-window event rollup with a watermark — the canonical
+    * aggregation shape (count + sum per window × event_type). */
+  def windowedEventCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(window(col("ts_t"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(col("window.start").as("ws"), col("window.end").as("we"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** Stateful per-key running aggregate via mapGroupsWithState — the custom
+    * state shape (SURVEY §2.4 streaming row). */
+  def runningUserTotals(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"), col("value"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val batch = rows.toSeq
+          val next = UserRunning(uid, prev.n + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+      .toDF()
+  }
+
+  /** Streaming index maintenance: append (id, item, vector) micro-batches
+    * into a growing parquet index — the streaming analogue of
+    * `vicinity.insert` (Q5). Returns the started query; the index dir can
+    * be read back with `spark.read.parquet` + queried with [[Knn]].
+    */
+  def appendVectorsToIndex(vectorStream: DataFrame, indexDir: String,
+      checkpointDir: String) =
+    vectorStream.writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Micro-batch kNN over a streaming query-vector source: each micro-batch
+    * of query vectors runs exact top-k against the static store (broadcast
+    * stream-static join) via foreachBatch — ranking windows/udafs are not
+    * allowed directly on streaming frames, and per-batch execution is the
+    * right plan anyway (each batch is a complete query set). */
+  def streamingKnn(queryStream: DataFrame, store: DataFrame, k: Int,
+      metric: Metric)(sink: (DataFrame, Long) => Unit) =
+    queryStream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        sink(Knn.query(store, batch, k, metric), batchId)
+    }
+}

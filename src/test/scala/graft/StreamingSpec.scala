@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+import graft.streaming.StreamOps
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  case class Ev(ts_t: java.sql.Timestamp, event_type: String, value: Double,
+      user_id: Long)
+
+  private def ts(minute: Int) =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowed event counts over a real stream (memory sink)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedEventCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("win_counts").start()
+    input.addData(
+      Ev(ts(0), "click", 1.0, 1), Ev(ts(10), "click", 2.0, 2),
+      Ev(ts(20), "view", 5.0, 1))
+    q.processAllAvailable()
+    // watermark: push a much later event to close the 10:00 window
+    input.addData(Ev(java.sql.Timestamp.valueOf("2026-01-01 14:00:00"),
+      "click", 1.0, 3))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .select("event_type", "n", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    q.stop()
+    assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("stateful running totals across micro-batches (mapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.runningUserTotals(input.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("running").start()
+    input.addData(Ev(ts(0), "click", 1.0, 7), Ev(ts(1), "click", 2.0, 7))
+    q.processAllAvailable()
+    input.addData(Ev(ts(2), "click", 4.0, 7))
+    q.processAllAvailable()
+    val last = spark.table("running").where($"user_id" === 7)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // state accumulated across batches: final snapshot is (3, 7.0)
+    assert(last.contains((3L, 7.0)))
+  }
+
+  test("streaming index append + batch query of the grown index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val q = StreamOps.appendVectorsToIndex(
+      input.toDF().toDF("id", "item", "vector"),
+      s"$dir/index", s"$dir/ckpt").start()
+    input.addData((0L, "a", Seq(1.0, 0.0)), (1L, "b", Seq(0.0, 1.0)))
+    q.processAllAvailable()
+    input.addData((2L, "c", Seq(0.9, 0.1)))
+    q.processAllAvailable()
+    q.stop()
+    val idx = spark.read.parquet(s"$dir/index")
+    assert(idx.count() === 3)
+    val res = graft.operators.Knn.query(idx,
+      Seq((0L, Seq(1.0, 0.05))).toDF("query_id", "qvector"), 1, Metric.Cosine)
+      .select("id").head.getLong(0)
+    assert(res === 0L)
+  }
+
+  test("streaming kNN: stream-static join per micro-batch (foreachBatch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+      .toDF("id", "vector")
+    val input = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamOps.streamingKnn(
+      input.toDF().toDF("query_id", "qvector"), store, 1, Metric.Euclidean) {
+        (res, _) => results.synchronized {
+          results ++= res.select("query_id", "id").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+        }
+      }.start()
+    input.addData((100L, Seq(0.1, 0.9)))
+    q.processAllAvailable()
+    input.addData((101L, Seq(0.9, 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    assert(results.sorted.toSeq === Seq((100L, 1L), (101L, 0L)))
+  }
+}
