@@ -99,9 +99,8 @@ object TopK {
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
       distCol: String, k: Int): DataFrame = {
-    val agg = udaf(new TopKAggregator(k))
     df.groupBy(groupCols.map(col): _*)
-      .agg(agg(col(idCol), col(distCol)).as("_nbrs"))
+      .agg(TopKNeighborsAgg.topk(k, col(idCol), col(distCol)).as("_nbrs"))
       .select(groupCols.map(col) :+ posexplode(col("_nbrs")): _*)
       .withColumnRenamed("pos", "_pos")
       .select(

@@ -49,14 +49,23 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       dists.zipWithIndex.sortBy(_._1).take(n).map(_._2)
     }
 
+  /** rows used to train the codebook; assignment still covers every row
+    * (FAISS trains on a sample too — training cost must not scale with the
+    * store) */
+  private val maxTrainRows = 100000L
+
   def prepare(store: DataFrame): DataFrame = {
+    val n = store.count()
     val normed = maybeNormalize(store, "vector")
-    val k = math.min(nlist, math.max(1, store.count().toInt))
+    val k = math.min(nlist, math.max(1, n.toInt))
     val feat = normed.select(col("id"),
       array_to_vector(col("vector")).as("features"))
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val trainSet =
+      if (n > maxTrainRows) feat.sample(maxTrainRows.toDouble / n, seed)
+      else feat
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("_centroid")
-      .fit(feat)
+      .fit(trainSet)
     centroids = model.clusterCenters.map(_.toArray)
     val assigned = model.transform(feat).select(col("id"), col("_centroid"))
     normed.join(assigned, "id")
