@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{IvfStrategy, LshStrategy}
+import graft.index.{IvfStrategy, LshStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -243,7 +243,7 @@ object QueriesVector {
     * rows-only check; quality is asserted by the evaluate() spec. */
   val qLshKnn = Q("q_lsh_knn",
     (s, dir) => {
-      val strat = LshStrategy(Metric.Cosine)
+      val strat = LshStrategy(Metric.Cosine, nTables = 32, nBits = 5)
       val prepared = strat.prepare(store(s, dir)
         .withColumn("vector", col("vector").cast("array<double>")))
       strat.query(prepared, queriesDf(s, dir, 5)
@@ -266,7 +266,52 @@ object QueriesVector {
     },
     None)
 
+  /** SQ8 scalar-quantized ANN with exact re-rank (B5 scalar/pq family) —
+    * re-ranked output should usually equal the exact top-k, but quantized
+    * candidate selection is approximate by design, so rows-only check. */
+  val qSq8Knn = Q("q_sq8_knn",
+    (s, dir) => {
+      val strat = Sq8Strategy(Metric.Cosine)
+      val prepared = strat.prepare(store(s, dir)).cache()
+      strat.query(prepared, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
+  /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
+    * deterministic recall of each ANN strategy vs the exact ground truth
+    * (QPS is wall-clock-dependent, so only recall is emitted). */
+  val qEvaluate = Q("q_evaluate",
+    (s, dir) => {
+      import s.implicits._
+      val st = store(s, dir).withColumn("vector", col("vector").cast("array<double>"))
+      val q = queriesDf(s, dir, 10)
+        .withColumn("qvector", col("qvector").cast("array<double>"))
+      val k = 10
+      val gt = Knn.query(st, q, k, Metric.Cosine)
+        .groupBy("query_id").agg(max("dist").as("gt_kth"))
+      def recallOf(res: DataFrame): Double =
+        res.join(gt, "query_id")
+          .groupBy("query_id")
+          .agg((sum(when(col("dist") <= col("gt_kth") + 1e-3, 1).otherwise(0))
+            / k.toDouble).as("r"))
+          .agg(avg("r")).head.getDouble(0)
+      // embeddings' true neighbors sit at only ~0.4 cosine similarity, so
+      // sign-LSH needs many short signatures for recall (selectivity is
+      // data-dependent: on high-similarity corpora fewer/longer work)
+      val lsh = LshStrategy(Metric.Cosine, nTables = 32, nBits = 5)
+      val lshRecall = recallOf(lsh.query(lsh.prepare(st), q, k))
+      val ivf = IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8)
+      val ivfRecall = recallOf(ivf.query(ivf.prepare(st), q, k))
+      Seq(("lsh", k.toLong, math.rint(lshRecall * 1000) / 1000),
+        ("ivf", k.toLong, math.rint(ivfRecall * 1000) / 1000))
+        .toDF("strategy", "k", "recall")
+    },
+    None)
+
   val all: Seq[Q] = Seq(qKnnSelfjoin, qRadius, qPointLookup, qCount,
     qMetricsPairs, qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup,
-    qLshKnn, qIvfKnn)
+    qLshKnn, qIvfKnn, qSq8Knn, qEvaluate)
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, Metric}
-import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy}
+import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -203,7 +203,8 @@ class Vicinity private (
     // the prepared frame IS the index (≙ the reference backend's vectors.npy
     // / index.bin file); the optional store/ dir is the raw-vector side
     // store, present only with store_vectors=True (vicinity.py:199-202)
-    prepared.write.mode("overwrite").parquet(s"$dir/index/data.parquet")
+    strategy.writeIndex(prepared, s"$dir/index/data.parquet")
+    strategy.saveAux(dir)
     if (storeVectors) {
       store.write.mode("overwrite").parquet(s"$dir/store/vectors.parquet")
     }
@@ -261,7 +262,9 @@ object Vicinity {
       case Backend.Faiss =>
         val fa = args.asInstanceOf[BackendArgs.FaissArgs]
         fa.indexType match {
-          case "flat" | "scalar" | "pq" => ExactStrategy(fa.metric)
+          case "flat" => ExactStrategy(fa.metric)
+          // ivfpqr refines re-ranked; plain pq/scalar serve approximate codes
+          case "scalar" | "pq" => Sq8Strategy(fa.metric, rerank = fa.indexType == "pq")
           case t if t.startsWith("ivf") => IvfStrategy(fa.metric, fa.nlist)
           case "lsh" | "hnsw" => LshStrategy(fa.metric)
           case other => throw new IllegalArgumentException(
@@ -348,7 +351,9 @@ object Vicinity {
     val df =
       if (storeVectors) spark.read.parquet(s"$dir/store/vectors.parquet")
       else spark.read.parquet(s"$dir/index/data.parquet")
+    val strategy = strategyFor(backend, args)
+    strategy.loadAux(dir) // restore codebooks etc. so prepare won't retrain
     build(spark, df.select("id", "item", "vector"), backend, args,
-      metadata, storeVectors, strategyFor(backend, args))
+      metadata, storeVectors, strategy)
   }
 }

@@ -40,6 +40,20 @@ trait IndexStrategy extends Serializable {
 
   def supportsInsert: Boolean = true
   def supportsDelete: Boolean = false
+
+  /** Persist strategy-owned artifacts (codebooks, ranges) next to the index
+    * — ≙ the per-backend `arguments.json`/index-file pair
+    * (`/root/reference/vicinity/backends/base.py:19-32`). */
+  def saveAux(dir: String): Unit = {}
+
+  /** Restore strategy-owned artifacts before `prepare` runs on load, so
+    * loading never retrains (≙ reading the index file instead of rebuilding). */
+  def loadAux(dir: String): Unit = {}
+
+  /** Write the prepared index frame; strategies override to lay data out for
+    * query-time pruning (e.g. partition by centroid). */
+  def writeIndex(prepared: DataFrame, path: String): Unit =
+    prepared.write.mode("overwrite").parquet(path)
 }
 
 /** Exact brute-force strategy ≙ reference BASIC backend

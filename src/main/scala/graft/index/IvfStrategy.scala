@@ -55,21 +55,56 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   private val maxTrainRows = 100000L
 
   def prepare(store: DataFrame): DataFrame = {
-    val n = store.count()
     val normed = maybeNormalize(store, "vector")
-    val k = math.min(nlist, math.max(1, n.toInt))
-    val feat = normed.select(col("id"),
-      array_to_vector(col("vector")).as("features"))
-    val trainSet =
-      if (n > maxTrainRows) feat.sample(maxTrainRows.toDouble / n, seed)
-      else feat
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("features").setPredictionCol("_centroid")
-      .fit(trainSet)
-    centroids = model.clusterCenters.map(_.toArray)
-    val assigned = model.transform(feat).select(col("id"), col("_centroid"))
-    normed.join(assigned, "id")
+    if (centroids == null) {
+      // train the codebook (skipped when loadAux restored one)
+      val n = store.count()
+      val k = math.min(nlist, math.max(1, n.toInt))
+      val feat = normed.select(array_to_vector(col("vector")).as("features"))
+      val trainSet =
+        if (n > maxTrainRows) feat.sample(maxTrainRows.toDouble / n, seed)
+        else feat
+      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("_centroid")
+        .fit(trainSet)
+      centroids = model.clusterCenters.map(_.toArray)
+    }
+    if (store.columns.contains("_centroid")) normed // restored from index
+    else normed.withColumn("_centroid",
+      nearestCentroidsUdf(centroids, 1)(col("vector")).getItem(0))
   }
+
+  override def saveAux(dir: String): Unit = {
+    require(centroids != null, "nothing to save before prepare")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("nlist", nlist); root.put("nprobe", nprobe); root.put("seed", seed)
+    val arr = root.putArray("centroids")
+    centroids.foreach { c =>
+      val row = arr.addArray(); c.foreach(row.add)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "centroids.json"),
+      mapper.writeValueAsString(root))
+  }
+
+  override def loadAux(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir, "centroids.json")
+    if (java.nio.file.Files.exists(p)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(java.nio.file.Files.readString(p))
+      val arr = root.get("centroids")
+      centroids = (0 until arr.size()).map { i =>
+        val row = arr.get(i)
+        (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+      }.toArray
+    }
+  }
+
+  /** index laid out by cell: `isin(probes)` filters become Parquet
+    * partition pruning at query time */
+  override def writeIndex(prepared: DataFrame, path: String): Unit =
+    prepared.write.mode("overwrite").partitionBy("_centroid").parquet(path)
 
   private def candidates(prepared: DataFrame, queries: DataFrame,
       probes: Int): DataFrame = {

@@ -165,6 +165,34 @@ class VicinitySpec extends SparkSpec {
     intercept[UnsupportedOperationException] { v.delete(Seq(items.head)) }
   }
 
+  test("faiss scalar/pq (SQ8 strategy): rerank recovers exact top-k") {
+    val exact = basic.queryOne(queryVec, 10).map(_._1)
+    val sq = build(Backend.Faiss,
+      args = Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = "pq")))
+    val got = sq.queryOne(queryVec, 10).map(_._1)
+    // re-ranked quantized search: ordering may differ slightly in the tail,
+    // but the sets should overlap almost entirely on 8-bit codes
+    assert(got.toSet.intersect(exact.toSet).size >= 8)
+    val scalar = build(Backend.Faiss,
+      args = Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = "scalar")))
+    assert(scalar.queryOne(queryVec, 10).length === 10)
+  }
+
+  test("faiss ivf: save/load restores centroids without retraining, partitioned layout") {
+    val v = build(Backend.Faiss,
+      args = Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = "ivf", nlist = 8)))
+    val dir = "/tmp/graft_vicinity_ivf"
+    v.save(dir, overwrite = true)
+    assert(new java.io.File(s"$dir/centroids.json").exists())
+    // index parquet partitioned by cell
+    val parts = new java.io.File(s"$dir/index/data.parquet").listFiles()
+      .filter(_.getName.startsWith("_centroid="))
+    assert(parts.nonEmpty)
+    val loaded = Vicinity.load(spark, dir)
+    val res = loaded.queryOne(vectors.head, 5)
+    assert(res.head._1 === items.head)
+  }
+
   test("evaluate: qps > 0, 0 <= recall <= 1 (test_vicinity.py:318-331)") {
     val queries = vectors.take(10)
     val (qps, recall) = basic.evaluate(queries, k = 10)
