@@ -105,7 +105,8 @@ object Queries {
     """))
 
   val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean) ++
-    QueriesRelational.all ++ QueriesVector.all ++ QueriesText.all
+    QueriesRelational.all ++ QueriesVector.all ++ QueriesText.all ++
+    QueriesAnalytics.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.operators.AsofJoin
+
+/** Advanced analytics operators: as-of join, sessionization, pivot,
+  * percentiles, histograms — the time-series/reporting layer on top of the
+  * relational core.
+  */
+object QueriesAnalytics {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_s", floor(col("ts") / 1000000000L).cast("long"))
+  }
+
+  /** backward as-of join: each event picks the user's most recent order at
+    * or before the event time (union+window plan: one shuffle, no range
+    * explosion) */
+  val qAsofJoin = Q("q_asof_join",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      // dedupe ties: one row per (custkey, orderdate) = the max orderkey
+      val orders = t(s, dir, "orders")
+        .withColumn("o_date_s", unix_timestamp(col("o_orderdate")))
+        .groupBy("o_custkey", "o_date_s")
+        .agg(max("o_orderkey").as("last_orderkey"))
+      AsofJoin.asof(ev, orders, "user_id", "o_custkey", "ts_s", "o_date_s",
+        Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("last_orderkey"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      ord AS (
+        SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_date_s,
+               max(o_orderkey) AS last_orderkey
+        FROM orders GROUP BY 1, 2)
+      SELECT ev.event_id, ev.user_id, ord.last_orderkey
+      FROM ev ASOF JOIN ord
+        ON ev.user_id = ord.o_custkey AND ev.ts_s >= ord.o_date_s
+      ORDER BY event_id
+    """))
+
+  /** sessionization: a 30-minute inactivity gap starts a new session */
+  val qSessionize = Q("q_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum("new_sess").over(wCum))
+        .groupBy("user_id", "sess_no")
+        .agg(min("ts_s").as("sess_start"), max("ts_s").as("sess_end"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sess_no").cast("long").as("sess_no"),
+          col("sess_start"), (col("sess_end") - col("sess_start")).as("duration_s"),
+          col("n_events"))
+        .orderBy("user_id", "sess_no")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, ts_s,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                         OR ts_s - lag(ts_s) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      sess AS (
+        SELECT user_id, ts_s,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+        FROM flagged)
+      SELECT user_id, sess_no, min(ts_s) AS sess_start,
+             max(ts_s) - min(ts_s) AS duration_s, count(*) AS n_events
+      FROM sess
+      GROUP BY user_id, sess_no
+      ORDER BY user_id, sess_no
+    """))
+
+  /** pivot: event types to columns (explicit value list => static schema) */
+  val qPivot = Q("q_pivot",
+    (s, dir) => events(s, dir)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)).cast("long"))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum("value"), 2))
+      .na.fill(0.0)
+      .orderBy("user_bucket"),
+    Some("""
+      SELECT user_id % 10 AS user_bucket,
+             coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0) AS click,
+             coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0) AS view,
+             coalesce(round(sum(value) FILTER (event_type = 'purchase'), 2), 0) AS purchase,
+             coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0) AS signup,
+             coalesce(round(sum(value) FILTER (event_type = 'error'), 2), 0) AS error
+      FROM events
+      GROUP BY 1
+      ORDER BY user_bucket
+    """))
+
+  /** exact interpolated percentiles per group */
+  val qPercentiles = Q("q_percentiles",
+    (s, dir) => events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.25)"), 4).as("p25"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min("value"), 4).as("vmin"), round(max("value"), 4).as("vmax"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 4) AS p25,
+             round(quantile_cont(value, 0.5), 4) AS p50,
+             round(quantile_cont(value, 0.9), 4) AS p90,
+             round(min(value), 4) AS vmin, round(max(value), 4) AS vmax
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type
+    """))
+
+  /** fixed-width histogram over order totals */
+  val qHistogram = Q("q_histogram",
+    (s, dir) => t(s, dir, "orders")
+      .withColumn("bin", (floor(col("o_totalprice") / 50000) * 50000).cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 2).as("avg_price"))
+      .orderBy("bin"),
+    Some("""
+      SELECT CAST(floor(o_totalprice / 50000) * 50000 AS BIGINT) AS bin,
+             count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+      FROM orders
+      GROUP BY 1
+      ORDER BY bin
+    """))
+
+  val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qPivot, qPercentiles, qHistogram)
+}
