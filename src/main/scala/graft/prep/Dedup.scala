@@ -149,8 +149,8 @@ object Dedup {
       .where(col("i") < col("j"))
       .select(col("i"), col("j"),
         bit_count(col("_hi").bitwiseXOR(col("_hj"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= maxHamming)
+      .where(col("hamming") <= maxHamming) // filter BEFORE distinct: bucket
+      .distinct()                          // collisions are quadratic
   }
 
   // ------------------------------------------------------- exact dedup
