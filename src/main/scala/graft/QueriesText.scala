@@ -192,6 +192,26 @@ object QueriesText {
       ORDER BY doc_id
     """))
 
+  /** token counting three ways: whitespace words, BPE-ish regex tokens
+    * (letter runs | digit runs | single punctuation), chars/4 estimate */
+  val qTokenCount = Q("q_token_count",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TF.wordCount(col("text")).cast("long").as("n_words"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("n_regex_tokens"),
+        TF.tokenEstimate(col("text")).as("n_tokens_est"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+               AS n_regex_tokens,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_est
+      FROM documents
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
-    qMinhashDedup, qSimhashPairs, qBinaryMeta)
+    qMinhashDedup, qSimhashPairs, qBinaryMeta, qTokenCount)
 }

@@ -131,8 +131,10 @@ object Dedup {
     * pair shares at least one full segment (pigeonhole) — EXACT result, no
     * recall loss, without the all-pairs join.
     */
-  def simhashPairs(df: DataFrame, idCol: String, simhashCol: String,
+  def simhashPairs(df0: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // the fingerprint column feeds both sides of the self-join: compute once
+    val df = df0.cache()
     val nBands = maxHamming + 1
     val bandBits = 32 / nBands
     val bandCols: Seq[Column] = (0 until nBands).map { b =>
