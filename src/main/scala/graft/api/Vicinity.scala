@@ -123,8 +123,12 @@ class Vicinity private (
     }
     val newDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), store.schema)
-    Vicinity.build(spark, store.unionByName(newDf), backend, args, metadata,
-      storeVectors, strategy)
+    // incremental maintenance: only the appended rows are prepared
+    // (normalized/hashed/assigned), ≙ basic.py:34-51
+    val newStore = store.unionByName(newDf).cache()
+    val newPrepared = strategy.prepareIncrement(prepared, newDf, newStore).cache()
+    new Vicinity(spark, newStore, backend, args, metadata, storeVectors,
+      strategy, newPrepared, count + items.length, dim)
   }
 
   /** ≙ `delete` (`vicinity.py:255-283`): for each distinct token, delete the

@@ -41,6 +41,17 @@ trait IndexStrategy extends Serializable {
   def supportsInsert: Boolean = true
   def supportsDelete: Boolean = false
 
+  /** Incremental build for inserts: prepare ONLY the appended rows and
+    * union with the existing prepared frame — the reference maintains its
+    * precomputed data the same way on insert (`/root/reference/vicinity/
+    * backends/basic.py:34-51`: norms recomputed for new rows only).
+    * Default falls back to a full re-prepare; strategies with
+    * store-independent artifacts (normalization, hashes, learned codebooks)
+    * override to touch only the increment.
+    */
+  def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame = prepare(fullStore)
+
   /** Persist strategy-owned artifacts (codebooks, ranges) next to the index
     * — ≙ the per-backend `arguments.json`/index-file pair
     * (`/root/reference/vicinity/backends/base.py:19-32`). */
@@ -103,4 +114,9 @@ case class ExactStrategy(metric: Metric) extends IndexStrategy {
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
       .where(col("dist") <= threshold) // inclusive: basic.py:168
   }
+
+  /** normalization is per-row: prepare the increment only */
+  override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame =
+    prevPrepared.unionByName(prepare(newRows))
 }

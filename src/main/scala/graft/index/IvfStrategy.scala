@@ -74,6 +74,13 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       nearestCentroidsUdf(centroids, 1)(col("vector")).getItem(0))
   }
 
+  /** new rows are assigned to the EXISTING codebook — FAISS `add` after
+    * `train` (`faiss.py:157-161`), no retraining */
+  override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame =
+    if (centroids == null) prepare(fullStore)
+    else prevPrepared.unionByName(prepare(newRows))
+
   override def saveAux(dir: String): Unit = {
     require(centroids != null, "nothing to save before prepare")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

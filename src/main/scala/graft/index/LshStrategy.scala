@@ -77,6 +77,11 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
 
   @transient private var cachedDim: Int = -1
 
+  /** hashes are per-row from seeded planes: hash the increment only */
+  override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame =
+    prevPrepared.unionByName(prepare(newRows))
+
   def prepare(store: DataFrame): DataFrame = {
     cachedDim = store.select(size(col("vector"))).head.getInt(0)
     store.withColumn("_buckets",

@@ -163,6 +163,11 @@ class VicinitySpec extends SparkSpec {
     assert(res.length === 10)
     assert(res.head._1 === items.head)
     intercept[UnsupportedOperationException] { v.delete(Seq(items.head)) }
+    // incremental insert: new row assigned to the existing codebook
+    // (faiss.py:157-161 add-after-train) and immediately queryable
+    val v2 = v.insert(Seq("ivf_fresh"), Seq(queryVec))
+    assert(v2.length === n + 1)
+    assert(v2.queryOne(queryVec, 1).head._1 === "ivf_fresh")
   }
 
   test("faiss scalar/pq (SQ8 strategy): rerank recovers exact top-k") {
