@@ -1,8 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.functions.{col, posexplode, udaf}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, posexplode}
 
 /** Bounded top-k-by-distance aggregation — the Spark equivalent of the
   * reference's partial selection (`argpartition(kth=k-1)` + local sort of the
@@ -77,21 +76,7 @@ final class TopKHeap(val k: Int) extends Serializable {
 
 case class Neighbor(id: Long, dist: Double)
 
-class TopKAggregator(k: Int)
-    extends Aggregator[Neighbor, TopKHeap, Seq[Neighbor]] {
-  def zero: TopKHeap = new TopKHeap(k)
-  def reduce(b: TopKHeap, a: Neighbor): TopKHeap = { b.add(a.id, a.dist); b }
-  def merge(b1: TopKHeap, b2: TopKHeap): TopKHeap = b1.mergeIn(b2)
-  def finish(b: TopKHeap): Seq[Neighbor] = b.sorted
-  def bufferEncoder: Encoder[TopKHeap] = Encoders.javaSerialization[TopKHeap]
-  def outputEncoder: Encoder[Seq[Neighbor]] = TopK.neighborSeqEncoder
-}
-
 object TopK {
-  import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-  private[graft] implicit val neighborSeqEncoder: Encoder[Seq[Neighbor]] =
-    ExpressionEncoder[Seq[Neighbor]]()
-
   /** Per-group top-k: groups `df` by `groupCols`, keeps the k smallest
     * (distCol, idCol) pairs per group, and returns one row per kept neighbor
     * with columns `groupCols ++ (idCol, distCol, rank)` where rank is
