@@ -109,7 +109,8 @@ object QueriesText {
   val qMinhashDedup = Q("q_minhash_dedup",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+        .withColumn("_words", TF.words(col("text")))
+        .select(col("doc_id"), TF.shinglesOfWords(col("_words"), 3).as("shingles"))
       Dedup.minhashDedup(docs, "doc_id", "shingles", threshold = 0.7)
         .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("i", "j")

@@ -78,12 +78,19 @@ object TextFunctions {
       sequence(lit(1), greatest(length(text) - 7, lit(1))),
       i => md5(substring(text, i, lit(8)).cast("binary"))))
 
-  /** word n-gram shingles (distinct), the dedup unit */
-  def wordShingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
+  /** word n-gram shingles (distinct) over an already-materialized words
+    * array — the dedup unit. Take the words column from a separate
+    * projection (`withColumn("_words", words(text))`): referencing
+    * `split()` directly here would re-tokenize the text for every
+    * element_at in the lambda (measured 2s of 5.5s in minhash at sf0.1). */
+  def shinglesOfWords(w: Column, n: Int = 3): Column =
     array_distinct(
       when(size(w) < n, array())
         .otherwise(transform(sequence(lit(0), size(w) - n),
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
-  }
+
+  /** convenience form over raw text (fine for one-shot use; hot paths
+    * should materialize the words array and call shinglesOfWords) */
+  def wordShingles(text: Column, n: Int = 3): Column =
+    shinglesOfWords(words(text), n)
 }
