@@ -214,6 +214,36 @@ class Vicinity private (
     }
   }
 
+  /** Hub-export item promotion ≙ `push_to_hub`'s dataset conversion
+    * (`/root/reference/vicinity/integrations/huggingface.py:51-60`): items
+    * that are JSON objects become real columns; any other items land in a
+    * single `_vicinity_items` column. Vectors ride along as an array column
+    * when the store keeps them. The returned frame can be written to any
+    * Hadoop-FS URI — the offline equivalent of the hub round-trip (Q10).
+    */
+  def itemsAsColumns(): DataFrame = {
+    val structCount = store
+      .where(col("item").startsWith("{")).limit(1).count()
+    val base =
+      if (structCount > 0) {
+        // promote object items to columns via sampled schema inference
+        val sampleJson = store.where(col("item").startsWith("{"))
+          .select(col("item")).head.getString(0)
+        val schema = schema_of_json(sampleJson)
+        store.select(col("id"), from_json(col("item"), schema).as("_s"),
+          col("vector"))
+          .select(col("id"), col("_s.*"), col("vector"))
+      } else {
+        store.select(col("id"), col("item").as("_vicinity_items"), col("vector"))
+      }
+    if (storeVectors) base else base.drop("vector")
+  }
+
+  /** Export the full index directory to any URI (`s3a://`, `hdfs://`, local
+    * path) — format identical to [[save]]; `Vicinity.load` reads it back. */
+  def pushToUri(uri: String, overwrite: Boolean = false): Unit =
+    save(uri, overwrite)
+
   /** Recall/QPS evaluation ≙ `vicinity.evaluate` (`vicinity.py:328-393`):
     * exact ground truth on the same metric, recall@k with epsilon per the
     * ann-benchmarks methodology, QPS timed around the strategy's query only.

@@ -198,6 +198,19 @@ class VicinitySpec extends SparkSpec {
     assert(res.head._1 === items.head)
   }
 
+  test("itemsAsColumns: object items promote to columns (huggingface.py:51-60)") {
+    val withStore = build(store = true)
+    val cols = withStore.itemsAsColumns()
+    // fixture has {"name":..., "id":...} items -> promoted columns
+    assert(cols.columns.contains("name") && cols.columns.contains("vector"))
+    val named = cols.where(org.apache.spark.sql.functions.col("name").isNotNull).count()
+    assert(named === n / 2) // odd-index items are objects
+    // string-only items fall back to one _vicinity_items column
+    val plain = Vicinity.fromVectorsAndItems(spark, Seq("a", "b"),
+      Seq(Seq(1.0, 0.0), Seq(0.0, 1.0)), storeVectors = false)
+    assert(plain.itemsAsColumns().columns.toSeq === Seq("id", "_vicinity_items"))
+  }
+
   test("evaluate: qps > 0, 0 <= recall <= 1 (test_vicinity.py:318-331)") {
     val queries = vectors.take(10)
     val (qps, recall) = basic.evaluate(queries, k = 10)
