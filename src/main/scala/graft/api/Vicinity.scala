@@ -112,7 +112,10 @@ class Vicinity private (
     * reference does NOT reject duplicate items — neither do we.
     */
   def insert(items: Seq[String], vectors: Seq[Seq[Double]]): Vicinity = {
-    if (!strategy.supportsInsert) throw new UnsupportedOperationException(
+    // per-backend surface parity: ANNOY (annoy.py:120-122) and PYNNDESCENT
+    // (pynndescent.py:75-77) reject insertion in the reference
+    if (backend == Backend.Annoy || backend == Backend.Pynndescent ||
+        !strategy.supportsInsert) throw new UnsupportedOperationException(
       s"Backend ${backend.name} does not support insertion.")
     if (items.length != vectors.length) throw new IllegalArgumentException(
       s"Your tokens and vectors are not the same length: ${items.length} != ${vectors.length}")
@@ -138,8 +141,11 @@ class Vicinity private (
     * 0..n-1 in id order (list-pop semantics).
     */
   def delete(tokens: Seq[String]): Vicinity = {
-    if (!strategy.supportsDelete) throw new UnsupportedOperationException(
-      s"Backend ${backend.name} does not support deletion.")
+    // only BASIC supports delete in the reference (basic.py:48-51; every
+    // other backend raises, e.g. faiss.py:163-165, hnsw.py:103-105)
+    if (backend != Backend.Basic || !strategy.supportsDelete)
+      throw new UnsupportedOperationException(
+        s"Backend ${backend.name} does not support deletion.")
     val distinctTokens = tokens.distinct
     val tokDf = spark.createDataFrame(
       spark.sparkContext.parallelize(distinctTokens.map(Row(_)), 1),
