@@ -151,5 +151,22 @@ object QueriesAnalytics {
       ORDER BY bin
     """))
 
-  val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qPivot, qPercentiles, qHistogram)
+  /** hierarchical aggregation: ROLLUP over (returnflag, linestatus) with
+    * subtotal and grand-total rows */
+  val qRollup = Q("q_rollup",
+    (s, dir) => t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """))
+
+  val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qPivot, qPercentiles,
+    qHistogram, qRollup)
 }
