@@ -292,12 +292,17 @@ object QueriesVector {
       val k = 10
       val gt = Knn.query(st, q, k, Metric.Cosine)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
-      def recallOf(res: DataFrame): Double =
-        res.join(gt, "query_id")
+      def recallOf(res: DataFrame): Double = {
+        // queries with zero ANN results count as recall 0 (vicinity.py:386-392)
+        val hits = res.join(gt, "query_id")
           .groupBy("query_id")
-          .agg((sum(when(col("dist") <= col("gt_kth") + 1e-3, 1).otherwise(0))
-            / k.toDouble).as("r"))
+          .agg(sum(when(col("dist") <= col("gt_kth") + 1e-3, 1).otherwise(0))
+            .as("hits"))
+        gt.select("query_id").distinct()
+          .join(hits, Seq("query_id"), "left")
+          .select((coalesce(col("hits"), lit(0)) / k.toDouble).as("r"))
           .agg(avg("r")).head.getDouble(0)
+      }
       // embeddings' true neighbors sit at only ~0.4 cosine similarity, so
       // sign-LSH needs many short signatures for recall (selectivity is
       // data-dependent: on high-similarity corpora fewer/longer work)

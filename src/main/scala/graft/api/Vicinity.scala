@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.core.{Backend, BackendArgs, Metric}
+import graft.core.{Backend, BackendArgs, FsIO, Metric}
 import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
@@ -173,22 +173,23 @@ class Vicinity private (
     * vector column only when storeVectors; dropping it ≙ store_vectors=False).
     */
   def save(dir: String, overwrite: Boolean = false): Unit = {
-    val path = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(path) && !overwrite)
+    if (FsIO.exists(dir) && !overwrite)
       throw new IllegalArgumentException(s"Path $dir already exists.")
-    java.nio.file.Files.createDirectories(path)
+    FsIO.mkdirs(dir)
     val mapper = new ObjectMapper()
     // items must be JSON-serializable (vicinity.py:191-196 raises otherwise).
-    // Plain strings always are; items that claim to be structured JSON
-    // (leading '{'/'[') must actually parse.
-    val structured = store.select("item").limit(100001).collect()
-      .map(_.getString(0))
-      .filter(it => it.startsWith("{") || it.startsWith("["))
-    structured.foreach { it =>
-      try mapper.readTree(it)
-      catch { case e: Exception => throw new IllegalArgumentException(
-        s"Item is not JSON-serializable: ${it.take(80)}", e) }
+    // Plain strings always are; items that claim to be JSON OBJECTS
+    // (leading '{') must actually parse. Validation is distributed — no
+    // driver-side cap.
+    val isMalformed = udf { (it: String) =>
+      try { new ObjectMapper().readTree(it); false }
+      catch { case _: Exception => true }
     }
+    val bad = store.select("item")
+      .where(col("item").startsWith("{") && isMalformed(col("item")))
+      .limit(1).collect()
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"Item is not JSON-serializable: ${bad.head.getString(0).take(80)}")
     val root = mapper.createObjectNode()
     root.put("backend_type", backend.name)
     root.put("count", count)
@@ -196,7 +197,7 @@ class Vicinity private (
     root.put("store_vectors", storeVectors)
     val meta = root.putObject("metadata")
     metadata.foreach { case (k, v) => meta.put(k, v) }
-    java.nio.file.Files.writeString(path.resolve("data.json"),
+    FsIO.write(s"$dir/data.json",
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
     val argsNode = mapper.createObjectNode()
     args.toJsonFields.foreach {
@@ -208,7 +209,7 @@ class Vicinity private (
       case (k, null) => argsNode.putNull(k)
       case (k, v) => argsNode.put(k, String.valueOf(v))
     }
-    java.nio.file.Files.writeString(path.resolve("arguments.json"),
+    FsIO.write(s"$dir/arguments.json",
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(argsNode))
     // the prepared frame IS the index (≙ the reference backend's vectors.npy
     // / index.bin file); the optional store/ dir is the raw-vector side
@@ -271,11 +272,17 @@ class Vicinity private (
     approx.count()
     val elapsed = (System.nanoTime() - t0) / 1e9
     val qps = queryVectors.length / math.max(elapsed, 1e-9)
-    // recall per query = #(approx_dist <= gt_kth + eps) / k  (vicinity.py:386-392)
-    val recall = approx.join(gt, "query_id")
+    // recall per query = #(approx_dist <= gt_kth + eps) / k, averaged over
+    // ALL queries (vicinity.py:386-392) — a query with zero approximate
+    // results counts as recall 0, so drive the average from the ground
+    // truth side, not from whatever the ANN strategy returned
+    val hits = approx.join(gt, "query_id")
       .groupBy("query_id")
-      .agg((sum(when(col("dist") <= col("gt_kth") + epsilon, 1)
-        .otherwise(0)) / k.toDouble).as("r"))
+      .agg(sum(when(col("dist") <= col("gt_kth") + epsilon, 1)
+        .otherwise(0)).as("hits"))
+    val recall = gt.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select((coalesce(col("hits"), lit(0)) / k.toDouble).as("r"))
       .agg(avg("r")).head.getDouble(0)
     q.unpersist(); approx.unpersist(); exactPrepared.unpersist()
     (qps, recall)
@@ -365,22 +372,32 @@ object Vicinity {
   /** ≙ `Vicinity.load` (`vicinity.py:204-234`). */
   def load(spark: SparkSession, dir: String): Vicinity = {
     val mapper = new ObjectMapper()
-    val data = mapper.readTree(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "data.json")))
-    val argsJson = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, "arguments.json")))
+    val data = mapper.readTree(FsIO.read(s"$dir/data.json"))
+    val argsJson = mapper.readTree(FsIO.read(s"$dir/arguments.json"))
     val backend = Backend.fromString(data.get("backend_type").asText())
     val metric = Metric.fromString(argsJson.get("metric").asText())
     val storeVectors = data.get("store_vectors").asBoolean()
+    // restore EVERY persisted hyperparameter, not just metric/index_type —
+    // round-tripped args must equal what was saved (base.py:26-32 parity)
+    def i(field: String, dflt: Int): Int =
+      Option(argsJson.get(field)).map(_.asInt(dflt)).getOrElse(dflt)
     val args: BackendArgs = backend match {
       case Backend.Basic => BackendArgs.BasicArgs(metric)
-      case Backend.Hnsw => BackendArgs.HnswArgs(metric)
-      case Backend.Annoy => BackendArgs.AnnoyArgs(metric)
-      case Backend.Pynndescent => BackendArgs.PynndescentArgs(metric)
+      case Backend.Hnsw => BackendArgs.HnswArgs(metric,
+        efConstruction = i("ef_construction", 200), m = i("m", 16))
+      case Backend.Annoy => BackendArgs.AnnoyArgs(metric, trees = i("trees", 100))
+      case Backend.Pynndescent => BackendArgs.PynndescentArgs(metric,
+        nNeighbors = i("n_neighbors", 15))
       case Backend.Faiss => BackendArgs.FaissArgs(metric,
-        indexType = Option(argsJson.get("index_type")).map(_.asText()).getOrElse("flat"))
-      case Backend.Usearch => BackendArgs.UsearchArgs(metric)
-      case Backend.Voyager => BackendArgs.VoyagerArgs(metric)
+        indexType = Option(argsJson.get("index_type")).map(_.asText()).getOrElse("flat"),
+        nlist = i("nlist", 100), m = i("m", 8), nbits = i("nbits", 8),
+        refineNbits = i("refine_nbits", 8))
+      case Backend.Usearch => BackendArgs.UsearchArgs(metric,
+        connectivity = i("connectivity", 16),
+        expansionAdd = i("expansion_add", 128),
+        expansionSearch = i("expansion_search", 64))
+      case Backend.Voyager => BackendArgs.VoyagerArgs(metric,
+        efConstruction = i("ef_construction", 200), m = i("m", 16))
     }
     val metadata = Option(data.get("metadata")).map { m =>
       m.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap

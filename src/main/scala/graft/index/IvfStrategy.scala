@@ -90,16 +90,13 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     centroids.foreach { c =>
       val row = arr.addArray(); c.foreach(row.add)
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, "centroids.json"),
-      mapper.writeValueAsString(root))
+    graft.core.FsIO.write(s"$dir/centroids.json", mapper.writeValueAsString(root))
   }
 
   override def loadAux(dir: String): Unit = {
-    val p = java.nio.file.Paths.get(dir, "centroids.json")
-    if (java.nio.file.Files.exists(p)) {
+    if (graft.core.FsIO.exists(s"$dir/centroids.json")) {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.readTree(java.nio.file.Files.readString(p))
+      val root = mapper.readTree(graft.core.FsIO.read(s"$dir/centroids.json"))
       val arr = root.get("centroids")
       centroids = (0 until arr.size()).map { i =>
         val row = arr.get(i)

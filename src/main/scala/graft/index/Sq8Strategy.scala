@@ -34,6 +34,21 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
 
   def prepare(store: DataFrame): DataFrame = {
     val normed = maybeNormalize(store, "vector")
+    // train-once semantics (≙ FAISS SQ train + add): ranges are learned on
+    // the first prepare and REUSED afterwards — re-learning on insert would
+    // silently invalidate codes quantized by earlier snapshots that share
+    // this strategy instance
+    if (lo == null) learnRanges(normed)
+    quantized(normed)
+  }
+
+  /** new rows are quantized with the existing trained ranges */
+  override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame =
+    if (lo == null) prepare(fullStore)
+    else prevPrepared.unionByName(quantized(maybeNormalize(newRows, "vector")))
+
+  private def learnRanges(normed: DataFrame): Unit = {
     // learn per-dimension ranges in one distributed pass
     val (mins, maxs) = normed.select("vector").rdd
       .map(_.getSeq[Double](0).toArray)
@@ -63,6 +78,9 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
             (mn1, mx1)
         })
     lo = mins; hi = maxs
+  }
+
+  private def quantized(normed: DataFrame): DataFrame = {
     val l = lo; val h = hi
     val quantize = udf { (v: Seq[Double]) =>
       val out = new Array[Byte](v.length)

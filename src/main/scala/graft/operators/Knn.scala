@@ -25,13 +25,22 @@ object Knn {
     * `qvecCol`). Output: query_id, id, dist (clipped ≥ 0 per
     * `vicinity.py:135`).
     */
+  /** Raw pair distances. For metrics that are mathematically >= 0 the
+    * clip-to-zero is applied here as fp-noise canonicalization (stabilizes
+    * tie order); for InnerProduct the distance is genuinely signed, so
+    * selection must rank the RAW value — the reference clips only the
+    * final, already-sorted output (`vicinity.py:135`). */
   private def pairDistances(store: DataFrame, queries: DataFrame,
       metric: Metric, vecCol: String, qvecCol: String): DataFrame = {
-    val d = VectorFunctions.distance(metric)(col(vecCol), col(qvecCol))
+    val raw = VectorFunctions.distance(metric)(col(vecCol), col(qvecCol))
+    val d = if (metric == Metric.InnerProduct) raw else greatest(raw, lit(0.0))
     store.crossJoin(broadcast(queries))
-      .select(col("query_id"), col("id"),
-        greatest(d, lit(0.0)).as("dist"))
+      .select(col("query_id"), col("id"), d.as("dist"))
   }
+
+  /** output clip ≙ `distances.clip(min=0)` after selection (vicinity.py:135) */
+  private def clipOut(df: DataFrame): DataFrame =
+    df.withColumn("dist", greatest(col("dist"), lit(0.0)))
 
   /** Top-k per query: (query_id, id, dist, rank), rank 1-based by (dist, id).
     * `effective k = min(k, store size)` falls out naturally (a heap over
@@ -43,11 +52,12 @@ object Knn {
     require(k >= 1, s"k must be >= 1, got $k") // basic.py:187-188
     val pairs = pairDistances(store, queries, metric, vecCol, qvecCol)
     if (useAggregator) {
-      TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+      clipOut(TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k))
     } else {
       // reference plan for correctness cross-checks: full window sort
       val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
-      pairs.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      clipOut(pairs.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k))
     }
   }
 
@@ -65,9 +75,10 @@ object Knn {
       if (inclusive) col("dist") <= threshold else col("dist") < threshold
     if (maxK > 0) {
       // ANN emulation: truncate to max_k nearest, then filter
-      TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", maxK).where(pred)
+      clipOut(TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", maxK)
+        .where(pred))
     } else {
-      pairs.where(pred)
+      clipOut(pairs.where(pred))
     }
   }
 
@@ -80,18 +91,24 @@ object Knn {
     // broadcastable side => the blocked kernel (2-3x faster: no n² join-row
     // materialization); beyond that, the join plan. (A truly huge exact
     // self-join is O(n²) regardless — the scale path is LSH/IVF blocking.)
-    if (df.count() <= 100000 &&
+    // Gate on estimated BYTES (n·dim·8), not row count: 100k rows of
+    // 1536-dim embeddings is ~1.2 GB of driver heap, not broadcastable.
+    val n = df.count()
+    val dim = if (n == 0) 0 else df.select(size(col(vecCol))).head.getInt(0)
+    val broadcastable = n > 0 && n * dim * 8L <= 256L * 1024 * 1024
+    if (broadcastable &&
         Seq(Metric.Cosine, Metric.Euclidean, Metric.L2Squared,
           Metric.Manhattan, Metric.InnerProduct).contains(metric)) {
       queryBlocked(df.select(col("id"), col(vecCol).as("vector")), queries, k,
         metric, excludeSelf = true)
     } else {
       val store = df.select(col("id"), col(vecCol))
-      val d = VectorFunctions.distance(metric)(col(vecCol), col("qvector"))
+      val raw = VectorFunctions.distance(metric)(col(vecCol), col("qvector"))
+      val d = if (metric == Metric.InnerProduct) raw else greatest(raw, lit(0.0))
       val pairs = store.crossJoin(broadcast(queries))
         .where(col("id") =!= col("query_id"))
-        .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-      TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+        .select(col("query_id"), col("id"), d.as("dist"))
+      clipOut(TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k))
     }
   }
 
@@ -162,7 +179,10 @@ object Knn {
                 case Metric.InnerProduct => 1.0 - acc
                 case _ => acc
               }
-              heaps(qi).add(id, math.max(dist, 0.0))
+              // canonicalize fp noise for non-negative metrics; keep the
+              // signed value for InnerProduct (clip happens on output)
+              val d2 = if (m == Metric.InnerProduct) dist else math.max(dist, 0.0)
+              heaps(qi).add(id, d2)
             }
             qi += 1
           }
@@ -179,6 +199,6 @@ object Knn {
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("dist",
           org.apache.spark.sql.types.DoubleType, nullable = false))))
-    TopK.topKPerGroup(partialDf, Seq("query_id"), "id", "dist", k)
+    clipOut(TopK.topKPerGroup(partialDf, Seq("query_id"), "id", "dist", k))
   }
 }
