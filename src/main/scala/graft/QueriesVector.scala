@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{IvfStrategy, LshStrategy, Sq8Strategy}
+import graft.index.{IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -280,13 +280,27 @@ object QueriesVector {
     },
     None)
 
+  /** product-quantized ANN: per-subspace codebooks + ADC lookup-table scan
+    * (B5 pq/ivfpq family) — approximate by design, rows-only check. */
+  val qPqKnn = Q("q_pq_knn",
+    (s, dir) => {
+      val strat = PqStrategy(Metric.Cosine, m = 8, nbits = 8)
+      val prepared = strat.prepare(store(s, dir)).cache()
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
   /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
     * deterministic recall of each ANN strategy vs the exact ground truth
     * (QPS is wall-clock-dependent, so only recall is emitted). */
   val qEvaluate = Q("q_evaluate",
     (s, dir) => {
       import s.implicits._
+      // three strategies scan the same store: materialize once
       val st = store(s, dir).withColumn("vector", col("vector").cast("array<double>"))
+        .cache()
       val q = queriesDf(s, dir, 10)
         .withColumn("qvector", col("qvector").cast("array<double>"))
       val k = 10
@@ -318,5 +332,5 @@ object QueriesVector {
 
   val all: Seq[Q] = Seq(qKnnSelfjoin, qRadius, qPointLookup, qCount,
     qMetricsPairs, qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup,
-    qLshKnn, qIvfKnn, qSq8Knn, qEvaluate)
+    qLshKnn, qIvfKnn, qSq8Knn, qPqKnn, qEvaluate)
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy, Sq8Strategy}
+import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -310,8 +310,9 @@ object Vicinity {
         val fa = args.asInstanceOf[BackendArgs.FaissArgs]
         fa.indexType match {
           case "flat" => ExactStrategy(fa.metric)
-          // ivfpqr refines re-ranked; plain pq/scalar serve approximate codes
-          case "scalar" | "pq" => Sq8Strategy(fa.metric, rerank = fa.indexType == "pq")
+          case "scalar" => Sq8Strategy(fa.metric, rerank = false)
+          case "pq" => PqStrategy(fa.metric, fa.m, fa.nbits)
+          case "ivfpqr" => PqStrategy(fa.metric, fa.m, fa.nbits, rerank = true)
           case t if t.startsWith("ivf") => IvfStrategy(fa.metric, fa.nlist)
           case "lsh" | "hnsw" => LshStrategy(fa.metric)
           case other => throw new IllegalArgumentException(
