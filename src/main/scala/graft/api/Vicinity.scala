@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{ExactStrategy, IndexStrategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{ExactStrategy, IndexStrategy, IvfPqStrategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -312,8 +312,11 @@ object Vicinity {
           case "flat" => ExactStrategy(fa.metric)
           case "scalar" => Sq8Strategy(fa.metric, rerank = false)
           case "pq" => PqStrategy(fa.metric, fa.m, fa.nbits)
-          case "ivfpqr" => PqStrategy(fa.metric, fa.m, fa.nbits, rerank = true)
-          case t if t.startsWith("ivf") => IvfStrategy(fa.metric, fa.nlist)
+          case "ivfpq" => IvfPqStrategy(fa.metric, fa.nlist, m = fa.m,
+            nbits = fa.nbits)
+          case "ivfpqr" => IvfPqStrategy(fa.metric, fa.nlist, m = fa.m,
+            nbits = fa.nbits, rerank = true)
+          case "ivf" | "ivf_scalar" => IvfStrategy(fa.metric, fa.nlist)
           case "lsh" | "hnsw" => LshStrategy(fa.metric)
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")

@@ -110,6 +110,16 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     prepared.write.mode("overwrite").partitionBy("_centroid").parquet(path)
 
+  /** distinct union of every query's nprobe nearest cells — the static
+    * pruning predicate for strategies that compose over IVF cells */
+  def probeCells(queries: DataFrame): Seq[Int] = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    val q = maybeNormalize(queries, "qvector")
+    val nprobeEff = math.min(nprobe, centroids.length)
+    q.select(explode(nearestCentroidsUdf(centroids, nprobeEff)(col("qvector"))))
+      .distinct().collect().map(_.getInt(0)).toSeq
+  }
+
   private def candidates(prepared: DataFrame, queries: DataFrame,
       probes: Int): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
