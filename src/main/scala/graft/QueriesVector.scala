@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{IvfPqStrategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -292,6 +292,19 @@ object QueriesVector {
     },
     None)
 
+  /** composed IVF+PQ: probe cells pruned, ADC-scanned, exact re-rank
+    * (B5 ivfpq/ivfpqr) — rows-only check. */
+  val qIvfpqKnn = Q("q_ivfpq_knn",
+    (s, dir) => {
+      val strat = IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
+        m = 8, nbits = 8, rerank = true)
+      val prepared = strat.prepare(store(s, dir)).cache()
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
   /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
     * deterministic recall of each ANN strategy vs the exact ground truth
     * (QPS is wall-clock-dependent, so only recall is emitted). */
@@ -332,5 +345,5 @@ object QueriesVector {
 
   val all: Seq[Q] = Seq(qKnnSelfjoin, qRadius, qPointLookup, qCount,
     qMetricsPairs, qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup,
-    qLshKnn, qIvfKnn, qSq8Knn, qPqKnn, qEvaluate)
+    qLshKnn, qIvfKnn, qSq8Knn, qPqKnn, qIvfpqKnn, qEvaluate)
 }
