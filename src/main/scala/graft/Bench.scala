@@ -16,7 +16,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      // materialize every column (count() would let Catalyst prune the
+      // projections and under-measure projection-heavy queries)
+      val ok = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)

@@ -84,8 +84,10 @@ object QueriesAnalytics {
         FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
       sess AS (
         SELECT user_id, ts_s,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+               -- DuckDB types an integer window SUM as HUGEINT; cast to BIGINT
+               -- so the driver's hash compare sees the same int64 as Spark
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
         FROM flagged)
       SELECT user_id, sess_no, min(ts_s) AS sess_start,
              max(ts_s) - min(ts_s) AS duration_s, count(*) AS n_events
