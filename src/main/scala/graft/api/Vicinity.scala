@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{ExactStrategy, IndexStrategy, IvfPqStrategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{ExactStrategy, IndexStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -182,7 +182,7 @@ class Vicinity private (
     // (leading '{') must actually parse. Validation is distributed — no
     // driver-side cap.
     val isMalformed = udf { (it: String) =>
-      try { new ObjectMapper().readTree(it); false }
+      try { Vicinity.jsonValidator.readTree(it); false }
       catch { case _: Exception => true }
     }
     val bad = store.select("item")
@@ -229,14 +229,18 @@ class Vicinity private (
     * Hadoop-FS URI — the offline equivalent of the hub round-trip (Q10).
     */
   def itemsAsColumns(): DataFrame = {
-    val structCount = store
-      .where(col("item").startsWith("{")).limit(1).count()
+    val objItems = store.where(col("item").startsWith("{")).select("item")
+    val structCount = objItems.limit(1).count()
     val base =
       if (structCount > 0) {
-        // promote object items to columns via sampled schema inference
-        val sampleJson = store.where(col("item").startsWith("{"))
-          .select(col("item")).head.getString(0)
-        val schema = schema_of_json(sampleJson)
+        // schema = the UNION of keys across ALL object items (one distributed
+        // inference pass), matching the reference's HF export which unions
+        // dict keys across items (huggingface.py:51-54) — a single sampled
+        // row would silently drop columns of heterogeneous dicts
+        val inferred = spark.read
+          .json(objItems.as(org.apache.spark.sql.Encoders.STRING)).schema
+        val schema = StructType(
+          inferred.fields.filterNot(_.name == "_corrupt_record"))
         store.select(col("id"), from_json(col("item"), schema).as("_s"),
           col("vector"))
           .select(col("id"), col("_s.*"), col("vector"))
@@ -291,6 +295,10 @@ class Vicinity private (
 
 object Vicinity {
 
+  /** one Jackson mapper per executor JVM (readTree is thread-safe) instead
+    * of one per validated row */
+  private[api] lazy val jsonValidator = new ObjectMapper()
+
   /** Contiguous 0..n-1 id assignment — materializes the reference's
     * positional index at ingest (SURVEY.md §1.4). */
   private[graft] def zipWithId(df: DataFrame): DataFrame = {
@@ -316,7 +324,10 @@ object Vicinity {
             nbits = fa.nbits)
           case "ivfpqr" => IvfPqStrategy(fa.metric, fa.nlist, m = fa.m,
             nbits = fa.nbits, rerank = true)
-          case "ivf" | "ivf_scalar" => IvfStrategy(fa.metric, fa.nlist)
+          case "ivf" => IvfStrategy(fa.metric, fa.nlist)
+          // IVF cells over SQ codes, the reference's IndexIVFScalarQuantizer
+          // composition (faiss.py:105-110)
+          case "ivf_scalar" => IvfSq8Strategy(fa.metric, fa.nlist)
           case "lsh" | "hnsw" => LshStrategy(fa.metric)
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")
@@ -409,12 +420,21 @@ object Vicinity {
     // prefer the raw side store (exact round-trip of ingested vectors);
     // fall back to the index frame (normalized for cosine — same content
     // the reference's basic backend persists, basic.py:144-147)
+    val indexDf = spark.read.parquet(s"$dir/index/data.parquet")
     val df =
       if (storeVectors) spark.read.parquet(s"$dir/store/vectors.parquet")
-      else spark.read.parquet(s"$dir/index/data.parquet")
+      else indexDf
     val strategy = strategyFor(backend, args)
-    strategy.loadAux(dir) // restore codebooks etc. so prepare won't retrain
-    build(spark, df.select("id", "item", "vector"), backend, args,
-      metadata, storeVectors, strategy)
+    strategy.loadAux(dir) // restore codebooks etc. — load NEVER retrains
+    // the persisted index frame IS the prepared frame: use it as-is rather
+    // than re-running prepare (re-normalizing already-normalized vectors
+    // would drift distances in the last bit), so load → query answers
+    // exactly what was answered before save (≙ base.py:26-32: the index
+    // file is read back, not rebuilt)
+    val cachedStore = df.select("id", "item", "vector").cache()
+    val n = cachedStore.count()
+    val d = if (n == 0) 0 else cachedStore.select(size(col("vector"))).head.getInt(0)
+    new Vicinity(spark, cachedStore, backend, args, metadata, storeVectors,
+      strategy, indexDf.cache(), n, d)
   }
 }

@@ -1,10 +1,16 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
-import graft.functions.TopK
+import graft.functions.{TopK, TopKHeap, VectorFunctions}
+
+/** Per-query ADC state shipped to executors: probed cells, lookup table(s),
+  * per-cell offsets (top-level so the broadcast doesn't drag a strategy
+  * `$outer` reference along; see [[IvfPqStrategy]] for the decomposition). */
+private[index] case class QueryAdc(qid: Long, probes: Array[Int],
+  tables: Array[Array[Array[Double]]], offsets: Array[Double])
 
 /** Composed IVF+PQ ≙ FAISS `ivfpq` (`/root/reference/vicinity/backends/
   * faiss.py:107-109`): the store is partitioned into KMeans cells (IVF) AND
@@ -13,42 +19,210 @@ import graft.functions.TopK
   * two scale levers stacked: partition pruning cuts the rows scanned,
   * quantization cuts the bytes per row.
   *
-  * Codes are trained on raw (normalized) vectors rather than cell residuals
-  * — a documented simplification; recall is recovered the FAISS way via the
-  * optional exact re-rank (`rerank = true` ≙ `ivfpqr`).
+  * Codes are trained on CELL RESIDUALS (`vector − centroid(cell)`), the
+  * actual FAISS IVFPQ encoding — residuals concentrate around the origin,
+  * so the same codebook budget quantizes them with far less error than raw
+  * vectors. ADC scoring decomposes per metric:
+  *  - cosine (pre-normalized, `1 − q·x` with `x ≈ c + r̂`):
+  *    `q·x = q·c + Σ_s q_s·r̂_s` — ONE dot-product table per query
+  *    (cell-independent) plus a per-cell scalar offset `q·c`;
+  *  - euclidean (`‖q − c − r̂‖²`): a squared-distance table per
+  *    (query, probed cell) built from the query residual `q − c`.
+  * Optional exact re-rank of the top candidates ≙ `ivfpqr` refinement
+  * (`faiss.py:110-114`).
   */
 case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     m: Int = 8, nbits: Int = 8, rerank: Boolean = false,
     rerankFactor: Int = 4, seed: Long = 42L) extends IndexStrategy {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the IVFPQ backend.")
+  require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
   val name = "ivfpq"
 
   private val ivf = IvfStrategy(metric, nlist, nprobe, seed)
-  private val pq = PqStrategy(metric, m, nbits, rerank, rerankFactor, seed)
 
-  def prepare(store: DataFrame): DataFrame =
-    pq.prepare(ivf.prepare(store)) // cell assignment + PQ codes
+  /** residual codebooks(s)(c); trained once on an id-ordered sample */
+  @transient private var codebooks: Array[Array[Array[Double]]] = _
+  @transient private var subDims: Array[Int] = _
+
+  private def k: Int = 1 << nbits
+  private val maxTrainRows = 20000
+
+  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
+    if (metric == Metric.Cosine)
+      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
+    else df.withColumn(c, col(c).cast("array<double>"))
+
+  private def residual(v: Array[Double], c: Array[Double]): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - c(i); i += 1 }
+    out
+  }
+
+  /** encode each row's CELL RESIDUAL with the trained codebooks */
+  private def encodeResiduals(assigned: DataFrame): DataFrame = {
+    val cb = codebooks
+    val dims = subDims
+    val cents = ivf.centroidArray
+    val enc = udf { (v: Seq[Double], cell: Int) =>
+      PqCore.encode(cb, dims, residual(v.toArray, cents(cell)))
+    }
+    assigned.withColumn("_pq", enc(col("vector"), col("_centroid").cast("int")))
+  }
+
+  def prepare(store: DataFrame): DataFrame = {
+    val assigned = ivf.prepare(store) // normalized vector + _centroid
+    if (codebooks == null) {
+      val cents = ivf.centroidArray
+      // id-ordered sample of residuals: deterministic codebooks
+      val sample = assigned.orderBy("id")
+        .select(col("vector"), col("_centroid").cast("int"))
+        .limit(maxTrainRows)
+        .collect()
+        .map(r => residual(r.getSeq[Double](0).toArray, cents(r.getInt(1))))
+      require(sample.nonEmpty, "cannot train IVFPQ on an empty store")
+      val (cb, dims) = PqCore.train(sample, m, k, seed)
+      codebooks = cb
+      subDims = dims
+    }
+    encodeResiduals(assigned)
+  }
 
   override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
-      fullStore: DataFrame): DataFrame = {
-    val assigned = ivf.prepareIncrement(
-      prevPrepared.drop("_pq"), newRows, fullStore)
-    // only the new rows need encoding; reuse the trained codebooks
-    pq.prepareIncrement(prevPrepared,
-      assigned.join(newRows.select(col("id")), "id"), assigned)
+      fullStore: DataFrame): DataFrame =
+    if (codebooks == null || !ivf.isTrained) prepare(fullStore)
+    // assign new rows to existing cells, encode with existing codebooks
+    else prevPrepared.unionByName(encodeResiduals(ivf.prepare(newRows)))
+
+  private def adcTopK(prepared: DataFrame, queries: DataFrame,
+      kTop: Int): DataFrame = {
+    require(codebooks != null, "IvfPqStrategy.prepare must run before query")
+    val spark = prepared.sparkSession
+    val cents = ivf.centroidArray
+    val cb = codebooks
+    val dims = subDims
+    val isCosine = metric == Metric.Cosine
+    val nprobeEff = math.min(nprobe, cents.length)
+    val q = maybeNormalize(queries, "qvector")
+      .select(col("query_id").cast("long"), col("qvector"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+
+    def dotTable(qv: Array[Double]): Array[Array[Double]] = {
+      var start = 0
+      cb.indices.map { s =>
+        val len = dims(s)
+        val row = cb(s).map { ct =>
+          var acc = 0.0; var j = 0
+          while (j < len) { acc += qv(start + j) * ct(j); j += 1 }
+          acc
+        }
+        start += len
+        row
+      }.toArray
+    }
+    def sqTable(qres: Array[Double]): Array[Array[Double]] = {
+      var start = 0
+      cb.indices.map { s =>
+        val len = dims(s)
+        val row = cb(s).map { ct =>
+          var acc = 0.0; var j = 0
+          while (j < len) { val x = qres(start + j) - ct(j); acc += x * x; j += 1 }
+          acc
+        }
+        start += len
+        row
+      }.toArray
+    }
+
+    val adcs: Array[QueryAdc] = q.map { case (qid, qv) =>
+      // nprobe nearest cells, driver-side (centroids are a local constant)
+      val probes = cents.indices
+        .map { c =>
+          var d = 0.0; var i = 0
+          while (i < qv.length) { val x = qv(i) - cents(c)(i); d += x * x; i += 1 }
+          (d, c)
+        }
+        .sortBy(identity).take(nprobeEff).map(_._2).toArray
+      if (isCosine) {
+        val offs = probes.map { c =>
+          var acc = 0.0; var i = 0
+          while (i < qv.length) { acc += qv(i) * cents(c)(i); i += 1 }
+          acc
+        }
+        QueryAdc(qid, probes, Array(dotTable(qv)), offs)
+      } else {
+        QueryAdc(qid, probes,
+          probes.map(c => sqTable(residual(qv, cents(c)))),
+          new Array[Double](probes.length))
+      }
+    }
+    val allCells = adcs.flatMap(_.probes).distinct.toSeq
+    val bc = spark.sparkContext.broadcast(adcs)
+    // IVF pruning: scan only the union of probed cells (partition pruning
+    // on the `_centroid`-partitioned index layout)
+    val partials = prepared
+      .where(col("_centroid").isin(allCells: _*))
+      .select(col("id").cast("long"), col("_centroid").cast("int"), col("_pq"))
+      .rdd.mapPartitions { rows =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new TopKHeap(kTop))
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val cell = r.getInt(1)
+          val codes = r.getAs[Array[Byte]](2)
+          var qi = 0
+          while (qi < qs.length) {
+            val qa = qs(qi)
+            // linear probe-list scan: nprobe entries, cache-friendly
+            var pi = 0
+            var found = -1
+            while (pi < qa.probes.length && found < 0) {
+              if (qa.probes(pi) == cell) found = pi
+              pi += 1
+            }
+            if (found >= 0) {
+              val t = if (isCosine) qa.tables(0) else qa.tables(found)
+              var acc = 0.0
+              var s = 0
+              while (s < codes.length) { acc += t(s)(codes(s) & 0xff); s += 1 }
+              val dist =
+                if (isCosine) 1.0 - (qa.offsets(found) + acc) // 1 − (q·c + q·r̂)
+                else math.sqrt(math.max(acc, 0.0))
+              heaps(qi).add(id, math.max(dist, 0.0))
+            }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.sorted.map(nb => Row(qs(qi).qid, nb.id, nb.dist))
+        }
+      }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    TopK.topKPerGroup(spark.createDataFrame(partials, schema),
+      Seq("query_id"), "id", "dist", kTop)
   }
 
-  /** restrict the ADC scan to the union of all queries' probe cells —
-    * the IVF pruning — then delegate to the PQ scan + (optional) re-rank */
-  private def pruned(prepared: DataFrame, queries: DataFrame): DataFrame = {
-    val probeCells = ivf.probeCells(queries)
-    prepared.where(col("_centroid").isin(probeCells: _*))
-  }
-
-  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    pq.query(pruned(prepared, queries), queries, k)
+  def query(prepared: DataFrame, queries: DataFrame, kTop: Int): DataFrame = {
+    require(kTop >= 1, s"k must be >= 1, got $kTop")
+    if (!rerank) adcTopK(prepared, queries, kTop)
+    else {
+      val q = maybeNormalize(queries, "qvector")
+      val cands = adcTopK(prepared, queries, kTop * rerankFactor)
+        .select("query_id", "id")
+      val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
+      val exact = cands
+        .join(prepared.select(col("id"), col("vector")), Seq("id"))
+        .join(broadcast(q.select(col("query_id"), col("qvector"))), Seq("query_id"))
+        .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+      TopK.topKPerGroup(exact, Seq("query_id"), "id", "dist", kTop)
+    }
   }
 
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
@@ -57,8 +231,23 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     capped.where(col("dist") < threshold).drop("rank")
   }
 
-  override def saveAux(dir: String): Unit = ivf.saveAux(dir)
-  override def loadAux(dir: String): Unit = ivf.loadAux(dir)
+  override def saveAux(dir: String): Unit = {
+    ivf.saveAux(dir)
+    require(codebooks != null, "nothing to save before prepare")
+    graft.core.FsIO.write(s"$dir/pq_codebooks.json",
+      PqCore.toJson(codebooks, subDims))
+  }
+
+  override def loadAux(dir: String): Unit = {
+    ivf.loadAux(dir)
+    if (graft.core.FsIO.exists(s"$dir/pq_codebooks.json")) {
+      val (cb, dims) = PqCore.fromJson(
+        graft.core.FsIO.read(s"$dir/pq_codebooks.json"))
+      codebooks = cb
+      subDims = dims
+    }
+  }
+
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     ivf.writeIndex(prepared, path)
 }

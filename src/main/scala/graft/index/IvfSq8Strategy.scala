@@ -1,0 +1,69 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+
+/** Composed IVF + scalar quantization ≙ FAISS `ivf_scalar`
+  * (`/root/reference/vicinity/backends/faiss.py:105-110`: an
+  * `IndexIVFScalarQuantizer` — KMeans cells over SQ-compressed codes): the
+  * store is partitioned into IVF cells AND compressed to one byte per
+  * dimension, so a query scans only the `nprobe` probed cells and scores
+  * their quantized codes with the asymmetric SQ kernel.
+  *
+  * Same composition pattern as [[IvfPqStrategy]]: [[IvfStrategy]] supplies
+  * the `_centroid` partition-pruning column and persisted centroids,
+  * [[Sq8Strategy]] supplies the `_codes` column and persisted ranges —
+  * save/load round-trips both artifacts, so loading never retrains.
+  */
+case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
+    rerank: Boolean = false, rerankFactor: Int = 4, seed: Long = 42L)
+  extends IndexStrategy {
+  require(metric == Metric.Cosine || metric == Metric.Euclidean,
+    s"Metric '${metric.name}' is not supported by the IVF-scalar backend.")
+  val name = "ivf_scalar"
+
+  private val ivf = IvfStrategy(metric, nlist, nprobe, seed)
+  private val sq = Sq8Strategy(metric, rerank, rerankFactor)
+
+  def prepare(store: DataFrame): DataFrame =
+    sq.prepare(ivf.prepare(store)) // cell assignment + SQ codes
+
+  override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame =
+    if (!ivf.isTrained || !sq.isTrained) prepare(fullStore)
+    // assign + quantize only the new rows with the trained artifacts
+    else prevPrepared.unionByName(sq.prepare(ivf.prepare(newRows)))
+
+  /** restrict the SQ scan to the union of all queries' probe cells —
+    * partition pruning on the `_centroid`-partitioned index layout */
+  private def pruned(prepared: DataFrame, queries: DataFrame): DataFrame = {
+    val probeCells = ivf.probeCells(queries)
+    prepared.where(col("_centroid").isin(probeCells: _*))
+  }
+
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    sq.query(pruned(prepared, queries), queries, k)
+  }
+
+  def queryThreshold(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, maxK: Int): DataFrame = {
+    val capped = query(prepared, queries, math.max(maxK, 1))
+    capped.where(col("dist") < threshold).drop("rank")
+  }
+
+  override def saveAux(dir: String): Unit = {
+    ivf.saveAux(dir)
+    sq.saveAux(dir)
+  }
+
+  override def loadAux(dir: String): Unit = {
+    ivf.loadAux(dir)
+    sq.loadAux(dir)
+  }
+
+  override def writeIndex(prepared: DataFrame, path: String): Unit =
+    ivf.writeIndex(prepared, path)
+}

@@ -32,6 +32,10 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   /** trained codebook, set during prepare (deterministic: fixed seed) */
   @transient private var centroids: Array[Array[Double]] = _
 
+  /** composition hooks for strategies layering codes over IVF cells */
+  private[index] def centroidArray: Array[Array[Double]] = centroids
+  private[index] def isTrained: Boolean = centroids != null
+
   private def maybeNormalize(df: DataFrame, c: String): DataFrame =
     if (metric == Metric.Cosine)
       df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))

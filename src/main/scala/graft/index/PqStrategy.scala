@@ -1,14 +1,12 @@
 package graft.index
 
-import scala.util.Random
-
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
 import graft.functions.{TopK, TopKHeap, VectorFunctions}
 
-/** Product quantization ≙ the reference's FAISS `pq` / `ivfpq` family
+/** Product quantization ≙ the reference's FAISS `pq` index family
   * (`/root/reference/vicinity/backends/faiss.py:95-100`, params `m`, `nbits`
   * at `faiss.py:35-43`): the vector is split into `m` subspaces, each
   * compressed to one byte by a per-subspace KMeans codebook of `2^nbits`
@@ -18,9 +16,11 @@ import graft.functions.{TopK, TopKHeap, VectorFunctions}
   * top candidates ≙ `ivfpqr` refinement (`faiss.py:110-114`).
   *
   * Scale shape: codes are m bytes/row (dim·4/m× compression); codebooks are
-  * a driver-side constant trained on a bounded sample (train cost never
-  * scales with the store); the ADC scan runs partition-local with bounded
-  * heaps, so only q×k×partitions rows shuffle.
+  * a driver-side constant trained on a bounded, id-ordered (deterministic)
+  * sample — train cost never scales with the store; the ADC scan runs
+  * partition-local with bounded heaps, so only q×k×partitions rows shuffle.
+  * Codebooks persist via [[saveAux]]/[[loadAux]], so load never retrains
+  * (≙ `faiss.py:199-204`: the index file is read back, not rebuilt).
   */
 case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     rerank: Boolean = false, rerankFactor: Int = 4, seed: Long = 42L)
@@ -42,112 +42,20 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
       df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
     else df.withColumn(c, col(c).cast("array<double>"))
 
-  /** split [0, dim) into mEff contiguous subspaces (mEff <= m, always
-    * covering every dimension even when m doesn't divide dim) */
-  private def subRanges(dim: Int): Array[(Int, Int)] = {
-    val mEff = math.min(m, dim)
-    val base = dim / mEff
-    val extra = dim % mEff
-    val out = new Array[(Int, Int)](mEff)
-    var start = 0
-    var s = 0
-    while (s < mEff) {
-      val len = base + (if (s < extra) 1 else 0)
-      out(s) = (start, len)
-      start += len
-      s += 1
-    }
-    out
-  }
-
-  /** plain seeded Lloyd's iterations on the driver over a bounded sample —
-    * deterministic, no per-subspace Spark job */
-  private def kmeans(points: Array[Array[Double]], kk: Int,
-      iters: Int, rnd: Random): Array[Array[Double]] = {
-    val n = points.length
-    val keff = math.min(kk, n)
-    var centroids = rnd.shuffle(points.indices.toList).take(keff)
-      .map(points(_).clone()).toArray
-    val assign = new Array[Int](n)
-    var it = 0
-    while (it < iters) {
-      var i = 0
-      while (i < n) {
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < keff) {
-          var d = 0.0
-          val ct = centroids(c); val p = points(i)
-          var j = 0
-          while (j < p.length) { val x = p(j) - ct(j); d += x * x; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        assign(i) = best
-        i += 1
-      }
-      val sums = Array.fill(keff)(new Array[Double](points(0).length))
-      val counts = new Array[Int](keff)
-      i = 0
-      while (i < n) {
-        val a = assign(i); counts(a) += 1
-        val p = points(i); val sm = sums(a)
-        var j = 0
-        while (j < p.length) { sm(j) += p(j); j += 1 }
-        i += 1
-      }
-      var c = 0
-      while (c < keff) {
-        if (counts(c) > 0) {
-          var j = 0
-          while (j < sums(c).length) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
-        }
-        c += 1
-      }
-      it += 1
-    }
-    centroids
-  }
-
   def prepare(store: DataFrame): DataFrame = {
     val normed = maybeNormalize(store, "vector")
     if (codebooks == null) {
-      val sample = normed.select("vector").limit(maxTrainRows)
+      // id-ordered sample: same codebooks for any partitioning/row order
+      val sample = normed.orderBy("id").select("vector").limit(maxTrainRows)
         .collect().map(_.getSeq[Double](0).toArray)
       require(sample.nonEmpty, "cannot train PQ on an empty store")
-      val ranges = subRanges(sample(0).length)
-      subDims = ranges.map(_._2)
-      val rnd = new Random(seed)
-      codebooks = ranges.map { case (start, len) =>
-        kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, start, start + len)),
-          k, iters = 10, rnd)
-      }
+      val (cb, dims) = PqCore.train(sample, m, k, seed)
+      codebooks = cb
+      subDims = dims
     }
     val cb = codebooks
     val dims = subDims
-    val encode = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val out = new Array[Byte](cb.length)
-      var s = 0
-      var start = 0
-      while (s < cb.length) {
-        val len = dims(s)
-        var best = 0; var bestD = Double.MaxValue
-        var c = 0
-        while (c < cb(s).length) {
-          val ct = cb(s)(c)
-          var d = 0.0
-          var j = 0
-          while (j < len) { val x = arr(start + j) - ct(j); d += x * x; j += 1 }
-          if (d < bestD) { bestD = d; best = c }
-          c += 1
-        }
-        out(s) = best.toByte
-        start += len
-        s += 1
-      }
-      out
-    }
+    val encode = udf { (v: Seq[Double]) => PqCore.encode(cb, dims, v.toArray) }
     normed.withColumn("_pq", encode(col("vector")))
   }
 
@@ -155,6 +63,21 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
       fullStore: DataFrame): DataFrame =
     if (codebooks == null) prepare(fullStore)
     else prevPrepared.unionByName(prepare(newRows)) // codebooks reused
+
+  override def saveAux(dir: String): Unit = {
+    require(codebooks != null, "nothing to save before prepare")
+    graft.core.FsIO.write(s"$dir/pq_codebooks.json",
+      PqCore.toJson(codebooks, subDims))
+  }
+
+  override def loadAux(dir: String): Unit = {
+    if (graft.core.FsIO.exists(s"$dir/pq_codebooks.json")) {
+      val (cb, dims) = PqCore.fromJson(
+        graft.core.FsIO.read(s"$dir/pq_codebooks.json"))
+      codebooks = cb
+      subDims = dims
+    }
+  }
 
   /** ADC scan: per partition, per query, distance = Σ_s table[s][code_s] */
   private def adcTopK(prepared: DataFrame, queries: DataFrame,

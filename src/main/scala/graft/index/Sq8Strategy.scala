@@ -27,6 +27,29 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
   @transient private var lo: Array[Double] = _
   @transient private var hi: Array[Double] = _
 
+  private[index] def isTrained: Boolean = lo != null
+
+  /** ranges persist so load never re-learns them (≙ faiss.py:199-204: the
+    * trained SQ index file is read back, not rebuilt) */
+  override def saveAux(dir: String): Unit = {
+    require(lo != null, "nothing to save before prepare")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val loArr = root.putArray("lo"); lo.foreach(loArr.add)
+    val hiArr = root.putArray("hi"); hi.foreach(hiArr.add)
+    graft.core.FsIO.write(s"$dir/sq_ranges.json", mapper.writeValueAsString(root))
+  }
+
+  override def loadAux(dir: String): Unit = {
+    if (graft.core.FsIO.exists(s"$dir/sq_ranges.json")) {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.core.FsIO.read(s"$dir/sq_ranges.json"))
+      val loArr = root.get("lo"); val hiArr = root.get("hi")
+      lo = (0 until loArr.size()).map(loArr.get(_).asDouble()).toArray
+      hi = (0 until hiArr.size()).map(hiArr.get(_).asDouble()).toArray
+    }
+  }
+
   private def maybeNormalize(df: DataFrame, c: String): DataFrame =
     if (metric == Metric.Cosine)
       df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))

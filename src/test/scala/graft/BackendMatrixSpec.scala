@@ -44,12 +44,16 @@ class BackendMatrixSpec extends SparkSpec {
       // threshold query runs and respects the bound
       val thr = v.queryThreshold(Seq(vectors(7)), threshold = 0.5)
       assert(thr.head.forall(_._2 <= 0.5))
-      // save/load keeps answers
+      // save → load → query returns EXACTLY the pre-save answers: every
+      // trained artifact (IVF centroids, PQ codebooks, SQ ranges, seeded
+      // LSH planes) persists or re-derives deterministically, so loading
+      // never retrains (≙ faiss.py:199-204, base.py:26-32)
+      val before = v.queryOne(vectors(7), 10)
       val dir = s"/tmp/graft_matrix_$label"
       v.save(dir, overwrite = true)
       val loaded = Vicinity.load(spark, dir)
       assert(loaded.length === n)
-      assert(loaded.queryOne(vectors(7), 3).take(3).exists(_._1 == items(7)))
+      assert(loaded.queryOne(vectors(7), 10) === before)
       // mutation surface parity (insert: annoy/pynndescent refuse,
       // vicinity.py via annoy.py:120-122, pynndescent.py:75-77;
       // delete: BASIC only, basic.py:48-51)

@@ -1,0 +1,113 @@
+package graft
+
+import scala.util.Random
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.api.Vicinity
+import graft.core.{Backend, BackendArgs, Metric}
+import graft.index.{ExactStrategy, IvfPqStrategy, IvfSq8Strategy}
+import graft.operators.Knn
+
+/** Round-2 scale fixes: the big-store self-join no longer broadcasts the
+  * full table, the near-dup threshold join has no cartesian product, the
+  * residual-encoded IVFPQ beats its recall bar, the composed ivf_scalar
+  * uses quantized codes, and heterogeneous items keep every column.
+  */
+class ScaleFixesSpec extends SparkSpec {
+
+  private val rnd = new Random(7)
+  private def vecDf(n: Int, dim: Int) = {
+    val rows = (0 until n).map(i => Row(i.toLong, Seq.fill(dim)(rnd.nextGaussian())))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vector", ArrayType(DoubleType, containsNull = false)))))
+  }
+
+  test("selfJoin sliced fallback returns exactly the single-broadcast results") {
+    val df = vecDf(200, 6).cache()
+    val one = Knn.selfJoin(df, 3, Metric.Cosine).orderBy("query_id", "rank")
+      .collect().toSeq
+    // force the non-broadcastable path: 1 KB budget => many id slices
+    val sliced = Knn.selfJoin(df, 3, Metric.Cosine,
+      broadcastBytes = 1024).orderBy("query_id", "rank")
+    // the sliced plan is a union of blocked-kernel scans: no cartesian, no
+    // full-store broadcast join in the physical plan
+    val plan = sliced.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(sliced.collect().toSeq === one)
+  }
+
+  test("thresholdSelfJoin matches the cross-join reference, without a cartesian plan") {
+    val df = vecDf(150, 6).cache()
+    val a = df.select(col("id").as("i"), col("vector").as("va"))
+    val b = df.select(col("id").as("j"), col("vector").as("vb"))
+    val expected = a.crossJoin(b).where(col("i") < col("j"))
+      .withColumn("dist", graft.functions.VectorFunctions
+        .cosine_distance(col("va"), col("vb")))
+      .where(col("dist") < 0.9)
+      .select("i", "j").orderBy("i", "j").collect().toSeq
+    for (budget <- Seq(256L * 1024 * 1024, 2048L)) { // single slice and many
+      val got = Knn.thresholdSelfJoin(df, 0.9, Metric.Cosine,
+        broadcastBytes = budget)
+      assert(!got.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      assert(got.select("i", "j").orderBy("i", "j").collect().toSeq === expected)
+    }
+  }
+
+  test("residual IVFPQ: ADC recall clears 0.6 and re-rank clears 0.9") {
+    val df = vecDf(600, 16).cache()
+    val queries = df.limit(20)
+      .select(col("id").as("query_id"), col("vector").as("qvector")).cache()
+    val exact = ExactStrategy(Metric.Cosine)
+    val gtKth = exact.query(exact.prepare(df), queries, 10)
+      .groupBy("query_id").agg(max("dist").as("gt_kth"))
+    def recallOf(strat: IvfPqStrategy): Double = {
+      val res = strat.query(strat.prepare(df), queries, 10)
+      res.join(gtKth, "query_id")
+        .agg(avg(when(col("dist") <= col("gt_kth") + 1e-3, 1.0).otherwise(0.0)))
+        .head.getDouble(0)
+    }
+    val adc = recallOf(IvfPqStrategy(Metric.Cosine, nlist = 8, nprobe = 8,
+      m = 8, nbits = 8))
+    val reranked = recallOf(IvfPqStrategy(Metric.Cosine, nlist = 8, nprobe = 8,
+      m = 8, nbits = 8, rerank = true))
+    assert(adc >= 0.6, s"residual ADC recall too low: $adc")
+    assert(reranked >= 0.9, s"re-ranked recall too low: $reranked")
+    assert(reranked >= adc)
+  }
+
+  test("ivf_scalar composes IVF cells with SQ codes and stays near-exact") {
+    val df = vecDf(400, 8).cache()
+    val strat = IvfSq8Strategy(Metric.Cosine, nlist = 4, nprobe = 4,
+      rerank = true)
+    val prepared = strat.prepare(df)
+    // both composition artifacts are on the prepared frame
+    assert(prepared.columns.contains("_centroid"))
+    assert(prepared.columns.contains("_codes"))
+    val queries = df.limit(10)
+      .select(col("id").as("query_id"), col("vector").as("qvector"))
+    val got = strat.query(prepared, queries, 5)
+    val exact = ExactStrategy(Metric.Cosine)
+    val gt = exact.query(exact.prepare(df), queries, 5)
+    // nprobe == nlist + exact re-rank over SQ candidates: equals exact top-5
+    val gotPairs = got.select("query_id", "id").orderBy("query_id", "id")
+      .collect().toSeq
+    val gtPairs = gt.select("query_id", "id").orderBy("query_id", "id")
+      .collect().toSeq
+    assert(gotPairs === gtPairs)
+  }
+
+  test("itemsAsColumns unions keys across heterogeneous object items") {
+    val items = Seq("""{"a": 1, "b": "x"}""", """{"b": "y", "c": 2.5}""",
+      """{"d": true}""")
+    val vectors = Seq.fill(3)(Seq(1.0, 0.0))
+    val v = Vicinity.fromVectorsAndItems(spark, items, vectors,
+      Backend.Basic, storeVectors = true)
+    val cols = v.itemsAsColumns().columns.toSet
+    assert(Set("a", "b", "c", "d").subsetOf(cols), cols.toString)
+  }
+}
