@@ -332,8 +332,10 @@ object QueriesVector {
       val q = queriesDf(s, dir, 10)
         .withColumn("qvector", col("qvector").cast("array<double>"))
       val k = 10
+      // cached: every recallOf joins against it (uncached it would re-run
+      // the exact ground-truth scan once per evaluated strategy)
       val gt = Knn.query(st, q, k, Metric.Cosine)
-        .groupBy("query_id").agg(max("dist").as("gt_kth"))
+        .groupBy("query_id").agg(max("dist").as("gt_kth")).cache()
       def recallOf(res: DataFrame): Double = {
         // queries with zero ANN results count as recall 0 (vicinity.py:386-392)
         val hits = res.join(gt, "query_id")

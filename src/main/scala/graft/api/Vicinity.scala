@@ -269,8 +269,9 @@ class Vicinity private (
     q.count()
     val exact = ExactStrategy(metric)
     val exactPrepared = exact.prepare(store).cache()
+    // cached: referenced by both the hits join and the per-query average
     val gt = exact.query(exactPrepared, q, k)
-      .groupBy("query_id").agg(max("dist").as("gt_kth"))
+      .groupBy("query_id").agg(max("dist").as("gt_kth")).cache()
     val t0 = System.nanoTime()
     val approx = strategy.query(prepared, q, k).cache()
     approx.count()
@@ -288,7 +289,7 @@ class Vicinity private (
       .join(hits, Seq("query_id"), "left")
       .select((coalesce(col("hits"), lit(0)) / k.toDouble).as("r"))
       .agg(avg("r")).head.getDouble(0)
-    q.unpersist(); approx.unpersist(); exactPrepared.unpersist()
+    q.unpersist(); approx.unpersist(); exactPrepared.unpersist(); gt.unpersist()
     (qps, recall)
   }
 }
@@ -316,18 +317,23 @@ object Vicinity {
       case Backend.Basic => ExactStrategy(args.metric)
       case Backend.Faiss =>
         val fa = args.asInstanceOf[BackendArgs.FaissArgs]
+        // engine default: probe ~1/8 of the cells (floor 4) — FAISS's
+        // nprobe=1 default is tuned for huge nlist; at the reference's
+        // nlist=100 default it would scan 1% of the store and recall
+        // collapses on spread-out data
+        val nprobe = math.max(4, fa.nlist / 8)
         fa.indexType match {
           case "flat" => ExactStrategy(fa.metric)
           case "scalar" => Sq8Strategy(fa.metric, rerank = false)
           case "pq" => PqStrategy(fa.metric, fa.m, fa.nbits)
-          case "ivfpq" => IvfPqStrategy(fa.metric, fa.nlist, m = fa.m,
-            nbits = fa.nbits)
-          case "ivfpqr" => IvfPqStrategy(fa.metric, fa.nlist, m = fa.m,
-            nbits = fa.nbits, rerank = true)
-          case "ivf" => IvfStrategy(fa.metric, fa.nlist)
+          case "ivfpq" => IvfPqStrategy(fa.metric, fa.nlist, nprobe,
+            m = fa.m, nbits = fa.nbits)
+          case "ivfpqr" => IvfPqStrategy(fa.metric, fa.nlist, nprobe,
+            m = fa.m, nbits = fa.nbits, rerank = true)
+          case "ivf" => IvfStrategy(fa.metric, fa.nlist, nprobe)
           // IVF cells over SQ codes, the reference's IndexIVFScalarQuantizer
           // composition (faiss.py:105-110)
-          case "ivf_scalar" => IvfSq8Strategy(fa.metric, fa.nlist)
+          case "ivf_scalar" => IvfSq8Strategy(fa.metric, fa.nlist, nprobe)
           case "lsh" | "hnsw" => LshStrategy(fa.metric)
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")

@@ -23,6 +23,7 @@ object VectorFunctions {
   def hamming_distance(a: Column, b: Column): Column = col(HammingDistance(ex(a), ex(b)))
   def tanimoto_distance(a: Column, b: Column): Column = col(TanimotoDistance(ex(a), ex(b)))
   def l2_normalize(a: Column): Column = col(L2Normalize(ex(a)))
+  def winnow_md5(a: Column, window: Int): Column = col(WinnowMd5(ex(a), window))
 
   /** Metric-dispatched distance, mirroring the reference's `_dist` hook
     * (`/root/reference/vicinity/backends/basic.py:112-115`). */

@@ -58,20 +58,34 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * store) */
   private val maxTrainRows = 100000L
 
+  /** below this many sample ELEMENTS (rows × dim ≤ 32 MB of doubles) the
+    * codebook trains with driver-side seeded Lloyd's — one collect instead
+    * of ~10 distributed jobs whose scheduling overhead dwarfs the math on
+    * small data. Larger samples keep the MLlib path, which distributes the
+    * assignment step (a 100k × 1536-dim capped sample is real compute). */
+  private val smallTrainElems = 4L << 20
+
   def prepare(store: DataFrame): DataFrame = {
     val normed = maybeNormalize(store, "vector")
     if (centroids == null) {
       // train the codebook (skipped when loadAux restored one)
       val n = store.count()
       val k = math.min(nlist, math.max(1, n.toInt))
-      val feat = normed.select(array_to_vector(col("vector")).as("features"))
-      val trainSet =
-        if (n > maxTrainRows) feat.sample(maxTrainRows.toDouble / n, seed)
-        else feat
-      val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("features").setPredictionCol("_centroid")
-        .fit(trainSet)
-      centroids = model.clusterCenters.map(_.toArray)
+      val dim = if (n == 0) 1 else normed.select(size(col("vector"))).head.getInt(0)
+      if (n * dim <= smallTrainElems) {
+        val pts = normed.orderBy("id").select("vector")
+          .collect().map(_.getSeq[Double](0).toArray)
+        centroids = PqCore.kmeans(pts, k, iters = 10, new scala.util.Random(seed))
+      } else {
+        val feat = normed.select(array_to_vector(col("vector")).as("features"))
+        val trainSet =
+          if (n > maxTrainRows) feat.sample(maxTrainRows.toDouble / n, seed)
+          else feat
+        val model = new KMeans().setK(k).setSeed(seed).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("_centroid")
+          .fit(trainSet)
+        centroids = model.clusterCenters.map(_.toArray)
+      }
     }
     if (store.columns.contains("_centroid")) normed // restored from index
     else normed.withColumn("_centroid",

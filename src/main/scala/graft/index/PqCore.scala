@@ -85,16 +85,24 @@ private[index] object PqCore {
     centroids
   }
 
-  /** per-subspace codebooks over the sample: (codebooks(s)(c), subDims) */
+  /** per-subspace codebooks over the sample: (codebooks(s)(c), subDims).
+    * Subspaces are independent, so they train in parallel on driver cores;
+    * each gets its own seed-derived Random, keeping codebooks deterministic
+    * regardless of scheduling order. */
   def train(sample: Array[Array[Double]], m: Int, k: Int,
       seed: Long): (Array[Array[Array[Double]]], Array[Int]) = {
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
     val ranges = subRanges(sample(0).length, m)
-    val rnd = new Random(seed)
-    val cbs = ranges.map { case (start, len) =>
-      kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, start, start + len)),
-        k, iters = 10, rnd)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = ranges.zipWithIndex.map { case ((start, len), s) =>
+      Future {
+        kmeans(sample.map(v => java.util.Arrays.copyOfRange(v, start, start + len)),
+          k, iters = 10, new Random(seed * 1000003L + s))
+      }
     }
+    val cbs = futures.map(Await.result(_, Duration.Inf))
     (cbs, ranges.map(_._2))
   }
 

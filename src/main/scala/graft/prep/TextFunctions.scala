@@ -73,10 +73,12 @@ object TextFunctions {
   /** Winnowing-style robust fingerprint: the minimum md5 over all 8-char
     * rolling windows — stable under small edits anywhere but the minimal
     * window. */
+  /** min rolling md5 as ONE codegen'd expression — the Column-composed form
+    * (`array_min(transform(sequence(...), i -> md5(substring(...))))`)
+    * allocates a substring + digest + hex string per window and was the
+    * bench's second-hottest scan; see [[graft.functions.WinnowMd5]]. */
   def winnowFingerprint(text: Column): Column =
-    array_min(transform(
-      sequence(lit(1), greatest(length(text) - 7, lit(1))),
-      i => md5(substring(text, i, lit(8)).cast("binary"))))
+    graft.functions.VectorFunctions.winnow_md5(text, 8)
 
   /** word n-gram shingles (distinct) over an already-materialized words
     * array — the dedup unit. Take the words column from a separate
