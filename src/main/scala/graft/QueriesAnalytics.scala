@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RangeJoin}
 
 /** Advanced analytics operators: as-of join, sessionization, pivot,
   * percentiles, histograms — the time-series/reporting layer on top of the
@@ -96,6 +96,31 @@ object QueriesAnalytics {
       ORDER BY user_id, sess_no
     """))
 
+  /** range self-join: events in each event's trailing 60-second window —
+    * bucketed equi-join plan (see [[graft.operators.RangeJoin]]), NOT the
+    * broadcast-nested-loop an inequality-only join would plan */
+  val qRangeJoin = Q("q_range_join",
+    (s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("ts_s"))
+      val pairs = RangeJoin.pointsInWindow(
+        ev, ev.select(col("ts_s").as("ts2")), "ts_s", "ts2", 60)
+      val counts = pairs.groupBy("event_id")
+        .agg(count(lit(1)).as("n_prev_60s"))
+      ev.select("event_id").join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_prev_60s"), lit(0L)).as("n_prev_60s"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events)
+      SELECT a.event_id, count(b.ts_s) AS n_prev_60s
+      FROM e a LEFT JOIN e b
+        ON b.ts_s >= a.ts_s - 60 AND b.ts_s < a.ts_s
+      GROUP BY a.event_id
+      ORDER BY a.event_id
+    """))
+
   /** pivot: event types to columns (explicit value list => static schema) */
   val qPivot = Q("q_pivot",
     (s, dir) => events(s, dir)
@@ -169,6 +194,6 @@ object QueriesAnalytics {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """))
 
-  val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qPivot, qPercentiles,
-    qHistogram, qRollup)
+  val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qRangeJoin, qPivot,
+    qPercentiles, qHistogram, qRollup)
 }

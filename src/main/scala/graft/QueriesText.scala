@@ -136,6 +136,43 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** exact n-gram Jaccard similarity join (prefix-filtered inverted-index
+    * plan, no signatures): 3-gram shingles, threshold 0.5 — the
+    * deterministic complement to q_minhash_dedup's probabilistic candidate
+    * generation. 3-gram (not 2-gram) shingles matter for the plan: this
+    * corpus's small vocabulary makes 2-gram document frequencies huge
+    * (max df 338 at sf0.1 → 8.6M candidate pairs even prefix-filtered),
+    * while 3-grams are cubically rarer (max df 25 → 512k candidates). */
+  val qNgramJaccard = Q("q_ngram_jaccard",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("_words", TF.words(col("text")))
+        .select(col("doc_id"), TF.shinglesOfWords(col("_words"), 3).as("shingles"))
+      Dedup.ngramJaccardJoin(docs, "doc_id", "shingles", threshold = 0.5)
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard
+      FROM pairs
+        JOIN sizes si ON si.doc_id = i
+        JOIN sizes sj ON sj.doc_id = j
+      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.5
+      ORDER BY i, j
+    """))
+
   /** SimHash near-dup pairs: banding is exact by pigeonhole (hamming <= 3
     * over 4 bands of 8 bits forces one identical band), so the output
     * equals the brute-force all-pairs hamming computation in the oracle. */
@@ -214,5 +251,5 @@ object QueriesText {
     """))
 
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
-    qMinhashDedup, qSimhashPairs, qBinaryMeta, qTokenCount)
+    qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qTokenCount)
 }

@@ -101,6 +101,46 @@ class ScaleFixesSpec extends SparkSpec {
     assert(gotPairs === gtPairs)
   }
 
+  test("RangeJoin.pointsInWindow: every qualifying pair exactly once") {
+    val ts = (0 until 300).map(i => Row(i.toLong, (i * 37 % 500).toLong))
+    val ev = spark.createDataFrame(spark.sparkContext.parallelize(ts, 3),
+      StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("ts_s", LongType, nullable = false)))).cache()
+    val right = ev.select(col("event_id").as("rid"), col("ts_s").as("ts2"))
+    val expected = ev.crossJoin(right)
+      .where(col("ts2") >= col("ts_s") - 60 && col("ts2") < col("ts_s"))
+      .select("event_id", "rid").orderBy("event_id", "rid").collect().toSeq
+    val got = graft.operators.RangeJoin.pointsInWindow(ev, right,
+        "ts_s", "ts2", 60)
+      .select("event_id", "rid").orderBy("event_id", "rid").collect().toSeq
+    assert(got === expected)
+  }
+
+  test("ngramJaccardJoin equals brute-force pairwise Jaccard") {
+    val docs = (0 until 80).map { i =>
+      // overlapping shingle sets so some pairs clear the threshold
+      Row(i.toLong, (0 until 6).map(j => s"g${(i / 4) * 3 + j}"))
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(docs, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("shingles", ArrayType(StringType, containsNull = false),
+          nullable = false)))).cache()
+    val a = df.select(col("doc_id").as("i"), col("shingles").as("sa"))
+    val b = df.select(col("doc_id").as("j"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    val expected = a.crossJoin(b).where(col("i") < col("j"))
+      .withColumn("jaccard", inter / uni)
+      .where(col("jaccard") >= 0.5)
+      .select("i", "j", "jaccard").orderBy("i", "j").collect().toSeq
+    val got = graft.prep.Dedup.ngramJaccardJoin(df, "doc_id", "shingles", 0.5)
+      .select("i", "j", "jaccard").orderBy("i", "j").collect().toSeq
+    assert(expected.nonEmpty)
+    assert(got === expected)
+  }
+
   test("itemsAsColumns unions keys across heterogeneous object items") {
     val items = Seq("""{"a": 1, "b": "x"}""", """{"b": "y", "c": 2.5}""",
       """{"d": true}""")
