@@ -332,21 +332,9 @@ object QueriesVector {
       val q = queriesDf(s, dir, 10)
         .withColumn("qvector", col("qvector").cast("array<double>"))
       val k = 10
-      // cached: every recallOf joins against it (uncached it would re-run
-      // the exact ground-truth scan once per evaluated strategy)
+      // cached: the union-recall job references it on both sides
       val gt = Knn.query(st, q, k, Metric.Cosine)
         .groupBy("query_id").agg(max("dist").as("gt_kth")).cache()
-      def recallOf(res: DataFrame): Double = {
-        // queries with zero ANN results count as recall 0 (vicinity.py:386-392)
-        val hits = res.join(gt, "query_id")
-          .groupBy("query_id")
-          .agg(sum(when(col("dist") <= col("gt_kth") + 1e-3, 1).otherwise(0))
-            .as("hits"))
-        gt.select("query_id").distinct()
-          .join(hits, Seq("query_id"), "left")
-          .select((coalesce(col("hits"), lit(0)) / k.toDouble).as("r"))
-          .agg(avg("r")).head.getDouble(0)
-      }
       // embeddings' true neighbors sit at only ~0.4 cosine similarity, so
       // sign-LSH needs many short signatures for recall (selectivity is
       // data-dependent: on high-similarity corpora fewer/longer work).
@@ -354,17 +342,34 @@ object QueriesVector {
       // the whole session, same instances the q_*_knn queries serve from.
       val (lsh, lshPrep) = preparedIndex(s, dir, "lsh32x5")(
         LshStrategy(Metric.Cosine, nTables = 32, nBits = 5))
-      val lshRecall = recallOf(lsh.query(lshPrep, q, k))
       val (ivf, ivfPrep) = preparedIndex(s, dir, "ivf16x8")(
         IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8))
-      val ivfRecall = recallOf(ivf.query(ivfPrep, q, k))
       val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, "ivfpq16x8")(
         IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
           m = 8, nbits = 8, rerank = true))
-      val ivfpqRecall = recallOf(ivfpq.query(ivfpqPrep, q, k))
-      Seq(("lsh", k.toLong, math.rint(lshRecall * 1000) / 1000),
-        ("ivf", k.toLong, math.rint(ivfRecall * 1000) / 1000),
-        ("ivfpq", k.toLong, math.rint(ivfpqRecall * 1000) / 1000))
+      val names = Seq("lsh", "ivf", "ivfpq")
+      // ONE recall job over the tagged union of all strategies' results
+      // (separate per-strategy aggregations were 3× the job overhead);
+      // queries with zero ANN results count as recall 0 (vicinity.py:386-392),
+      // so the average is driven from the (strategy × gt query) grid
+      val tagged = Seq(
+        lsh.query(lshPrep, q, k).withColumn("strategy", lit("lsh")),
+        ivf.query(ivfPrep, q, k).withColumn("strategy", lit("ivf")),
+        ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")))
+        .map(_.select("strategy", "query_id", "dist"))
+        .reduce(_ unionByName _)
+      val hits = tagged.join(gt, "query_id")
+        .groupBy("strategy", "query_id")
+        .agg(sum(when(col("dist") <= col("gt_kth") + 1e-3, 1).otherwise(0))
+          .as("hits"))
+      val grid = gt.select("query_id").distinct()
+        .crossJoin(names.toDF("strategy"))
+      val recalls = grid
+        .join(hits, Seq("strategy", "query_id"), "left")
+        .groupBy("strategy")
+        .agg(avg(coalesce(col("hits"), lit(0)) / k.toDouble).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      names.map(n => (n, k.toLong, math.rint(recalls(n) * 1000) / 1000))
         .toDF("strategy", "k", "recall")
     },
     None)

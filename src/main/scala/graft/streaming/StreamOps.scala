@@ -50,6 +50,18 @@ object StreamOps {
       .toDF()
   }
 
+  /** Dedup-on-ingest: drop rows whose dedup key was already seen, with
+    * state bounded by the watermark (`dropDuplicatesWithinWatermark` keeps a
+    * key in state only until the watermark passes its event time — the
+    * streaming analogue of exact-hash dedup, and the only formulation whose
+    * state does NOT grow with the full corpus at 100 TB/day ingest; an
+    * unbounded `dropDuplicates` would). Key on a content hash (e.g.
+    * `md5(text)`) computed upstream. */
+  def dedupWithinWatermark(rows: DataFrame, keyCol: String, tsCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    rows.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Streaming index maintenance: append (id, item, vector) micro-batches
     * into a growing parquet index — the streaming analogue of
     * `vicinity.insert` (Q5). Returns the started query; the index dir can

@@ -32,6 +32,56 @@ class ScaleDesignSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS ord_bucketed")
   }
 
+  test("filters and projections push down to the parquet scan") {
+    val li = sf("lineitem", "/root/testdata/sf0.001")
+      .where($"l_quantity" > 45.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = li.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("FileScan")).mkString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)"),
+      s"filter did not reach the scan:\n$scan")
+    assert(scan.contains("ReadSchema") &&
+      !scan.contains("l_comment"), // column pruning: untouched columns absent
+      s"projection did not prune the scan:\n$scan")
+  }
+
+  test("kNN plan: store side scans without an exchange; queries broadcast") {
+    val store = sf("embeddings", "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), $"embedding".as("vector"))
+    val queries = store.limit(5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val plan = graft.operators.Knn.query(store, queries, 10,
+      graft.core.Metric.Cosine).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"queries not broadcast:\n$plan")
+    // the only allowed shuffle is the k×partitions partial-aggregate merge —
+    // the store itself must never hash-partition on a join key
+    assert(!plan.contains("Exchange hashpartitioning(id"),
+      s"store side shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in kNN plan:\n$plan")
+  }
+
+  test("IVF index layout: probe-cell isin filter becomes parquet partition pruning") {
+    val strat = graft.index.IvfStrategy(graft.core.Metric.Cosine,
+      nlist = 8, nprobe = 2)
+    val store = sf("embeddings", "/root/testdata/sf0.001")
+      .select($"vec_id".as("id"), lit("{}").as("item"),
+        $"embedding".cast("array<double>").as("vector"))
+    val dir = "/tmp/graft_ivf_prune_idx"
+    strat.writeIndex(strat.prepare(store), dir)
+    val loaded = spark.read.parquet(dir)
+    val pruned = loaded.where($"_centroid".isin(0, 1))
+    val scan = pruned.queryExecution.executedPlan.toString
+      .split("\n").filter(_.contains("FileScan")).mkString
+    assert("PartitionFilters: \\[_centroid#\\d+ IN \\(0,1\\)\\]".r
+        .findFirstIn(scan).isDefined,
+      s"probe filter did not become a partition filter:\n$scan")
+    // pruning is real: the filtered scan reads strictly fewer partition dirs
+    val allParts = new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("_centroid="))
+    assert(allParts > 2, s"expected >2 cells, got $allParts")
+    assert(pruned.select("_centroid").distinct().count() <= 2)
+  }
+
   test("salted two-phase aggregation matches direct aggregation on skewed keys") {
     // skew: 90% of rows share one key
     val skewed = spark.range(100000)

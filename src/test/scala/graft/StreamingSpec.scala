@@ -73,6 +73,24 @@ class StreamingSpec extends SparkSpec {
     assert(res === 0L)
   }
 
+  test("dedup-on-ingest drops duplicate keys across micro-batches, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamOps.dedupWithinWatermark(
+      input.toDF().toDF("doc_hash", "ts_t"), "doc_hash", "ts_t", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    input.addData(("h1", ts(0)), ("h2", ts(1)), ("h1", ts(2)))
+    q.processAllAvailable()
+    // second batch: h2 is a cross-batch duplicate, h3 is new
+    input.addData(("h2", ts(5)), ("h3", ts(6)))
+    q.processAllAvailable()
+    val seen = spark.table("dedup_stream").select("doc_hash")
+      .collect().map(_.getString(0)).sorted.toSeq
+    q.stop()
+    assert(seen === Seq("h1", "h2", "h3"))
+  }
+
   test("streaming kNN: stream-static join per micro-batch (foreachBatch)") {
     implicit val sqlCtx = spark.sqlContext
     val store = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
