@@ -230,6 +230,28 @@ object QueriesText {
       ORDER BY doc_id
     """))
 
+  /** multimodal frame sampling: every 2nd 64-byte chunk of the payload
+    * becomes a frame row with its md5 — the explode-with-ordinality shape
+    * of real video frame extraction (`prep.Multimodal.sampleFrames`),
+    * oracle-checked byte-for-byte via text substrings (payloads here are
+    * UTF-8 text standing in for encoded media) */
+  val qFrameSample = Q("q_frame_sample",
+    (s, dir) => {
+      val media = graft.prep.Multimodal.asMedia(
+        t(s, dir, "documents"), "doc_id", "text", "video")
+      graft.prep.Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+        .select(col("media_id").as("doc_id"),
+          col("frame_no").cast("long").as("frame_no"), col("frame_md5"))
+        .orderBy("doc_id", "frame_no")
+    },
+    Some("""
+      SELECT doc_id, CAST(f.i AS BIGINT) AS frame_no,
+             md5(substr(text, CAST(f.i * 128 + 1 AS INT), 64)) AS frame_md5
+      FROM documents,
+           UNNEST(range(0, greatest(length(text) // 128 - 1, 0) + 1)) AS f(i)
+      ORDER BY doc_id, frame_no
+    """))
+
   /** token counting three ways: whitespace words, BPE-ish regex tokens
     * (letter runs | digit runs | single punctuation), chars/4 estimate */
   val qTokenCount = Q("q_token_count",
@@ -251,5 +273,6 @@ object QueriesText {
     """))
 
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
-    qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qTokenCount)
+    qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
+    qTokenCount)
 }

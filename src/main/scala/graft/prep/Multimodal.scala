@@ -94,6 +94,24 @@ object Multimodal {
       .toDF("media_id", "frame_no", "frame_payload")
       .withColumn("frame_md5", md5(col("frame_payload")))
 
+  /** ??? real resampling kernel goes here (bilinear/Lanczos over decoded
+    * pixels). The stub halves/scales the stub dimensions and pools the
+    * feature vector down to `targetFeatures` buckets by averaging — the
+    * shape of a real resize: per-row pure compute over the decoded frame,
+    * no shuffle, output schema identical modulo dimensions. */
+  def resizeStub(decoded: DataFrame, scale: Double,
+      targetFeatures: Int = 4): DataFrame = {
+    require(scale > 0 && targetFeatures > 0)
+    val pool = udf { (fs: Seq[Float]) =>
+      val groups = math.max(1, fs.length / targetFeatures)
+      fs.grouped(groups).map(g => g.sum / g.length).toSeq.take(targetFeatures)
+    }
+    decoded.select(col("media_id"), col("modality"),
+      greatest(ceil(col("width") * scale).cast("int"), lit(1)).as("width"),
+      greatest(ceil(col("height") * scale).cast("int"), lit(1)).as("height"),
+      pool(col("features")).as("features"))
+  }
+
   /** Downstream feature pipeline on decoded media: nearest-centroid bucket
     * over the stub features — shows decoded output flowing into the vector
     * engine (same array<float> contract as the embeddings table). */

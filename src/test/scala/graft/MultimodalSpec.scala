@@ -42,6 +42,22 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(_.getAs[Array[Byte]]("frame_payload").length <= 64))
   }
 
+  test("resizeStub: scaled dimensions, pooled features, schema shape kept") {
+    val decoded = Multimodal.decodeStub(media)
+    val resized = Multimodal.resizeStub(decoded, scale = 0.5,
+      targetFeatures = 4).cache()
+    assert(resized.count() === 50)
+    val pairs = decoded.select($"media_id", $"width".as("w0"), $"height".as("h0"))
+      .join(resized, "media_id").collect()
+    pairs.foreach { r =>
+      assert(r.getAs[Int]("width") === math.max(1,
+        math.ceil(r.getAs[Int]("w0") * 0.5).toInt))
+      assert(r.getAs[Int]("height") === math.max(1,
+        math.ceil(r.getAs[Int]("h0") * 0.5).toInt))
+      assert(r.getAs[Seq[Float]]("features").length === 4)
+    }
+  }
+
   test("featureBuckets: decoded features flow into bucketed grouping") {
     val decoded = Multimodal.decodeStub(media)
     val buckets = Multimodal.featureBuckets(decoded, nBuckets = 4)
