@@ -104,7 +104,50 @@ object Queries {
       ORDER BY query_id, rank
     """))
 
-  val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean) ++
+  // --------------------------------------------------------------- q_sql_knn
+  /** Exact top-k expressed ENTIRELY in SQL over the registered kernel
+    * functions (`VectorFunctions.register` / `GraftExtensions`) — the
+    * `spark.sql(...)` surface answers with the same codegen'd distance
+    * expressions the DataFrame API uses. */
+  private val qSqlKnn = Q("q_sql_knn",
+    (s, dir) => {
+      table(s, dir, "embeddings").createOrReplaceTempView("emb")
+      s.sql("""
+        WITH store AS (
+          SELECT vec_id AS id, CAST(embedding AS ARRAY<DOUBLE>) AS v FROM emb),
+        queries AS (
+          SELECT vec_id AS query_id, CAST(embedding AS ARRAY<DOUBLE>) AS q
+          FROM emb WHERE vec_id < 3),
+        pairs AS (
+          SELECT query_id, id, greatest(cosine_distance(v, q), 0D) AS d
+          FROM store CROSS JOIN queries),
+        ranked AS (
+          SELECT query_id, id, d,
+                 row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rank
+          FROM pairs)
+        SELECT query_id, id AS neighbor_id, round(d, 6) AS dist, rank
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank
+      """)
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 3
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
+  val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean, qSqlKnn) ++
     QueriesRelational.all ++ QueriesVector.all ++ QueriesText.all ++
     QueriesAnalytics.all
 

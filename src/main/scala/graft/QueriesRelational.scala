@@ -54,11 +54,14 @@ object QueriesRelational {
       val region = t(s, dir, "region"); val nation = t(s, dir, "nation")
       val cust = t(s, dir, "customer"); val orders = t(s, dir, "orders")
       val li = t(s, dir, "lineitem"); val supp = t(s, dir, "supplier")
+      // nation/region are constant-size dimension tables at ANY scale
+      // factor: broadcast explicitly. customer/supplier grow with SF, so
+      // AQE decides those at runtime from actual sizes.
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
         .join(cust, orders("o_custkey") === cust("c_custkey"))
         .join(supp, li("l_suppkey") === supp("s_suppkey"))
-        .join(nation, cust("c_nationkey") === nation("n_nationkey"))
-        .join(region, nation("n_regionkey") === region("r_regionkey"))
+        .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("revenue"),

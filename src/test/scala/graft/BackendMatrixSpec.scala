@@ -62,7 +62,13 @@ class BackendMatrixSpec extends SparkSpec {
           v.insert(Seq("x"), Seq(vectors.head))
         }
       } else {
-        assert(v.insert(Seq("x"), Seq(vectors.head)).length === n + 1)
+        // incremental prepare: the inserted vector is immediately findable
+        // (cell-assigned / quantized / hashed with the TRAINED artifacts,
+        // not a rebuild) — ≙ FAISS add-after-train, faiss.py:157-161
+        val v2 = v.insert(Seq("x"), Seq(vectors.head))
+        assert(v2.length === n + 1)
+        assert(v2.queryOne(vectors.head, 3).exists(_._1 == "x"),
+          s"inserted row not findable in [$label]")
       }
       if (backend == Backend.Basic) {
         assert(v.delete(Seq(items.head)).length === n - 1)
