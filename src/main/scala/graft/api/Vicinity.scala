@@ -323,7 +323,8 @@ object Vicinity {
         // collapses on spread-out data
         val nprobe = math.max(4, fa.nlist / 8)
         fa.indexType match {
-          case "flat" => ExactStrategy(fa.metric)
+          // strict-< range search, not BASIC's inclusive <= (faiss.py:180-183)
+          case "flat" => ExactStrategy(fa.metric, strictThreshold = true)
           case "scalar" => Sq8Strategy(fa.metric, rerank = false)
           case "pq" => PqStrategy(fa.metric, fa.m, fa.nbits)
           case "ivfpq" => IvfPqStrategy(fa.metric, fa.nlist, nprobe,

@@ -74,8 +74,14 @@ trait IndexStrategy extends Serializable {
   * unit-normalized vectors once at build (`basic.py:216`), so the per-pair
   * kernel is a bare dot product (`1 − x·v`, `basic.py:218-222`); euclidean
   * queries use the direct single-pass √Σ(x−y)² kernel.
+  *
+  * `strictThreshold = false` is BASIC's inclusive `<=` radius semantics
+  * (`basic.py:168`); `true` serves FAISS `flat`, whose `range_search` path
+  * filters with strict `<` (`faiss.py:180-183`). Both ignore `max_k`
+  * (`basic.py:163-172` never reads it; range search is uncapped).
   */
-case class ExactStrategy(metric: Metric) extends IndexStrategy {
+case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false)
+  extends IndexStrategy {
   val name = "exact"
   override def supportsDelete: Boolean = true // only BASIC supports delete
 
@@ -110,9 +116,10 @@ case class ExactStrategy(metric: Metric) extends IndexStrategy {
       threshold: Double, maxK: Int): DataFrame = {
     val q = normalizedQueries(queries)
     val d = dist(metric)(col("vector"), col("qvector"))
-    prepared.crossJoin(broadcast(q))
+    val pairs = prepared.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-      .where(col("dist") <= threshold) // inclusive: basic.py:168
+    if (strictThreshold) pairs.where(col("dist") < threshold) // faiss flat
+    else pairs.where(col("dist") <= threshold) // inclusive: basic.py:168
   }
 
   /** normalization is per-row: prepare the increment only */

@@ -48,11 +48,12 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     sq.query(pruned(prepared, queries), queries, k)
   }
 
+  /** UNCAPPED within the probed cells, like the other FAISS range-search
+    * indexes (`faiss.py:18-23`, `175-183`): prune cells, mask the
+    * quantized distances, ignore `max_k`. */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
-      threshold: Double, maxK: Int): DataFrame = {
-    val capped = query(prepared, queries, math.max(maxK, 1))
-    capped.where(col("dist") < threshold).drop("rank")
-  }
+      threshold: Double, maxK: Int): DataFrame =
+    sq.queryThreshold(pruned(prepared, queries), queries, threshold, maxK)
 
   override def saveAux(dir: String): Unit = {
     ivf.saveAux(dir)

@@ -163,10 +163,10 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       Seq("query_id"), "id", "dist", k)
   }
 
+  /** UNCAPPED within the probed cells — FAISS IVF is a range-search index,
+    * so its threshold path ignores `max_k` entirely and returns every
+    * candidate with `dist < threshold` (`faiss.py:18-23`, `175-183`). */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
-      threshold: Double, maxK: Int): DataFrame = {
-    val capped = TopK.topKPerGroup(candidates(prepared, queries, nprobe),
-      Seq("query_id"), "id", "dist", math.max(maxK, 1))
-    capped.where(col("dist") < threshold).drop("rank")
-  }
+      threshold: Double, maxK: Int): DataFrame =
+    candidates(prepared, queries, nprobe).where(col("dist") < threshold)
 }

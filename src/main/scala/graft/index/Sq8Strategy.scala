@@ -169,9 +169,18 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     }
   }
 
+  /** UNCAPPED scan of the quantized codes — FAISS `scalar` is a
+    * range-search index: the mask is applied to the quantized distances of
+    * every row, `max_k` is ignored, strict `<` (`faiss.py:18-23`,
+    * `175-183`; the range path never re-ranks, so neither does this). */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
-    val capped = query(prepared, queries, math.max(maxK, 1))
-    capped.where(col("dist") < threshold).drop("rank")
+    require(lo != null, "Sq8Strategy.prepare must run before query")
+    val q = maybeNormalize(queries, "qvector")
+    prepared.select(col("id"), col("_codes"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"),
+        greatest(adcUdf(col("_codes"), col("qvector")), lit(0.0)).as("dist"))
+      .where(col("dist") < threshold)
   }
 }

@@ -141,6 +141,28 @@ class ScaleFixesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("threshold parity: BASIC inclusive, faiss-flat strict, range-search indexes uncapped") {
+    // orthogonal unit vectors: cosine distance is exactly 1.0 / 0.0
+    val ortho = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, Seq(1.0, 0.0)), Row(1L, Seq(0.0, 1.0))), 1),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("vector", ArrayType(DoubleType, containsNull = false)))))
+    val q = ortho.select(col("id").as("query_id"), col("vector").as("qvector"))
+      .where(col("query_id") === 0L)
+    val incl = ExactStrategy(Metric.Cosine)
+    assert(incl.queryThreshold(incl.prepare(ortho), q, 1.0, 0).count() === 2)
+    val strict = ExactStrategy(Metric.Cosine, strictThreshold = true)
+    assert(strict.queryThreshold(strict.prepare(ortho), q, 1.0, 0).count() === 1)
+    // IVF is a range-search index: max_k must NOT cap the radius result
+    val df = vecDf(100, 4).cache()
+    val qq = df.limit(1).select(col("id").as("query_id"),
+      col("vector").as("qvector"))
+    val ivf = graft.index.IvfStrategy(Metric.Cosine, nlist = 2, nprobe = 2)
+    val got = ivf.queryThreshold(ivf.prepare(df), qq, 2.0, maxK = 1).count()
+    assert(got === 100, s"range search capped at $got rows")
+  }
+
   test("itemsAsColumns unions keys across heterogeneous object items") {
     val items = Seq("""{"a": 1, "b": "x"}""", """{"b": "y", "c": 2.5}""",
       """{"d": true}""")
