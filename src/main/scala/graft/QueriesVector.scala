@@ -36,13 +36,24 @@ object QueriesVector {
     * results are identical to a fresh build. */
   private val indexCache =
     scala.collection.concurrent.TrieMap.empty[String, (graft.index.IndexStrategy, DataFrame)]
+  private val storeCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** one cached store scan per (session, sf dir), shared by every index
+    * build — each strategy's prepare runs count/dim/sample jobs against it */
+  private def cachedStore(s: SparkSession, dir: String): DataFrame =
+    storeCache.getOrElseUpdate(s"${System.identityHashCode(s)}/$dir", {
+      val df = store(s, dir)
+        .withColumn("vector", col("vector").cast("array<double>")).cache()
+      df.count()
+      df
+    })
 
   private def preparedIndex(s: SparkSession, dir: String, key: String)(
       mk: => graft.index.IndexStrategy): (graft.index.IndexStrategy, DataFrame) =
     indexCache.getOrElseUpdate(s"${System.identityHashCode(s)}/$dir/$key", {
       val strat = mk
-      val prepared = strat.prepare(store(s, dir)
-        .withColumn("vector", col("vector").cast("array<double>"))).cache()
+      val prepared = strat.prepare(cachedStore(s, dir)).cache()
       prepared.count()
       (strat, prepared)
     })
@@ -326,9 +337,9 @@ object QueriesVector {
   val qEvaluate = Q("q_evaluate",
     (s, dir) => {
       import s.implicits._
-      // three strategies scan the same store: materialize once
-      val st = store(s, dir).withColumn("vector", col("vector").cast("array<double>"))
-        .cache()
+      // three strategies scan the same store: materialize once (shared with
+      // the registry's index builds)
+      val st = cachedStore(s, dir)
       val q = queriesDf(s, dir, 10)
         .withColumn("qvector", col("qvector").cast("array<double>"))
       val k = 10
