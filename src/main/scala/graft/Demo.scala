@@ -68,6 +68,32 @@ object Demo {
       println(s"streamed index rows=${grown.count()}")
     }
 
+    // similarity joins + range join over the testdata
+    locally {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("_words", graft.prep.TextFunctions.words(col("text")))
+        .select(col("doc_id"),
+          graft.prep.TextFunctions.shinglesOfWords(col("_words"), 3).as("sh"))
+      val nearDups = graft.prep.Dedup.ngramJaccardJoin(docs, "doc_id", "sh", 0.5)
+      println(s"ngram-jaccard>=0.5 pairs: ${nearDups.count()}")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(col("event_id"), floor(col("ts") / 1000000000L).cast("long").as("ts_s"))
+      val withinMinute = graft.operators.RangeJoin.pointsInWindow(
+        ev, ev.select(col("ts_s").as("ts2")), "ts_s", "ts2", 60)
+      println(s"event pairs within trailing 60s: ${withinMinute.count()}")
+    }
+
+    // composed quantized index: IVF cells over SQ8 codes (faiss ivf_scalar)
+    locally {
+      val ivfsq = Vicinity.fromVectorsAndItems(spark, items, vectors,
+        Backend.Faiss, Some(BackendArgs.FaissArgs(Metric.Cosine, "ivf_scalar",
+          nlist = 16)))
+      println("ivf_scalar top3 for item0: " + ivfsq.queryOne(vectors.head, 3)
+        .map { case (it, d) => f"$it:$d%.4f" }.mkString(", "))
+    }
+
     // multimodal: binary payloads -> stub decode -> feature buckets
     locally {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
