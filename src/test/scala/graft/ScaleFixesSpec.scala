@@ -80,6 +80,27 @@ class ScaleFixesSpec extends SparkSpec {
     assert(reranked >= adc)
   }
 
+  test("residual IVFPQ euclidean: per-cell ADC tables reach the recall bars too") {
+    val df = vecDf(600, 16).cache()
+    val queries = df.limit(20)
+      .select(col("id").as("query_id"), col("vector").as("qvector")).cache()
+    val exact = ExactStrategy(Metric.Euclidean)
+    val gtKth = exact.query(exact.prepare(df), queries, 10)
+      .groupBy("query_id").agg(max("dist").as("gt_kth"))
+    def recallOf(strat: IvfPqStrategy): Double = {
+      val res = strat.query(strat.prepare(df), queries, 10)
+      res.join(gtKth, "query_id")
+        .agg(avg(when(col("dist") <= col("gt_kth") + 1e-3, 1.0).otherwise(0.0)))
+        .head.getDouble(0)
+    }
+    val adc = recallOf(IvfPqStrategy(Metric.Euclidean, nlist = 8, nprobe = 8,
+      m = 8, nbits = 8))
+    val reranked = recallOf(IvfPqStrategy(Metric.Euclidean, nlist = 8,
+      nprobe = 8, m = 8, nbits = 8, rerank = true))
+    assert(adc >= 0.6, s"euclidean residual ADC recall too low: $adc")
+    assert(reranked >= 0.9, s"euclidean re-ranked recall too low: $reranked")
+  }
+
   test("ivf_scalar composes IVF cells with SQ codes and stays near-exact") {
     val df = vecDf(400, 8).cache()
     val strat = IvfSq8Strategy(Metric.Cosine, nlist = 4, nprobe = 4,
