@@ -149,7 +149,7 @@ object Queries {
 
   val all: Seq[Q] = Seq(q1Agg, qKnnCosine, qKnnEuclidean, qSqlKnn) ++
     QueriesRelational.all ++ QueriesVector.all ++ QueriesText.all ++
-    QueriesAnalytics.all
+    QueriesAnalytics.all ++ QueriesPipeline.all
 
   def queryMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> { (s: SparkSession, dir: String) =>

@@ -1,0 +1,346 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Queries.Q
+import graft.prep.{Dedup, TextFunctions => TF}
+
+/** Training-data-pipeline operators beyond the round-1 surface: dedup
+  * clustering (connected components), TF-IDF term scoring, Gopher-style
+  * repetition quality signals, deterministic hash sampling (plain +
+  * stratified), CUBE aggregation, vocabulary stats, text normalization,
+  * GPT-style sequence packing, and per-label embedding centroids.
+  *
+  * Every operator follows the repo's determinism conventions (Queries
+  * scaladoc): doubles rounded in both engines, rankings tie-broken on ids,
+  * count-like columns long in both.
+  */
+object QueriesPipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** word-3-gram shingle CTE shared by the cluster oracle (identical text to
+    * the q_minhash_dedup / q_ngram_jaccard oracles) */
+  private val pairsSql = """
+      WITH RECURSIVE grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      good AS (
+        SELECT i, j FROM pairs
+          JOIN sizes si ON si.doc_id = i
+          JOIN sizes sj ON sj.doc_id = j
+        WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7),"""
+
+  /** Near-dup clusters: MinHash+LSH pairs (exact-verified, same pair set as
+    * q_minhash_dedup) → connected components → (doc, cluster, size). The
+    * Spark side is iterative min-label propagation
+    * ([[Dedup.connectedComponents]]); the oracle walks the same graph with a
+    * recursive CTE. Both converge to min-reachable-id labels, so the outputs
+    * agree exactly. */
+  val qDedupClusters = Q("q_dedup_clusters",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("_words", TF.words(col("text")))
+        .select(col("doc_id"), TF.shinglesOfWords(col("_words"), 3).as("shingles"))
+      val pairs = Dedup.minhashDedup(docs, "doc_id", "shingles", threshold = 0.7)
+        .select("i", "j")
+      val labels = Dedup.connectedComponents(pairs)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      $pairsSql
+      edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
+      reach(node, r) AS (
+        SELECT DISTINCT i AS node, i AS r FROM edges
+        UNION
+        SELECT e.j, r.r FROM reach r JOIN edges e ON e.i = r.node),
+      labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
+      SELECT l.doc_id, l.cluster_id, c.sz AS cluster_size
+      FROM labels l
+        JOIN (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1) c
+          USING (cluster_id)
+      ORDER BY doc_id
+    """))
+
+  /** TF-IDF: top-3 terms per document by tf·ln(N/df), tie-broken on term.
+    * Plan: explode → two hash aggregations (term frequencies, document
+    * frequencies) → broadcast the (small) df side back — the df table is
+    * vocabulary-sized, not corpus-sized, so the join never shuffles the
+    * corpus twice. */
+  val qTfidf = Q("q_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = docs.select(col("doc_id"),
+        explode(TF.words(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDf = docs.agg(count(lit(1)).as("n"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDf))
+        .withColumn("tfidf",
+          col("tf") * log(col("n").cast("double") / col("df")))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("term"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"),
+          round(col("tfidf"), 6).as("tfidf"), col("rnk"))
+        .orderBy("doc_id", "rnk")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf * ln(n.n * 1.0 / dfreq.df) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY tfidf DESC, term) AS rnk
+        FROM scored)
+      SELECT doc_id, term, round(tfidf, 6) AS tfidf, rnk
+      FROM ranked WHERE rnk <= 3
+      ORDER BY doc_id, rnk
+    """))
+
+  /** Gopher-style repetition signals per document: duplicate-word fraction,
+    * most-frequent-word fraction, duplicate-2-gram fraction. Word counts go
+    * through explode+agg (the shape that scales past per-row array limits);
+    * 2-gram ratios stay row-local array expressions. */
+  val qRepetition = Q("q_repetition",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val counts = docs
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val wc = counts.groupBy("doc_id").agg(
+        sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("c").as("top_cnt"))
+      val grams2 = docs.withColumn("_w", TF.words(col("text")))
+        .select(col("doc_id"),
+          when(size(col("_w")) < 2, array()).otherwise(
+            transform(sequence(lit(0), size(col("_w")) - 2),
+              i => concat_ws(" ", element_at(col("_w"), i + 1),
+                element_at(col("_w"), i + 2)))).as("_g"))
+        .select(col("doc_id"), size(col("_g")).as("n_2grams"),
+          size(array_distinct(col("_g"))).as("n_distinct_2grams"))
+      wc.join(grams2, "doc_id")
+        .select(col("doc_id"),
+          round(lit(1.0) - col("n_distinct") / col("n_words"), 6)
+            .as("dup_word_frac"),
+          round(col("top_cnt") / col("n_words"), 6).as("top_word_frac"),
+          round(lit(1.0) - col("n_distinct_2grams") /
+            greatest(col("n_2grams"), lit(1)), 6).as("dup_2gram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      wc AS (
+        SELECT doc_id, sum(c) AS n_words, count(*) AS n_distinct,
+               max(c) AS top_cnt
+        FROM (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2)
+        GROUP BY doc_id),
+      grams AS (
+        SELECT doc_id, len(l) AS n_2grams,
+               len(list_distinct(l)) AS n_distinct_2grams
+        FROM (SELECT doc_id,
+                list_transform(range(1, greatest(len(string_split(text,' '))-1,0)+1),
+                  i -> string_split(text,' ')[i] || ' ' ||
+                       string_split(text,' ')[i+1]) AS l
+              FROM documents))
+      SELECT w.doc_id,
+             round(1.0 - w.n_distinct * 1.0 / w.n_words, 6) AS dup_word_frac,
+             round(w.top_cnt * 1.0 / w.n_words, 6) AS top_word_frac,
+             round(1.0 - g.n_distinct_2grams * 1.0 / greatest(g.n_2grams, 1), 6)
+               AS dup_2gram_frac
+      FROM wc w JOIN grams g USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** Deterministic ~5% sample: md5 of the id, keep hex prefix <= '0c'
+    * (13/256). Reproducible across engines/runs/cluster sizes — the
+    * property that matters for 100 TB sampling (no seed/partition
+    * dependence, pure function of the row). Hex strings compare identically
+    * in Java and DuckDB (ASCII). */
+  val qSampleHash = Q("q_sample_hash",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("hb",
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2))
+      .where(col("hb") <= "0c")
+      .select(col("doc_id"), col("lang"), col("source"), col("hb"))
+      .orderBy("doc_id"),
+    Some("""
+      SELECT doc_id, lang, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+      FROM documents
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '0c'
+      ORDER BY doc_id
+    """))
+
+  /** Stratified deterministic sample: 10% per language, ranked by md5(id)
+    * — equalizes language mix regardless of corpus skew. One window per
+    * stratum; the rank order (hash, id) is reproducible. */
+  val qSampleStratified = Q("q_sample_stratified",
+    (s, dir) => {
+      val h = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hv"))
+        .withColumn("n_lang", count(lit(1)).over(Window.partitionBy("lang")))
+      h.withColumn("rnk", row_number()
+          .over(Window.partitionBy("lang").orderBy("hv", "doc_id")).cast("long"))
+        .where(col("rnk") <= ceil(col("n_lang") * 0.1).cast("long"))
+        .select(col("doc_id"), col("lang"), col("rnk"), col("n_lang"))
+        .orderBy("lang", "rnk")
+    },
+    Some("""
+      WITH h AS (
+        SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS hv,
+               count(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents),
+      r AS (
+        SELECT doc_id, lang, n_lang,
+               row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rnk
+        FROM h)
+      SELECT doc_id, lang, rnk, n_lang FROM r
+      WHERE rnk <= CAST(ceil(n_lang * 0.1) AS BIGINT)
+      ORDER BY lang, rnk
+    """))
+
+  /** CUBE over (lang, source) with grouping_id — all four grouping sets in
+    * one pass (Catalyst expands to a single Expand + hash aggregate). */
+  val qCube = Q("q_cube",
+    (s, dir) => t(s, dir, "documents")
+      .cube("lang", "source")
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"),
+        grouping_id().cast("long").as("gid"))
+      .select(col("lang"), col("source"), col("gid"), col("n"), col("avg_chars"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first),
+    Some("""
+      SELECT lang, source,
+             CAST(grouping(lang)*2 + grouping(source) AS BIGINT) AS gid,
+             count(*) AS n, round(avg(n_chars), 4) AS avg_chars
+      FROM documents
+      GROUP BY CUBE (lang, source)
+      ORDER BY gid, lang NULLS FIRST, source NULLS FIRST
+    """))
+
+  /** per-language vocabulary stats: token volume, distinct vocabulary,
+    * type-token ratio (explode → partial-agg'd count-distinct) */
+  val qVocab = Q("q_vocab",
+    (s, dir) => t(s, dir, "documents")
+      .select(col("lang"), explode(TF.words(col("text"))).as("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct("w").as("vocab"),
+        round(countDistinct("w") / count(lit(1)), 6).as("type_token_ratio"))
+      .orderBy("lang"),
+    Some("""
+      WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      SELECT lang, count(*) AS total_tokens, count(DISTINCT w) AS vocab,
+             round(count(DISTINCT w) * 1.0 / count(*), 6) AS type_token_ratio
+      FROM toks GROUP BY lang ORDER BY lang
+    """))
+
+  /** Text normalization for dedup/tokenizer prep: lowercase, digit-run
+    * masking to `<num>`, whitespace collapse, trim — emitted as a stable
+    * md5 + length (the normalized text itself is corpus-sized; its hash is
+    * what downstream exact-dedup keys on). */
+  val qNormalizeText = Q("q_normalize_text",
+    (s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[0-9]+", "<num>"), " +", " "))
+      // materialize the regex chain once: referenced twice below, inlining
+      // it would run the replaces per output column (8.3 s → ~1 s at sf0.1)
+      t(s, dir, "documents")
+        .withColumn("_norm", norm)
+        .select(col("doc_id"), md5(col("_norm").cast("binary")).as("norm_md5"),
+          length(col("_norm")).cast("long").as("norm_len"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[0-9]+', '<num>', 'g'), ' +', ' ', 'g'))) AS norm_md5,
+             CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+               '[0-9]+', '<num>', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+      FROM documents
+      ORDER BY doc_id
+    """))
+
+  /** GPT-style sequence packing: concatenate documents in id order and cut
+    * at a fixed token capacity (512). Packed per SOURCE, not globally — the
+    * window is partitioned, so packing parallelizes across sources instead
+    * of serializing the corpus through one global sort at 100 TB. Emits
+    * where each doc starts: (chunk, offset). */
+  val qPackChunks = Q("q_pack_chunks",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TF.tokenEstimate(col("text")).as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      d.withColumn("cum", sum("n_tok").over(w))
+        .select(col("doc_id"), col("source"), col("n_tok"),
+          floor((col("cum") - col("n_tok")) / 512.0).cast("long").as("chunk_id"),
+          ((col("cum") - col("n_tok")) % 512).as("chunk_offset"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, source,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM d)
+      SELECT doc_id, source, n_tok,
+             CAST((cum - n_tok) // 512 AS BIGINT) AS chunk_id,
+             CAST((cum - n_tok) % 512 AS BIGINT) AS chunk_offset
+      FROM c ORDER BY doc_id
+    """))
+
+  /** per-label embedding centroids, one row per (label, dimension) —
+    * posexplode → partial-aggregated mean, the distributed shape of
+    * cluster-centroid maintenance (no vector ever collected) */
+  val qCentroids = Q("q_centroids",
+    (s, dir) => t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "v")
+      .groupBy("label", "pos")
+      .agg(round(avg("v"), 6).as("mean_v"))
+      .select(col("label"), col("pos").cast("long").as("pos"), col("mean_v"))
+      .orderBy("label", "pos"),
+    Some("""
+      SELECT label, CAST(p.i AS BIGINT) AS pos,
+             round(avg(embedding[CAST(p.i AS INT) + 1]), 6) AS mean_v
+      FROM embeddings, (SELECT unnest(range(0, 64)) AS i) p
+      GROUP BY 1, 2 ORDER BY 1, 2
+    """))
+
+  val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
+    qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks, qCentroids)
+}

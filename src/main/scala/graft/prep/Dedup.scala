@@ -200,6 +200,47 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  // ------------------------------------------- dedup cluster formation
+
+  /** Connected components over an undirected edge list — turns near-dup
+    * PAIRS (from [[minhashDedup]] / [[simhashPairs]]) into dedup CLUSTERS,
+    * labeling every node with the minimum node id reachable from it.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in O(graph
+    * diameter) rounds. Near-dup graphs are unions of near-cliques (banding
+    * emits most intra-cluster pairs directly), so the diameter — and the
+    * round count — is small in practice. Each round is one shuffle keyed by
+    * node; lineage is truncated per round with `localCheckpoint` so plans
+    * don't grow with the iteration count. The fixpoint is deterministic
+    * (min id per component) regardless of execution order.
+    */
+  def connectedComponents(edges: DataFrame, iCol: String = "i",
+      jCol: String = "j"): DataFrame = {
+    val sym = edges.select(col(iCol).as("src"), col(jCol).as("dst"))
+      .union(edges.select(col(jCol).as("src"), col(iCol).as("dst")))
+      .distinct().cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(min("label").as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("label"))
+        .localCheckpoint()
+      converged = next.as("n").join(labels.as("o"), "node")
+        .where(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+    }
+    sym.unpersist()
+    labels
+  }
+
   // ------------------------------------------------------- exact dedup
 
   /** Exact dedup with deterministic survivor (min id per key). */

@@ -52,20 +52,32 @@ object TextFunctions {
     "de" -> Seq("der", "die", "das", "und", "zu"),
     "zh" -> Seq("de", "le", "shi", "zai", "he"))
 
-  def langScore(text: Column, markers: Seq[String]): Column = {
+  def langScore(text: Column, markers: Seq[String]): Column =
+    langScoreOfWords(words(text), markers)
+
+  /** marker-hit count over an already-materialized words array — hot paths
+    * must tokenize once in a prior projection and score from the array
+    * column, or every per-language score re-splits the text (the
+    * shinglesOfWords pitfall; dropped q_langid from 4.5 s to the cost of
+    * one split + five array filters at sf0.1) */
+  def langScoreOfWords(w: Column, markers: Seq[String]): Column = {
     val m = array(markers.map(lit): _*)
-    size(filter(words(text), w => array_contains(m, w)))
+    size(filter(w, x => array_contains(m, x)))
   }
 
-  /** predicted language code */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (code, m) => code -> langScore(text, m) }
-    // first language (in priority order) whose score equals the max
+  /** argmax over per-language score COLUMNS (priority order on ties) —
+    * pass attribute references to already-computed scores, not fresh
+    * langScore expressions, so the filter runs once per language */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     val maxScore = greatest(scores.map(_._2): _*)
     scores.reverse.foldLeft(lit(scores.last._1)) { case (acc, (code, s)) =>
       when(s === maxScore, lit(code)).otherwise(acc)
     }
   }
+
+  /** predicted language code (one-shot convenience; see langIdFromScores) */
+  def langId(text: Column): Column =
+    langIdFromScores(langMarkers.map { case (c, m) => c -> langScore(text, m) })
 
   /** whole-document fingerprint */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))

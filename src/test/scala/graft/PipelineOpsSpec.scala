@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.prep.Dedup
+
+/** Specs for the QueriesPipeline operators: connected-components dedup
+  * clustering, TF-IDF, repetition signals, deterministic sampling, packing,
+  * centroids. Structural/semantic assertions here; value-level equality is
+  * the DuckDB oracle's job.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("connectedComponents labels a path graph with its min node") {
+    import spark.implicits._
+    // 1-2-3 chained, 7-8, 9 isolated (not in edges => not in output)
+    val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("i", "j")
+    val got = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connectedComponents converges on a long path (diameter > 1 round)") {
+    import spark.implicits._
+    val n = 12
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("i", "j")
+    val got = Dedup.connectedComponents(edges).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getLong(1) == 1L))
+  }
+
+  test("q_dedup_clusters: clusters cover exactly the near-dup pair nodes") {
+    val clusters = Queries.queryMap("q_dedup_clusters")(spark, dir)
+    val pairs = Queries.queryMap("q_minhash_dedup")(spark, dir)
+    val inPairs = pairs.select(col("i").as("doc_id"))
+      .union(pairs.select(col("j").as("doc_id"))).distinct()
+    assert(clusters.select("doc_id").distinct().count() == inPairs.count())
+    assert(clusters.join(inPairs, "doc_id").count() == clusters.count())
+    // every pair lands in one cluster
+    val lbl = clusters.select(col("doc_id"), col("cluster_id"))
+    val crossPairs = pairs
+      .join(lbl.withColumnRenamed("doc_id", "i")
+        .withColumnRenamed("cluster_id", "ci"), "i")
+      .join(lbl.withColumnRenamed("doc_id", "j")
+        .withColumnRenamed("cluster_id", "cj"), "j")
+      .where(col("ci") =!= col("cj"))
+    assert(crossPairs.isEmpty)
+    // cluster_id is the min doc_id of the cluster
+    val badMin = clusters.groupBy("cluster_id")
+      .agg(min("doc_id").as("m"))
+      .where(col("m") =!= col("cluster_id"))
+    assert(badMin.isEmpty)
+  }
+
+  test("q_tfidf: 3 rows per doc that has >= 3 distinct terms; ranks 1..3") {
+    val out = Queries.queryMap("q_tfidf")(spark, dir)
+    val byDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"),
+      max("rnk").as("mx"), min("rnk").as("mn"))
+    assert(byDoc.where(col("n") > 3).isEmpty)
+    assert(byDoc.where(col("mn") =!= 1L).isEmpty)
+    // tfidf never increases with rank within a doc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("rnk")
+    val bad = out.withColumn("prev", lag("tfidf", 1).over(w))
+      .where(col("prev").isNotNull && col("tfidf") > col("prev"))
+    assert(bad.isEmpty)
+  }
+
+  test("q_repetition: fractions in [0,1]; distinct<=total implies dup>=0") {
+    val out = Queries.queryMap("q_repetition")(spark, dir)
+    for (c <- Seq("dup_word_frac", "top_word_frac", "dup_2gram_frac"))
+      assert(out.where(col(c) < 0 || col(c) > 1).isEmpty, c)
+    assert(out.count() == sf("documents").count())
+  }
+
+  test("deterministic sampling is stable across runs and subset-consistent") {
+    val a = Queries.queryMap("q_sample_hash")(spark, dir).collect()
+    val b = Queries.queryMap("q_sample_hash")(spark, dir).collect()
+    assert(a.sameElements(b))
+    // stratified: per-lang counts == ceil(0.1 * n_lang)
+    val strat = Queries.queryMap("q_sample_stratified")(spark, dir)
+    val bad = strat.groupBy("lang", "n_lang")
+      .agg(count(lit(1)).as("took"))
+      .where(col("took") =!= ceil(col("n_lang") * 0.1).cast("long"))
+    assert(bad.isEmpty)
+  }
+
+  test("q_cube emits all four grouping sets consistently") {
+    val out = Queries.queryMap("q_cube")(spark, dir)
+    val gids = out.select("gid").distinct().collect().map(_.getLong(0)).sorted
+    assert(gids.sameElements(Array(0L, 1L, 2L, 3L)))
+    val total = out.where(col("gid") === 3L).select("n").head().getLong(0)
+    val detail = out.where(col("gid") === 0L)
+      .agg(sum("n")).head().getLong(0)
+    assert(total == detail)
+  }
+
+  test("q_pack_chunks: offsets within capacity and chunk ids monotone per source") {
+    val out = Queries.queryMap("q_pack_chunks")(spark, dir)
+    assert(out.where(col("chunk_offset") < 0 || col("chunk_offset") >= 512).isEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val bad = out.withColumn("prev", lag("chunk_id", 1).over(w))
+      .where(col("prev").isNotNull && col("chunk_id") < col("prev"))
+    assert(bad.isEmpty)
+  }
+
+  test("q_centroids: one row per (label, dim); mean within observed range") {
+    val out = Queries.queryMap("q_centroids")(spark, dir)
+    val emb = sf("embeddings")
+    val nLabels = emb.select("label").distinct().count()
+    assert(out.count() == nLabels * 64)
+    assert(out.where(abs(col("mean_v")) > 1.0).isEmpty)
+  }
+
+  test("q_normalize_text masks digits and collapses whitespace") {
+    import spark.implicits._
+    val df = Seq((1L, "A  B 42  c7x")).toDF("doc_id", "text")
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[0-9]+", "<num>"), " +", " "))
+    val got = df.select(norm.as("n")).head().getString(0)
+    assert(got == "a b <num> c<num>x")
+  }
+}
