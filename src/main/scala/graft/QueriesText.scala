@@ -117,14 +117,9 @@ object QueriesText {
     * scaladoc derives the miss probability <= 1e-3 at the 0.7 boundary;
     * observed pairs in this corpus are all >= 0.9 where it is <= 1e-14). */
   val qMinhashDedup = Q("q_minhash_dedup",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("_words", TF.words(col("text")))
-        .select(col("doc_id"), TF.shinglesOfWords(col("_words"), 3).as("shingles"))
-      Dedup.minhashDedup(docs, "doc_id", "shingles", threshold = 0.7)
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("i", "j")
-    },
+    (s, dir) => PrepCache.minhashPairs(s, dir)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("i", "j"),
     Some("""
       WITH grams AS (
         SELECT doc_id, unnest(list_distinct(list_transform(

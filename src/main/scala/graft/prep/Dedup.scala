@@ -228,14 +228,17 @@ object Dedup {
       val nbrMin = sym
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(min("label").as("nbr_label"))
+      // carry a changed flag through the same projection: convergence is a
+      // cheap scan of the checkpointed round output, not a second join
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          (coalesce(col("nbr_label"), col("label")) < col("label"))
+            .as("_changed"))
         .localCheckpoint()
-      converged = next.as("n").join(labels.as("o"), "node")
-        .where(col("n.label") =!= col("o.label")).isEmpty
-      labels = next
+      converged = next.where(col("_changed")).isEmpty
+      labels = next.select("node", "label")
     }
     sym.unpersist()
     labels

@@ -114,6 +114,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.where(abs(col("mean_v")) > 1.0).isEmpty)
   }
 
+  test("q_salted_agg equals the unsalted plain groupBy") {
+    val salted = Queries.queryMap("q_salted_agg")(spark, dir)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val plain = sf("events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+    assert(salted.collect().toSeq == plain.collect().toSeq)
+  }
+
+  test("q_contamination: only non-benchmark docs, each sharing >= 1 gram") {
+    val out = Queries.queryMap("q_contamination")(spark, dir)
+    assert(out.where(col("doc_id") < 20).isEmpty)
+    assert(out.where(col("n_shared_grams") < 1).isEmpty)
+  }
+
   test("q_normalize_text masks digits and collapses whitespace") {
     import spark.implicits._
     val df = Seq((1L, "A  B 42  c7x")).toDF("doc_id", "text")

@@ -82,6 +82,21 @@ class ScaleDesignSpec extends SparkSpec {
     assert(pruned.select("_centroid").distinct().count() <= 2)
   }
 
+  test("contamination plan: benchmark gram set broadcasts, no cartesian") {
+    val plan = Queries.queryMap("q_contamination")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark grams not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
+  test("tfidf plan: vocabulary-sized df table broadcasts back onto tf") {
+    val plan = Queries.queryMap("q_tfidf")(spark,
+      "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"df side not broadcast:\n$plan")
+  }
+
   test("salted two-phase aggregation matches direct aggregation on skewed keys") {
     // skew: 90% of rows share one key
     val skewed = spark.range(100000)
