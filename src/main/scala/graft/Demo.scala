@@ -94,6 +94,19 @@ object Demo {
         .map { case (it, d) => f"$it:$d%.4f" }.mkString(", "))
     }
 
+    // training-data pipeline: near-dup clusters, contamination, packing
+    locally {
+      import org.apache.spark.sql.functions._
+      val dir = "/root/testdata/sf0.001"
+      val clusters = Queries.queryMap("q_dedup_clusters")(spark, dir)
+      println(s"near-dup clusters: ${clusters.select("cluster_id").distinct().count()} " +
+        s"covering ${clusters.count()} docs")
+      val leaks = Queries.queryMap("q_contamination")(spark, dir)
+      println(s"benchmark-contaminated docs: ${leaks.count()}")
+      val packed = Queries.queryMap("q_pack_chunks")(spark, dir)
+      println(s"packed chunks: ${packed.agg(countDistinct("source", "chunk_id")).head.getLong(0)}")
+    }
+
     // multimodal: binary payloads -> stub decode -> feature buckets
     locally {
       val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

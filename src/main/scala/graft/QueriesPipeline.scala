@@ -393,7 +393,38 @@ object QueriesPipeline {
       FROM events GROUP BY 1 ORDER BY 1
     """))
 
+  /** Deterministic weighted source interleaving — the training-data MIXING
+    * operator: each source contributes documents proportionally to its
+    * weight. Every doc gets position = rank_in_source / weight; serving in
+    * position order yields the weighted round-robin. Emitted here: the
+    * docs scheduled in the first 2 position units. Fully parallel (one
+    * window per source, no global sort — consumers range-scan by position). */
+  val qInterleave = Q("q_interleave",
+    (s, dir) => {
+      val w = Window.partitionBy("source").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .withColumn("_w",
+          lit(1.0) + substring(col("source"), 4, 10).cast("int") % 3)
+        .withColumn("position", col("rnk") / col("_w"))
+        .where(col("position") <= 2)
+        .select(col("doc_id"), col("source"), col("rnk"),
+          round(col("position"), 6).as("position"))
+        .orderBy("position", "source", "doc_id")
+    },
+    Some("""
+      WITH r AS (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rnk,
+               1.0 + (CAST(substr(source, 4) AS INT) % 3) AS w
+        FROM documents)
+      SELECT doc_id, source, rnk, round(rnk / w, 6) AS position
+      FROM r WHERE rnk / w <= 2
+      ORDER BY position, source, doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks, qCentroids,
-    qContamination, qSaltedAgg)
+    qContamination, qSaltedAgg, qInterleave)
 }

@@ -27,6 +27,21 @@ object StreamOps {
       .select(col("window.start").as("ws"), col("window.end").as("we"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming sessionization: `session_window` merges events closer than
+    * `gap` into one growing session per user and closes it once the
+    * watermark passes — the streaming equivalent of the batch q_sessionize
+    * (whose lag+cumulative windows cannot stream; session state here is
+    * per-open-session, not per-event, so it stays bounded at any rate). */
+  def sessionizedEvents(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts_t", watermark)
+      .groupBy(session_window(col("ts_t"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

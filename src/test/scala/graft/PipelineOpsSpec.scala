@@ -130,6 +130,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.where(col("n_shared_grams") < 1).isEmpty)
   }
 
+  test("q_interleave: higher-weight sources contribute proportionally more") {
+    val out = Queries.queryMap("q_interleave")(spark, dir)
+    val bySource = out.groupBy("source").agg(count(lit(1)).as("n"),
+        max("rnk").as("max_rnk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // weight w admits ranks 1..2w within 2 position units (if the source
+    // has that many docs): contribution scales with the weight
+    bySource.foreach { case (src, n, maxRnk) =>
+      val w = 1 + src.drop(3).toInt % 3
+      assert(n <= 2L * w, s"$src took $n > ${2 * w}")
+      assert(maxRnk == n, s"$src ranks not contiguous from 1")
+    }
+  }
+
   test("q_normalize_text masks digits and collapses whitespace") {
     import spark.implicits._
     val df = Seq((1L, "A  B 42  c7x")).toDF("doc_id", "text")

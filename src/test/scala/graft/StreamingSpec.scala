@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("streaming sessionization: gap splits sessions, watermark closes them") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.sessionizedEvents(input.toDF(), "30 minutes", "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    // user 1: events at 10:00/10:10 (one session), then 11:30 (new session
+    // after a >30min gap); user 2: one event
+    input.addData(
+      Ev(ts(0), "click", 1.0, 1), Ev(ts(10), "click", 2.0, 1),
+      Ev(java.sql.Timestamp.valueOf("2026-01-01 11:30:00"), "view", 3.0, 1),
+      Ev(ts(5), "click", 4.0, 2))
+    q.processAllAvailable()
+    // advance the watermark far enough to close every open session
+    input.addData(Ev(java.sql.Timestamp.valueOf("2026-01-01 20:00:00"),
+      "click", 0.0, 99))
+    q.processAllAvailable()
+    val rows = spark.table("sessions")
+      .where($"user_id".isin(1L, 2L))
+      .select("user_id", "n_events", "sum_value")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(r => (r._1, r._2))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 1L, 3.0), (1L, 2L, 3.0), (2L, 1L, 4.0)))
+  }
+
   test("stateful running totals across micro-batches (mapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
