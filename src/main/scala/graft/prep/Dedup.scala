@@ -216,7 +216,36 @@ object Dedup {
     * (min id per component) regardless of execution order.
     */
   def connectedComponents(edges: DataFrame, iCol: String = "i",
-      jCol: String = "j"): DataFrame = {
+      jCol: String = "j", driverSolveMaxEdges: Long = 1L << 20): DataFrame = {
+    // Near-dup graphs are usually SMALL relative to the corpus (edges exist
+    // only between near-duplicates), so when the edge list fits in a bounded
+    // driver budget, solve union-find locally in one collect — same labels,
+    // none of the per-round scheduling. The iterative path below is the
+    // 100 TB shape for when it doesn't.
+    val nEdges = edges.count()
+    if (nEdges <= driverSolveMaxEdges) {
+      val spark = edges.sparkSession
+      val es = edges.select(col(iCol).cast("long"), col(jCol).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union under the smaller root: root IS the min id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      return rows.toDF("node", "label")
+    }
     val sym = edges.select(col(iCol).as("src"), col(jCol).as("dst"))
       .union(edges.select(col(jCol).as("src"), col(iCol).as("dst")))
       .distinct().cache()

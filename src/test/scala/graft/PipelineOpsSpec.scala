@@ -12,22 +12,28 @@ import graft.prep.Dedup
 class PipelineOpsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("connectedComponents labels a path graph with its min node") {
+  test("connectedComponents labels a path graph with its min node (both paths)") {
     import spark.implicits._
     // 1-2-3 chained, 7-8, 9 isolated (not in edges => not in output)
     val edges = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("i", "j")
-    val got = Dedup.connectedComponents(edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L)
+    for (driverMax <- Seq(Long.MaxValue, 0L)) { // union-find vs iterative
+      val got = Dedup.connectedComponents(edges, driverSolveMaxEdges = driverMax)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"driverSolveMaxEdges=$driverMax")
+    }
   }
 
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     import spark.implicits._
     val n = 12
     val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("i", "j")
-    val got = Dedup.connectedComponents(edges).collect()
-    assert(got.length == n)
-    assert(got.forall(_.getLong(1) == 1L))
+    for (driverMax <- Seq(Long.MaxValue, 0L)) {
+      val got = Dedup.connectedComponents(edges, driverSolveMaxEdges = driverMax)
+        .collect()
+      assert(got.length == n)
+      assert(got.forall(_.getLong(1) == 1L), s"driverSolveMaxEdges=$driverMax")
+    }
   }
 
   test("q_dedup_clusters: clusters cover exactly the near-dup pair nodes") {
