@@ -45,10 +45,15 @@ object QueriesPipeline {
 
   /** Near-dup clusters: MinHash+LSH pairs (exact-verified, same pair set as
     * q_minhash_dedup) → connected components → (doc, cluster, size). The
-    * Spark side is iterative min-label propagation
-    * ([[Dedup.connectedComponents]]); the oracle walks the same graph with a
-    * recursive CTE. Both converge to min-reachable-id labels, so the outputs
-    * agree exactly. */
+    * Spark side is [[Dedup.connectedComponents]]; the oracle walks the same
+    * graph with a recursive CTE. Both converge to min-reachable-id labels.
+    * Caveat (inherited from the banding, amplified by clustering): the pair
+    * set misses a true pair with probability ≤ 1e-3 at the 0.7 Jaccard
+    * boundary — q_minhash_dedup would lose ONE row, but a missed BRIDGE pair
+    * here splits a component and shifts cluster_id/size for its members. On
+    * this corpus every observed pair sits ≥ 0.9 (miss ≤ 1e-14), so the
+    * oracle holds; for adversarial corpora generate pairs with the exact
+    * [[Dedup.ngramJaccardJoin]] instead. */
   val qDedupClusters = Q("q_dedup_clusters",
     (s, dir) => {
       val pairs = PrepCache.minhashPairs(s, dir).select("i", "j")
@@ -133,11 +138,7 @@ object QueriesPipeline {
         sum("c").as("n_words"), count(lit(1)).as("n_distinct"),
         max("c").as("top_cnt"))
       val grams2 = docs.withColumn("_w", TF.words(col("text")))
-        .select(col("doc_id"),
-          when(size(col("_w")) < 2, array()).otherwise(
-            transform(sequence(lit(0), size(col("_w")) - 2),
-              i => concat_ws(" ", element_at(col("_w"), i + 1),
-                element_at(col("_w"), i + 2)))).as("_g"))
+        .select(col("doc_id"), TF.shinglesOfWordsAll(col("_w"), 2).as("_g"))
         .select(col("doc_id"), size(col("_g")).as("n_2grams"),
           size(array_distinct(col("_g"))).as("n_distinct_2grams"))
       wc.join(grams2, "doc_id")
@@ -266,12 +267,10 @@ object QueriesPipeline {
     * what downstream exact-dedup keys on). */
   val qNormalizeText = Q("q_normalize_text",
     (s, dir) => {
-      val norm = trim(regexp_replace(
-        regexp_replace(lower(col("text")), "[0-9]+", "<num>"), " +", " "))
       // materialize the regex chain once: referenced twice below, inlining
       // it would run the replaces per output column (8.3 s → ~1 s at sf0.1)
       t(s, dir, "documents")
-        .withColumn("_norm", norm)
+        .withColumn("_norm", TF.normalizeText(col("text")))
         .select(col("doc_id"), md5(col("_norm").cast("binary")).as("norm_md5"),
           length(col("_norm")).cast("long").as("norm_len"))
         .orderBy("doc_id")
@@ -333,7 +332,7 @@ object QueriesPipeline {
     Some("""
       SELECT label, CAST(p.i AS BIGINT) AS pos,
              round(avg(embedding[CAST(p.i AS INT) + 1]), 6) AS mean_v
-      FROM embeddings, (SELECT unnest(range(0, 64)) AS i) p
+      FROM embeddings, UNNEST(range(0, len(embedding))) AS p(i)
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 

@@ -220,13 +220,15 @@ object Dedup {
     // Near-dup graphs are usually SMALL relative to the corpus (edges exist
     // only between near-duplicates), so when the edge list fits in a bounded
     // driver budget, solve union-find locally in one collect — same labels,
-    // none of the per-round scheduling. The iterative path below is the
-    // 100 TB shape for when it doesn't.
-    val nEdges = edges.count()
-    if (nEdges <= driverSolveMaxEdges) {
-      val spark = edges.sparkSession
-      val es = edges.select(col(iCol).cast("long"), col(jCol).cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // none of the per-round scheduling. One BOUNDED probe decides the path
+    // (limit stops the scan at budget+1 rows; a count() here would execute
+    // the full upstream pipeline once extra just to choose).
+    val spark = edges.sparkSession
+    val cap = math.min(driverSolveMaxEdges, Int.MaxValue - 1L).toInt
+    val probe = edges.select(col(iCol).cast("long"), col(jCol).cast("long"))
+      .limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      val es = probe.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x

@@ -98,10 +98,23 @@ object TextFunctions {
     * `split()` directly here would re-tokenize the text for every
     * element_at in the lambda (measured 2s of 5.5s in minhash at sf0.1). */
   def shinglesOfWords(w: Column, n: Int = 3): Column =
-    array_distinct(
-      when(size(w) < n, array())
-        .otherwise(transform(sequence(lit(0), size(w) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*))))
+    array_distinct(shinglesOfWordsAll(w, n))
+
+  /** word n-gram shingles WITH duplicates (positional) — repetition metrics
+    * need the multiset; dedup wants the distinct [[shinglesOfWords]]. Same
+    * materialize-the-words-column caveat applies. */
+  def shinglesOfWordsAll(w: Column, n: Int): Column =
+    when(size(w) < n, array())
+      .otherwise(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j + 1)): _*)))
+
+  /** Normalization for dedup/tokenizer prep: lowercase, digit-run masking
+    * to `<num>`, whitespace collapse, trim. Both q_normalize_text and its
+    * spec reference THIS definition so they cannot drift. Materialize in
+    * its own projection when referenced more than once. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[0-9]+", "<num>"), " +", " "))
 
   /** convenience form over raw text (fine for one-shot use; hot paths
     * should materialize the words array and call shinglesOfWords) */

@@ -116,7 +116,8 @@ class PipelineOpsSpec extends SparkSpec {
     val out = Queries.queryMap("q_centroids")(spark, dir)
     val emb = sf("embeddings")
     val nLabels = emb.select("label").distinct().count()
-    assert(out.count() == nLabels * 64)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    assert(out.count() == nLabels * dim)
     assert(out.where(abs(col("mean_v")) > 1.0).isEmpty)
   }
 
@@ -150,12 +151,11 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("q_normalize_text masks digits and collapses whitespace") {
+  test("normalizeText (the q_normalize_text kernel) masks digits and collapses whitespace") {
     import spark.implicits._
     val df = Seq((1L, "A  B 42  c7x")).toDF("doc_id", "text")
-    val norm = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[0-9]+", "<num>"), " +", " "))
-    val got = df.select(norm.as("n")).head().getString(0)
+    val got = df.select(graft.prep.TextFunctions.normalizeText(col("text"))
+      .as("n")).head().getString(0)
     assert(got == "a b <num> c<num>x")
   }
 }
