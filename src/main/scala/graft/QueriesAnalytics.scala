@@ -194,6 +194,51 @@ object QueriesAnalytics {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """))
 
+  /** analytic-window function family beyond rank/lag: ntile quartiles,
+    * percent_rank, cume_dist, first_value — one window definition, four
+    * functions, deterministic tie-break on event_id */
+  val qWindowFuncs = Q("q_window_funcs",
+    (s, dir) => {
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      events(s, dir).where(col("event_id") < 1000)
+        .select(col("event_id"), col("event_type"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"),
+          round(col("value") - first(col("value")).over(w), 4)
+            .as("delta_from_min"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH e AS (
+        SELECT event_id, event_type, value FROM events WHERE event_id < 1000)
+      SELECT event_id, event_type,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cume,
+             round(value - first_value(value) OVER w, 4) AS delta_from_min
+      FROM e WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+      ORDER BY event_id
+    """))
+
+  /** JSON payload extraction (the item-codec path, SURVEY §2.4 scalar fns):
+    * pull a typed field out of the free-form props JSON and aggregate it */
+  val qJsonExtract = Q("q_json_extract",
+    (s, dir) => events(s, dir)
+      .withColumn("_k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(sum("_k").as("sum_k"),
+        count(col("_k")).as("n_with_k"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             count(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL)
+               AS n_with_k
+      FROM events
+      GROUP BY event_type ORDER BY event_type
+    """))
+
   val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qRangeJoin, qPivot,
-    qPercentiles, qHistogram, qRollup)
+    qPercentiles, qHistogram, qRollup, qWindowFuncs, qJsonExtract)
 }
