@@ -239,6 +239,23 @@ object QueriesAnalytics {
       GROUP BY event_type ORDER BY event_type
     """))
 
+  /** array aggregation: collect_set is order-nondeterministic by contract,
+    * so canonicalize with sort_array — the only way a collected-list result
+    * can be oracle-compared (or reproduced across runs) at all */
+  val qCollectValues = Q("q_collect_values",
+    (s, dir) => events(s, dir)
+      .groupBy("event_type")
+      .agg(sort_array(collect_set(round(col("value"), 0))).as("value_bins"),
+        size(collect_set(round(col("value"), 0))).cast("long").as("n_bins"))
+      .orderBy("event_type"),
+    Some("""
+      SELECT event_type,
+             list_sort(list(DISTINCT round(value, 0))) AS value_bins,
+             CAST(len(list(DISTINCT round(value, 0))) AS BIGINT) AS n_bins
+      FROM events GROUP BY event_type ORDER BY event_type
+    """))
+
   val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qRangeJoin, qPivot,
-    qPercentiles, qHistogram, qRollup, qWindowFuncs, qJsonExtract)
+    qPercentiles, qHistogram, qRollup, qWindowFuncs, qJsonExtract,
+    qCollectValues)
 }

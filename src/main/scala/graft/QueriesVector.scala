@@ -337,7 +337,7 @@ object QueriesVector {
   val qEvaluate = Q("q_evaluate",
     (s, dir) => {
       import s.implicits._
-      // three strategies scan the same store: materialize once (shared with
+      // five strategies scan the same store: materialize once (shared with
       // the registry's index builds)
       val st = cachedStore(s, dir)
       val q = queriesDf(s, dir, 10)
@@ -358,15 +358,23 @@ object QueriesVector {
       val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, "ivfpq16x8")(
         IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
           m = 8, nbits = 8, rerank = true))
-      val names = Seq("lsh", "ivf", "ivfpq")
+      val (sq8, sq8Prep) = preparedIndex(s, dir, "sq8")(
+        Sq8Strategy(Metric.Cosine))
+      val (pq, pqPrep) = preparedIndex(s, dir, "pq8x8")(
+        PqStrategy(Metric.Cosine, m = 8, nbits = 8))
+      val names = Seq("lsh", "ivf", "ivfpq", "sq8", "pq")
       // ONE recall job over the tagged union of all strategies' results
       // (separate per-strategy aggregations were 3× the job overhead);
       // queries with zero ANN results count as recall 0 (vicinity.py:386-392),
-      // so the average is driven from the (strategy × gt query) grid
+      // so the average is driven from the (strategy × gt query) grid.
+      // All five builds come from the shared registry, so the q_*_knn
+      // queries serve from the same instances at no extra cost.
       val tagged = Seq(
         lsh.query(lshPrep, q, k).withColumn("strategy", lit("lsh")),
         ivf.query(ivfPrep, q, k).withColumn("strategy", lit("ivf")),
-        ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")))
+        ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")),
+        sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
+        pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")))
         .map(_.select("strategy", "query_id", "dist"))
         .reduce(_ unionByName _)
       val hits = tagged.join(gt, "query_id")

@@ -97,6 +97,30 @@ class ScaleDesignSpec extends SparkSpec {
       s"df side not broadcast:\n$plan")
   }
 
+  test("bloom-filter pre-filter keeps contamination results exact") {
+    // At extreme scale even a broadcast hash join of the benchmark gram set
+    // can be beaten by a bloom pre-filter: the filter is a few MB regardless
+    // of set size, drops non-leaking grams before the shuffle, and its false
+    // positives are removed by the exact join that follows — results
+    // provably identical.
+    val dir = "/root/testdata/sf0.001"
+    val grams = sf("documents", dir)
+      .withColumn("_w", graft.prep.TextFunctions.words($"text"))
+      .select($"doc_id",
+        explode(graft.prep.TextFunctions.shinglesOfWordsAll($"_w", 5)).as("g"))
+    val bench = grams.where($"doc_id" < 20).select("g").distinct()
+    val bf = bench.stat.bloomFilter("g", 100000L, 0.01)
+    val bcBf = spark.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bcBf.value.mightContainString(g))
+    val viaBloom = grams.where($"doc_id" >= 20)
+      .where(mightContain($"g"))        // cheap pre-filter, FP possible
+      .join(bench, "g")                 // exact join removes FPs
+      .groupBy("doc_id").agg(countDistinct("g").as("n_shared_grams"))
+    val exact = Queries.queryMap("q_contamination")(spark, dir)
+    assert(viaBloom.orderBy("doc_id").collect().toSeq ===
+      exact.orderBy("doc_id").collect().toSeq)
+  }
+
   test("salted two-phase aggregation matches direct aggregation on skewed keys") {
     // skew: 90% of rows share one key
     val skewed = spark.range(100000)
