@@ -6,27 +6,52 @@ import org.apache.spark.sql.functions._
 import graft.prep.{Dedup, TextFunctions => TF}
 
 /** Build-once registry for shared data-prep intermediates, mirroring
-  * QueriesVector's index registry: the near-dup PAIR SET over the documents
-  * table is one computation (MinHash banding + exact Jaccard verify) that
-  * several operators consume — pair reporting (q_minhash_dedup) and cluster
-  * formation (q_dedup_clusters). Computing it per query would re-shingle
-  * and re-band the corpus each time; a real pipeline materializes the pair
-  * set once per corpus snapshot. Everything cached is deterministic (seeded
-  * signatures), so results equal a fresh computation.
+  * QueriesVector's index registry: the shingled corpus and the near-dup PAIR
+  * SET over the documents table are computations several operators consume —
+  * pair reporting (q_minhash_dedup), cluster formation (q_dedup_clusters),
+  * and the exact Jaccard join (q_ngram_jaccard). Computing them per query
+  * would re-shingle and re-band the corpus each time; a real pipeline
+  * materializes them once per corpus snapshot. Everything cached is
+  * deterministic (seeded signatures), so results equal a fresh computation.
+  *
+  * Sessions are held in a WeakHashMap keyed by the session OBJECT (not its
+  * identity hash): when a SparkSession is garbage-collected, its cached
+  * frames drop out of the registry instead of pinning executor storage for
+  * the JVM's lifetime — and a recycled identity hash can never serve one
+  * session a DataFrame bound to another.
   */
 object PrepCache {
 
-  private val pairCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val perSession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  /** exact-verified word-3-gram Jaccard >= 0.7 pairs (i, j, jaccard) */
-  def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate(s"${System.identityHashCode(s)}/$dir", {
+  private def cacheOf(s: SparkSession) = perSession.synchronized {
+    var m = perSession.get(s)
+    if (m == null) {
+      m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+      perSession.put(s, m)
+    }
+    m
+  }
+
+  /** documents shingled once per (session, dir): (doc_id, shingles) with
+    * distinct word-3-grams, cached and shared by every near-dup operator */
+  def shingledDocs(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"shingled/$dir", {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .withColumn("_words", TF.words(col("text")))
         .select(col("doc_id"), TF.shinglesOfWords(col("_words"), 3).as("shingles"))
-      val pairs = Dedup.minhashDedup(docs, "doc_id", "shingles", threshold = 0.7)
         .cache()
+      docs.count()
+      docs
+    })
+
+  /** exact-verified word-3-gram Jaccard >= 0.7 pairs (i, j, jaccard) */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"pairs/$dir", {
+      val pairs = Dedup.minhashDedup(shingledDocs(s, dir), "doc_id", "shingles",
+        threshold = 0.7).cache()
       pairs.count()
       pairs
     })

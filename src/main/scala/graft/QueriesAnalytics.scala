@@ -231,10 +231,12 @@ object QueriesAnalytics {
         count(col("_k")).as("n_with_k"))
       .orderBy("event_type"),
     Some("""
+      -- TRY_CAST mirrors Spark's null-on-failure cast: a non-integer k is
+      -- excluded from BOTH sum_k and n_with_k in both engines
       SELECT event_type,
-             sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-             count(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL)
-               AS n_with_k
+             sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             count(*) FILTER (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+               IS NOT NULL) AS n_with_k
       FROM events
       GROUP BY event_type ORDER BY event_type
     """))

@@ -146,8 +146,11 @@ object QueriesPipeline {
           round(lit(1.0) - col("n_distinct") / col("n_words"), 6)
             .as("dup_word_frac"),
           round(col("top_cnt") / col("n_words"), 6).as("top_word_frac"),
-          round(lit(1.0) - col("n_distinct_2grams") /
-            greatest(col("n_2grams"), lit(1)), 6).as("dup_2gram_frac"))
+          // a document too short to HAVE 2-grams is not repetitive: emit 0,
+          // not the 1.0 a div-by-zero guard of max(n,1) would produce
+          round(when(col("n_2grams") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_distinct_2grams") / col("n_2grams")),
+            6).as("dup_2gram_frac"))
         .orderBy("doc_id")
     },
     Some("""
@@ -169,7 +172,8 @@ object QueriesPipeline {
       SELECT w.doc_id,
              round(1.0 - w.n_distinct * 1.0 / w.n_words, 6) AS dup_word_frac,
              round(w.top_cnt * 1.0 / w.n_words, 6) AS top_word_frac,
-             round(1.0 - g.n_distinct_2grams * 1.0 / greatest(g.n_2grams, 1), 6)
+             round(CASE WHEN g.n_2grams = 0 THEN 0.0
+                   ELSE 1.0 - g.n_distinct_2grams * 1.0 / g.n_2grams END, 6)
                AS dup_2gram_frac
       FROM wc w JOIN grams g USING (doc_id)
       ORDER BY doc_id

@@ -149,14 +149,10 @@ object QueriesText {
     * (max df 338 at sf0.1 → 8.6M candidate pairs even prefix-filtered),
     * while 3-grams are cubically rarer (max df 25 → 512k candidates). */
   val qNgramJaccard = Q("q_ngram_jaccard",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .withColumn("_words", TF.words(col("text")))
-        .select(col("doc_id"), TF.shinglesOfWords(col("_words"), 3).as("shingles"))
-      Dedup.ngramJaccardJoin(docs, "doc_id", "shingles", threshold = 0.5)
-        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy("i", "j")
-    },
+    (s, dir) => Dedup.ngramJaccardJoin(PrepCache.shingledDocs(s, dir),
+        "doc_id", "shingles", threshold = 0.5)
+      .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("i", "j"),
     Some("""
       WITH grams AS (
         SELECT doc_id, unnest(list_distinct(list_transform(

@@ -34,15 +34,29 @@ object QueriesVector {
     * query from it; retraining per query would be the unrealistic plan).
     * Everything cached is deterministic (seeded KMeans/Lloyd's/planes), so
     * results are identical to a fresh build. */
-  private val indexCache =
-    scala.collection.concurrent.TrieMap.empty[String, (graft.index.IndexStrategy, DataFrame)]
-  private val storeCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // WeakHashMap keyed by the session OBJECT: caches die with their session
+  // (no executor storage pinned for the JVM lifetime, no identity-hash
+  // recycling serving one session a frame bound to a stopped one)
+  private val storeCaches = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val indexCaches = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (graft.index.IndexStrategy, DataFrame)]]()
+
+  private def mapOf[T](holder: java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, T]], s: SparkSession) =
+    holder.synchronized {
+      var m = holder.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, T]
+        holder.put(s, m)
+      }
+      m
+    }
 
   /** one cached store scan per (session, sf dir), shared by every index
     * build — each strategy's prepare runs count/dim/sample jobs against it */
   private def cachedStore(s: SparkSession, dir: String): DataFrame =
-    storeCache.getOrElseUpdate(s"${System.identityHashCode(s)}/$dir", {
+    mapOf(storeCaches, s).getOrElseUpdate(dir, {
       val df = store(s, dir)
         .withColumn("vector", col("vector").cast("array<double>")).cache()
       df.count()
@@ -51,7 +65,7 @@ object QueriesVector {
 
   private def preparedIndex(s: SparkSession, dir: String, key: String)(
       mk: => graft.index.IndexStrategy): (graft.index.IndexStrategy, DataFrame) =
-    indexCache.getOrElseUpdate(s"${System.identityHashCode(s)}/$dir/$key", {
+    mapOf(indexCaches, s).getOrElseUpdate(s"$dir/$key", {
       val strat = mk
       val prepared = strat.prepare(cachedStore(s, dir)).cache()
       prepared.count()

@@ -427,21 +427,24 @@ object Vicinity {
     // prefer the raw side store (exact round-trip of ingested vectors);
     // fall back to the index frame (normalized for cosine — same content
     // the reference's basic backend persists, basic.py:144-147)
-    val indexDf = spark.read.parquet(s"$dir/index/data.parquet")
-    val df =
-      if (storeVectors) spark.read.parquet(s"$dir/store/vectors.parquet")
-      else indexDf
     val strategy = strategyFor(backend, args)
     strategy.loadAux(dir) // restore codebooks etc. — load NEVER retrains
     // the persisted index frame IS the prepared frame: use it as-is rather
     // than re-running prepare (re-normalizing already-normalized vectors
     // would drift distances in the last bit), so load → query answers
     // exactly what was answered before save (≙ base.py:26-32: the index
-    // file is read back, not rebuilt)
-    val cachedStore = df.select("id", "item", "vector").cache()
-    val n = cachedStore.count()
-    val d = if (n == 0) 0 else cachedStore.select(size(col("vector"))).head.getInt(0)
-    new Vicinity(spark, cachedStore, backend, args, metadata, storeVectors,
-      strategy, indexDf.cache(), n, d)
+    // file is read back, not rebuilt). Cache it ONCE: without a raw side
+    // store the facade's store view is a projection of the same cached
+    // frame, not a second cache holding the data twice.
+    val preparedDf = spark.read.parquet(s"$dir/index/data.parquet").cache()
+    val storeDf =
+      if (storeVectors)
+        spark.read.parquet(s"$dir/store/vectors.parquet")
+          .select("id", "item", "vector").cache()
+      else preparedDf.select("id", "item", "vector")
+    val n = storeDf.count()
+    val d = if (n == 0) 0 else storeDf.select(size(col("vector"))).head.getInt(0)
+    new Vicinity(spark, storeDf, backend, args, metadata, storeVectors,
+      strategy, preparedDf, n, d)
   }
 }

@@ -67,6 +67,23 @@ trait IndexStrategy extends Serializable {
     prepared.write.mode("overwrite").parquet(path)
 }
 
+object IndexStrategy {
+  /** Net range-search bound of the FAISS range-search indexes
+    * (flat/ivf/scalar/ivf_scalar). The reference reuses the caller's
+    * `threshold` as the `range_search` RADIUS (`faiss.py:174-175`); for
+    * cosine the underlying index is inner-product over normalized vectors,
+    * so the radius keeps `sim > threshold` — i.e. `dist < 1 − threshold` —
+    * and the subsequent mask keeps `dist < threshold` (`faiss.py:178-183`).
+    * The reference's net cosine filter is therefore
+    * `dist < min(threshold, 1 − threshold)` (thresholds above 0.5 TRUNCATE
+    * the result — faithful reference behavior, quirk included). Euclidean
+    * radii pass through unchanged.
+    */
+  def faissRangeBound(metric: Metric, threshold: Double): Double =
+    if (metric == Metric.Cosine) math.min(threshold, 1.0 - threshold)
+    else threshold
+}
+
 /** Exact brute-force strategy ≙ reference BASIC backend
   * (`/root/reference/vicinity/backends/basic.py:98-247`).
   *
@@ -118,7 +135,8 @@ case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false)
     val d = dist(metric)(col("vector"), col("qvector"))
     val pairs = prepared.crossJoin(broadcast(q))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-    if (strictThreshold) pairs.where(col("dist") < threshold) // faiss flat
+    if (strictThreshold) // faiss flat range search, radius-composed bound
+      pairs.where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
     else pairs.where(col("dist") <= threshold) // inclusive: basic.py:168
   }
 

@@ -70,6 +70,11 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     if (centroids == null) {
       // train the codebook (skipped when loadAux restored one)
       val n = store.count()
+      // an empty train set must fail loudly (as FAISS `train` and MLlib
+      // KMeans.fit do): silently training zero centroids would leave
+      // isTrained == true and later inserts assigned to a null cell that
+      // no probe list ever selects
+      require(n > 0, "cannot train an IVF codebook on an empty store")
       val k = math.min(nlist, math.max(1, n.toInt))
       val dim = if (n == 0) 1 else normed.select(size(col("vector"))).head.getInt(0)
       if (n * dim <= smallTrainElems) {
@@ -168,5 +173,6 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * candidate with `dist < threshold` (`faiss.py:18-23`, `175-183`). */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame =
-    candidates(prepared, queries, nprobe).where(col("dist") < threshold)
+    candidates(prepared, queries, nprobe)
+      .where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
 }

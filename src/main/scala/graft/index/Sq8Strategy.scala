@@ -181,6 +181,6 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("id"),
         greatest(adcUdf(col("_codes"), col("qvector")), lit(0.0)).as("dist"))
-      .where(col("dist") < threshold)
+      .where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
   }
 }

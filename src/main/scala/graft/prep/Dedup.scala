@@ -84,8 +84,12 @@ object Dedup {
       threshold: Double = 0.7, bands: Int = 24, rowsPerBand: Int = 4,
       seed: Long = 42L): DataFrame = {
     // shingle sets are consumed three times (signature + both verify sides):
-    // materialize once
-    val shingled = df.select(col(idCol), col(shingleCol)).cache()
+    // materialize once — unless the caller already caches the input (e.g.
+    // graft.PrepCache), in which case adding a second entry would just leak
+    val shingled0 = df.select(col(idCol), col(shingleCol))
+    val shingled =
+      if (df.storageLevel.useMemory || df.storageLevel.useDisk) shingled0
+      else shingled0.cache()
     val cands = minhashCandidates(shingled, idCol, shingleCol, bands,
       rowsPerBand, seed)
     verifyJaccard(cands, shingled, idCol, shingleCol, threshold)
@@ -133,8 +137,11 @@ object Dedup {
     */
   def simhashPairs(df0: DataFrame, idCol: String, simhashCol: String,
       maxHamming: Int = 3): DataFrame = {
-    // the fingerprint column feeds both sides of the self-join: compute once
-    val df = df0.cache()
+    // the fingerprint column feeds both sides of the self-join: compute
+    // once (skip when the caller already caches the input)
+    val df =
+      if (df0.storageLevel.useMemory || df0.storageLevel.useDisk) df0
+      else df0.cache()
     val nBands = maxHamming + 1
     val bandBits = 32 / nBands
     val bandCols: Seq[Column] = (0 until nBands).map { b =>
@@ -182,8 +189,17 @@ object Dedup {
       threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    val sets = df.select(col(idCol), col(shingleCol))
-      .where(size(col(shingleCol)) > 0).cache()
+    // CONTRACT: the count-based index equates count(matching gram rows)
+    // with |A∩B|, which requires SET semantics per document — enforce it
+    // (array_distinct on an already-distinct array is a cheap linear scan,
+    // and a multiset input like shinglesOfWordsAll would otherwise inflate
+    // intersections past jaccard 1.0)
+    val sets0 = df
+      .select(col(idCol), array_distinct(col(shingleCol)).as(shingleCol))
+      .where(size(col(shingleCol)) > 0)
+    val sets =
+      if (df.storageLevel.useMemory || df.storageLevel.useDisk) sets0
+      else sets0.cache()
     val sizes = sets.select(col(idCol), size(col(shingleCol)).as("_n"))
     val grams = sets.select(col(idCol), explode(col(shingleCol)).as("_g"))
     val inter = grams.as("l")

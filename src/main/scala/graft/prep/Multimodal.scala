@@ -102,9 +102,21 @@ object Multimodal {
   def resizeStub(decoded: DataFrame, scale: Double,
       targetFeatures: Int = 4): DataFrame = {
     require(scale > 0 && targetFeatures > 0)
+    // even-boundary pooling: bucket b averages fs[floor(b·n/T), floor((b+1)·n/T))
+    // — every input element lands in exactly one bucket (no dropped tail when
+    // T∤n) and the output is always exactly T features (n < T duplicates the
+    // nearest element, i.e. nearest-neighbor upsampling); empty stays empty
     val pool = udf { (fs: Seq[Float]) =>
-      val groups = math.max(1, fs.length / targetFeatures)
-      fs.grouped(groups).map(g => g.sum / g.length).toSeq.take(targetFeatures)
+      val n = fs.length
+      if (n == 0) Seq.empty[Float]
+      else (0 until targetFeatures).map { b =>
+        // start < n for every b < T, and end <= n, so the slice is never
+        // empty; n < T forces end = start+1 (nearest-neighbor upsampling)
+        val start = b * n / targetFeatures
+        val end = math.max((b + 1) * n / targetFeatures, start + 1)
+        val g = fs.slice(start, end)
+        g.sum / g.length
+      }
     }
     decoded.select(col("media_id"), col("modality"),
       greatest(ceil(col("width") * scale).cast("int"), lit(1)).as("width"),

@@ -122,6 +122,42 @@ class ScaleFixesSpec extends SparkSpec {
     assert(gotPairs === gtPairs)
   }
 
+  test("faiss range-search cosine radius composition: t > 0.5 truncates to 1-t") {
+    // the reference reuses `threshold` as the IP range_search RADIUS, then
+    // masks dist < threshold — net filter dist < min(t, 1-t) (faiss.py:174-183)
+    val store = sf("embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vector"))
+    val strat = ExactStrategy(Metric.Cosine, strictThreshold = true)
+    val prepared = strat.prepare(store)
+    val queries = sf("embeddings").where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qvector"))
+    val at08 = strat.queryThreshold(prepared, queries, 0.8, 0)
+    assert(at08.where(col("dist") >= 0.2).isEmpty, "dist >= 1-t leaked through")
+    // identical to querying at the composed bound directly
+    assert(at08.count() === strat.queryThreshold(prepared, queries, 0.2, 0).count())
+    // at t = 0.5 the composition is the identity (the matrix spec's value)
+    assert(graft.index.IndexStrategy.faissRangeBound(Metric.Cosine, 0.5) === 0.5)
+    assert(graft.index.IndexStrategy.faissRangeBound(Metric.Euclidean, 0.8) === 0.8)
+  }
+
+  test("resizeStub pools every element and always emits targetFeatures values") {
+    import spark.implicits._
+    val decoded = Seq(
+      (1L, "image", 4, 4, Seq.tabulate(9)(_.toFloat)),  // 9 features, T=4
+      (2L, "image", 4, 4, Seq.tabulate(3)(_.toFloat)),  // fewer than T
+      (3L, "image", 4, 4, Seq.empty[Float]))
+      .toDF("media_id", "modality", "width", "height", "features")
+    val out = graft.prep.Multimodal.resizeStub(decoded, 0.5, targetFeatures = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](4)).toMap
+    assert(out(1L).length === 4)
+    // groups tile [0,9): (0,1),(2,3),(4,5),(6,7,8) — the tail is NOT dropped
+    assert(out(1L)(3) === (6f + 7f + 8f) / 3)
+    assert(out(2L).length === 4) // upsampled by duplication
+    assert(out(3L).isEmpty)
+  }
+
   test("RangeJoin.pointsInWindow: every qualifying pair exactly once") {
     val ts = (0 until 300).map(i => Row(i.toLong, (i * 37 % 500).toLong))
     val ev = spark.createDataFrame(spark.sparkContext.parallelize(ts, 3),
@@ -174,13 +210,18 @@ class ScaleFixesSpec extends SparkSpec {
     val incl = ExactStrategy(Metric.Cosine)
     assert(incl.queryThreshold(incl.prepare(ortho), q, 1.0, 0).count() === 2)
     val strict = ExactStrategy(Metric.Cosine, strictThreshold = true)
-    assert(strict.queryThreshold(strict.prepare(ortho), q, 1.0, 0).count() === 1)
+    // radius composition (faiss.py:174-183): at t=1.0 the cosine radius
+    // keeps sim > 1.0 — NOTHING, not even the self-match — while t=0.4
+    // admits the self-pair (dist 0 < min(0.4, 0.6))
+    assert(strict.queryThreshold(strict.prepare(ortho), q, 1.0, 0).count() === 0)
+    assert(strict.queryThreshold(strict.prepare(ortho), q, 0.4, 0).count() === 1)
     // IVF is a range-search index: max_k must NOT cap the radius result
+    // (euclidean radii pass through the composition unchanged)
     val df = vecDf(100, 4).cache()
     val qq = df.limit(1).select(col("id").as("query_id"),
       col("vector").as("qvector"))
-    val ivf = graft.index.IvfStrategy(Metric.Cosine, nlist = 2, nprobe = 2)
-    val got = ivf.queryThreshold(ivf.prepare(df), qq, 2.0, maxK = 1).count()
+    val ivf = graft.index.IvfStrategy(Metric.Euclidean, nlist = 2, nprobe = 2)
+    val got = ivf.queryThreshold(ivf.prepare(df), qq, 1e6, maxK = 1).count()
     assert(got === 100, s"range search capped at $got rows")
   }
 
