@@ -142,16 +142,53 @@ object QueriesAnalytics {
       ORDER BY user_bucket
     """))
 
-  /** exact interpolated percentiles per group */
+  /** Exact interpolated percentiles per group — computed by SORT, not by
+    * the `percentile()` aggregate: that aggregate collects every group
+    * value into one in-memory buffer (a per-group OOM hazard once groups
+    * reach billions of rows), while this plan is one sort shuffle plus a
+    * filter that keeps only the two boundary rows per quantile. Same
+    * linear-interpolation definition as DuckDB's quantile_cont:
+    * h = q·(n−1); result = v[⌊h⌋]·(1−frac) + v[⌈h⌉]·frac. */
   val qPercentiles = Q("q_percentiles",
-    (s, dir) => events(s, dir)
-      .groupBy("event_type")
-      .agg(
-        round(expr("percentile(value, 0.25)"), 4).as("p25"),
-        round(expr("percentile(value, 0.5)"), 4).as("p50"),
-        round(expr("percentile(value, 0.9)"), 4).as("p90"),
-        round(min("value"), 4).as("vmin"), round(max("value"), 4).as("vmax"))
-      .orderBy("event_type"),
+    (s, dir) => {
+      val byVal = Window.partitionBy("event_type").orderBy("value")
+      val whole = Window.partitionBy("event_type")
+      val qs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+      val ranked = events(s, dir)
+        .select(col("event_type"), col("value"))
+        .withColumn("rn", (row_number().over(byVal) - 1).cast("double"))
+        .withColumn("n", count(lit(1)).over(whole))
+        .withColumn("vmin_all", min("value").over(whole))
+        .withColumn("vmax_all", max("value").over(whole))
+      val boundaryAggs = qs.flatMap { case (q, name) =>
+        val h = lit(q) * (col("n") - 1)
+        Seq(
+          sum(when(col("rn") === floor(h), col("value")).otherwise(lit(0.0)))
+            .as(s"_lo_$name"),
+          sum(when(col("rn") === ceil(h), col("value")).otherwise(lit(0.0)))
+            .as(s"_hi_$name"))
+      } ++ Seq(min("vmin_all").as("_vmin"), max("vmax_all").as("_vmax"))
+      val interpolated = qs.map { case (q, name) =>
+        val h = lit(q) * (col("_n") - 1)
+        // v_lo + (v_hi − v_lo)·frac — the same algebraic form quantile_cont
+        // uses, so the engines agree bit-for-bit before rounding; when
+        // ⌊h⌋ = ⌈h⌉ both sums hold the same row and the term cancels
+        round(col(s"_lo_$name") +
+          (col(s"_hi_$name") - col(s"_lo_$name")) * (h - floor(h)), 4).as(name)
+      }
+      ranked
+        // only quantile-boundary rows survive into the (tiny) aggregation
+        .where(qs.map { case (q, _) =>
+          val h = lit(q) * (col("n") - 1)
+          col("rn") === floor(h) || col("rn") === ceil(h)
+        }.reduce(_ || _))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("_n"), boundaryAggs: _*)
+        .select(col("event_type") +: interpolated :+
+          round(col("_vmin"), 4).as("vmin") :+
+          round(col("_vmax"), 4).as("vmax"): _*)
+        .orderBy("event_type")
+    },
     Some("""
       SELECT event_type,
              round(quantile_cont(value, 0.25), 4) AS p25,
