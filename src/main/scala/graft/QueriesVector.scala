@@ -345,6 +345,21 @@ object QueriesVector {
     },
     None)
 
+  /** Distributed ANN self-join via IVF cells — the similarity self-join
+    * scale path (no broadcast of the store, no driver collect; see
+    * `IvfStrategy.selfJoin`). Approximate by probe coverage, so rows-only;
+    * exactness at nprobe = nlist is spec-asserted. */
+  val qKnnSelfjoinIvf = Q("q_knn_selfjoin_ivf",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivf16x8")(
+        IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8))
+      strat.asInstanceOf[IvfStrategy].selfJoin(prepared, 1)
+        .select(col("query_id").as("vec_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+        .orderBy("vec_id")
+    },
+    None)
+
   /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
     * deterministic recall of each ANN strategy vs the exact ground truth
     * (QPS is wall-clock-dependent, so only recall is emitted). */
@@ -407,7 +422,7 @@ object QueriesVector {
     },
     None)
 
-  val all: Seq[Q] = Seq(qKnnSelfjoin, qRadius, qPointLookup, qCount,
-    qMetricsPairs, qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup,
-    qLshKnn, qIvfKnn, qSq8Knn, qPqKnn, qIvfpqKnn, qEvaluate)
+  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinIvf, qRadius, qPointLookup,
+    qCount, qMetricsPairs, qNormalize, qInsertUnion, qDeleteFirstocc,
+    qEmbedNeardup, qLshKnn, qIvfKnn, qSq8Knn, qPqKnn, qIvfpqKnn, qEvaluate)
 }

@@ -175,4 +175,35 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       threshold: Double, maxK: Int): DataFrame =
     candidates(prepared, queries, nprobe)
       .where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
+
+  /** Distributed ANN self-join: each row's approximate k nearest OTHER
+    * rows with NO broadcast and NO driver collect on either side — the
+    * 100 TB compute path for similarity self-joins (the exact blocked
+    * kernel in `Knn.selfJoin` is O(n²) compute by definition; this is
+    * O(Σ_cell |cell| · |probes into cell|)). The store keys by its single
+    * assigned cell, the query side (the same frame) explodes to its
+    * nprobe nearest cells, and the cell equi-join shuffles by cell id;
+    * a (query, candidate) pair arises at most once because the candidate
+    * owns exactly one cell. With nprobe = nlist the candidate set is all
+    * pairs and the output EQUALS the exact self-join (spec-asserted).
+    */
+  def selfJoin(prepared: DataFrame, k: Int): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nprobeEff = math.min(nprobe, centroids.length)
+    val probes = prepared.select(col("id").as("query_id"),
+      col("vector").as("qvector"),
+      explode(nearestCentroidsUdf(centroids, nprobeEff)(col("vector")))
+        .as("_probe"))
+    val d = metric match {
+      case Metric.Cosine =>
+        VectorFunctions.inner_product_distance(col("vector"), col("qvector"))
+      case m => VectorFunctions.distance(m)(col("vector"), col("qvector"))
+    }
+    val pairs = prepared.select(col("id"), col("vector"), col("_centroid"))
+      .join(probes, col("_centroid") === col("_probe"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+    TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+  }
 }

@@ -122,6 +122,31 @@ class ScaleFixesSpec extends SparkSpec {
     assert(gotPairs === gtPairs)
   }
 
+  test("IvfStrategy.selfJoin: exhaustive probes match exact; partial probes keep recall") {
+    val store = sf("embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vector"))
+    val k = 3
+    val exact = Knn.selfJoin(store, k, Metric.Cosine)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(nlist: Int, nprobe: Int): Double = {
+      val strat = graft.index.IvfStrategy(Metric.Cosine, nlist, nprobe)
+      val got = strat.selfJoin(strat.prepare(store), k)
+        .select("query_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // nprobe = nlist probes every cell => candidate set is ALL pairs; only
+    // fp tie noise between the two distance kernels can differ
+    assert(recallOf(8, 8) >= 0.95)
+    assert(recallOf(8, 3) >= 0.6)
+    // no self-pairs ever
+    val strat = graft.index.IvfStrategy(Metric.Cosine, 8, 3)
+    assert(strat.selfJoin(strat.prepare(store), k)
+      .where(col("query_id") === col("id")).isEmpty)
+  }
+
   test("faiss range-search cosine radius composition: t > 0.5 truncates to 1-t") {
     // the reference reuses `threshold` as the IP range_search RADIUS, then
     // masks dist < threshold — net filter dist < min(t, 1-t) (faiss.py:174-183)
