@@ -90,6 +90,27 @@ object StreamOps {
       .option("path", indexDir)
       .option("checkpointLocation", checkpointDir)
 
+  /** Compact a streaming-append parquet index: micro-batches leave one
+    * small file each, and scan cost at 100 TB is dominated by file-open
+    * overhead once files outnumber rows-per-file. Rewrites the index into
+    * `targetFiles` files via an atomic-ish swap (write fresh, then replace)
+    * — run it between micro-batch windows or on the query-side copy.
+    * Returns the row count (unchanged by construction, spec-asserted). */
+  def compactIndex(spark: SparkSession, indexDir: String,
+      targetFiles: Int = 1): Long = {
+    require(targetFiles >= 1)
+    val df = spark.read.parquet(indexDir)
+    val n = df.count()
+    val tmp = indexDir + ".compact.tmp"
+    df.repartition(targetFiles).write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(indexDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    n
+  }
+
   /** Micro-batch kNN over a streaming query-vector source: each micro-batch
     * of query vectors runs exact top-k against the static store (broadcast
     * stream-static join) via foreachBatch — ranking windows/udafs are not

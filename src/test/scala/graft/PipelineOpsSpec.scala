@@ -121,6 +121,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.where(abs(col("mean_v")) > 1.0).isEmpty)
   }
 
+  test("q_evaluate reports a recall in [0,1] for all five ANN strategies") {
+    val out = Queries.queryMap("q_evaluate")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.keySet === Set("lsh", "ivf", "ivfpq", "sq8", "pq"))
+    assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("q_salted_agg equals the unsalted plain groupBy") {
     val salted = Queries.queryMap("q_salted_agg")(spark, dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

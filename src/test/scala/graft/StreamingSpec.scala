@@ -99,6 +99,30 @@ class StreamingSpec extends SparkSpec {
     assert(res === 0L)
   }
 
+  test("compactIndex merges micro-batch files without changing the data") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val input = MemoryStream[(Long, String, Seq[Double])]
+    val q = StreamOps.appendVectorsToIndex(
+      input.toDF().toDF("id", "item", "vector"),
+      s"$dir/index", s"$dir/ckpt").start()
+    for (b <- 0 until 3) { // three micro-batches => >= 3 data files
+      input.addData((b.toLong, s"i$b", Seq(b.toDouble, 1.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def dataFiles = new java.io.File(s"$dir/index").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(s"$dir/index")
+      .orderBy("id").collect().toSeq
+    assert(dataFiles >= 3)
+    val n = StreamOps.compactIndex(spark, s"$dir/index", targetFiles = 1)
+    assert(n === 3)
+    assert(dataFiles === 1)
+    val after = spark.read.parquet(s"$dir/index").orderBy("id").collect().toSeq
+    assert(after === before)
+  }
+
   test("dedup-on-ingest drops duplicate keys across micro-batches, state watermark-bounded") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, java.sql.Timestamp)]
