@@ -269,9 +269,12 @@ object QueriesAnalytics {
       .orderBy("event_type"),
     Some("""
       -- TRY_CAST mirrors Spark's null-on-failure cast: a non-integer k is
-      -- excluded from BOTH sum_k and n_with_k in both engines
+      -- excluded from BOTH sum_k and n_with_k in both engines.
+      -- Outer CAST: DuckDB types sum(BIGINT) as HUGEINT, which the pandas
+      -- comparator renders float64 and hash-mismatches against Spark's int64.
       SELECT event_type,
-             sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+             CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS BIGINT) AS sum_k,
              count(*) FILTER (TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
                IS NOT NULL) AS n_with_k
       FROM events
@@ -279,18 +282,26 @@ object QueriesAnalytics {
     """))
 
   /** array aggregation: collect_set is order-nondeterministic by contract,
-    * so canonicalize with sort_array — the only way a collected-list result
-    * can be oracle-compared (or reproduced across runs) at all */
+    * so canonicalize with sort_array; the compared column is the
+    * comma-joined string (the driver's pandas comparator cannot sort/hash
+    * an array-typed column), with bins cast to long so both engines render
+    * identical element text */
   val qCollectValues = Q("q_collect_values",
     (s, dir) => events(s, dir)
       .groupBy("event_type")
-      .agg(sort_array(collect_set(round(col("value"), 0))).as("value_bins"),
-        size(collect_set(round(col("value"), 0))).cast("long").as("n_bins"))
+      .agg(
+        array_join(
+          sort_array(collect_set(round(col("value"), 0).cast("long"))), ",")
+          .as("value_bins"),
+        size(collect_set(round(col("value"), 0).cast("long"))).cast("long")
+          .as("n_bins"))
       .orderBy("event_type"),
     Some("""
       SELECT event_type,
-             list_sort(list(DISTINCT round(value, 0))) AS value_bins,
-             CAST(len(list(DISTINCT round(value, 0))) AS BIGINT) AS n_bins
+             array_to_string(list_sort(list(DISTINCT
+               CAST(round(value, 0) AS BIGINT))), ',') AS value_bins,
+             CAST(len(list(DISTINCT CAST(round(value, 0) AS BIGINT)))
+               AS BIGINT) AS n_bins
       FROM events GROUP BY event_type ORDER BY event_type
     """))
 

@@ -5,8 +5,22 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
 
 Reads each <verifyOutDir>/<name>/ parquet dump written by graft.Verify,
 runs the matching SQL from oracle_sql.json against the sfDir tables in
-DuckDB, sorts columns by name and rows by all columns, and compares
-values exactly. Prints one line per query: OK / MISMATCH / ERROR.
+DuckDB, and compares THE WAY THE DRIVER DOES: both sides converted to
+pandas DataFrames, columns sorted by name, rows sorted by all columns
+via pandas sort_values, values compared after dtype-faithful rendering.
+
+Why pandas and not fetchall(): round 2 shipped two driver-red queries
+that this script (then repr-of-tuples-based) passed locally —
+  * DuckDB types sum(BIGINT) as HUGEINT; pandas renders HUGEINT float64,
+    so 123 hashes as 123.0 against Spark's int64 123 → hash mismatch.
+  * An array-typed output column reaches pandas as ndarray, which
+    sort_values cannot factorize → driver "err" entry.
+Both failure modes are invisible to fetchall()+repr. This script now
+additionally FAILS FAST on any oracle or Spark result whose schema
+contains a HUGEINT / list / struct column, with a named hint, so the
+bug class cannot ship green again.
+
+Prints one line per query: OK / MISMATCH / BADTYPE / ERROR.
 """
 import json
 import math
@@ -14,28 +28,61 @@ import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+# DuckDB logical types pandas cannot round-trip faithfully (HUGEINT →
+# float64) or sort (LIST/STRUCT → ndarray/dict objects). Any compared
+# column with one of these types is a shipping bug, not a comparison
+# detail, so it gets its own verdict line.
+BAD_TYPE_MARKERS = ("HUGEINT", "UHUGEINT", "[]", "LIST", "STRUCT", "MAP")
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                elif v == 0.0:
-                    v = 0.0  # normalize -0.0
-                vals.append(repr(v))
-            else:
-                vals.append(repr(v))
-        out.append(tuple(vals))
-    out.sort()
-    return [cols[i] for i in order], out
+
+def bad_typed_cols(description):
+    bad = []
+    for name, type_code, *_ in description:
+        t = str(type_code).upper()
+        if any(m in t for m in BAD_TYPE_MARKERS):
+            bad.append((name, str(type_code)))
+    return bad
+
+
+def render(v):
+    """Dtype-faithful scalar rendering: float64 123.0 and int64 123 must
+    NOT compare equal (that is exactly the HUGEINT failure mode)."""
+    if not isinstance(v, (str, bytes)) and hasattr(v, "item"):
+        try:
+            v = v.item()  # numpy scalar → python scalar
+        except Exception:
+            pass
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, float):
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return f"f:{v!r}"
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return f"s:{v}"
+
+
+def canon(df):
+    """The driver's canonicalization: sort columns by name, rows by all
+    columns (pandas sort_values — throws on unhashable cells exactly like
+    the driver), then render every value dtype-faithfully."""
+    df = df[sorted(df.columns)]
+    if len(df.columns) and len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort")
+    rows = [tuple(render(v) for v in row) for row in df.itertuples(index=False)]
+    return list(df.columns), rows
 
 
 def main(sf_dir, out_dir):
@@ -50,17 +97,30 @@ def main(sf_dir, out_dir):
         try:
             got_rel = con.execute(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
-            got_cols = [d[0] for d in got_rel.description]
-            got = got_rel.fetchall()
+            got_bad = bad_typed_cols(got_rel.description)
+            got = got_rel.df()
             exp_rel = con.execute(sql)
-            exp_cols = [d[0] for d in exp_rel.description]
-            exp = exp_rel.fetchall()
+            exp_bad = bad_typed_cols(exp_rel.description)
+            exp = exp_rel.df()
         except Exception as e:
             print(f"ERROR    {name}: {str(e)[:200]}")
             n_bad += 1
             continue
-        gc, gr = canon(got, got_cols)
-        ec, er = canon(exp, exp_cols)
+        if got_bad or exp_bad:
+            side = ("spark", got_bad) if got_bad else ("oracle", exp_bad)
+            print(f"BADTYPE  {name}: {side[0]} columns {side[1]} — "
+                  f"HUGEINT needs CAST(... AS BIGINT); lists need "
+                  f"array_join/array_to_string or explode")
+            n_bad += 1
+            continue
+        try:
+            gc, gr = canon(got)
+            ec, er = canon(exp)
+        except Exception as e:
+            # pandas sort_values throwing == the driver's "err" entry
+            print(f"ERROR    {name}: pandas canon failed: {str(e)[:200]}")
+            n_bad += 1
+            continue
         if gc != ec:
             print(f"MISMATCH {name}: columns {gc} vs {ec}")
             n_bad += 1
