@@ -60,9 +60,11 @@ object Queries {
     """))
 
   // ------------------------------------------------------------ q_knn_cosine
-  /** Q1 k-NN top-k per query vector (SURVEY §2.1 Q1), cosine metric. */
+  /** Q1 k-NN top-k per query vector (SURVEY §2.1 Q1), cosine metric.
+    * Served from the session-cached exact frame `q_evaluate` grades
+    * against — one exact pass for both queries. */
   private val qKnnCosine = Q("q_knn_cosine",
-    (s, dir) => Knn.query(store(s, dir), queriesDf(s, dir, 5), 10, Metric.Cosine)
+    (s, dir) => QueriesVector.exactCosineTopK(s, dir, 5, 10)
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(col("dist"), 6).as("dist"), col("rank")),
     Some("""

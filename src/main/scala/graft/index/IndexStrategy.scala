@@ -65,6 +65,16 @@ trait IndexStrategy extends Serializable {
     * query-time pruning (e.g. partition by centroid). */
   def writeIndex(prepared: DataFrame, path: String): Unit =
     prepared.write.mode("overwrite").parquet(path)
+
+  /** Deterministic QPS proxy for the evaluate harness (the reference's
+    * evaluate returns QPS alongside recall, `vicinity.py:378-380`; wall
+    * clock is not hash-stable, so the emitted number is the work QPS is
+    * made of): candidate rows this strategy scores for the given query
+    * batch. Default is brute-force semantics — every (store row, query)
+    * pair; pruning strategies override with their actual scan set.
+    */
+  def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
+    prepared.count() * queries.count()
 }
 
 object IndexStrategy {

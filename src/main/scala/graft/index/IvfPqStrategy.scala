@@ -250,4 +250,8 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
 
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     ivf.writeIndex(prepared, path)
+
+  /** ADC scans exactly the probed IVF cells */
+  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
+    ivf.scanVolume(prepared, queries)
 }

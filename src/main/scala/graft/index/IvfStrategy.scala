@@ -168,6 +168,21 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       Seq("query_id"), "id", "dist", k)
   }
 
+  /** rows actually scored = Σ over (query, probed cell) of |cell| — the
+    * pruning ratio vs brute force is the IVF speed story in one number */
+  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    val q = maybeNormalize(queries, "qvector")
+    val nprobeEff = math.min(nprobe, centroids.length)
+    val qProbes = q.select(
+      explode(nearestCentroidsUdf(centroids, nprobeEff)(col("qvector")))
+        .as("_probe"))
+    val cellSizes = prepared.groupBy("_centroid").count()
+    val total = qProbes.join(cellSizes, qProbes("_probe") === cellSizes("_centroid"))
+      .agg(sum("count")).head.get(0)
+    if (total == null) 0L else total.asInstanceOf[Long]
+  }
+
   /** UNCAPPED within the probed cells — FAISS IVF is a range-search index,
     * so its threshold path ignores `max_k` entirely and returns every
     * candidate with `dist < threshold` (`faiss.py:18-23`, `175-183`). */
@@ -187,11 +202,13 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * owns exactly one cell. With nprobe = nlist the candidate set is all
     * pairs and the output EQUALS the exact self-join (spec-asserted).
     */
-  def selfJoin(prepared: DataFrame, k: Int): DataFrame = {
+  def selfJoin(prepared: DataFrame, k: Int, probes: Int = 0): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
     require(k >= 1, s"k must be >= 1, got $k")
-    val nprobeEff = math.min(nprobe, centroids.length)
-    val probes = prepared.select(col("id").as("query_id"),
+    // probes <= 0 means the instance's nprobe; probes = nlist is exact
+    val nprobeEff = math.min(if (probes > 0) probes else nprobe,
+      centroids.length)
+    val probeSide = prepared.select(col("id").as("query_id"),
       col("vector").as("qvector"),
       explode(nearestCentroidsUdf(centroids, nprobeEff)(col("vector")))
         .as("_probe"))
@@ -201,7 +218,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       case m => VectorFunctions.distance(m)(col("vector"), col("qvector"))
     }
     val pairs = prepared.select(col("id"), col("vector"), col("_centroid"))
-      .join(probes, col("_centroid") === col("_probe"))
+      .join(probeSide, col("_centroid") === col("_probe"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
     TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)

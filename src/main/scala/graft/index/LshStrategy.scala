@@ -93,18 +93,27 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     prepared.select(col("id"), posexplode(col("_buckets")))
       .toDF("id", "table", "bucket")
 
-  private def candidates(prepared: DataFrame, queries: DataFrame): DataFrame = {
+  /** distinct (query, id) bucket-collision pairs — the set the exact
+    * kernel re-ranks */
+  private def candidatePairs(prepared: DataFrame, queries: DataFrame): DataFrame = {
     val dim = if (cachedDim > 0) cachedDim
       else queries.select(size(col("qvector"))).head.getInt(0)
     val qb = queries
       .withColumn("_buckets", bucketUdf(dim)(col("qvector").cast("array<double>")))
     val qPost = qb.select(col("query_id"), posexplode(col("_buckets")))
       .toDF("query_id", "table", "bucket")
-    val cand = postings(prepared)
+    postings(prepared)
       .join(broadcast(qPost), Seq("table", "bucket"))
       .select("query_id", "id").distinct()
+  }
+
+  /** rows scored = candidates surviving the bucket joins (re-rank work) */
+  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
+    candidatePairs(prepared, queries).count()
+
+  private def candidates(prepared: DataFrame, queries: DataFrame): DataFrame = {
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
-    cand
+    candidatePairs(prepared, queries)
       .join(prepared.select(col("id"), col("vector")), Seq("id"))
       .join(broadcast(queries.select(col("query_id"), col("qvector"))),
         Seq("query_id"))
