@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit harness behind BENCH_NOTES.md: for each named query, print
+  * how often hot expressions appear in the optimized plan (the
+  * CollapseProject re-evaluation pitfall) and its cold/warm runtime in this
+  * JVM — the evidence a bench-spike triage needs to rule the plan in or out.
+  *
+  * Usage: runMain graft.PlanAudit <sfDir> <queryName> [queryName ...]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PlanAudit <sfDir> <query> [query ...]")
+    val sfDir = args(0)
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val hot = Seq("regexp_replace", "split(", "filter(", "transform(",
+      "md5(", "CartesianProduct", "Exchange")
+    args.drop(1).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val opt = df.queryExecution.optimizedPlan.toString
+      val phys = df.queryExecution.executedPlan.toString
+      val counts = hot.map { h =>
+        val n = opt.sliding(h.length).count(_ == h)
+        val p = phys.sliding(h.length).count(_ == h)
+        s"$h=$n/$p"
+      }.mkString(" ")
+      println(s"[$name] optimized/physical occurrences: $counts")
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        df.queryExecution.toRdd.foreach(_ => ())
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[$name] cold ${run()}%.2f s, warm ${run()}%.2f s, warm ${run()}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -94,7 +94,13 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       .toDF("id", "table", "bucket")
 
   /** distinct (query, id) bucket-collision pairs — the set the exact
-    * kernel re-ranks */
+    * kernel re-ranks. `private[graft]` so the evaluate harness can persist
+    * ONE materialization and serve both scoring and the rows_scanned proxy
+    * from it (verdict r3: `scanVolume` re-ran this whole postings join
+    * moments after `query` had computed it). */
+  private[graft] def candidateFrame(prepared: DataFrame,
+      queries: DataFrame): DataFrame = candidatePairs(prepared, queries)
+
   private def candidatePairs(prepared: DataFrame, queries: DataFrame): DataFrame = {
     val dim = if (cachedDim > 0) cachedDim
       else queries.select(size(col("qvector"))).head.getInt(0)
@@ -111,18 +117,33 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
     candidatePairs(prepared, queries).count()
 
-  private def candidates(prepared: DataFrame, queries: DataFrame): DataFrame = {
+  /** exact re-rank of a (query_id, id) candidate frame against the store */
+  private def rerank(prepared: DataFrame, queries: DataFrame,
+      cands: DataFrame): DataFrame = {
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
-    candidatePairs(prepared, queries)
+    cands
       .join(prepared.select(col("id"), col("vector")), Seq("id"))
       .join(broadcast(queries.select(col("query_id"), col("qvector"))),
         Seq("query_id"))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
   }
 
+  private def candidates(prepared: DataFrame, queries: DataFrame): DataFrame =
+    rerank(prepared, queries, candidatePairs(prepared, queries))
+
   def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     TopK.topKPerGroup(candidates(prepared, queries), Seq("query_id"), "id",
+      "dist", k)
+  }
+
+  /** top-k served from an externally persisted [[candidateFrame]] — lets a
+    * caller that also needs the candidate COUNT pay for the bucket joins
+    * once */
+  private[graft] def queryFromCandidates(prepared: DataFrame,
+      queries: DataFrame, cands: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    TopK.topKPerGroup(rerank(prepared, queries, cands), Seq("query_id"), "id",
       "dist", k)
   }
 
