@@ -27,21 +27,97 @@ class ScaleFixesSpec extends SparkSpec {
         StructField("vector", ArrayType(DoubleType, containsNull = false)))))
   }
 
-  test("selfJoin sliced fallback returns exactly the single-broadcast results") {
+  test("selfJoin grid fallback returns exactly the single-broadcast results") {
     val df = vecDf(200, 6).cache()
     val one = Knn.selfJoin(df, 3, Metric.Cosine).orderBy("query_id", "rank")
       .collect().toSeq
-    // force the non-broadcastable path: 1 KB budget => many id slices
-    val sliced = Knn.selfJoin(df, 3, Metric.Cosine,
+    // force the non-broadcastable path: 1 KB budget => ~10 grid blocks
+    val grid = Knn.selfJoin(df, 3, Metric.Cosine,
       broadcastBytes = 1024).orderBy("query_id", "rank")
-    // the sliced plan is a union of blocked-kernel scans: no cartesian, no
+    // the grid plan is a shuffled primitive-kernel scan: no cartesian, no
     // full-store broadcast join in the physical plan
-    val plan = sliced.queryExecution.executedPlan.toString
+    val plan = grid.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    assert(sliced.collect().toSeq === one)
+    assert(grid.collect().toSeq === one)
   }
 
-  test("thresholdSelfJoin matches the cross-join reference, without a cartesian plan") {
+  test("self-join driver actions stay constant at any block count (r2 #7/r3 #5)") {
+    val df = vecDf(240, 8).cache()
+    df.count()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 240·8·8 B at a 1 KB budget => 16 blocks; the r2 slice loop ran
+      // ~2 driver actions per slice, the grid runs a constant 2 total
+      // (count/dim gate + the result action) at ANY block count
+      val res = Knn.selfJoin(df, 2, Metric.Cosine, broadcastBytes = 1024)
+      res.queryExecution.toRdd.foreach(_ => ())
+      // the listener bus is async: wait until the count is stable
+      var last = -1
+      var spins = 0
+      while (jobs.get != last && spins < 20) {
+        last = jobs.get; Thread.sleep(100); spins += 1
+      }
+      assert(jobs.get <= 4,
+        s"driver actions should be constant in block count, saw ${jobs.get}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("selfJoinAuto: exact routes equal selfJoin; ANN route keeps recall") {
+    val df = vecDf(300, 8).cache()
+    val exact = Knn.selfJoin(df, 3, Metric.Cosine)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact = true is the same answer through both physical routes
+    val inBudget = Knn.selfJoinAuto(df, 3, Metric.Cosine)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inBudget === exact)
+    val gridRoute = Knn.selfJoinAuto(df, 3, Metric.Cosine,
+        broadcastBytes = 1024)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gridRoute === exact)
+    // exact = false serves the IVF cell join: approximate but useful
+    val ann = Knn.selfJoinAuto(df, 3, Metric.Cosine, exact = false,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN route recall too low: $recall")
+  }
+
+  test("grid self-join scores hamming/tanimoto with the primitive kernel too") {
+    val raw = vecDf(120, 6)
+    val df = raw.select(col("id"),
+      transform(col("vector"), x => when(x > 0, 1.0).otherwise(0.0))
+        .as("vector")).cache()
+    for (m <- Seq(Metric.Hamming, Metric.Tanimoto)) {
+      val queries = df.select(col("id").as("query_id"),
+        col("vector").as("qvector"))
+      val d = graft.functions.VectorFunctions.distance(m)(
+        col("vector"), col("qvector"))
+      val expected = df.crossJoin(queries)
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), d.as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist"), col("id"))
+      val ref = expected.withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .where(col("rank") <= 2)
+        .select("query_id", "id").orderBy("query_id", "id").collect().toSeq
+      val got = Knn.selfJoin(df, 2, m, broadcastBytes = 1024)
+        .select("query_id", "id").orderBy("query_id", "id").collect().toSeq
+      assert(got === ref, s"metric ${m.name}")
+    }
+  }
+
+  test("thresholdSelfJoin (broadcast and grid) matches the cross-join reference, without a cartesian plan") {
     val df = vecDf(150, 6).cache()
     val a = df.select(col("id").as("i"), col("vector").as("va"))
     val b = df.select(col("id").as("j"), col("vector").as("vb"))
