@@ -36,16 +36,37 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 # float64) or sort (LIST/STRUCT → ndarray/dict objects). Any compared
 # column with one of these types is a shipping bug, not a comparison
 # detail, so it gets its own verdict line.
-BAD_TYPE_MARKERS = ("HUGEINT", "UHUGEINT", "[]", "LIST", "STRUCT", "MAP")
+BAD_TYPE_MARKERS = ("HUGEINT", "UHUGEINT", "[]", "STRUCT", "MAP")
 
 
-def bad_typed_cols(description):
+def bad_typed_cols(rel):
+    """Flag columns whose DuckDB LOGICAL type pandas mangles. Types come
+    from the relation's .types (real logical types: HUGEINT, BIGINT[],
+    STRUCT(...)) — the DB-API cursor description collapses them to generic
+    codes ('NUMBER' for HUGEINT and BIGINT alike), which made the r3
+    edition of this check dead code for the HUGEINT class (advice r3)."""
     bad = []
-    for name, type_code, *_ in description:
-        t = str(type_code).upper()
-        if any(m in t for m in BAD_TYPE_MARKERS):
-            bad.append((name, str(type_code)))
+    for name, t in zip(rel.columns, rel.types):
+        ts = str(t).upper()
+        if any(m in ts for m in BAD_TYPE_MARKERS):
+            bad.append((name, str(t)))
     return bad
+
+
+def selftest():
+    """The guarantee the docstring makes, executed: a sum(BIGINT) oracle
+    (HUGEINT), a list and a struct column must be flagged by name; a
+    CAST(... AS BIGINT) must pass."""
+    con = duckdb.connect()
+    r = con.sql("SELECT sum(x) AS s FROM (VALUES (1::BIGINT), (2::BIGINT)) t(x)")
+    assert bad_typed_cols(r) == [("s", "HUGEINT")], bad_typed_cols(r)
+    assert bad_typed_cols(con.sql("SELECT [1, 2] AS l")), "list not flagged"
+    assert bad_typed_cols(con.sql("SELECT {'a': 1} AS st")), "struct not flagged"
+    ok = con.sql(
+        "SELECT CAST(sum(x) AS BIGINT) AS s FROM (VALUES (1::BIGINT)) t(x)")
+    assert not bad_typed_cols(ok), bad_typed_cols(ok)
+    print("selftest ok: HUGEINT/list/struct flagged, BIGINT clean")
+    return 0
 
 
 def render(v):
@@ -95,12 +116,15 @@ def main(sf_dir, out_dir):
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got_rel = con.execute(
+            # con.sql returns a relation exposing LOGICAL types (.types);
+            # con.execute's cursor description does not distinguish
+            # HUGEINT from BIGINT (advice r3)
+            got_rel = con.sql(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')")
-            got_bad = bad_typed_cols(got_rel.description)
+            got_bad = bad_typed_cols(got_rel)
             got = got_rel.df()
-            exp_rel = con.execute(sql)
-            exp_bad = bad_typed_cols(exp_rel.description)
+            exp_rel = con.sql(sql)
+            exp_bad = bad_typed_cols(exp_rel)
             exp = exp_rel.df()
         except Exception as e:
             print(f"ERROR    {name}: {str(e)[:200]}")
@@ -140,4 +164,6 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        sys.exit(selftest())
     sys.exit(main(sys.argv[1], sys.argv[2]))
