@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{IvfPqStrategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{IvfPqStrategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -369,6 +369,21 @@ object QueriesVector {
     },
     None)
 
+  /** ANN top-k via the NN-descent graph index (B4, the genuine graph-based
+    * family member — `NnDescentStrategy`): kNN graph built as an iterative
+    * DataFrame job, queried with a batched beam walk. Approximate by
+    * design, so rows-only; recall bars are spec-asserted (`NnDescentSpec`). */
+  val qNndescentKnn = Q("q_nndescent_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "nnd15")(
+        NnDescentStrategy(Metric.Cosine))
+      strat.query(prepared, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
   /** Distributed ANN self-join via IVF cells — the similarity self-join
     * scale path (no broadcast of the store, no driver collect; see
     * `IvfStrategy.selfJoin`). Approximate by probe coverage, so rows-only;
@@ -551,5 +566,5 @@ object QueriesVector {
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinIvf, qKnnSelfjoinIvfExact,
     qRadius, qPointLookup, qCount, qMetricsPairs, qNormalize, qInsertUnion,
     qDeleteFirstocc, qEmbedNeardup, qLshKnn, qIvfKnn, qSq8Knn, qSq8RerankKnn,
-    qPqKnn, qIvfpqKnn, qEvaluate)
+    qPqKnn, qIvfpqKnn, qNndescentKnn, qEvaluate)
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{ExactStrategy, IndexStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{ExactStrategy, IndexStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -339,9 +339,17 @@ object Vicinity {
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")
         }
-      // HNSW-family backends: ANN semantics served by the LSH strategy
-      case Backend.Hnsw | Backend.Annoy | Backend.Usearch | Backend.Voyager |
-           Backend.Pynndescent => LshStrategy(args.metric)
+      // PYNNDESCENT is a genuine NN-descent graph index (the library the
+      // reference wraps IS the algorithm) — graph built as an iterative
+      // DataFrame job, queries walk it with a batched beam search
+      case Backend.Pynndescent =>
+        val pa = args.asInstanceOf[BackendArgs.PynndescentArgs]
+        NnDescentStrategy(pa.metric, nNeighbors = pa.nNeighbors)
+      // remaining HNSW-family backends: ANN semantics served by the LSH
+      // strategy (capability-equivalence stance, SURVEY.md §7.5; the
+      // graph-index recall/QPS behavior is covered by NnDescentStrategy)
+      case Backend.Hnsw | Backend.Annoy | Backend.Usearch | Backend.Voyager =>
+        LshStrategy(args.metric)
     }
 
   private[api] def build(spark: SparkSession, store: DataFrame,
