@@ -217,7 +217,13 @@ object Knn {
       val store = df.select(col("id"), col(vecCol).as("vector"))
       queryBlocked(store, queries, k, metric, excludeSelf = true)
     } else {
-      val b = math.ceil(bytes.toDouble / broadcastBytes).toInt
+      // block-count ceiling: past ~4k blocks the 2·n·b shuffle replication
+      // (and the O(n²) pair space itself) says the exact self-join is the
+      // wrong tool — tasks get proportionally bigger blocks rather than an
+      // overflowing b² cell grid; the real answer at that scale is
+      // selfJoinAuto(exact = false)
+      val b = math.min(4096L,
+        math.ceil(bytes.toDouble / broadcastBytes).toLong).toInt
       gridSelfJoin(df, k, metric, vecCol, b)
     }
   }
@@ -300,8 +306,10 @@ object Knn {
     } else {
       // over-budget: triangular grid — cell (a, b), a <= b, buffers block a
       // and streams block b (same driver-free shape as gridSelfJoin; only
-      // the upper-triangular cells exist because pairs are unordered)
-      val b = math.ceil(bytes.toDouble / broadcastBytes).toInt
+      // the upper-triangular cells exist because pairs are unordered).
+      // Same 4096-block ceiling as selfJoin (see there).
+      val b = math.min(4096L,
+        math.ceil(bytes.toDouble / broadcastBytes).toLong).toInt
       val data = store.rdd.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       val nb = b
       val keyed = data.flatMap { case (id, v) =>
