@@ -41,6 +41,25 @@ class ScaleFixesSpec extends SparkSpec {
     assert(grid.collect().toSeq === one)
   }
 
+  test("grid/broadcast parity holds across sizes, dims, metrics and budgets") {
+    // sweep the (n, dim, k, budget) space: every configuration must give
+    // the broadcast kernel's exact answer through the grid path
+    val cases = Seq(
+      (37, 3, 1, 128L),    // tiny blocks, k=1
+      (101, 5, 4, 512L),   // prime n, mid k
+      (64, 16, 7, 2048L),  // dim-heavy, few blocks
+      (200, 4, 3, 999L))   // non-power-of-two budget
+    for ((n, dim, k, budget) <- cases;
+         m <- Seq(Metric.Cosine, Metric.Euclidean)) {
+      val df = vecDf(n, dim).cache()
+      val one = Knn.selfJoin(df, k, m).orderBy("query_id", "rank")
+        .collect().toSeq
+      val grid = Knn.selfJoin(df, k, m, broadcastBytes = budget)
+        .orderBy("query_id", "rank").collect().toSeq
+      assert(grid === one, s"n=$n dim=$dim k=$k budget=$budget metric=${m.name}")
+    }
+  }
+
   test("self-join driver actions stay constant at any block count (r2 #7/r3 #5)") {
     val df = vecDf(240, 8).cache()
     df.count()
