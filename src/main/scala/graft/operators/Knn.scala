@@ -147,45 +147,53 @@ object Knn {
     val partials = keyed
       .repartitionAndSortWithinPartitions(gridPartitioner(spark, nb * nb))
       .mapPartitions { it =>
-        val out = Iterator.newBuilder[org.apache.spark.sql.Row]
-        var cell = -1
-        var qIds: scala.collection.mutable.ArrayBuffer[Long] = null
-        var qVecs: scala.collection.mutable.ArrayBuffer[Array[Double]] = null
-        var heaps: Array[graft.functions.TopKHeap] = null
-        def flush(): Unit = if (heaps != null) {
-          var qi = 0
-          while (qi < qIds.length) {
-            heaps(qi).sorted.foreach(nbr =>
-              out += org.apache.spark.sql.Row(qIds(qi), nbr.id, nbr.dist))
-            qi += 1
-          }
-        }
-        it.foreach { case ((c, tag, id), v) =>
-          if (c != cell) {
-            flush()
-            cell = c
-            qIds = scala.collection.mutable.ArrayBuffer.empty
-            qVecs = scala.collection.mutable.ArrayBuffer.empty
-            heaps = null
-          }
-          if (tag == 0) { qIds += id; qVecs += v }
-          else {
-            if (heaps == null)
-              heaps = Array.fill(qIds.length)(new graft.functions.TopKHeap(k))
-            var qi = 0
-            while (qi < qIds.length) {
-              if (qIds(qi) != id) { // self-join: exclude the row itself
-                val dist = scoreVec(m, v, qVecs(qi))
-                val d2 = if (m == Metric.InnerProduct) dist
-                  else math.max(dist, 0.0)
-                heaps(qi).add(id, d2)
+        // lazily stream one CELL at a time: peak task memory is one query
+        // block + its heaps, never the whole partition's output rows
+        new Iterator[org.apache.spark.sql.Row] {
+          private val src = it.buffered
+          private var pending: Iterator[org.apache.spark.sql.Row] =
+            Iterator.empty
+          private def nextCell(): Unit = {
+            if (!src.hasNext) return
+            val cell = src.head._1._1
+            val qIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val qVecs = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+            var heaps: Array[graft.functions.TopKHeap] = null
+            while (src.hasNext && src.head._1._1 == cell) {
+              val ((_, tag, id), v) = src.next()
+              if (tag == 0) { qIds += id; qVecs += v }
+              else {
+                if (heaps == null)
+                  heaps = Array.fill(qIds.length)(new graft.functions.TopKHeap(k))
+                var qi = 0
+                while (qi < qIds.length) {
+                  if (qIds(qi) != id) { // self-join: exclude the row itself
+                    val dist = scoreVec(m, v, qVecs(qi))
+                    val d2 = if (m == Metric.InnerProduct) dist
+                      else math.max(dist, 0.0)
+                    heaps(qi).add(id, d2)
+                  }
+                  qi += 1
+                }
               }
-              qi += 1
+            }
+            if (heaps != null) {
+              val hs = heaps
+              pending = qIds.indices.iterator.flatMap { qi =>
+                hs(qi).sorted.iterator.map(nbr =>
+                  org.apache.spark.sql.Row(qIds(qi), nbr.id, nbr.dist))
+              }
             }
           }
+          def hasNext: Boolean = {
+            while (!pending.hasNext && src.hasNext) nextCell()
+            pending.hasNext
+          }
+          def next(): org.apache.spark.sql.Row = {
+            if (!hasNext) throw new NoSuchElementException
+            pending.next()
+          }
         }
-        flush()
-        out.result()
       }
     clipOut(TopK.topKPerGroup(spark.createDataFrame(partials, partialsSchema),
       Seq("query_id"), "id", "dist", k))
