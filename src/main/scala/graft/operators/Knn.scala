@@ -453,14 +453,7 @@ object Knn {
           h.sorted.map(n => org.apache.spark.sql.Row(ids(qi), n.id, n.dist))
         }
       }
-    val partialDf = spark.createDataFrame(partials,
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("query_id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("id",
-          org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("dist",
-          org.apache.spark.sql.types.DoubleType, nullable = false))))
+    val partialDf = spark.createDataFrame(partials, partialsSchema)
     clipOut(TopK.topKPerGroup(partialDf, Seq("query_id"), "id", "dist", k))
   }
 }

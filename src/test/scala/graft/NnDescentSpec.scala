@@ -122,6 +122,18 @@ class NnDescentSpec extends SparkSpec {
     intercept[UnsupportedOperationException] { v.delete(Seq("item0")) }
   }
 
+  test("Vicinity.evaluate grades the graph index: recall >= 0.8, qps > 0 (Q11)") {
+    val vectors = store.orderBy("id").limit(400)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val items = vectors.indices.map(i => s"item$i")
+    val v = Vicinity.fromVectorsAndItems(spark, items, vectors,
+      Backend.Pynndescent,
+      Some(BackendArgs.PynndescentArgs(Metric.Cosine, nNeighbors = 10)))
+    val (qps, recall) = v.evaluate(vectors.take(10), k = 10)
+    assert(qps > 0)
+    assert(recall >= 0.8, s"graph-index evaluate recall $recall < 0.8")
+  }
+
   test("scanVolume: sublinear bound once n outgrows the walk's candidate set") {
     val df = store.cache()
     val strat = NnDescentStrategy(Metric.Cosine)
