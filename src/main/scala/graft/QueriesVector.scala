@@ -356,13 +356,27 @@ object QueriesVector {
     },
     None)
 
+  /** ivfpq16x8 registry builder: if the identically-configured standalone
+    * IVF is already trained in this session, its codebook is adopted —
+    * deterministic training makes adopted == self-trained bitwise
+    * (`IvfStrategy.adoptCentroids`), so this only skips a redundant
+    * KMeans collect, never changes results. */
+  private def mkIvfpq(s: SparkSession, dir: String): IvfPqStrategy = {
+    val st = IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
+      m = 8, nbits = 8, rerank = true)
+    mapOf(indexCaches, s).get(s"$dir/ivf16x8")
+      .map(_._1.asInstanceOf[IvfStrategy])
+      .filter(_.isTrained)
+      .foreach(i => st.adoptCentroids(i.centroidArray))
+    st
+  }
+
   /** composed IVF+PQ: probe cells pruned, ADC-scanned, exact re-rank
     * (B5 ivfpq/ivfpqr) — rows-only check. */
   val qIvfpqKnn = Q("q_ivfpq_knn",
     (s, dir) => {
       val (strat, prepared) = preparedIndex(s, dir, "ivfpq16x8")(
-        IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
-          m = 8, nbits = 8, rerank = true))
+        mkIvfpq(s, dir))
       strat.query(prepared, queriesDf(s, dir, 5), 10)
         .select(col("query_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
@@ -503,8 +517,7 @@ object QueriesVector {
       val (ivf, ivfPrep) = preparedIndex(s, dir, "ivf16x8")(
         IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8))
       val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, "ivfpq16x8")(
-        IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
-          m = 8, nbits = 8, rerank = true))
+        mkIvfpq(s, dir)) // adopts ivf16x8's codebook, trained 2 lines up
       val (sq8, sq8Prep) = preparedIndex(s, dir, "sq8")(
         Sq8Strategy(Metric.Cosine, rerankFactor = 8))
       val (pq, pqPrep) = preparedIndex(s, dir, "pq8x8")(

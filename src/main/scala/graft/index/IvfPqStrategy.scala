@@ -41,6 +41,11 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
 
   private val ivf = IvfStrategy(metric, nlist, nprobe, seed)
 
+  /** see `IvfStrategy.adoptCentroids` — skips the inner IVF's retrain when
+    * an identically-configured codebook already exists */
+  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
+    ivf.adoptCentroids(c)
+
   /** residual codebooks(s)(c); trained once on an id-ordered sample */
   @transient private var codebooks: Array[Array[Array[Double]]] = _
   @transient private var subDims: Array[Int] = _

@@ -33,8 +33,17 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   @transient private var centroids: Array[Array[Double]] = _
 
   /** composition hooks for strategies layering codes over IVF cells */
-  private[index] def centroidArray: Array[Array[Double]] = centroids
-  private[index] def isTrained: Boolean = centroids != null
+  private[graft] def centroidArray: Array[Array[Double]] = centroids
+  private[graft] def isTrained: Boolean = centroids != null
+
+  /** Adopt an already-trained codebook instead of retraining — the
+    * build-once registry story extended to composed strategies. ONLY valid
+    * for a codebook trained with identical (store, nlist, seed): training
+    * is deterministic, so the adopted centroids equal what this instance
+    * would have trained, bitwise — adoption changes cost, never results
+    * (spec-asserted). */
+  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
+    centroids = c
 
   private def maybeNormalize(df: DataFrame, c: String): DataFrame =
     if (metric == Metric.Cosine)

@@ -196,6 +196,24 @@ class ScaleFixesSpec extends SparkSpec {
     assert(reranked >= 0.9, s"euclidean re-ranked recall too low: $reranked")
   }
 
+  test("ivfpq adopting a pre-trained IVF codebook answers bit-identically") {
+    val df = vecDf(300, 8).cache()
+    val queries = df.limit(10)
+      .select(col("id").as("query_id"), col("vector").as("qvector"))
+    val ivf = graft.index.IvfStrategy(Metric.Cosine, nlist = 8, nprobe = 8)
+    ivf.prepare(df)
+    val selfTrained = IvfPqStrategy(Metric.Cosine, nlist = 8, nprobe = 8,
+      m = 4, nbits = 8, rerank = true)
+    val a = selfTrained.query(selfTrained.prepare(df), queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    val adopted = IvfPqStrategy(Metric.Cosine, nlist = 8, nprobe = 8,
+      m = 4, nbits = 8, rerank = true)
+    adopted.adoptCentroids(ivf.centroidArray)
+    val b = adopted.query(adopted.prepare(df), queries, 5)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(a === b, "adoption must change cost, never results")
+  }
+
   test("ivf_scalar composes IVF cells with SQ codes and stays near-exact") {
     val df = vecDf(400, 8).cache()
     val strat = IvfSq8Strategy(Metric.Cosine, nlist = 4, nprobe = 4,
