@@ -312,7 +312,26 @@ object Vicinity {
     spark.createDataFrame(rows, schema)
   }
 
-  private def strategyFor(backend: Backend, args: BackendArgs): IndexStrategy =
+  /** per-backend metric gates, build-time — each reference backend
+    * validates `supported_metrics` in `from_vectors` and raises
+    * (`basic.py:101,121`, `hnsw.py:25`, `annoy.py:27`, `faiss.py:48`,
+    * `pynndescent.py:24`, `usearch.py:27`, `voyager.py:25`) */
+  private val backendMetrics: Map[Backend, Set[Metric]] = Map(
+    Backend.Basic -> Set(Metric.Cosine, Metric.Euclidean),
+    Backend.Hnsw -> Set(Metric.Cosine, Metric.Euclidean),
+    Backend.Annoy -> Set(Metric.Cosine, Metric.Euclidean),
+    Backend.Faiss -> Set(Metric.Cosine, Metric.Euclidean),
+    Backend.Pynndescent ->
+      Set(Metric.Cosine, Metric.Euclidean, Metric.Manhattan),
+    Backend.Usearch -> Set(Metric.Cosine, Metric.InnerProduct,
+      Metric.L2Squared, Metric.Hamming, Metric.Tanimoto),
+    Backend.Voyager -> Set(Metric.Cosine, Metric.Euclidean))
+
+  private def strategyFor(backend: Backend, args: BackendArgs): IndexStrategy = {
+    if (!backendMetrics(backend).contains(args.metric))
+      throw new IllegalArgumentException(
+        s"Metric '${args.metric.name}' is not supported by the " +
+          s"${backend.name} backend.")
     backend match {
       case Backend.Basic => ExactStrategy(args.metric)
       case Backend.Faiss =>
@@ -345,12 +364,28 @@ object Vicinity {
       case Backend.Pynndescent =>
         val pa = args.asInstanceOf[BackendArgs.PynndescentArgs]
         NnDescentStrategy(pa.metric, nNeighbors = pa.nNeighbors)
+      // USEARCH's metric family is {cos, ip, l2sq, hamming, tanimoto} —
+      // NOT euclidean (usearch.py:28): cosine rides the LSH strategy, the
+      // exotic metrics (which have no hyperplane-LSH family) ride the exact
+      // kernel with the backend's ANN threshold shape (top-max_k + strict
+      // <, usearch.py:131-139); euclidean is rejected like the reference
+      // rejects it
+      case Backend.Usearch =>
+        args.metric match {
+          case Metric.Cosine => LshStrategy(Metric.Cosine)
+          case Metric.InnerProduct | Metric.L2Squared | Metric.Hamming |
+               Metric.Tanimoto =>
+            ExactStrategy(args.metric, annThreshold = true)
+          case other => throw new IllegalArgumentException(
+            s"Metric '${other.name}' is not supported by UsearchBackend.")
+        }
       // remaining HNSW-family backends: ANN semantics served by the LSH
       // strategy (capability-equivalence stance, SURVEY.md §7.5; the
       // graph-index recall/QPS behavior is covered by NnDescentStrategy)
-      case Backend.Hnsw | Backend.Annoy | Backend.Usearch | Backend.Voyager =>
+      case Backend.Hnsw | Backend.Annoy | Backend.Voyager =>
         LshStrategy(args.metric)
     }
+  }
 
   private[api] def build(spark: SparkSession, store: DataFrame,
       backend: Backend, args: BackendArgs, metadata: Map[String, String],

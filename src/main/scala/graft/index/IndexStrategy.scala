@@ -107,7 +107,12 @@ object IndexStrategy {
   * filters with strict `<` (`faiss.py:180-183`). Both ignore `max_k`
   * (`basic.py:163-172` never reads it; range search is uncapped).
   */
-case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false)
+/** `annThreshold = true` serves a backend whose reference threshold path is
+  * "top-max_k then strict `<` mask" (the HNSW-family shape, e.g.
+  * `usearch.py:131-139`) with the exact kernel — used where a metric has no
+  * LSH family but the backend's semantics are the ANN ones. */
+case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false,
+    annThreshold: Boolean = false)
   extends IndexStrategy {
   val name = "exact"
   override def supportsDelete: Boolean = true // only BASIC supports delete
@@ -141,6 +146,9 @@ case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false)
 
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
+    if (annThreshold) // top-max_k then strict < (usearch.py:131-139)
+      return query(prepared, queries, math.max(maxK, 1))
+        .where(col("dist") < threshold).drop("rank")
     val q = normalizedQueries(queries)
     val d = dist(metric)(col("vector"), col("qvector"))
     val pairs = prepared.crossJoin(broadcast(q))

@@ -234,6 +234,30 @@ class VicinitySpec extends SparkSpec {
     assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall < 0.8")
   }
 
+  test("usearch metric family: exotic metrics served, euclidean rejected (usearch.py:28)") {
+    // reference USEARCH supports {cos, ip, l2sq, hamming, tanimoto} and
+    // rejects euclidean — both directions must match
+    intercept[IllegalArgumentException] {
+      Vicinity.fromVectorsAndItems(spark, items.take(10), vectors.take(10),
+        Backend.Usearch, Some(BackendArgs.UsearchArgs(Metric.Euclidean)))
+    }
+    for (m <- Seq(Metric.InnerProduct, Metric.L2Squared, Metric.Tanimoto)) {
+      val v = Vicinity.fromVectorsAndItems(spark, items.take(50),
+        vectors.take(50), Backend.Usearch,
+        Some(BackendArgs.UsearchArgs(m)))
+      val res = v.queryOne(vectors.head, 5)
+      assert(res.length === 5, s"metric ${m.name}")
+      assert(res.map(_._2) === res.map(_._2).sorted, s"metric ${m.name}")
+      // ANN threshold shape: capped at max_k, strict <
+      val thr = v.queryThreshold(Seq(vectors.head), threshold = 1.0, maxK = 3)
+      assert(thr.head.length <= 3, s"metric ${m.name} ignored max_k")
+      assert(thr.head.forall(_._2 < 1.0), s"metric ${m.name} strict < violated")
+      // insert supported (usearch.py:123-125), delete refused (127-129)
+      assert(v.insert(Seq("x"), Seq(vectors.head)).length === 51)
+      intercept[UnsupportedOperationException] { v.delete(Seq(items.head)) }
+    }
+  }
+
   test("evaluate: euclidean recall alongside cosine (vicinity.py:341, 350-360)") {
     // the reference's evaluate supports exactly cosine and euclidean;
     // euclidean ground truth comes from the same exact strategy on the
@@ -255,8 +279,16 @@ class VicinitySpec extends SparkSpec {
   }
 
   test("evaluate: unsupported metric raises (vicinity.py:341, test_vicinity.py:332-335)") {
-    val v = Vicinity.fromVectorsAndItems(spark, items.take(10), vectors.take(10),
-      Backend.Basic, Some(BackendArgs.BasicArgs(Metric.Manhattan)))
+    // build-time: BASIC itself rejects manhattan (basic.py:101, 121)
+    intercept[IllegalArgumentException] {
+      Vicinity.fromVectorsAndItems(spark, items.take(10), vectors.take(10),
+        Backend.Basic, Some(BackendArgs.BasicArgs(Metric.Manhattan)))
+    }
+    // evaluate-time: a legally-built manhattan store (PYNNDESCENT allows
+    // it, pynndescent.py:24) still cannot be evaluated (vicinity.py:341)
+    val v = Vicinity.fromVectorsAndItems(spark, items.take(30), vectors.take(30),
+      Backend.Pynndescent,
+      Some(BackendArgs.PynndescentArgs(Metric.Manhattan, nNeighbors = 5)))
     intercept[IllegalArgumentException] { v.evaluate(vectors.take(2)) }
   }
 }
