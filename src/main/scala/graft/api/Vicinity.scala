@@ -373,11 +373,8 @@ object Vicinity {
       case Backend.Usearch =>
         args.metric match {
           case Metric.Cosine => LshStrategy(Metric.Cosine)
-          case Metric.InnerProduct | Metric.L2Squared | Metric.Hamming |
-               Metric.Tanimoto =>
+          case _ => // gate above admits only the usearch metric family
             ExactStrategy(args.metric, annThreshold = true)
-          case other => throw new IllegalArgumentException(
-            s"Metric '${other.name}' is not supported by UsearchBackend.")
         }
       // remaining HNSW-family backends: ANN semantics served by the LSH
       // strategy (capability-equivalence stance, SURVEY.md §7.5; the

@@ -21,6 +21,16 @@ trait IndexStrategy extends Serializable {
   def metric: Metric
   def name: String
 
+  /** Cosine strategies operate on unit vectors so the kernel is a bare dot
+    * product (`faiss.py:49-52`); every other metric just needs the double
+    * cast. ONE definition keeps the normalization semantics — and the
+    * driver/DataFrame bit-parity proofs that depend on them — in sync
+    * across all strategies. */
+  protected def maybeNormalize(df: DataFrame, c: String): DataFrame =
+    if (metric == Metric.Cosine)
+      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
+    else df.withColumn(c, col(c).cast("array<double>"))
+
   /** Materialize build-time artifacts (normalized vectors, centroid
     * assignments, bucket hashes...) onto the store. Called once at index
     * build and again after insert/delete. Returns the augmented store the
@@ -135,24 +145,37 @@ case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false,
     case _ => queries
   }
 
+  /** Raw pair distances: metrics that are mathematically >= 0 clip here as
+    * fp-noise canonicalization, but InnerProduct is genuinely SIGNED — it
+    * must rank (and threshold-mask) on the raw value, with the clip applied
+    * only to the final output, exactly like the reference facade
+    * (`vicinity.py:135`, `:162`; the backend ranks raw, `usearch.py:115-121`).
+    * Clipping before selection would collapse every dot > 1 row to dist 0
+    * and pick among them by id. */
+  private def rawPairs(prepared: DataFrame, queries: DataFrame): DataFrame = {
+    val q = normalizedQueries(queries)
+    val raw = dist(metric)(col("vector"), col("qvector"))
+    val d = if (metric == Metric.InnerProduct) raw else greatest(raw, lit(0.0))
+    prepared.crossJoin(broadcast(q))
+      .select(col("query_id"), col("id"), d.as("dist"))
+  }
+
+  private def clipOut(df: DataFrame): DataFrame =
+    df.withColumn("dist", greatest(col("dist"), lit(0.0)))
+
   def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val q = normalizedQueries(queries)
-    val d = dist(metric)(col("vector"), col("qvector"))
-    val pairs = prepared.crossJoin(broadcast(q))
-      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-    TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
+    clipOut(TopK.topKPerGroup(rawPairs(prepared, queries),
+      Seq("query_id"), "id", "dist", k))
   }
 
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
-    if (annThreshold) // top-max_k then strict < (usearch.py:131-139)
-      return query(prepared, queries, math.max(maxK, 1))
-        .where(col("dist") < threshold).drop("rank")
-    val q = normalizedQueries(queries)
-    val d = dist(metric)(col("vector"), col("qvector"))
-    val pairs = prepared.crossJoin(broadcast(q))
-      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+    if (annThreshold) // top-max_k, RAW strict < mask, clip (usearch.py:131-139)
+      return clipOut(TopK.topKPerGroup(rawPairs(prepared, queries),
+          Seq("query_id"), "id", "dist", math.max(maxK, 1))
+        .where(col("dist") < threshold).drop("rank"))
+    val pairs = rawPairs(prepared, queries)
     if (strictThreshold) // faiss flat range search, radius-composed bound
       pairs.where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
     else pairs.where(col("dist") <= threshold) // inclusive: basic.py:168

@@ -53,11 +53,6 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   private def k: Int = 1 << nbits
   private val maxTrainRows = 20000
 
-  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
-    if (metric == Metric.Cosine)
-      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
-    else df.withColumn(c, col(c).cast("array<double>"))
-
   private def residual(v: Array[Double], c: Array[Double]): Array[Double] = {
     val out = new Array[Double](v.length)
     var i = 0

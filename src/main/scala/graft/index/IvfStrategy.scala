@@ -45,11 +45,6 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
     centroids = c
 
-  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
-    if (metric == Metric.Cosine)
-      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
-    else df.withColumn(c, col(c).cast("array<double>"))
-
   private def nearestCentroidsUdf(cents: Array[Array[Double]], n: Int) =
     udf { (v: Seq[Double]) =>
       val arr = v.toArray

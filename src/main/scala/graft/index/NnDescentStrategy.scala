@@ -65,11 +65,6 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
 
   private[graft] def graphFrame: DataFrame = graph
 
-  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
-    if (metric == Metric.Cosine)
-      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
-    else df.withColumn(c, col(c).cast("array<double>"))
-
   /** pre-normalized cosine scores as inner product (faiss.py:49-52 trick,
     * same kernel the exact/IVF strategies use) */
   private def distCol = metric match {
@@ -151,7 +146,11 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       g = TopK.topKPerGroup(merged, Seq("src"), "dst", "dist", kEff)
         .select("src", "dst", "dist").localCheckpoint()
     }
-    g
+    // the (eager) localCheckpoint materialized g, so the init scaffolding
+    // can release its executor storage; iters = 0 must checkpoint first
+    val out = if (iters <= 0) g.localCheckpoint() else g
+    pos.unpersist()
+    out
   }
 
   /** the SAME rounds over collected arrays — the small-store build (one
@@ -270,13 +269,16 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val n = vecs.count()
     nStored = n
     val kEff = math.min(nNeighbors.toLong, math.max(n - 1, 0L)).toInt
-    if (kEff <= 0) { graph = emptyGraph(spark); return }
+    if (kEff <= 0) { graph = emptyGraph(spark); vecs.unpersist(); return }
     val dim = vecs.select(size(col("vector"))).head.getInt(0)
     val g =
       if (n * dim <= smallBuildElems) buildGraphDriver(vecs, n, kEff)
       else buildGraphDistributed(vecs, n, kEff)
     graph = g.cache()
     graph.count()
+    // the graph is materialized; drop the build-time second copy of the
+    // store (the registry's prepared frame stays the serving copy)
+    vecs.unpersist()
   }
 
   def prepare(store: DataFrame): DataFrame = {
@@ -293,12 +295,16 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       .select(col("query_id"), col("qvector").as("_dv"))
     val vecs = prepared.select(col("id"), col("vector"))
     val n = if (nStored >= 0) nStored else prepared.count()
-    // deterministic entry points: ~nSeeds hash-picked rows
+    // deterministic entry points: EXACTLY min(nSeeds, n) hash-ranked rows
+    // (a modulo filter would make the seed count binomially distributed
+    // around nSeeds, breaking scanVolume's guaranteed bound — advice r4);
+    // orderBy+limit plans as TakeOrdered, an O(n) scan, not a full sort
     val sd = seed
     val mixUdf = udf((a: Long, b: Long) => NnDescentStrategy.mix(a, b, sd))
-    val seedEvery = math.max(1L, n / math.max(nSeeds, 1))
-    val seeds = vecs.where(
-      pmod(mixUdf(col("id"), lit(0L)), lit(seedEvery)) === 0)
+    val seeds = vecs
+      .withColumn("_h", mixUdf(col("id"), lit(0L)))
+      .orderBy(col("_h"), col("id")).limit(nSeeds)
+      .drop("_h")
     def score(cands: DataFrame): DataFrame = cands
       .join(vecs.select(col("id"), col("vector").as("_sv")), Seq("id"))
       .join(broadcast(q), Seq("query_id"))

@@ -37,11 +37,6 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   private def k: Int = 1 << nbits
   private val maxTrainRows = 20000
 
-  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
-    if (metric == Metric.Cosine)
-      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
-    else df.withColumn(c, col(c).cast("array<double>"))
-
   def prepare(store: DataFrame): DataFrame = {
     val normed = maybeNormalize(store, "vector")
     if (codebooks == null) {

@@ -50,11 +50,6 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     }
   }
 
-  private def maybeNormalize(df: DataFrame, c: String): DataFrame =
-    if (metric == Metric.Cosine)
-      df.withColumn(c, VectorFunctions.l2_normalize(col(c).cast("array<double>")))
-    else df.withColumn(c, col(c).cast("array<double>"))
-
   def prepare(store: DataFrame): DataFrame = {
     val normed = maybeNormalize(store, "vector")
     // train-once semantics (≙ FAISS SQ train + add): ranges are learned on

@@ -258,6 +258,19 @@ class VicinitySpec extends SparkSpec {
     }
   }
 
+  test("usearch ip ranks on RAW signed distances; clip applies only on output") {
+    // dots > 1 make 1 - dot negative: clipping BEFORE selection would
+    // collapse all three to dist 0 and pick by id tie-break — the backend
+    // must rank raw (usearch.py:115-121) and the facade clips the final
+    // output (vicinity.py:135)
+    val vs = Seq(Seq(2.0, 0.0), Seq(3.0, 0.0), Seq(1.5, 0.0))
+    val v = Vicinity.fromVectorsAndItems(spark, Seq("a", "b", "c"), vs,
+      Backend.Usearch, Some(BackendArgs.UsearchArgs(Metric.InnerProduct)))
+    val res = v.queryOne(Seq(1.0, 0.0), 3)
+    assert(res.map(_._1) === Seq("b", "a", "c"), res.toString)
+    assert(res.forall(_._2 >= 0.0), s"output not clipped: $res")
+  }
+
   test("evaluate: euclidean recall alongside cosine (vicinity.py:341, 350-360)") {
     // the reference's evaluate supports exactly cosine and euclidean;
     // euclidean ground truth comes from the same exact strategy on the
