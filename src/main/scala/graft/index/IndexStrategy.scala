@@ -88,6 +88,14 @@ trait IndexStrategy extends Serializable {
 }
 
 object IndexStrategy {
+  /** Empty (query_id, id, dist) result with the right schema — the ANN
+    * threshold paths' `max_k <= 0` answer: the reference caps candidates at
+    * `k = min(max_k, n)` before masking (`usearch.py:117,134`), so zero
+    * candidates means zero results, not top-1. */
+  private[index] def emptyThreshold(queries: DataFrame): DataFrame =
+    queries.select(col("query_id"), lit(0L).as("id"), lit(0.0).as("dist"))
+      .where(lit(false))
+
   /** Net range-search bound of the FAISS range-search indexes
     * (flat/ivf/scalar/ivf_scalar). The reference reuses the caller's
     * `threshold` as the `range_search` RADIUS (`faiss.py:174-175`); for
@@ -171,10 +179,12 @@ case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false,
 
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
-    if (annThreshold) // top-max_k, RAW strict < mask, clip (usearch.py:131-139)
+    if (annThreshold) { // top-max_k, RAW strict < mask, clip (usearch.py:131-139)
+      if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
       return clipOut(TopK.topKPerGroup(rawPairs(prepared, queries),
-          Seq("query_id"), "id", "dist", math.max(maxK, 1))
+          Seq("query_id"), "id", "dist", maxK)
         .where(col("dist") < threshold).drop("rank"))
+    }
     val pairs = rawPairs(prepared, queries)
     if (strictThreshold) // faiss flat range search, radius-composed bound
       pairs.where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))

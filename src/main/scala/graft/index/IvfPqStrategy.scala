@@ -42,9 +42,15 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   private val ivf = IvfStrategy(metric, nlist, nprobe, seed)
 
   /** see `IvfStrategy.adoptCentroids` — skips the inner IVF's retrain when
-    * an identically-configured codebook already exists */
-  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
+    * an identically-configured codebook already exists. Must happen BEFORE
+    * prepare: the residual codebooks are trained against cell centroids,
+    * so swapping centroids under trained codes would silently corrupt ADC
+    * scoring. */
+  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit = {
+    require(codebooks == null,
+      "adoptCentroids must be called before prepare trains residual codebooks")
     ivf.adoptCentroids(c)
+  }
 
   /** residual codebooks(s)(c); trained once on an id-ordered sample */
   @transient private var codebooks: Array[Array[Array[Double]]] = _
@@ -227,7 +233,8 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
 
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
-    val capped = query(prepared, queries, math.max(maxK, 1))
+    if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
+    val capped = query(prepared, queries, maxK)
     capped.where(col("dist") < threshold).drop("rank")
   }
 

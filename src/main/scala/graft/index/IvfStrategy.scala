@@ -42,8 +42,12 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * is deterministic, so the adopted centroids equal what this instance
     * would have trained, bitwise — adoption changes cost, never results
     * (spec-asserted). */
-  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
+  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit = {
+    require(c != null && c.nonEmpty && c.length <= nlist,
+      s"adopted codebook must have 1..$nlist centroids, got " +
+        s"${if (c == null) "null" else c.length.toString}")
     centroids = c
+  }
 
   private def nearestCentroidsUdf(cents: Array[Array[Double]], n: Int) =
     udf { (v: Seq[Double]) =>

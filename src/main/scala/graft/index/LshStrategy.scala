@@ -149,8 +149,9 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
 
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
+    if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
     val capped = TopK.topKPerGroup(candidates(prepared, queries),
-      Seq("query_id"), "id", "dist", math.max(maxK, 1))
+      Seq("query_id"), "id", "dist", maxK)
     capped.where(col("dist") < threshold).drop("rank") // strict <: hnsw.py:111
   }
 }

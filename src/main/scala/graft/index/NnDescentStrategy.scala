@@ -294,7 +294,6 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val q = maybeNormalize(queries, "qvector")
       .select(col("query_id"), col("qvector").as("_dv"))
     val vecs = prepared.select(col("id"), col("vector"))
-    val n = if (nStored >= 0) nStored else prepared.count()
     // deterministic entry points: EXACTLY min(nSeeds, n) hash-ranked rows
     // (a modulo filter would make the seed count binomially distributed
     // around nSeeds, breaking scanVolume's guaranteed bound — advice r4);
@@ -329,7 +328,8 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     * (pynndescent.py:85-93) */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame =
-    query(prepared, queries, math.max(maxK, 1))
+    if (maxK <= 0) IndexStrategy.emptyThreshold(queries)
+    else query(prepared, queries, maxK)
       .where(col("dist") < threshold).drop("rank")
 
   /** UPPER BOUND on candidates the walk scores per query (seeds + every

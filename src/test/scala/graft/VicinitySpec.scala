@@ -241,7 +241,8 @@ class VicinitySpec extends SparkSpec {
       Vicinity.fromVectorsAndItems(spark, items.take(10), vectors.take(10),
         Backend.Usearch, Some(BackendArgs.UsearchArgs(Metric.Euclidean)))
     }
-    for (m <- Seq(Metric.InnerProduct, Metric.L2Squared, Metric.Tanimoto)) {
+    for (m <- Seq(Metric.InnerProduct, Metric.L2Squared, Metric.Hamming,
+        Metric.Tanimoto)) {
       val v = Vicinity.fromVectorsAndItems(spark, items.take(50),
         vectors.take(50), Backend.Usearch,
         Some(BackendArgs.UsearchArgs(m)))
