@@ -117,6 +117,35 @@ object QueriesVector {
       ORDER BY vec_id
     """))
 
+  /** The SAME self-join through the over-budget GRID kernel (round 4's
+    * driver-free exact path): a 64 KB broadcast budget forces the id-block
+    * grid shuffle even at sf0.01, so the driver's oracle gate checks the
+    * grid plan end-to-end, not just the spec suite. An id-slice keeps the
+    * pair space bounded; both kernels score with the same primitive
+    * kernel and (dist, id) tie-break, so the oracle is the exact
+    * self-join either way. */
+  val qKnnSelfjoinGrid = Q("q_knn_selfjoin_grid",
+    (s, dir) => Knn.selfJoin(store(s, dir).where(col("id") < 600), 1,
+        Metric.Cosine, broadcastBytes = 64L * 1024)
+      .select(col("query_id").as("vec_id"), col("id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"))
+      .orderBy("vec_id"),
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(a.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 600 AND b.vec_id < 600
+      ), ranked AS (
+        SELECT vec_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rn
+        FROM pairs)
+      SELECT vec_id, neighbor_id, round(d, 6) AS dist
+      FROM ranked WHERE rn = 1
+      ORDER BY vec_id
+    """))
+
   /** radius / threshold query (Q2), exact inclusive semantics */
   val qRadius = Q("q_radius",
     (s, dir) => Knn.queryThreshold(store(s, dir), queriesDf(s, dir, 5),
@@ -576,8 +605,9 @@ object QueriesVector {
     },
     None)
 
-  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinIvf, qKnnSelfjoinIvfExact,
-    qRadius, qPointLookup, qCount, qMetricsPairs, qNormalize, qInsertUnion,
-    qDeleteFirstocc, qEmbedNeardup, qLshKnn, qIvfKnn, qSq8Knn, qSq8RerankKnn,
-    qPqKnn, qIvfpqKnn, qNndescentKnn, qEvaluate)
+  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
+    qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
+    qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
+    qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
+    qEvaluate)
 }
