@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
@@ -273,7 +274,60 @@ object QueriesText {
       ORDER BY doc_id
     """))
 
+  /** The canonical curation funnel: documents flow through exact-dup →
+    * length → quality gates IN ORDER, each doc attributed to the FIRST
+    * gate that rejects it (so the per-stage counts are the funnel's drop
+    * report, the number every dataset card publishes). First-occurrence
+    * dup semantics match `q_dedup_exact`; the quality score is the
+    * oracle-proven `q_doc_stats` formula, compared ROUNDED on both sides
+    * so threshold classification cannot flake on last-bit fp drift.
+    * Scale shape: one window over md5(text) (the exact-dup shuffle) plus
+    * row-local expressions — no joins, no collect. */
+  val qCurationFunnel = Q("q_curation_funnel",
+    (s, dir) => {
+      val w = Window.partitionBy(md5(col("text").cast("binary")))
+        .orderBy("doc_id")
+      t(s, dir, "documents")
+        .withColumn("_dup", row_number().over(w) > 1)
+        .withColumn("_quality", round(TF.qualityScore(col("text")), 6))
+        .withColumn("stage",
+          when(col("_dup"), "1_exact_dup")
+            .when(TF.wordCount(col("text")) < 20, "2_too_short")
+            .when(col("_quality") < 0.35, "3_low_quality")
+            .otherwise("4_kept"))
+        .groupBy("stage").agg(count(lit(1)).as("n_docs"),
+          round(min("_quality"), 6).as("min_quality"),
+          round(max("_quality"), 6).as("max_quality"))
+        .orderBy("stage")
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1
+                 AS dup,
+               len(string_split(text, ' ')) AS n_words,
+               round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0) +
+                     0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                            * 1.0 / greatest(length(text), 1)) +
+                     0.3 * (len(list_filter(string_split(text, ' '),
+                            w -> list_contains($stopwordsSql, w))) * 1.0 /
+                            greatest(len(string_split(text, ' ')), 1)), 6)
+                 AS quality
+        FROM documents),
+      staged AS (
+        SELECT CASE WHEN dup THEN '1_exact_dup'
+                    WHEN n_words < 20 THEN '2_too_short'
+                    WHEN quality < 0.35 THEN '3_low_quality'
+                    ELSE '4_kept' END AS stage,
+               quality
+        FROM scored)
+      SELECT stage, count(*) AS n_docs,
+             round(min(quality), 6) AS min_quality,
+             round(max(quality), 6) AS max_quality
+      FROM staged GROUP BY stage ORDER BY stage
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
     qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
-    qTokenCount)
+    qTokenCount, qCurationFunnel)
 }

@@ -121,6 +121,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.where(abs(col("mean_v")) > 1.0).isEmpty)
   }
 
+  test("q_curation_funnel: stages partition the corpus, first-gate attribution") {
+    val out = Queries.queryMap("q_curation_funnel")(spark, dir)
+    val total = out.agg(sum("n_docs")).head.getLong(0)
+    assert(total === sf("documents").count(),
+      "every document must land in exactly one funnel stage")
+    val stages = out.select("stage").collect().map(_.getString(0)).toSet
+    assert(stages.subsetOf(
+      Set("1_exact_dup", "2_too_short", "3_low_quality", "4_kept")))
+    assert(stages.contains("4_kept"), "a sane corpus keeps something")
+  }
+
   test("q_evaluate reports a recall in [0,1] for all five ANN strategies") {
     val out = Queries.queryMap("q_evaluate")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
