@@ -467,6 +467,18 @@ object Vicinity {
     // prefer the raw side store (exact round-trip of ingested vectors);
     // fall back to the index frame (normalized for cosine — same content
     // the reference's basic backend persists, basic.py:144-147)
+    // A saved index can predate the build-time per-backend metric gates
+    // (e.g. usearch+euclidean or basic+manhattan, which earlier versions
+    // served). Name the incompatibility explicitly instead of surfacing the
+    // build-path error for an index that already exists on disk.
+    if (!backendMetrics(backend).contains(metric))
+      throw new IllegalArgumentException(
+        s"Index at '$dir' was saved with backend '${backend.name}' and " +
+          s"metric '${metric.name}' — a combination this version rejects " +
+          s"at build time (reference parity: the ${backend.name} backend " +
+          s"supports ${backendMetrics(backend).map(_.name).toSeq.sorted
+            .mkString("{", ", ", "}")}). Rebuild the index with a " +
+          "supported metric to migrate it.")
     val strategy = strategyFor(backend, args)
     strategy.loadAux(dir) // restore codebooks etc. — load NEVER retrains
     // the persisted index frame IS the prepared frame: use it as-is rather

@@ -185,10 +185,14 @@ case class ExactStrategy(metric: Metric, strictThreshold: Boolean = false,
           Seq("query_id"), "id", "dist", maxK)
         .where(col("dist") < threshold).drop("rank"))
     }
+    // mask on RAW (signed for InnerProduct), clip the final output only —
+    // same facade semantics as query() (vicinity.py:135, :162)
     val pairs = rawPairs(prepared, queries)
     if (strictThreshold) // faiss flat range search, radius-composed bound
-      pairs.where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
-    else pairs.where(col("dist") <= threshold) // inclusive: basic.py:168
+      clipOut(pairs
+        .where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold)))
+    else // inclusive: basic.py:168
+      clipOut(pairs.where(col("dist") <= threshold))
   }
 
   /** normalization is per-row: prepare the increment only */

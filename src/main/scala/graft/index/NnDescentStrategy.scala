@@ -109,10 +109,22 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val sd = seed
     val mixUdf = udf((a: Long, b: Long) => NnDescentStrategy.mix(a, b, sd))
     // dense 0..n-1 positions so hash-picked init candidates always land on
-    // a real row (ids need not be dense); build-time only
-    val pos = vecs.select(col("id"))
-      .withColumn("_pos", (row_number().over(Window.orderBy("id")) - 1)
-        .cast("long"))
+    // a real row (ids need not be dense); build-time only. Range-partitioned
+    // sortBy + zipWithIndex, NOT row_number over a global window — the
+    // windowed form funnels all n rows through one task, a single-task
+    // bottleneck on exactly the at-scale build path. Positions match the
+    // driver build's orderBy(id) indexing (ids are unique), so the two
+    // builds stay bit-identical.
+    val spark = vecs.sparkSession
+    val pos = spark.createDataFrame(
+      vecs.select(col("id")).rdd.map(_.getLong(0))
+        .sortBy(identity).zipWithIndex()
+        .map { case (id, p) => org.apache.spark.sql.Row(id, p) },
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("_pos",
+          org.apache.spark.sql.types.LongType, nullable = false))))
       .cache()
     val initPairs = pos
       .withColumn("_j", explode(sequence(lit(0L), lit(kEff + 3L))))
@@ -288,11 +300,44 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     normed
   }
 
+  /** score a (query_id, id) candidate frame against normalized queries
+    * `q = (query_id, _dv)` — the one scoring join both the walk and the
+    * HNSW layer descent use */
+  private[index] def scoreCandidates(vecs: DataFrame, q: DataFrame,
+      cands: DataFrame): DataFrame = cands
+    .join(vecs.select(col("id"), col("vector").as("_sv")), Seq("id"))
+    .join(broadcast(q), Seq("query_id"))
+    .select(col("query_id"), col("id"),
+      greatest(distCol, lit(0.0)).as("dist"))
+
+  /** normalized query frame in the walk's internal shape (query_id, _dv) */
+  private[index] def walkQueries(queries: DataFrame): DataFrame =
+    maybeNormalize(queries, "qvector")
+      .select(col("query_id"), col("qvector").as("_dv"))
+
+  /** the beam walk from caller-supplied per-query seed pairs — NN-descent
+    * queries seed with hash-picked global entry points; the HNSW strategy
+    * seeds with its layer descent's per-query arrivals */
+  private[index] def beamFrom(g: DataFrame, vecs: DataFrame, q: DataFrame,
+      seedPairs: DataFrame, beamW: Int, nHops: Int, k: Int): DataFrame = {
+    var beamDf = TopK.topKPerGroup(scoreCandidates(vecs, q, seedPairs),
+      Seq("query_id"), "id", "dist", beamW).select("query_id", "id", "dist")
+    for (_ <- 1 to nHops) {
+      val frontier = beamDf.select("query_id", "id")
+        .join(g.select(col("src").as("id"), col("dst")), Seq("id"))
+        .select(col("query_id"), col("dst").as("id")).distinct()
+      val merged = beamDf.unionByName(scoreCandidates(vecs, q, frontier))
+        .groupBy("query_id", "id").agg(min("dist").as("dist"))
+      beamDf = TopK.topKPerGroup(merged, Seq("query_id"), "id", "dist", beamW)
+        .select("query_id", "id", "dist")
+    }
+    TopK.topKPerGroup(beamDf, Seq("query_id"), "id", "dist", k)
+  }
+
   def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(graph != null, "NnDescentStrategy.prepare must run before query")
-    val q = maybeNormalize(queries, "qvector")
-      .select(col("query_id"), col("qvector").as("_dv"))
+    val q = walkQueries(queries)
     val vecs = prepared.select(col("id"), col("vector"))
     // deterministic entry points: EXACTLY min(nSeeds, n) hash-ranked rows
     // (a modulo filter would make the seed count binomially distributed
@@ -304,24 +349,8 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       .withColumn("_h", mixUdf(col("id"), lit(0L)))
       .orderBy(col("_h"), col("id")).limit(nSeeds)
       .drop("_h")
-    def score(cands: DataFrame): DataFrame = cands
-      .join(vecs.select(col("id"), col("vector").as("_sv")), Seq("id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("id"),
-        greatest(distCol, lit(0.0)).as("dist"))
     val seedPairs = seeds.select("id").crossJoin(q.select("query_id"))
-    var beamDf = TopK.topKPerGroup(score(seedPairs),
-      Seq("query_id"), "id", "dist", beam).select("query_id", "id", "dist")
-    for (_ <- 1 to hops) {
-      val frontier = beamDf.select("query_id", "id")
-        .join(graph.select(col("src").as("id"), col("dst")), Seq("id"))
-        .select(col("query_id"), col("dst").as("id")).distinct()
-      val merged = beamDf.unionByName(score(frontier))
-        .groupBy("query_id", "id").agg(min("dist").as("dist"))
-      beamDf = TopK.topKPerGroup(merged, Seq("query_id"), "id", "dist", beam)
-        .select("query_id", "id", "dist")
-    }
-    TopK.topKPerGroup(beamDf, Seq("query_id"), "id", "dist", k)
+    beamFrom(graph, vecs, q, seedPairs, beam, hops, k)
   }
 
   /** ANN threshold semantics: top-max_k then strict `<` mask

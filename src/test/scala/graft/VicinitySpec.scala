@@ -272,6 +272,52 @@ class VicinitySpec extends SparkSpec {
     assert(res.forall(_._2 >= 0.0), s"output not clipped: $res")
   }
 
+  test("ExactStrategy.queryThreshold clips output on the direct (non-ANN) branches") {
+    // dots > 1 make raw inner-product distances negative: the mask runs on
+    // the RAW signed value but the emitted dist is clipped like query()'s
+    // (vicinity.py:135 clips final output). Unreachable via the facade
+    // today (usearch routes ip through annThreshold=true) — direct-use
+    // regression for the latent branches.
+    import org.apache.spark.sql.functions.col
+    import graft.index.ExactStrategy
+    val store = spark.createDataFrame(Seq(
+      (0L, "a", Seq(2.0, 0.0)), (1L, "b", Seq(3.0, 0.0)),
+      (2L, "c", Seq(0.5, 0.0)))).toDF("id", "item", "vector")
+    val q = spark.createDataFrame(Seq((0L, Seq(1.0, 0.0))))
+      .toDF("query_id", "qvector")
+    for (strict <- Seq(false, true)) {
+      val s = ExactStrategy(Metric.InnerProduct, strictThreshold = strict)
+      val out = s.queryThreshold(s.prepare(store), q, threshold = 0.6,
+        maxK = 10)
+      // raw dists: a=-1, b=-2, c=0.5 — all pass the 0.6 bound
+      assert(out.count() === 3, s"strict=$strict mask must run on raw dists")
+      assert(out.where(col("dist") < 0.0).isEmpty,
+        s"strict=$strict emitted a negative distance")
+    }
+  }
+
+  test("load: legacy backend+metric combination fails with an explicit migration error") {
+    // an index saved before the per-backend metric gates (e.g. a
+    // usearch+euclidean dir) must fail to load with a message naming the
+    // incompatibility, not the build-path error
+    val v = Vicinity.fromVectorsAndItems(spark, items.take(20),
+      vectors.take(20), Backend.Usearch,
+      Some(BackendArgs.UsearchArgs(Metric.Cosine)))
+    val dir = "/tmp/graft_legacy_gate"
+    v.save(dir, overwrite = true)
+    val p = java.nio.file.Paths.get(dir, "arguments.json")
+    val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    java.nio.file.Files.write(p,
+      txt.replace("cosine", "euclidean").getBytes("UTF-8"))
+    // the rewrite bypasses Hadoop's local FS, so drop its checksum sidecar
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, ".arguments.json.crc"))
+    val e = intercept[IllegalArgumentException] { Vicinity.load(spark, dir) }
+    assert(e.getMessage.contains("usearch"), e.getMessage)
+    assert(e.getMessage.contains("euclidean"), e.getMessage)
+    assert(e.getMessage.contains("Rebuild"), e.getMessage)
+  }
+
   test("evaluate: euclidean recall alongside cosine (vicinity.py:341, 350-360)") {
     // the reference's evaluate supports exactly cosine and euclidean;
     // euclidean ground truth comes from the same exact strategy on the
