@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{IvfPqStrategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{HnswStrategy, IvfPqStrategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -427,6 +427,21 @@ object QueriesVector {
     },
     None)
 
+  /** ANN top-k via the hierarchical graph index (B2/B6/B7 — `HnswStrategy`:
+    * seeded geometric layers, NN-descent-built layer graphs, batched greedy
+    * descent + layer-0 beam walk). Approximate by design, so rows-only;
+    * recall bars and layer invariants are spec-asserted (`HnswSpec`). */
+  val qHnswKnn = Q("q_hnsw_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      strat.query(prepared, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
   /** Distributed ANN self-join via IVF cells — the similarity self-join
     * scale path (no broadcast of the store, no driver collect; see
     * `IvfStrategy.selfJoin`). Approximate by probe coverage, so rows-only;
@@ -609,5 +624,6 @@ object QueriesVector {
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
+    qHnswKnn,
     qEvaluate)
 }

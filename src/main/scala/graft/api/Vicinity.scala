@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{ExactStrategy, IndexStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{ExactStrategy, HnswStrategy, IndexStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -354,7 +354,8 @@ object Vicinity {
           // IVF cells over SQ codes, the reference's IndexIVFScalarQuantizer
           // composition (faiss.py:105-110)
           case "ivf_scalar" => IvfSq8Strategy(fa.metric, fa.nlist, nprobe)
-          case "lsh" | "hnsw" => LshStrategy(fa.metric)
+          case "lsh" => LshStrategy(fa.metric)
+          case "hnsw" => HnswStrategy(fa.metric) // IndexHNSWFlat, faiss.py:102
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")
         }
@@ -364,23 +365,38 @@ object Vicinity {
       case Backend.Pynndescent =>
         val pa = args.asInstanceOf[BackendArgs.PynndescentArgs]
         NnDescentStrategy(pa.metric, nNeighbors = pa.nNeighbors)
-      // USEARCH's metric family is {cos, ip, l2sq, hamming, tanimoto} —
-      // NOT euclidean (usearch.py:28): cosine rides the LSH strategy, the
-      // exotic metrics (which have no hyperplane-LSH family) ride the exact
-      // kernel with the backend's ANN threshold shape (top-max_k + strict
-      // <, usearch.py:131-139); euclidean is rejected like the reference
-      // rejects it
+      // USEARCH is HNSW-based (usearch.py:25): cosine rides the genuine
+      // hierarchical graph with its (connectivity, expansion_add,
+      // expansion_search) knobs mapped onto (m, efConstruction, efSearch);
+      // the exotic metrics {ip, l2sq, hamming, tanimoto} (which have no
+      // graph-descent distance bound NOR a hyperplane-LSH family here) ride
+      // the exact kernel with the backend's ANN threshold shape (top-max_k
+      // + strict <, usearch.py:131-139); euclidean is rejected like the
+      // reference rejects it
       case Backend.Usearch =>
+        val ua = args.asInstanceOf[BackendArgs.UsearchArgs]
         args.metric match {
-          case Metric.Cosine => LshStrategy(Metric.Cosine)
+          case Metric.Cosine => HnswStrategy(Metric.Cosine,
+            m = ua.connectivity, efConstruction = ua.expansionAdd,
+            efSearch = ua.expansionSearch)
           case _ => // gate above admits only the usearch metric family
             ExactStrategy(args.metric, annThreshold = true)
         }
-      // remaining HNSW-family backends: ANN semantics served by the LSH
-      // strategy (capability-equivalence stance, SURVEY.md §7.5; the
-      // graph-index recall/QPS behavior is covered by NnDescentStrategy)
-      case Backend.Hnsw | Backend.Annoy | Backend.Voyager =>
-        LshStrategy(args.metric)
+      // HNSW and VOYAGER (Spotify's hnswlib fork) are the genuine
+      // hierarchical-graph backends: layered NN-descent-built graphs with
+      // batched greedy descent + beam walk (HnswStrategy) — the graph
+      // family's recall/QPS behavior served natively, not LSH-equivalenced
+      case Backend.Hnsw =>
+        val ha = args.asInstanceOf[BackendArgs.HnswArgs]
+        HnswStrategy(args.metric, m = ha.m,
+          efConstruction = ha.efConstruction)
+      case Backend.Voyager =>
+        val va = args.asInstanceOf[BackendArgs.VoyagerArgs]
+        HnswStrategy(args.metric, m = va.m,
+          efConstruction = va.efConstruction)
+      // ANNOY is a random-projection forest (annoy.py:25-134) — the
+      // sign-LSH strategy IS the faithful Spark mapping of that family
+      case Backend.Annoy => LshStrategy(args.metric)
     }
   }
 

@@ -383,6 +383,13 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     graft.core.FsIO.write(s"$dir/nn_meta.json", mapper.writeValueAsString(root))
   }
 
+  /** adopt an externally restored graph (the HNSW strategy's load path
+    * hands layer 0 back) so the next prepare serves instead of rebuilding */
+  private[index] def adoptGraph(g: DataFrame, n: Long): Unit = {
+    graph = g
+    nStored = n
+  }
+
   override def loadAux(dir: String): Unit = {
     if (graft.core.FsIO.exists(s"$dir/nn_meta.json")) {
       val spark = org.apache.spark.sql.SparkSession.active
