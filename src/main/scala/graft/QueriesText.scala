@@ -327,7 +327,138 @@ object QueriesText {
       FROM staged GROUP BY stage ORDER BY stage
     """))
 
+  /** Gopher-style rule gate (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", §A1.1): word-count
+    * bounds, mean-word-length bounds, duplicate-2-gram bound, minimum
+    * distinct-stopword presence — each document tagged with the FIRST rule
+    * that rejects it (the dataset-card drop-report shape, like
+    * `q_curation_funnel`). Gate comparisons run on the ROUNDED signals on
+    * both sides so threshold classification cannot flake on last-bit fp
+    * drift. Scale shape: pure row-local expressions after one split — no
+    * joins, no shuffle beyond the scan. */
+  val qGopherRules = Q("q_gopher_rules",
+    (s, dir) => {
+      val sw = array(TF.stopwords.map(lit): _*)
+      t(s, dir, "documents")
+        .withColumn("_w", TF.words(col("text")))
+        .withColumn("_nw", size(col("_w")))
+        .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
+        .withColumn("_mwl", round(
+          (length(col("text")) - (col("_nw") - 1)) / col("_nw"), 6))
+        .withColumn("_dup2", round(
+          when(size(col("_g")) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("_g"))) / size(col("_g"))), 6))
+        .withColumn("_nstop",
+          size(array_intersect(array_distinct(col("_w")), sw)))
+        .select(col("doc_id"), col("_nw").cast("long").as("n_words"),
+          col("_mwl").as("mean_word_len"), col("_dup2").as("dup_2gram_frac"),
+          col("_nstop").cast("long").as("n_stop_distinct"),
+          when(col("_nw") < 50 || col("_nw") > 100000, "1_word_count")
+            .when(col("_mwl") < 3 || col("_mwl") > 10, "2_word_length")
+            .when(col("_dup2") > 0.2, "3_repetitive")
+            .when(col("_nstop") < 2, "4_no_stopwords")
+            .otherwise("5_pass").as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH sig AS (
+        SELECT doc_id, len(w) AS n_words,
+               round((nc - (len(w) - 1)) * 1.0 / len(w), 6) AS mwl,
+               round(CASE WHEN len(w) < 2 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(list_transform(
+                        range(1, greatest(len(w) - 1, 0) + 1),
+                        i -> w[i] || ' ' || w[i + 1]))) * 1.0 / (len(w) - 1)
+                 END, 6) AS dup2,
+               len(list_filter(list_distinct(w),
+                 x -> list_contains($stopwordsSql, x))) AS nstop
+        FROM (SELECT doc_id, string_split(text, ' ') AS w,
+                     length(text) AS nc
+              FROM documents))
+      SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             mwl AS mean_word_len, dup2 AS dup_2gram_frac,
+             CAST(nstop AS BIGINT) AS n_stop_distinct,
+             CASE WHEN n_words < 50 OR n_words > 100000 THEN '1_word_count'
+                  WHEN mwl < 3 OR mwl > 10 THEN '2_word_length'
+                  WHEN dup2 > 0.2 THEN '3_repetitive'
+                  WHEN nstop < 2 THEN '4_no_stopwords'
+                  ELSE '5_pass' END AS verdict
+      FROM sig ORDER BY doc_id
+    """))
+
+  /** unigram-LM negative log likelihood per document (the CCNet/Wenzek
+    * et al. 2020 move, with the corpus's own unigram counts standing in
+    * for the external LM this offline env cannot ship): p(w) =
+    * corpus_count(w)/total_tokens, score = avg over tokens of -ln p(w).
+    * Low = stereotypical text, high = rare-word-heavy — the standard
+    * quality/outlier signal. Scale shape: one explode -> hash-agg for
+    * counts (vocabulary-sized result), tokens re-scored through a
+    * BROADCAST join of the tiny vocab table, one final per-doc agg —
+    * the corpus is never joined against itself. */
+  val qUnigramPpl = Q("q_unigram_ppl",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("_c"))
+      val tot = counts.agg(sum("_c").as("_t"))
+      toks.join(broadcast(counts), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(avg(-log(col("_c") / col("_t"))), 6).as("nll"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      counts AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c) AS t FROM counts)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(c * 1.0 / t)), 6) AS nll
+      FROM toks JOIN counts USING (w) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id
+    """))
+
+  /** domain mixture reweighting: per-source token shares vs a uniform
+    * target mixture — emits each source's natural share, the downsampling
+    * rate that hits the target without upsampling (min(1, target/natural)),
+    * and the effective epoch count (target/natural, >1 = the source must
+    * repeat) — the data-mixing arithmetic every multi-source training run
+    * publishes. Scale shape: one hash-agg to a sources-sized table, then
+    * a broadcast of one total row. */
+  val qDomainMix = Q("q_domain_mix",
+    (s, dir) => {
+      val per = t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TF.wordCount(col("text"))).cast("long").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("_t"),
+        count(lit(1)).as("_k"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens") / col("_t"), 6).as("natural_share"),
+          round(least(lit(1.0),
+            (lit(1.0) / col("_k")) / (col("n_tokens") / col("_t"))), 6)
+            .as("sample_rate"),
+          round((lit(1.0) / col("_k")) / (col("n_tokens") / col("_t")), 6)
+            .as("effective_epochs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t, count(*) AS k
+              FROM per)
+      SELECT source, n_docs, n_tokens,
+             round(n_tokens * 1.0 / t, 6) AS natural_share,
+             round(least(1.0, (1.0 / k) / (n_tokens * 1.0 / t)), 6)
+               AS sample_rate,
+             round((1.0 / k) / (n_tokens * 1.0 / t), 6) AS effective_epochs
+      FROM per CROSS JOIN tot ORDER BY source
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
     qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
-    qTokenCount, qCurationFunnel)
+    qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix)
 }
