@@ -153,9 +153,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     val vecs = prepared.select(col("id"), col("vector"))
     // 1. entry layer: score the (few) top-layer nodes against every query
     val entryPairs = entryIds.crossJoin(q.select("query_id"))
+    // the descent references each round's arrivals twice (frontier + merge);
+    // eager localCheckpoints keep the plan linear in the layer count — same
+    // rationale as beamFrom's per-hop pin (the arrivals are ≤ descentWidth
+    // rows per query)
     var ep = TopK.topKPerGroup(kn.scoreCandidates(vecs, q, entryPairs),
       Seq("query_id"), "id", "dist", descentWidth)
-      .select("query_id", "id", "dist")
+      .select("query_id", "id", "dist").localCheckpoint()
     // 2. greedy descent, one expansion round per upper layer (L..1)
     for (l <- (layers.length - 1) to 1 by -1) {
       val adj = layers(l).select(col("src").as("id"), col("dst"))
@@ -164,7 +168,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       val merged = ep.unionByName(kn.scoreCandidates(vecs, q, frontier))
         .groupBy("query_id", "id").agg(min("dist").as("dist"))
       ep = TopK.topKPerGroup(merged, Seq("query_id"), "id", "dist",
-        descentWidth).select("query_id", "id", "dist")
+        descentWidth).select("query_id", "id", "dist").localCheckpoint()
     }
     // 3. layer-0 beam walk seeded by the descent's arrivals
     kn.beamFrom(layers(0), vecs, q, ep.select("query_id", "id"),

@@ -205,9 +205,12 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     }
     var adjIds = new Array[Array[Long]](nn)
     var adjDists = new Array[Array[Double]](nn)
-    val initBuf = new Array[Long](kEff + 4)
-    var p = 0
-    while (p < nn) {
+    // the per-node init/selection loops are independent (reads are global,
+    // writes are per-index) and every decision is seeded — parallel
+    // execution is deterministic, and the scoring loops are where all the
+    // build time goes
+    java.util.stream.IntStream.range(0, nn).parallel().forEach { p =>
+      val initBuf = new Array[Long](kEff + 4)
       var len = 0
       var j = 0L
       while (j <= kEff + 3L) {
@@ -218,12 +221,13 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       }
       val (ai, ad) = select(p, initBuf, len)
       adjIds(p) = ai; adjDists(p) = ad
-      p += 1
     }
     for (_ <- 1 to iters) {
-      // undirected adjacency, then the same hash-ranked ρ-sampling
+      // undirected adjacency, then the same hash-ranked ρ-sampling —
+      // cross-node writes, so these stay sequential (cheap list shuffling;
+      // the scoring below is where the time goes)
       val undLen = new Array[Int](nn)
-      p = 0
+      var p = 0
       while (p < nn) {
         undLen(p) += adjIds(p).length
         adjIds(p).foreach(dst => undLen(posOf(dst)) += 1)
@@ -249,9 +253,10 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       }
       val newIds = new Array[Array[Long]](nn)
       val newDists = new Array[Array[Double]](nn)
-      val buf = new Array[Long](kEff + sampleDeg * sampleDeg)
-      p = 0
-      while (p < nn) {
+      // per-node candidate scoring: independent writes, deterministic —
+      // parallel like the init loop (per-node buffer, ~2 KB)
+      java.util.stream.IntStream.range(0, nn).parallel().forEach { p =>
+        val buf = new Array[Long](kEff + sampleDeg * sampleDeg)
         var len = 0
         adjIds(p).foreach { dst => buf(len) = dst; len += 1 }
         sampled(p).foreach { b =>
@@ -261,7 +266,6 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         }
         val (ai, ad) = select(p, buf, len)
         newIds(p) = ai; newDists(p) = ad
-        p += 1
       }
       adjIds = newIds; adjDists = newDists
     }
@@ -320,8 +324,14 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     * seeds with its layer descent's per-query arrivals */
   private[index] def beamFrom(g: DataFrame, vecs: DataFrame, q: DataFrame,
       seedPairs: DataFrame, beamW: Int, nHops: Int, k: Int): DataFrame = {
+    // each hop references the previous beam TWICE (frontier expansion +
+    // merge), so an unbroken lineage doubles the plan per hop — 2^hops
+    // copies of the seed subtree by the end (133 exchanges in the audited
+    // HNSW plan). The beam is tiny (≤ beamW rows/query); an eager
+    // localCheckpoint per hop pins it and keeps the plan linear.
     var beamDf = TopK.topKPerGroup(scoreCandidates(vecs, q, seedPairs),
       Seq("query_id"), "id", "dist", beamW).select("query_id", "id", "dist")
+      .localCheckpoint()
     for (_ <- 1 to nHops) {
       val frontier = beamDf.select("query_id", "id")
         .join(g.select(col("src").as("id"), col("dst")), Seq("id"))
@@ -329,7 +339,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       val merged = beamDf.unionByName(scoreCandidates(vecs, q, frontier))
         .groupBy("query_id", "id").agg(min("dist").as("dist"))
       beamDf = TopK.topKPerGroup(merged, Seq("query_id"), "id", "dist", beamW)
-        .select("query_id", "id", "dist")
+        .select("query_id", "id", "dist").localCheckpoint()
     }
     TopK.topKPerGroup(beamDf, Seq("query_id"), "id", "dist", k)
   }
