@@ -106,33 +106,97 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
   }
 
   def prepare(store: DataFrame): DataFrame = {
+    if (layers != null) { // loadAux restored the hierarchy: serve, no build
+      val normed = maybeNormalize(store, "vector")
+      if (kernel == null) kernel = mkKernel(deg0, seed)
+      if (nStored < 0) nStored = normed.count()
+      return normed
+    }
+    val normed = maybeNormalize(store, "vector")
+    val vecs = normed.select(col("id"), col("vector")).cache()
+    val n = vecs.count()
+    val dim = if (n == 0) 0L
+      else vecs.select(size(col("vector"))).head.getInt(0).toLong
+    if (n > 1 && n * dim <= smallBuildElems) {
+      prepareDriver(vecs, n)
+      vecs.unpersist()
+      normed
+    } else {
+      vecs.unpersist()
+      prepareDistributed(store)
+    }
+  }
+
+  /** small-store build: ONE collect, every layer's adjacency computed from
+    * array subsets on the driver ([[NnDescentStrategy.driverAdjacency]]) —
+    * the per-layer cache/count/dim/collect job chains of the generic path
+    * were the whole build cost at bench scale (~5 s of a 6.6 s build for
+    * n = 5000). Levels are driver-computed from the same seeded draw, and
+    * each layer's adjacency is bit-identical to what the generic path's
+    * per-layer kernels build (same ids, same kEff, same seed + l). */
+  private def prepareDriver(vecs: DataFrame, n: Long): Unit = {
+    val spark = vecs.sparkSession
+    val rows = vecs.orderBy("id").collect()
+    val ids = rows.map(_.getLong(0)) // ascending, matches kernel indexing
+    val vs = rows.map(_.getSeq[Double](1).toArray)
+    nStored = n
+    val k0 = mkKernel(deg0, seed)
+    val kEff0 = math.min(deg0.toLong, n - 1).toInt
+    val (ai0, ad0) = k0.driverAdjacency(ids, vs, kEff0)
+    val g0 = NnDescentStrategy.edgesFrame(spark, ids, ai0, ad0).cache()
+    k0.adoptGraph(g0, n)
+    kernel = k0
+    val cap = (math.log(n.toDouble) / math.log(m.toDouble)).toInt
+    val built = IndexedSeq.newBuilder[DataFrame]
+    built += g0
+    var l = 1
+    var open = true
+    while (l <= cap && open) {
+      // nodes that drew level >= l; capped geometric sizes n/m^l
+      val keep = ids.indices.filter(i => levelOf(ids(i)) >= l)
+      if (keep.length < 2) open = false
+      else {
+        val subIds = keep.map(ids).toArray
+        val subVs = keep.map(vs).toArray
+        val kl = mkKernel(m, seed + l)
+        val kEff = math.min(m, subIds.length - 1)
+        val (ai, ad) = kl.driverAdjacency(subIds, subVs, kEff)
+        built += NnDescentStrategy.edgesFrame(spark, subIds, ai, ad).cache()
+        l += 1
+      }
+    }
+    layers = built.result()
+  }
+
+  /** the generic build: layer 0 through the kernel's own prepare (which
+    * routes driver/distributed by its threshold), upper layers as store
+    * subsets through per-layer kernels — the at-scale path */
+  private def prepareDistributed(store: DataFrame): DataFrame = {
     val k0 = mkKernel(deg0, seed)
     val normed = k0.prepare(store) // normalizes + builds the layer-0 graph
     kernel = k0
-    if (layers == null) { // loadAux may have restored the hierarchy
-      val n = normed.count()
-      nStored = n
-      val cap = if (n < 2) 0
-        else (math.log(n.toDouble) / math.log(m.toDouble)).toInt
-      val sd = this
-      val levelUdf = udf((id: Long) => sd.levelOf(id))
-      val built = IndexedSeq.newBuilder[DataFrame]
-      built += k0.graphFrame
-      var l = 1
-      var open = true
-      while (l <= cap && open) {
-        // nodes that drew level >= l; capped geometric sizes n/m^l
-        val subset = store.where(levelUdf(col("id")) >= l)
-        if (subset.limit(2).count() < 2) open = false
-        else {
-          val kl = mkKernel(m, seed + l)
-          kl.prepare(subset) // builds this layer's m-NN graph
-          built += kl.graphFrame
-          l += 1
-        }
+    val n = normed.count()
+    nStored = n
+    val cap = if (n < 2) 0
+      else (math.log(n.toDouble) / math.log(m.toDouble)).toInt
+    val sd = this
+    val levelUdf = udf((id: Long) => sd.levelOf(id))
+    val built = IndexedSeq.newBuilder[DataFrame]
+    built += k0.graphFrame
+    var l = 1
+    var open = true
+    while (l <= cap && open) {
+      // nodes that drew level >= l; capped geometric sizes n/m^l
+      val subset = store.where(levelUdf(col("id")) >= l)
+      if (subset.limit(2).count() < 2) open = false
+      else {
+        val kl = mkKernel(m, seed + l)
+        kl.prepare(subset) // builds this layer's m-NN graph
+        built += kl.graphFrame
+        l += 1
       }
-      layers = built.result()
-    } else if (nStored < 0) nStored = normed.count()
+    }
+    layers = built.result()
     normed
   }
 

@@ -178,6 +178,21 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val rows = vecs.orderBy("id").collect()
     val ids = rows.map(_.getLong(0)) // ascending (orderBy id)
     val vs = rows.map(_.getSeq[Double](1).toArray)
+    val (adjIds, adjDists) = driverAdjacency(ids, vs, kEff)
+    NnDescentStrategy.edgesFrame(spark, ids, adjIds, adjDists)
+  }
+
+  /** the driver rounds over caller-supplied (sorted-by-id) arrays — the
+    * array-level core of [[buildGraphDriver]], exposed so the HNSW strategy
+    * can collect its store ONCE and build every layer's graph from array
+    * subsets instead of paying a per-layer chain of cache/count/collect
+    * jobs. Decisions and distances are identical to the DataFrame build
+    * (same mixer, same kernels), so adjacency is bit-identical for the
+    * same (ids, kEff, seed). */
+  private[index] def driverAdjacency(ids: Array[Long],
+      vs: Array[Array[Double]], kEff: Int):
+      (Array[Array[Long]], Array[Array[Double]]) = {
+    val n = ids.length.toLong
     val nn = ids.length
     @inline def posOf(id: Long): Int = java.util.Arrays.binarySearch(ids, id)
     def dedupSorted(a: Array[Long], m: Int): Int = {
@@ -269,14 +284,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       }
       adjIds = newIds; adjDists = newDists
     }
-    val edges = (0 until nn).iterator.flatMap { i =>
-      adjIds(i).indices.map(j =>
-        org.apache.spark.sql.Row(ids(i), adjIds(i)(j), adjDists(i)(j)))
-    }.toIndexedSeq
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(edges,
-        math.max(1, spark.sparkContext.defaultParallelism / 4)),
-      NnDescentStrategy.graphSchema)
+    (adjIds, adjDists)
   }
 
   private def buildGraph(normed: DataFrame): Unit = {
@@ -423,6 +431,21 @@ object NnDescentStrategy {
   }
 
   private[graft] def posMod(h: Long, n: Long): Long = ((h % n) + n) % n
+
+  /** (src, dst, dist) adjacency rows from driver arrays — the one
+    * materialization both the driver build and the HNSW layer builds use */
+  private[index] def edgesFrame(spark: org.apache.spark.sql.SparkSession,
+      ids: Array[Long], adjIds: Array[Array[Long]],
+      adjDists: Array[Array[Double]]): DataFrame = {
+    val edges = ids.indices.iterator.flatMap { i =>
+      adjIds(i).indices.map(j =>
+        org.apache.spark.sql.Row(ids(i), adjIds(i)(j), adjDists(i)(j)))
+    }.toIndexedSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(edges,
+        math.max(1, spark.sparkContext.defaultParallelism / 4)),
+      graphSchema)
+  }
 
   private[index] val graphSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("src",

@@ -50,6 +50,23 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("driver and generic builds produce bit-identical hierarchies") {
+    // the collect-once driver path (small stores) vs the generic per-layer
+    // kernel path (smallBuildElems = 0 forces it, layer 0 going through the
+    // kernel's distributed rounds): same levels, same adjacency, bit for bit
+    val df = store.where(col("id") < 250).cache()
+    val a = HnswStrategy(Metric.Cosine, m = 8)
+    a.prepare(df)
+    val b = HnswStrategy(Metric.Cosine, m = 8, smallBuildElems = 0L)
+    b.prepare(df)
+    assert(a.layerGraphs.length === b.layerGraphs.length)
+    for (l <- a.layerGraphs.indices) {
+      val x = a.layerGraphs(l).orderBy("src", "dst").collect().toSeq
+      val y = b.layerGraphs(l).orderBy("src", "dst").collect().toSeq
+      assert(x === y, s"layer $l differs between driver and generic builds")
+    }
+  }
+
   test("query: descent + beam recall >= 0.8 vs exact top-10") {
     val df = store.cache()
     val strat = HnswStrategy(Metric.Cosine)
