@@ -458,7 +458,102 @@ object QueriesText {
       FROM per CROSS JOIN tot ORDER BY source
     """))
 
+  /** Exact substring (span) dedup — Lee et al. 2021's ExactSubstr signal
+    * (`prep.Dedup.spanCoverage` scaladoc): word-5-gram spans occurring in
+    * >= 2 distinct docs, per-doc duplicated count + position coverage.
+    * Complements the SET-based near-dup family (minhash/simhash/jaccard
+    * score whole documents; this localizes the duplicated PASSAGES). */
+  val qSpanDedup = Q("q_span_dedup",
+    (s, dir) => Dedup.spanCoverage(t(s, dir, "documents"), "doc_id",
+        col("text"), n = 5, minDocs = 2)
+      .orderBy("doc_id"),
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, i AS pos,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] AS g
+        FROM w, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+      dupg AS (SELECT g FROM grams GROUP BY g
+               HAVING count(DISTINCT doc_id) >= 2),
+      spans AS (SELECT doc_id, pos FROM grams JOIN dupg USING (g)),
+      cnt AS (SELECT doc_id, count(*) AS n_dup_spans
+              FROM spans GROUP BY doc_id),
+      cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
+              FROM spans, UNNEST(range(pos, pos + 5)) AS u(p)
+              GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(coalesce(cnt.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+             round(coalesce(cov.n_cov, 0) * 1.0 / greatest(len(w.w), 1), 6)
+               AS dup_frac
+      FROM w LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)
+      ORDER BY doc_id
+    """))
+
+  /** Model-based quality filter: logistic score over the oracle-proven
+    * heuristic signals (the fastText-classifier shape of CCNet/LLaMA data
+    * prep, with FIXED published-style weights — this offline env ships no
+    * trained model, so the weights are part of the operator's definition).
+    * score = sigmoid(w · [n_words/100 clipped, stop_ratio, punct_ratio,
+    * dup_2gram_frac] + b); keep = score >= 0.5. Signals are ROUNDED before
+    * the dot product on both sides so the keep decision cannot flake on
+    * last-bit fp drift. Scale shape: pure row-local expressions after one
+    * split — no shuffle beyond the scan. */
+  val qQualityLogreg = Q("q_quality_logreg",
+    (s, dir) => {
+      val nwS = round(least(TF.wordCount(col("text")) / lit(100.0),
+        lit(1.0)), 6)
+      val stopS = round(TF.stopwordRatio(col("text")), 6)
+      val punctS = round(TF.punctCount(col("text")) /
+        greatest(length(col("text")), lit(1)), 6)
+      val scored = t(s, dir, "documents")
+        .withColumn("_w", TF.words(col("text")))
+        .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
+        .withColumn("_dup2", round(
+          when(size(col("_g")) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("_g"))) / size(col("_g"))), 6))
+        .withColumn("_z",
+          lit(2.0) * nwS + lit(3.0) * stopS - lit(4.0) * punctS -
+            lit(5.0) * col("_dup2") - lit(1.0))
+      scored.select(col("doc_id"),
+          round(col("_z"), 6).as("logit"),
+          round(lit(1.0) / (lit(1.0) + exp(-col("_z"))), 6).as("score"),
+          (col("_z") >= 0).as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      WITH sig AS (
+        SELECT doc_id,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0), 6)
+                 AS nw_s,
+               round(len(list_filter(string_split(text, ' '),
+                       w -> list_contains($stopwordsSql, w))) * 1.0 /
+                     greatest(len(string_split(text, ' ')), 1), 6) AS stop_s,
+               round((length(text) -
+                      length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1), 6) AS punct_s,
+               round(CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1]))) * 1.0 /
+                      (len(string_split(text, ' ')) - 1)
+                 END, 6) AS dup2
+        FROM documents),
+      z AS (
+        SELECT doc_id,
+               2.0 * nw_s + 3.0 * stop_s - 4.0 * punct_s - 5.0 * dup2 - 1.0
+                 AS z
+        FROM sig)
+      SELECT doc_id, round(z, 6) AS logit,
+             round(1.0 / (1.0 + exp(-z)), 6) AS score,
+             z >= 0 AS keep
+      FROM z ORDER BY doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
     qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
-    qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix)
+    qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix,
+    qSpanDedup, qQualityLogreg)
 }

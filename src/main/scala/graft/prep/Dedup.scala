@@ -297,4 +297,53 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+
+  // ------------------------------------------- exact substring (span) dedup
+
+  /** Exact substring duplication report (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": ExactSubstr): every
+    * word-`n`-gram SPAN (positional, not a distinct-shingle set) that
+    * occurs in at least `minDocs` distinct documents is a duplicated
+    * passage; each document reports its span count and the fraction of its
+    * word positions covered by duplicated spans — the signal the paper's
+    * dedup step cuts on. (The paper matches 50-token byte spans via a
+    * suffix array; over a shared-nothing cluster the equivalent exact
+    * computation is this inverted-index group-by — same duplicated-span
+    * set, no driver-side suffix array.)
+    *
+    * Scale shape: one posexplode (n_words rows/doc), one hash-agg keyed by
+    * gram for document frequency (map-side partial combine applies), one
+    * shuffle join of grams against the (rare) duplicated-gram keys, and a
+    * per-doc aggregation whose collect_list is bounded by the document's
+    * own span count — the corpus is never joined against itself and no
+    * stage is driver-side.
+    */
+  def spanCoverage(df: DataFrame, idCol: String, text: Column, n: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val w = df.select(col(idCol), TextFunctions.words(text).as("_w"))
+      .select(col(idCol), col("_w"), size(col("_w")).as("_nw"))
+    val grams = w.select(col(idCol), col("_nw"),
+      posexplode(TextFunctions.shinglesOfWordsAll(col("_w"), n))
+        .as(Seq("pos", "g")))
+    // duplicated = the span text occurs in >= minDocs DISTINCT documents
+    val dupGrams = grams.groupBy("g")
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select("g")
+    val dupSpans = grams.join(dupGrams, "g")
+    // covered word positions: union of [pos, pos+n) over the doc's dup
+    // spans — collect_list is per-doc and bounded by its own span count
+    val perDoc = dupSpans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nspans"),
+        size(array_distinct(flatten(collect_list(
+          sequence(col("pos"), col("pos") + (n - 1)))))).as("_ncov"))
+    w.select(col(idCol), col("_nw"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("_nw").cast("long").as("n_words"),
+        coalesce(col("_nspans"), lit(0L)).cast("long").as("n_dup_spans"),
+        round(coalesce(col("_ncov"), lit(0)) /
+          greatest(col("_nw"), lit(1)), 6).as("dup_frac"))
+  }
 }

@@ -36,6 +36,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("spanCoverage: cross-doc spans flagged, within-doc repeats and short docs not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),        // shares span "a b c d e" with doc 2
+      (2L, "x a b c d e f y z"),      // ... and "b c d e f"
+      (3L, "p q r p q r p q r p q"),  // repeats WITHIN itself only
+      (4L, "one two three"),          // shorter than the span width
+      (5L, "u v w t s r q p o n")     // no shared spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanCoverage(docs, "doc_id", col("text"), n = 5,
+        minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: spans at pos 0..3; duplicated: "a b c d e" (pos 0),
+    // "b c d e f" (pos 1) -> covers positions 0..5 = 6 of 8 words
+    assert(got(1L) === ((8L, 2L, 0.75)))
+    // doc 2: 9 words, spans at 1,2 duplicated -> positions 1..6 = 6/9
+    assert(got(2L) === ((9L, 2L, math.rint(6.0 / 9 * 1e6) / 1e6)))
+    // within-doc repetition is NOT cross-doc duplication
+    assert(got(3L)._2 === 0L)
+    // too short to have any span; zero-filled, not dropped
+    assert(got(4L) === ((3L, 0L, 0.0)))
+    assert(got(5L)._2 === 0L)
+  }
+
   test("q_dedup_clusters: clusters cover exactly the near-dup pair nodes") {
     val clusters = Queries.queryMap("q_dedup_clusters")(spark, dir)
     val pairs = Queries.queryMap("q_minhash_dedup")(spark, dir)
