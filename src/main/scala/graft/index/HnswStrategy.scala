@@ -84,6 +84,15 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
   @transient private var layers: IndexedSeq[DataFrame] = _
   @transient private var nStored: Long = -1L
 
+  /** driver-build retention: store (ids ascending + normalized vectors)
+    * and per-layer (sorted node ids, adjacency), present only after
+    * [[prepareDriver]] — enables the driver-side descent + beam walk
+    * (identical output to the DataFrame walk, spec-asserted). Cleared on
+    * insert (layer 0 changes under the walk) and absent after loadAux. */
+  @transient private var localIds: Array[Long] = _
+  @transient private var localVs: Array[Array[Double]] = _
+  @transient private var localLayers: IndexedSeq[(Array[Long], Array[Array[Long]])] = _
+
   private[graft] def layerGraphs: IndexedSeq[DataFrame] = layers
 
   /** seeded geometric layer draw, deterministic per id:
@@ -148,7 +157,9 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     kernel = k0
     val cap = (math.log(n.toDouble) / math.log(m.toDouble)).toInt
     val built = IndexedSeq.newBuilder[DataFrame]
+    val builtLocal = IndexedSeq.newBuilder[(Array[Long], Array[Array[Long]])]
     built += g0
+    builtLocal += ((ids, ai0))
     var l = 1
     var open = true
     while (l <= cap && open) {
@@ -162,10 +173,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         val kEff = math.min(m, subIds.length - 1)
         val (ai, ad) = kl.driverAdjacency(subIds, subVs, kEff)
         built += NnDescentStrategy.edgesFrame(spark, subIds, ai, ad).cache()
+        builtLocal += ((subIds, ai))
         l += 1
       }
     }
     layers = built.result()
+    localIds = ids
+    localVs = vs
+    localLayers = builtLocal.result()
   }
 
   /** the generic build: layer 0 through the kernel's own prepare (which
@@ -214,6 +229,19 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(layers != null, "HnswStrategy.prepare must run before query")
     val kn = scoringKernel
     val q = kn.walkQueries(queries)
+    // driver walk: hierarchy + store live on the driver (small-store build,
+    // not invalidated by insert) and the batch is bounded — entry scoring,
+    // per-layer descent, and the layer-0 beam replay the DataFrame stages
+    // over arrays (identical candidates/tie-breaks, spec-asserted) at
+    // in-memory latency instead of ~(L + hops + 2) join stages.
+    if (localIds != null) {
+      val qRows = q.limit(NnDescentStrategy.maxDriverQueries + 1).collect()
+      if (qRows.length <= NnDescentStrategy.maxDriverQueries) {
+        val entries = localEntryIds
+        return kn.walkResultFrame(prepared.sparkSession, qRows,
+          qv => localWalkOne(kn, entries, qv, k))
+      }
+    }
     val vecs = prepared.select(col("id"), col("vector"))
     // 1. entry layer: score the (few) top-layer nodes against every query
     val entryPairs = entryIds.crossJoin(q.select("query_id"))
@@ -237,6 +265,42 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // 3. layer-0 beam walk seeded by the descent's arrivals
     kn.beamFrom(layers(0), vecs, q, ep.select("query_id", "id"),
       efSearch, hops, k)
+  }
+
+  /** the top layer's hash-capped entry set over driver arrays — the same
+    * ranking [[entryIds]] declares ((mix(id, EPT), id) ascending, capped) */
+  private def localEntryIds: Array[Long] = {
+    val sd = seed
+    localLayers.last._1
+      .sortBy(id => (NnDescentStrategy.mix(id, 0x455054L, sd), id))
+      .take(math.max(efSearch, deg0))
+  }
+
+  /** one query's descent + beam over the retained arrays — stage for stage
+    * the plan [[query]] declares: entry scoring capped at descentWidth, one
+    * neighbor-expansion merge per upper layer, then the layer-0 beam */
+  private def localWalkOne(kn: NnDescentStrategy, entries: Array[Long],
+      qv: Array[Double], k: Int): Array[graft.functions.Neighbor] = {
+    var ep = kn.selectLocal(qv, localIds, localVs, entries.clone(),
+      entries.length, descentWidth)
+    for (l <- (localLayers.length - 1) to 1 by -1) {
+      val (nodeIds, adj) = localLayers(l)
+      var cap = ep.length
+      ep.foreach { nb =>
+        val p = java.util.Arrays.binarySearch(nodeIds, nb.id)
+        if (p >= 0) cap += adj(p).length
+      }
+      val buf = new Array[Long](cap)
+      var len = 0
+      ep.foreach { nb =>
+        buf(len) = nb.id; len += 1
+        val p = java.util.Arrays.binarySearch(nodeIds, nb.id)
+        if (p >= 0) adj(p).foreach { d => buf(len) = d; len += 1 }
+      }
+      ep = kn.selectLocal(qv, localIds, localVs, buf, len, descentWidth)
+    }
+    kn.beamLocalOne(qv, ep.map(_.id), localIds, localVs,
+      localLayers(0)._1, localLayers(0)._2, efSearch, hops, k)
   }
 
   /** ANN threshold semantics: top-max_k then strict `<` (hnsw.py:107-114) */
@@ -284,6 +348,9 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       Seq("src"), "dst", "dist", deg0).select("src", "dst", "dist")
     layers = untouched.unionByName(recapped).unionByName(fwd)
       .localCheckpoint() +: layers.tail
+    // layer 0 just changed under the retained arrays: the driver walk must
+    // not serve the pre-insert adjacency
+    localIds = null; localVs = null; localLayers = null
     nStored += normedNew.count()
     normedNew.unpersist()
     prevPrepared.unionByName(maybeNormalize(newRows, "vector"))

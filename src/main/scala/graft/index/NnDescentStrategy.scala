@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Metric
-import graft.functions.{TopK, VectorFunctions}
+import graft.functions.{Neighbor, TopK, VectorFunctions}
 
 /** NN-descent graph index ≙ the reference's PYNNDESCENT backend
   * (`/root/reference/vicinity/backends/pynndescent.py:22-115`) — the
@@ -62,6 +62,15 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
   /** the k-NN graph (src, dst, dist), built once per prepare/loadAux */
   @transient private var graph: DataFrame = _
   @transient private var nStored: Long = -1L
+
+  /** driver-build retention (ids ascending, normalized vectors, adjacency):
+    * present only when [[buildGraphDriver]] ran, enabling the driver-side
+    * walk below — the serving-latency complement of the driver build.
+    * Absent after loadAux/adoptGraph (the graph frame is authoritative);
+    * memory cost is the store copy the build already held transiently. */
+  @transient private var localIds: Array[Long] = _
+  @transient private var localVs: Array[Array[Double]] = _
+  @transient private var localAdj: Array[Array[Long]] = _
 
   private[graft] def graphFrame: DataFrame = graph
 
@@ -179,6 +188,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val ids = rows.map(_.getLong(0)) // ascending (orderBy id)
     val vs = rows.map(_.getSeq[Double](1).toArray)
     val (adjIds, adjDists) = driverAdjacency(ids, vs, kEff)
+    localIds = ids; localVs = vs; localAdj = adjIds
     NnDescentStrategy.edgesFrame(spark, ids, adjIds, adjDists)
   }
 
@@ -352,10 +362,109 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     TopK.topKPerGroup(beamDf, Seq("query_id"), "id", "dist", k)
   }
 
+  /** dedup a candidate id buffer, score each against qv, keep the kk best
+    * by (dist, id) — the driver mirror of groupBy-min + topKPerGroup (the
+    * shared TopKHeap has the identical tie-break), so the walk's selections
+    * match the DataFrame walk decision for decision */
+  private[index] def selectLocal(qv: Array[Double], storeIds: Array[Long],
+      storeVs: Array[Array[Double]], buf: Array[Long], len: Int,
+      kk: Int): Array[Neighbor] = {
+    java.util.Arrays.sort(buf, 0, len)
+    val heap = new graft.functions.TopKHeap(kk)
+    var i = 0
+    var prev = Long.MinValue
+    while (i < len) {
+      val id = buf(i)
+      if (i == 0 || id != prev) {
+        val p = java.util.Arrays.binarySearch(storeIds, id)
+        heap.add(id, scoreLocal(storeVs(p), qv))
+      }
+      prev = id
+      i += 1
+    }
+    heap.sorted.toArray
+  }
+
+  /** the beam walk for one query over driver arrays — candidate sets,
+    * scores, and tie-breaks identical to [[beamFrom]]'s DataFrame stages
+    * (spec-asserted end to end), at in-memory latency. `graphNodeIds` is
+    * the sorted node set of the graph being walked (the full store for
+    * this strategy; a layer subset when the HNSW strategy calls in). */
+  private[index] def beamLocalOne(qv: Array[Double], seedIds: Array[Long],
+      storeIds: Array[Long], storeVs: Array[Array[Double]],
+      graphNodeIds: Array[Long], graphAdj: Array[Array[Long]],
+      beamW: Int, nHops: Int, k: Int): Array[Neighbor] = {
+    var beamArr = selectLocal(qv, storeIds, storeVs, seedIds.clone(),
+      seedIds.length, beamW)
+    for (_ <- 1 to nHops) {
+      // candidates = current beam ∪ its graph neighbors (the union-merge
+      // the DataFrame walk expresses as unionByName + groupBy-min)
+      var cap = beamArr.length
+      beamArr.foreach { nb =>
+        val p = java.util.Arrays.binarySearch(graphNodeIds, nb.id)
+        if (p >= 0) cap += graphAdj(p).length
+      }
+      val buf = new Array[Long](cap)
+      var len = 0
+      beamArr.foreach { nb =>
+        buf(len) = nb.id; len += 1
+        val p = java.util.Arrays.binarySearch(graphNodeIds, nb.id)
+        if (p >= 0) graphAdj(p).foreach { d => buf(len) = d; len += 1 }
+      }
+      beamArr = selectLocal(qv, storeIds, storeVs, buf, len, beamW)
+    }
+    selectLocal(qv, storeIds, storeVs, beamArr.map(_.id), beamArr.length, k)
+  }
+
+  /** (query_id, id, dist, rank) rows from per-query driver walks, in the
+    * DataFrame walk's output schema; query_id keeps the caller's type */
+  private[index] def walkResultFrame(spark: org.apache.spark.sql.SparkSession,
+      qRows: Array[org.apache.spark.sql.Row],
+      walk: Array[Double] => Array[Neighbor]): DataFrame = {
+    val perQuery = new Array[Array[org.apache.spark.sql.Row]](qRows.length)
+    java.util.stream.IntStream.range(0, qRows.length).parallel().forEach { i =>
+      val qv = qRows(i).getSeq[Double](1).toArray
+      val qid = qRows(i).get(0)
+      perQuery(i) = walk(qv).zipWithIndex.map { case (nb, r) =>
+        org.apache.spark.sql.Row(qid, nb.id, nb.dist, r + 1) }
+    }
+    val qidField = org.apache.spark.sql.types.StructField("query_id",
+      qRows.headOption.map(_.schema("query_id").dataType)
+        .getOrElse(org.apache.spark.sql.types.LongType))
+    val schema = org.apache.spark.sql.types.StructType(Seq(qidField,
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(perQuery.flatten.toIndexedSeq,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism / 4,
+          qRows.length))),
+      schema)
+  }
+
   def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(graph != null, "NnDescentStrategy.prepare must run before query")
     val q = walkQueries(queries)
+    // driver walk: graph + store already live on the driver (small-store
+    // build) and the query batch is bounded — serve at in-memory latency
+    // instead of ~(2 + hops) join stages. Identical output (spec-asserted).
+    if (localIds != null) {
+      val qRows = q.limit(NnDescentStrategy.maxDriverQueries + 1).collect()
+      if (qRows.length <= NnDescentStrategy.maxDriverQueries) {
+        val n = localIds.length
+        val sd = seed
+        val seeds = localIds
+          .sortBy(id => (NnDescentStrategy.mix(id, 0L, sd), id))
+          .take(math.min(nSeeds, n))
+        return walkResultFrame(prepared.sparkSession, qRows,
+          qv => beamLocalOne(qv, seeds, localIds, localVs,
+            localIds, localAdj, beam, hops, k))
+      }
+    }
     val vecs = prepared.select(col("id"), col("vector"))
     // deterministic entry points: EXACTLY min(nSeeds, n) hash-ranked rows
     // (a modulo filter would make the seed count binomially distributed
@@ -431,6 +540,10 @@ object NnDescentStrategy {
   }
 
   private[graft] def posMod(h: Long, n: Long): Long = ((h % n) + n) % n
+
+  /** driver-walk batch bound: beyond this many queries the DataFrame walk
+    * serves (bounded driver memory at any batch size) */
+  private[index] val maxDriverQueries = 4096
 
   /** (src, dst, dist) adjacency rows from driver arrays — the one
     * materialization both the driver build and the HNSW layer builds use */

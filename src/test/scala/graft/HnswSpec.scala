@@ -65,6 +65,15 @@ class HnswSpec extends SparkSpec {
       val y = b.layerGraphs(l).orderBy("src", "dst").collect().toSeq
       assert(x === y, s"layer $l differs between driver and generic builds")
     }
+    // ... and the two physical WALKS serve identical answers over them:
+    // a retained driver arrays (driver descent + beam); b walks DataFrames
+    val q = queriesOf(df, 7)
+    val qa = a.query(a.prepare(df), q, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val qb = b.query(b.prepare(df), q, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(qa === qb,
+      "driver walk must replay the DataFrame walk decision for decision")
   }
 
   test("query: descent + beam recall >= 0.8 vs exact top-10") {

@@ -52,6 +52,16 @@ class NnDescentSpec extends SparkSpec {
     val b = dst.graphFrame.orderBy("src", "dst").collect().toSeq
     assert(a === b,
       "the two physical builds must make identical sampling/scoring decisions")
+    // ... and the two physical WALKS serve identical answers over them:
+    // drv has driver arrays (driver walk); dst does not (DataFrame walk)
+    val q = df.where(col("id") < 7)
+      .select(col("id").as("query_id"), col("vector").as("qvector"))
+    val qa = drv.query(drv.prepare(df), q, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    val qb = dst.query(dst.prepare(df), q, 10)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(qa === qb,
+      "driver walk must replay the DataFrame walk decision for decision")
   }
 
   test("graph quality: NN-descent edges recall the exact kNN graph") {
