@@ -570,6 +570,12 @@ object QueriesVector {
         Sq8Strategy(Metric.Cosine, rerankFactor = 8)))
       val fPq = Future(preparedIndex(s, dir, "pq8x8")(
         PqStrategy(Metric.Cosine, m = 8, nbits = 8)))
+      // the graph families complete the Q11 grid (round 6): registry-shared
+      // with q_hnsw_knn / q_nndescent_knn, driver-walk-served at this scale
+      val fHnsw = Future(preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine)))
+      val fNnd = Future(preparedIndex(s, dir, "nnd15")(
+        NnDescentStrategy(Metric.Cosine)))
       val (ivf, ivfPrep) = Await.result(fIvf, Duration.Inf)
       val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, "ivfpq16x8")(
         mkIvfpq(s, dir)) // adopts ivf16x8's codebook, trained 1 line up
@@ -577,11 +583,14 @@ object QueriesVector {
       val lsh = lshS.asInstanceOf[LshStrategy]
       val (sq8, sq8Prep) = Await.result(fSq8, Duration.Inf)
       val (pq, pqPrep) = Await.result(fPq, Duration.Inf)
+      val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)
+      val (nnd, nndPrep) = Await.result(fNnd, Duration.Inf)
       // ground truth = the SAME cached exact top-k frame q_knn_cosine
       // serves from (verdict-r2 trim: the gt pass was recomputed here)
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
-      val names = Seq("lsh", "ivf", "ivfpq", "sq8", "pq")
+      val names = Seq("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw",
+        "nndescent")
       // LSH's bucket-collision candidate set is the one scan set that costs
       // a real job to derive — persist it so the recall pass and the
       // rows_scanned count share ONE materialization (verdict r3: the r3
@@ -599,7 +608,9 @@ object QueriesVector {
         ivf.query(ivfPrep, q, k).withColumn("strategy", lit("ivf")),
         ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")),
         sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
-        pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")))
+        pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")),
+        hnsw.query(hnswPrep, q, k).withColumn("strategy", lit("hnsw")),
+        nnd.query(nndPrep, q, k).withColumn("strategy", lit("nndescent")))
         .map(_.select("strategy", "query_id", "dist"))
         .reduce(_ unionByName _)
       val hits = tagged.join(gt, "query_id")
@@ -628,7 +639,9 @@ object QueriesVector {
       val ivfScan = ivf.scanVolume(ivfPrep, q)
       val fullScan = st.count() * nq
       val scans = Map("lsh" -> lshScan, "ivf" -> ivfScan,
-        "ivfpq" -> ivfScan, "sq8" -> fullScan, "pq" -> fullScan)
+        "ivfpq" -> ivfScan, "sq8" -> fullScan, "pq" -> fullScan,
+        "hnsw" -> hnsw.scanVolume(hnswPrep, q),
+        "nndescent" -> nnd.scanVolume(nndPrep, q))
       names.map(n => (n, k.toLong, math.rint(recalls(n) * 1000) / 1000,
           scans(n)))
         .toDF("strategy", "k", "recall", "rows_scanned")

@@ -157,10 +157,11 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stages.contains("4_kept"), "a sane corpus keeps something")
   }
 
-  test("q_evaluate reports a recall in [0,1] for all five ANN strategies") {
+  test("q_evaluate reports a recall in [0,1] for all seven ANN strategies") {
     val out = Queries.queryMap("q_evaluate")(spark, dir)
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    assert(out.keySet === Set("lsh", "ivf", "ivfpq", "sq8", "pq"))
+    assert(out.keySet === Set("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw",
+      "nndescent"))
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
   }
 
