@@ -427,7 +427,48 @@ object QueriesPipeline {
       ORDER BY position, source, doc_id
     """))
 
+  /** The write-out stage every training pipeline ends on: deterministic
+    * train/val/test split (~98/1/1 by the first 4 hex chars of md5(doc_id),
+    * compared lexicographically — fixed-width lowercase hex orders like the
+    * integer) and 16-way shard assignment within each split (hex char 5).
+    * Hash-of-id rules are cluster-size-independent and reshuffle-stable:
+    * the same doc lands in the same (split, shard) on any executor count —
+    * the property that makes incremental re-runs and A/B data ablations
+    * reproducible. Per-cell doc/token counts + id bounds are the shard
+    * manifest a dataset card publishes. Scale shape: row-local hash +
+    * one hash-agg to a 48-row table; the write itself would be
+    * partitionBy(split, shard) with no extra shuffle. */
+  val qShardSplit = Q("q_shard_split",
+    (s, dir) => t(s, dir, "documents")
+      .withColumn("_h", md5(col("doc_id").cast("string").cast("binary")))
+      .withColumn("split",
+        when(substring(col("_h"), 1, 4) < "028f", "val") // 655/65536 ~ 1%
+          .when(substring(col("_h"), 1, 4) < "051e", "test") // next ~1%
+          .otherwise("train"))
+      .withColumn("shard", substring(col("_h"), 5, 1))
+      .groupBy("split", "shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TF.wordCount(col("text"))).cast("long").as("n_tokens"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("split", "shard"),
+    Some("""
+      WITH h AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS nw,
+               md5(CAST(doc_id AS VARCHAR)) AS hv
+        FROM documents)
+      SELECT CASE WHEN substr(hv, 1, 4) < '028f' THEN 'val'
+                  WHEN substr(hv, 1, 4) < '051e' THEN 'test'
+                  ELSE 'train' END AS split,
+             substr(hv, 5, 1) AS shard,
+             count(*) AS n_docs,
+             CAST(sum(nw) AS BIGINT) AS n_tokens,
+             min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM h
+      GROUP BY 1, 2
+      ORDER BY split, shard
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks, qCentroids,
-    qContamination, qSaltedAgg, qInterleave)
+    qContamination, qSaltedAgg, qInterleave, qShardSplit)
 }
