@@ -234,13 +234,12 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // per-layer descent, and the layer-0 beam replay the DataFrame stages
     // over arrays (identical candidates/tie-breaks, spec-asserted) at
     // in-memory latency instead of ~(L + hops + 2) join stages.
-    if (localIds != null) {
-      val qRows = q.limit(NnDescentStrategy.maxDriverQueries + 1).collect()
-      if (qRows.length <= NnDescentStrategy.maxDriverQueries) {
-        val entries = localEntryIds
-        return kn.walkResultFrame(prepared.sparkSession, qRows,
-          qv => localWalkOne(kn, entries, qv, k))
-      }
+    val batch = if (localIds == null) None
+      else NnDescentStrategy.driverBatch(q)
+    if (batch.isDefined) {
+      val entries = localEntryIds
+      return kn.walkResultFrame(prepared.sparkSession, batch.get,
+        qv => localWalkOne(kn, entries, qv, k))
     }
     val vecs = prepared.select(col("id"), col("vector"))
     // 1. entry layer: score the (few) top-layer nodes against every query

@@ -423,7 +423,10 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       walk: Array[Double] => Array[Neighbor]): DataFrame = {
     val perQuery = new Array[Array[org.apache.spark.sql.Row]](qRows.length)
     java.util.stream.IntStream.range(0, qRows.length).parallel().forEach { i =>
-      val qv = qRows(i).getSeq[Double](1).toArray
+      // Number-widening keeps float-typed query vectors servable (the same
+      // IEEE float->double widening the DataFrame walk's cast applies)
+      val qv = qRows(i).getSeq[Any](1).iterator
+        .map(_.asInstanceOf[Number].doubleValue).toArray
       val qid = qRows(i).get(0)
       perQuery(i) = walk(qv).zipWithIndex.map { case (nb, r) =>
         org.apache.spark.sql.Row(qid, nb.id, nb.dist, r + 1) }
@@ -452,18 +455,16 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     // driver walk: graph + store already live on the driver (small-store
     // build) and the query batch is bounded — serve at in-memory latency
     // instead of ~(2 + hops) join stages. Identical output (spec-asserted).
-    if (localIds != null) {
-      val qRows = q.limit(NnDescentStrategy.maxDriverQueries + 1).collect()
-      if (qRows.length <= NnDescentStrategy.maxDriverQueries) {
-        val n = localIds.length
-        val sd = seed
-        val seeds = localIds
-          .sortBy(id => (NnDescentStrategy.mix(id, 0L, sd), id))
-          .take(math.min(nSeeds, n))
-        return walkResultFrame(prepared.sparkSession, qRows,
-          qv => beamLocalOne(qv, seeds, localIds, localVs,
-            localIds, localAdj, beam, hops, k))
-      }
+    val batch = if (localIds == null) None
+      else NnDescentStrategy.driverBatch(q)
+    if (batch.isDefined) {
+      val sd = seed
+      val seeds = localIds
+        .sortBy(id => (NnDescentStrategy.mix(id, 0L, sd), id))
+        .take(math.min(nSeeds, localIds.length))
+      return walkResultFrame(prepared.sparkSession, batch.get,
+        qv => beamLocalOne(qv, seeds, localIds, localVs,
+          localIds, localAdj, beam, hops, k))
     }
     val vecs = prepared.select(col("id"), col("vector"))
     // deterministic entry points: EXACTLY min(nSeeds, n) hash-ranked rows
@@ -544,6 +545,18 @@ object NnDescentStrategy {
   /** driver-walk batch bound: beyond this many queries the DataFrame walk
     * serves (bounded driver memory at any batch size) */
   private[index] val maxDriverQueries = 4096
+
+  /** the collected walk batch, if driver-servable: bounded, and with
+    * UNIQUE query ids — the DataFrame walk's groupBy merges duplicate ids
+    * into one candidate pool per id, which a per-row replay would not, so
+    * duplicate-id batches stay on the DataFrame path */
+  private[index] def driverBatch(q: DataFrame):
+      Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = q.limit(maxDriverQueries + 1).collect()
+    if (rows.length > maxDriverQueries ||
+      rows.iterator.map(_.get(0)).toSet.size != rows.length) None
+    else Some(rows)
+  }
 
   /** (src, dst, dist) adjacency rows from driver arrays — the one
     * materialization both the driver build and the HNSW layer builds use */
