@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hamming_distance", es => HammingDistance(es(0), es(1)))
     inject("tanimoto_distance", es => TanimotoDistance(es(0), es(1)))
     inject("l2_normalize", es => L2Normalize(es.head))
+    inject("winnow_md5", VectorFunctions.winnowBuilder)
   }
 }

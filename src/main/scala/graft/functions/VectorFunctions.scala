@@ -53,5 +53,18 @@ object VectorFunctions {
     reg2("hamming_distance", HammingDistance)
     reg2("tanimoto_distance", TanimotoDistance)
     GraftShims.registerFunction(spark, "l2_normalize", es => L2Normalize(es.head))
+    GraftShims.registerFunction(spark, "winnow_md5", winnowBuilder)
   }
+
+  /** SQL builder for the winnowing fingerprint: `winnow_md5(text[, width])`
+    * — width must be a foldable int literal (it shapes the generated code) */
+  private[graft] def winnowBuilder(es: Seq[Expression]): Expression =
+    es match {
+      case Seq(t) => WinnowMd5(t)
+      case Seq(t, w) =>
+        require(w.foldable, "winnow_md5 width must be a literal")
+        WinnowMd5(t, w.eval().asInstanceOf[Number].intValue)
+      case _ => throw new IllegalArgumentException(
+        "winnow_md5 expects (text[, width])")
+    }
 }

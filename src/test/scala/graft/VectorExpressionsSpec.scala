@@ -57,6 +57,19 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) v"
     ).head.getDouble(0) === 11.0)
+    // winnow_md5 with and without an explicit width; SQL output equals the
+    // Column API's (same Expression behind both surfaces)
+    val txt = "the quick brown fox jumps"
+    val viaCol = sf("documents").limit(1)
+      .select(graft.functions.VectorFunctions
+        .winnow_md5(org.apache.spark.sql.functions.lit(txt), 8))
+      .head.getString(0)
+    assert(spark.sql(s"SELECT winnow_md5('$txt')").head.getString(0)
+      === viaCol)
+    assert(spark.sql(s"SELECT winnow_md5('$txt', 8)").head.getString(0)
+      === viaCol)
+    assert(spark.sql(s"SELECT winnow_md5('$txt', 4)").head.getString(0)
+      !== viaCol)
   }
 
   test("metric alias table (utils.py:73-87)") {
