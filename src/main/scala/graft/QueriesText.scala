@@ -501,9 +501,14 @@ object QueriesText {
     * split — no shuffle beyond the scan. */
   val qQualityLogreg = Q("q_quality_logreg",
     (s, dir) => {
-      val nwS = round(least(TF.wordCount(col("text")) / lit(100.0),
-        lit(1.0)), 6)
-      val stopS = round(TF.stopwordRatio(col("text")), 6)
+      // every word-derived signal reads the materialized _w column — the
+      // raw-text TF forms would re-split the text once per reference
+      // (the langScoreOfWords pitfall, TextFunctions scaladoc)
+      val sw = array(TF.stopwords.map(lit): _*)
+      val nwS = round(least(size(col("_w")) / lit(100.0), lit(1.0)), 6)
+      val stopS = round(
+        size(filter(col("_w"), w => array_contains(sw, w))) /
+          greatest(size(col("_w")), lit(1)), 6)
       val punctS = round(TF.punctCount(col("text")) /
         greatest(length(col("text")), lit(1)), 6)
       val scored = t(s, dir, "documents")

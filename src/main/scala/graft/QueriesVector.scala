@@ -536,8 +536,8 @@ object QueriesVector {
   val qEvaluate = Q("q_evaluate",
     (s, dir) => {
       import s.implicits._
-      // five strategies scan the same store: materialize once (shared with
-      // the registry's index builds)
+      // seven strategies scan the same store: materialize once (shared
+      // with the registry's index builds)
       val st = cachedStore(s, dir)
       // n = 10 queries, the reference harness width (advice r3: the r3 trim
       // to 5 silently halved recall coverage; q_knn_cosine now FILTERS its
@@ -600,7 +600,7 @@ object QueriesVector {
       // (separate per-strategy aggregations were 3× the job overhead);
       // queries with zero ANN results count as recall 0 (vicinity.py:386-392),
       // so the average is driven from the (strategy × gt query) grid.
-      // All five builds come from the shared registry, so the q_*_knn
+      // All seven builds come from the shared registry, so the q_*_knn
       // queries serve from the same instances at no extra cost.
       val tagged = Seq(
         lsh.queryFromCandidates(lshPrep, q, lshCands, k)

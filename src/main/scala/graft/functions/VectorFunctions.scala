@@ -63,7 +63,13 @@ object VectorFunctions {
       case Seq(t) => WinnowMd5(t)
       case Seq(t, w) =>
         require(w.foldable, "winnow_md5 width must be a literal")
-        WinnowMd5(t, w.eval().asInstanceOf[Number].intValue)
+        val width = w.eval() match {
+          case n: java.lang.Number => n.intValue
+          case other => throw new IllegalArgumentException(
+            s"winnow_md5 width must be an integer literal, got $other")
+        }
+        require(width >= 1, s"winnow_md5 width must be >= 1, got $width")
+        WinnowMd5(t, width)
       case _ => throw new IllegalArgumentException(
         "winnow_md5 expects (text[, width])")
     }

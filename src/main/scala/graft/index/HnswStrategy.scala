@@ -121,19 +121,18 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       if (nStored < 0) nStored = normed.count()
       return normed
     }
-    val normed = maybeNormalize(store, "vector")
-    val vecs = normed.select(col("id"), col("vector")).cache()
-    val n = vecs.count()
-    val dim = if (n == 0) 0L
-      else vecs.select(size(col("vector"))).head.getInt(0).toLong
+    // routing needs only (n, dim): probe the RAW store without caching or
+    // normalizing — the discarded full-store cache materialization this
+    // used to build was pure eviction pressure on exactly the at-scale
+    // branch that never used it
+    val n = store.count()
+    val dim = if (n < 2) 0L
+      else store.select(size(col("vector"))).head.getInt(0).toLong
     if (n > 1 && n * dim <= smallBuildElems) {
-      prepareDriver(vecs, n)
-      vecs.unpersist()
+      val normed = maybeNormalize(store, "vector")
+      prepareDriver(normed.select(col("id"), col("vector")), n)
       normed
-    } else {
-      vecs.unpersist()
-      prepareDistributed(store)
-    }
+    } else prepareDistributed(store)
   }
 
   /** small-store build: ONE collect, every layer's adjacency computed from
@@ -284,18 +283,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       entries.length, descentWidth)
     for (l <- (localLayers.length - 1) to 1 by -1) {
       val (nodeIds, adj) = localLayers(l)
-      var cap = ep.length
-      ep.foreach { nb =>
-        val p = java.util.Arrays.binarySearch(nodeIds, nb.id)
-        if (p >= 0) cap += adj(p).length
-      }
-      val buf = new Array[Long](cap)
-      var len = 0
-      ep.foreach { nb =>
-        buf(len) = nb.id; len += 1
-        val p = java.util.Arrays.binarySearch(nodeIds, nb.id)
-        if (p >= 0) adj(p).foreach { d => buf(len) = d; len += 1 }
-      }
+      val (buf, len) = NnDescentStrategy.expandLocal(ep, nodeIds, adj)
       ep = kn.selectLocal(qv, localIds, localVs, buf, len, descentWidth)
     }
     kn.beamLocalOne(qv, ep.map(_.id), localIds, localVs,

@@ -399,18 +399,8 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     for (_ <- 1 to nHops) {
       // candidates = current beam ∪ its graph neighbors (the union-merge
       // the DataFrame walk expresses as unionByName + groupBy-min)
-      var cap = beamArr.length
-      beamArr.foreach { nb =>
-        val p = java.util.Arrays.binarySearch(graphNodeIds, nb.id)
-        if (p >= 0) cap += graphAdj(p).length
-      }
-      val buf = new Array[Long](cap)
-      var len = 0
-      beamArr.foreach { nb =>
-        buf(len) = nb.id; len += 1
-        val p = java.util.Arrays.binarySearch(graphNodeIds, nb.id)
-        if (p >= 0) graphAdj(p).foreach { d => buf(len) = d; len += 1 }
-      }
+      val (buf, len) =
+        NnDescentStrategy.expandLocal(beamArr, graphNodeIds, graphAdj)
       beamArr = selectLocal(qv, storeIds, storeVs, buf, len, beamW)
     }
     selectLocal(qv, storeIds, storeVs, beamArr.map(_.id), beamArr.length, k)
@@ -556,6 +546,28 @@ object NnDescentStrategy {
     if (rows.length > maxDriverQueries ||
       rows.iterator.map(_.get(0)).toSet.size != rows.length) None
     else Some(rows)
+  }
+
+  /** members ∪ their graph neighbors as a raw candidate id buffer — the
+    * expansion step the driver beam walk and the HNSW driver descent share
+    * (nodes absent from the graph's node set contribute only themselves,
+    * matching the DataFrame walk's inner join dropping them) */
+  private[index] def expandLocal(members: Array[Neighbor],
+      graphNodeIds: Array[Long], graphAdj: Array[Array[Long]]):
+      (Array[Long], Int) = {
+    var cap = members.length
+    members.foreach { nb =>
+      val p = java.util.Arrays.binarySearch(graphNodeIds, nb.id)
+      if (p >= 0) cap += graphAdj(p).length
+    }
+    val buf = new Array[Long](cap)
+    var len = 0
+    members.foreach { nb =>
+      buf(len) = nb.id; len += 1
+      val p = java.util.Arrays.binarySearch(graphNodeIds, nb.id)
+      if (p >= 0) graphAdj(p).foreach { d => buf(len) = d; len += 1 }
+    }
+    (buf, len)
   }
 
   /** (src, dst, dist) adjacency rows from driver arrays — the one

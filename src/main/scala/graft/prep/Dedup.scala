@@ -311,12 +311,14 @@ object Dedup {
     * computation is this inverted-index group-by — same duplicated-span
     * set, no driver-side suffix array.)
     *
-    * Scale shape: one posexplode (n_words rows/doc), one hash-agg keyed by
-    * gram for document frequency (map-side partial combine applies), one
-    * shuffle join of grams against the (rare) duplicated-gram keys, and a
-    * per-doc aggregation whose collect_list is bounded by the document's
-    * own span count — the corpus is never joined against itself and no
-    * stage is driver-side.
+    * Scale shape: TWO corpus scans, each exploding to n_words rows/doc —
+    * one feeding the gram-document-frequency hash-agg (map-side partial
+    * combine applies), one re-deriving the spans that join against the
+    * (rare) duplicated-gram keys — then a per-doc aggregation whose
+    * collect_list is bounded by the document's own span count. Re-scanning
+    * beats persisting the exploded corpus (n_words × gram-width bytes per
+    * doc of executor storage at 100 TB); the corpus is never joined
+    * against itself and no stage is driver-side.
     */
   def spanCoverage(df: DataFrame, idCol: String, text: Column, n: Int = 5,
       minDocs: Int = 2): DataFrame = {

@@ -70,6 +70,9 @@ class VectorExpressionsSpec extends SparkSpec {
       === viaCol)
     assert(spark.sql(s"SELECT winnow_md5('$txt', 4)").head.getString(0)
       !== viaCol)
+    // invalid widths fail at analysis, not per-row on executors
+    intercept[Exception](spark.sql(s"SELECT winnow_md5('$txt', 0)").head)
+    intercept[Exception](spark.sql(s"SELECT winnow_md5('$txt', -3)").head)
   }
 
   test("metric alias table (utils.py:73-87)") {
