@@ -62,6 +62,12 @@ class NnDescentSpec extends SparkSpec {
       .orderBy("query_id", "rank").collect().toSeq
     assert(qa === qb,
       "driver walk must replay the DataFrame walk decision for decision")
+    // duplicate query ids stay on the DataFrame path, whose groupBy merges
+    // them into ONE candidate pool per id (k rows, not k per input row)
+    val dup = q.limit(1).unionByName(q.limit(1))
+    val merged = drv.query(drv.prepare(df), dup, 10)
+    assert(merged.count() === 10L,
+      "duplicate-id batch must serve merged per-id results")
   }
 
   test("graph quality: NN-descent edges recall the exact kNN graph") {
