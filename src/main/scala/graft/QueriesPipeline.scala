@@ -468,7 +468,193 @@ object QueriesPipeline {
       ORDER BY split, shard
     """))
 
+  // ------------------------------------------------------------- q_semdedup
+  /** SemDeDup semantic dedup (Abbas et al. 2023): within-cluster embedding
+    * near-dup with a deterministic min-id survivor — see
+    * [[graft.prep.Dedup.semDedup]] for the plan shape. The embeddings
+    * table's `label` column stands in for the KMeans cluster assignment the
+    * paper (and `IvfStrategy`) would supply at scale; the operator is
+    * cluster-source-agnostic. */
+  val qSemdedup = Q("q_semdedup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding").as("vector"))
+      Dedup.semDedup(emb, "vec_id", "label", "vector", 0.72)
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("n_dups"), col("kept"))
+        .orderBy("vec_id")
+    },
+    Some("""
+      WITH dups AS (
+        SELECT a.vec_id, count(*) AS nd
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND b.vec_id < a.vec_id
+        WHERE round(greatest(1 - list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 0), 6) <= 0.72
+        GROUP BY 1)
+      SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+             coalesce(d.nd, 0) AS n_dups,
+             CAST(coalesce(d.nd, 0) = 0 AS BIGINT) AS kept
+      FROM embeddings e LEFT JOIN dups d USING (vec_id)
+      ORDER BY e.vec_id
+    """))
+
+  // ---------------------------------------------------------------- q_bm25
+  /** BM25 scoring (k1 = 1.2, b = 0.75) of the corpus against a fixed query
+    * term set, shared by q_bm25 and q_rrf_fusion. Plan: ONE corpus scan —
+    * per-term tf and doc length are row-local higher-order-function
+    * expressions over the tokenized text (no token explode, no shuffle of
+    * the corpus; the per-(doc, term) frame materializes only matched terms),
+    * then the vocabulary-sized df table broadcasts back. */
+  private val bm25Terms = Seq("spark", "join", "window")
+
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val k1 = 1.2; val b = 0.75
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), TF.words(col("text")).as("_w"))
+      .select(col("doc_id"), size(col("_w")).cast("double").as("dl"),
+        col("_w"))
+    val matched = docs.select(col("doc_id"), col("dl"),
+      explode(array(bm25Terms.map(tm => struct(lit(tm).as("term"),
+        size(filter(col("_w"), x => x === lit(tm))).cast("double")
+          .as("tf"))): _*)).as("x"))
+      .select(col("doc_id"), col("dl"), col("x.term").as("term"),
+        col("x.tf").as("tf"))
+      .where(col("tf") > 0)
+    val dfreq = matched.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg("dl").as("avgdl"))
+    matched.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("_wt", col("_idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("_wt"), 6).as("bm25"))
+  }
+
+  /** shared DuckDB CTE text for the BM25 per-doc scores (mirrors
+    * [[bm25Scores]] term for term) */
+  private val bm25Sql = """
+      d AS (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+                   string_split(text, ' ') AS w
+            FROM documents),
+      matched AS (
+        SELECT doc_id, dl, term,
+               CAST(len(list_filter(w, x -> x = term)) AS DOUBLE) AS tf
+        FROM d CROSS JOIN (SELECT unnest(['spark', 'join', 'window']) AS term)
+        WHERE len(list_filter(w, x -> x = term)) > 0),
+      dfreq AS (SELECT term, count(*) AS df FROM matched GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+      perdoc AS (
+        SELECT doc_id,
+               round(sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                 (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))),
+                 6) AS bm25
+        FROM matched JOIN dfreq USING (term) CROSS JOIN st
+        GROUP BY doc_id)"""
+
+  /** BM25 top-10 relevance ranking (Robertson/Sparck Jones; the retrieval
+    * scorer a training-data search/curation surface needs beyond TF-IDF). */
+  val qBm25 = Q("q_bm25",
+    (s, dir) => {
+      val w = Window.orderBy(col("bm25").desc, col("doc_id"))
+      bm25Scores(s, dir)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("doc_id"), col("bm25"), col("rank"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $bm25Sql,
+      ranked AS (
+        SELECT doc_id, bm25,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+        FROM perdoc)
+      SELECT doc_id, bm25, rank FROM ranked WHERE rank <= 10
+      ORDER BY rank
+    """))
+
+  // ----------------------------------------------------------- q_rrf_fusion
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the BM25 lexical ranking with the embedding-cosine ranking for
+    * one query (vec 0 / its fixed term set), score = Σ 1/(60 + rank) over
+    * the lists containing the doc, top-10 by fused score. The standard
+    * hybrid-search join of a modern retrieval stack; both input rankings
+    * are deterministic, so the fusion is oracle-checkable end to end.
+    *
+    * Plan: the two top-100 lists are tiny (rank-truncated before the
+    * fusion join), so the full-outer join broadcasts; the heavy lifting
+    * stays in the two upstream rankings, each with its own scale story. */
+  val qRrfFusion = Q("q_rrf_fusion",
+    (s, dir) => {
+      val kRrf = 60
+      val wb = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val bm = bm25Scores(s, dir).where(col("doc_id") =!= 0)
+        .withColumn("r_bm25", row_number().over(wb).cast("long"))
+        .where(col("r_bm25") <= 100).select("doc_id", "r_bm25")
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val wv = Window.orderBy(col("_d"), col("doc_id"))
+      val ve = emb.where(col("vec_id") =!= 0)
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<double>").as("v"))
+        .crossJoin(broadcast(qv))
+        .withColumn("_d", greatest(
+          graft.functions.VectorFunctions.cosine_distance(
+            col("v"), col("qv")), lit(0.0)))
+        .withColumn("r_vec", row_number().over(wv).cast("long"))
+        .where(col("r_vec") <= 100).select("doc_id", "r_vec")
+      val wf = Window.orderBy(col("rrf").desc, col("doc_id"))
+      bm.join(ve, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("r_vec")), lit(0.0)), 6))
+        .withColumn("rank", row_number().over(wf).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("doc_id"), coalesce(col("r_bm25"), lit(0L)).as("r_bm25"),
+          coalesce(col("r_vec"), lit(0L)).as("r_vec"), col("rrf"),
+          col("rank"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $bm25Sql,
+      bm AS (
+        SELECT doc_id, r_bm25 FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+          FROM perdoc WHERE doc_id <> 0)
+        WHERE r_bm25 <= 100),
+      ve AS (
+        SELECT doc_id, r_vec FROM (
+          SELECT s.vec_id AS doc_id,
+                 row_number() OVER (ORDER BY
+                   greatest(1 - list_cosine_similarity(
+                     CAST(s.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 0), s.vec_id) AS r_vec
+          FROM embeddings s
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE s.vec_id <> 0)
+        WHERE r_vec <= 100),
+      fused AS (
+        SELECT coalesce(bm.doc_id, ve.doc_id) AS doc_id,
+               coalesce(bm.r_bm25, 0) AS r_bm25,
+               coalesce(ve.r_vec, 0) AS r_vec,
+               round(coalesce(1.0 / (60 + bm.r_bm25), 0) +
+                     coalesce(1.0 / (60 + ve.r_vec), 0), 6) AS rrf
+        FROM bm FULL JOIN ve ON bm.doc_id = ve.doc_id),
+      ranked AS (
+        SELECT doc_id, r_bm25, r_vec, rrf,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused)
+      SELECT doc_id, r_bm25, r_vec, rrf, rank FROM ranked WHERE rank <= 10
+      ORDER BY rank
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks, qCentroids,
-    qContamination, qSaltedAgg, qInterleave, qShardSplit)
+    qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
+    qRrfFusion)
 }

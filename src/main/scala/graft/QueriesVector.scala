@@ -648,10 +648,64 @@ object QueriesVector {
     },
     None)
 
+  // ----------------------------------------------------------- q_knn_classify
+  /** k-NN majority-vote classification: label each query embedding by the
+    * most common label among its 10 nearest OTHER embeddings (leave-one-out,
+    * cosine). The retrieval-based labeling primitive of a curation pipeline
+    * (auto-tagging new documents from a labeled seed set).
+    *
+    * Plan: one exact top-(k+1) pass (the self row occupies at most one of
+    * the k+1 slots, so dropping it always leaves the true non-self top-k),
+    * then a vocabulary-sized broadcast label join and a per-query vote
+    * window. Scale shape is the kNN kernel's — the store never shuffles,
+    * the vote aggregation is k rows per query. */
+  private val qKnnClassify = Q("q_knn_classify",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val topSelf = Knn.query(store(s, dir), queriesDf(s, dir, 50), 11,
+        Metric.Cosine)
+      val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
+      val top = topSelf.where(col("id") =!= col("query_id"))
+        .withColumn("_r", row_number().over(w)).where(col("_r") <= 10)
+      val labels = emb.select(col("vec_id").as("id"), col("label"))
+      val votes = top.join(broadcast(labels), "id")
+        .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
+      val wv = Window.partitionBy("query_id")
+        .orderBy(col("votes").desc, col("label"))
+      votes.withColumn("_rv", row_number().over(wv)).where(col("_rv") === 1)
+        .select(col("query_id"), col("label").cast("long").as("pred_label"),
+          col("votes"))
+        .orderBy("query_id")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS id, s.label,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s JOIN embeddings q ON s.vec_id <> q.vec_id
+        WHERE q.vec_id < 50),
+      ranked AS (
+        SELECT query_id, id, label,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS rnk
+        FROM pairs),
+      votes AS (
+        SELECT query_id, label, count(*) AS votes
+        FROM ranked WHERE rnk <= 10 GROUP BY 1, 2),
+      best AS (
+        SELECT query_id, label, votes,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY votes DESC, label) AS rv
+        FROM votes)
+      SELECT query_id, CAST(label AS BIGINT) AS pred_label, votes
+      FROM best WHERE rv = 1
+      ORDER BY query_id
+    """))
+
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
-    qHnswKnn,
+    qHnswKnn, qKnnClassify,
     qEvaluate)
 }

@@ -348,4 +348,46 @@ object Dedup {
         round(coalesce(col("_ncov"), lit(0)) /
           greatest(col("_nw"), lit(1)), 6).as("dup_frac"))
   }
+
+  // ----------------------------------------------- semantic dedup (SemDeDup)
+
+  /** Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540):
+    * embeddings are first clustered, then near-duplicates are detected ONLY
+    * within each cluster — cosine pairs against global all-pairs is the
+    * paper's whole trick. Survivor policy is deterministic: a row is kept
+    * iff no smaller-id row in its cluster sits within `tau` cosine distance
+    * (the paper keeps one exemplar per duplicate group; min-id is our
+    * canonical choice, matching `exactDedup`).
+    *
+    * Output: one row per input row — (idCol, clusterCol, n_dups = count of
+    * smaller-id in-cluster neighbors within tau, kept = 0/1).
+    *
+    * Scale shape: the join is an EQUI-join on the cluster key, so the
+    * shuffle moves each row once and the pair space is Σ|cluster|² — bounded
+    * by the clustering fan-out (at 100 TB the cluster column comes from a
+    * KMeans/IVF centroid assignment, `IvfStrategy.assign`-shaped, with k
+    * sized so n/k stays executor-resident; here any categorical column
+    * works). Distances are rounded to 6 decimals BEFORE the threshold
+    * compare so the verdict is engine-independent (the repo's rounded-both-
+    * sides convention). */
+  def semDedup(df: DataFrame, idCol: String, clusterCol: String,
+      vecCol: String, tau: Double): DataFrame = {
+    val a = df.select(col(clusterCol).as("_c"), col(idCol).as("_i"),
+      col(vecCol).cast("array<double>").as("_va"))
+    val b = df.select(col(clusterCol).as("_c"), col(idCol).as("_j"),
+      col(vecCol).cast("array<double>").as("_vb"))
+    val dups = a.join(b, Seq("_c"))
+      .where(col("_j") < col("_i"))
+      .withColumn("_d", round(greatest(
+        graft.functions.VectorFunctions.cosine_distance(
+          col("_va"), col("_vb")), lit(0.0)), 6))
+      .where(col("_d") <= tau)
+      .groupBy("_i")
+      .agg(count(lit(1)).as("_nd"))
+    df.join(dups.withColumnRenamed("_i", idCol), Seq(idCol), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("_nd"), lit(0L)).cast("long").as("n_dups"),
+        (coalesce(col("_nd"), lit(0L)) === 0L).cast("long").as("kept"))
+  }
 }

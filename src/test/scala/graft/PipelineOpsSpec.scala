@@ -202,4 +202,57 @@ class PipelineOpsSpec extends SparkSpec {
       .as("n")).head().getString(0)
     assert(got == "a b <num> c<num>x")
   }
+
+  test("semDedup: min-id survivor within cluster; cross-cluster twins both kept") {
+    import spark.implicits._
+    val e1 = Seq(1.0, 0.0); val e2 = Seq(0.0, 1.0)
+    val near1 = Seq(0.9999, 0.01) // ~0 cosine distance to e1
+    val df = Seq(
+      (1L, "a", e1), (2L, "a", near1), (3L, "a", e2), // 2 dups 1; 3 distinct
+      (4L, "b", e1), (5L, "b", near1)                 // twin of cluster-a rows
+    ).toDF("id", "c", "vector")
+    val got = Dedup.semDedup(df, "id", "c", "vector", 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((0L, 1L)), "min id has no smaller-id dup -> kept")
+    assert(got(2L) === ((1L, 0L)), "near-dup of 1 in-cluster -> dropped")
+    assert(got(3L) === ((0L, 1L)), "orthogonal vector kept")
+    // 4 duplicates 1's vector exactly, but sits in another cluster: the
+    // SemDeDup contract only compares within a cluster
+    assert(got(4L) === ((0L, 1L)))
+    assert(got(5L) === ((1L, 0L)), "in-cluster dup of 4 -> dropped")
+  }
+
+  test("q_knn_classify: one prediction per query, sane vote counts, self excluded") {
+    val out = Queries.queryMap("q_knn_classify")(spark, dir)
+    val nq = math.min(50L, sf("embeddings").count())
+    assert(out.count() == nq)
+    assert(out.select("query_id").distinct().count() == nq)
+    assert(out.where(col("votes") < 1 || col("votes") > 10).isEmpty)
+    val labels = sf("embeddings").select(col("label").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(out.collect().forall(r => labels.contains(r.getLong(1))))
+  }
+
+  test("q_bm25: ranks 1..10, scores positive and non-increasing") {
+    val out = Queries.queryMap("q_bm25")(spark, dir).collect()
+    assert(out.map(_.getLong(2)).toSeq == (1L to 10L))
+    val scores = out.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q_rrf_fusion: fused score recomputes from the two rank columns") {
+    val out = Queries.queryMap("q_rrf_fusion")(spark, dir).collect()
+    assert(out.map(_.getLong(4)).toSeq == (1L to 10L))
+    out.foreach { r =>
+      val (rb, rv, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      val expect = (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
+        (if (rv > 0) 1.0 / (60 + rv) else 0.0)
+      assert(math.abs(rrf - math.rint(expect * 1e6) / 1e6) < 1e-9,
+        s"doc ${r.getLong(0)}")
+    }
+    val scores = out.map(_.getDouble(3))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
