@@ -17,7 +17,19 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     Seq("lineitem", "documents", "embeddings").foreach { tbl =>
       spark.read.parquet(s"$sfDir/$tbl.parquet").limit(10).count() }
+    // Per-query warmup pass (verdict r7 #6): rounds 6/7 ran byte-identical
+    // binaries yet swung ±13× on individual queries (q_gopher_rules
+    // 0.84→10.88 s) — JIT compilation, codegen caching, parquet page-cache
+    // faults, and one-time registry index builds were landing on whichever
+    // timed pass hit them first. Run each query once untimed, then report
+    // the timed steady-state pass. SPARK_GRAFT_WARMUP=0 restores the
+    // single-pass cold numbers.
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      if (warmup) {
+        try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        catch { case _: Throwable => () } // failure re-surfaces in the timed pass
+      }
       val t0 = System.nanoTime()
       // materialize every column (count() would let Catalyst prune the
       // projections and under-measure projection-heavy queries)

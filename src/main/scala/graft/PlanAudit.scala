@@ -20,7 +20,8 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val hot = Seq("regexp_replace", "split(", "filter(", "transform(",
-      "md5(", "CartesianProduct", "Exchange")
+      "md5(", "CartesianProduct", "Exchange", "Exchange SinglePartition",
+      "Window")
     args.drop(1).foreach { name =>
       // time the FULL query-fn call + execution, exactly like Bench does —
       // registry builds and driver-side math run inside the fn call, so

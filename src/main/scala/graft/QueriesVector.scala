@@ -86,12 +86,19 @@ object QueriesVector {
     * long-lived multi-dir session should call `spark.catalog.clearCache()`
     * between dirs. */
   private[graft] def exactCosineTopK(s: SparkSession, dir: String, n: Int,
-      k: Int): DataFrame =
-    mapOf(gtCaches, s).getOrElseUpdate(s"$dir/$n/$k", {
+      k: Int): DataFrame = exactTopK(s, dir, n, k, Metric.Cosine)
+
+  /** metric-generic exact ground truth, cosine's cache key unchanged so the
+    * q_knn_cosine / cosine-evaluate sharing survives the r8 metric grid */
+  private[graft] def exactTopK(s: SparkSession, dir: String, n: Int,
+      k: Int, metric: Metric): DataFrame =
+    mapOf(gtCaches, s).getOrElseUpdate(
+      if (metric == Metric.Cosine) s"$dir/$n/$k"
+      else s"$dir/$n/$k/${metric.name}", {
       val df = Knn.query(cachedStore(s, dir),
         queriesDf(s, dir, n).withColumn("qvector",
           col("qvector").cast("array<double>")),
-        k, Metric.Cosine).cache()
+        k, metric).cache()
       df.count()
       df
     })
@@ -390,15 +397,21 @@ object QueriesVector {
     * deterministic training makes adopted == self-trained bitwise
     * (`IvfStrategy.adoptCentroids`), so this only skips a redundant
     * KMeans collect, never changes results. */
-  private def mkIvfpq(s: SparkSession, dir: String): IvfPqStrategy = {
-    val st = IvfPqStrategy(Metric.Cosine, nlist = 16, nprobe = 8,
+  private def mkIvfpq(s: SparkSession, dir: String,
+      metric: Metric = Metric.Cosine): IvfPqStrategy = {
+    val st = IvfPqStrategy(metric, nlist = 16, nprobe = 8,
       m = 8, nbits = 8, rerank = true)
-    mapOf(indexCaches, s).get(s"$dir/ivf16x8")
+    mapOf(indexCaches, s).get(s"$dir/ivf16x8${metricSfx(metric)}")
       .map(_._1.asInstanceOf[IvfStrategy])
       .filter(_.isTrained)
       .foreach(i => st.adoptCentroids(i.centroidArray))
     st
   }
+
+  /** registry-key suffix per metric; cosine's keys stay bare so every
+    * existing q_*_knn query keeps sharing the cosine builds */
+  private def metricSfx(metric: Metric): String =
+    if (metric == Metric.Cosine) "" else s"-${metric.name}"
 
   /** composed IVF+PQ: probe cells pruned, ADC-scanned, exact re-rank
     * (B5 ivfpq/ivfpqr) — rows-only check. */
@@ -441,6 +454,44 @@ object QueriesVector {
           round(col("dist"), 6).as("dist"), col("rank"))
     },
     None)
+
+  /** The HNSW machinery in its provably-exhaustive mode
+    * ([[HnswStrategy.queryExhaustive]]: layer-0 beam seeded with every
+    * node — the `ef_search >= n` limit), where the walk's output IS the
+    * exact top-k, checked against the same DuckDB oracle as q_knn_cosine.
+    * This is the graph family's oracle anchor (verdict r7 #7: HNSW and
+    * NN-descent previously had only spec-level recall bars, while the
+    * IVF/SQ8 families had exact-mode oracle siblings): it pins the
+    * strategy's normalize/score/tie-break/rank plumbing to an engine-
+    * independent ground truth, leaving only the walk's candidate coverage
+    * (spec-asserted recall) outside the oracle. Reuses the registry's
+    * hnsw16 index — zero extra build cost. */
+  val qHnswKnnExact = Q("q_hnsw_knn_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      strat.asInstanceOf[HnswStrategy].queryExhaustive(prepared,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
 
   /** Distributed ANN self-join via IVF cells — the similarity self-join
     * scale path (no broadcast of the store, no driver collect; see
@@ -536,6 +587,23 @@ object QueriesVector {
   val qEvaluate = Q("q_evaluate",
     (s, dir) => {
       import s.implicits._
+      // the reference's evaluate gate admits cosine AND euclidean
+      // (vicinity.py:341 / api/Vicinity.scala:258-262); the grid now
+      // exercises both (verdict r7 #8) — one per-metric pass each, all
+      // builds registry-shared and seeded, so the output stays
+      // deterministic. Cosine's registry keys are unchanged, so the
+      // q_*_knn queries keep serving from the same instances.
+      (evalGrid(s, dir, Metric.Cosine) ++ evalGrid(s, dir, Metric.Euclidean))
+        .toDF("strategy", "metric", "k", "recall", "rows_scanned")
+    },
+    None)
+
+  /** one metric's evaluate pass — the Q11 grid over all seven ANN
+    * families, returning (strategy, metric, k, recall, rows_scanned) */
+  private def evalGrid(s: SparkSession, dir: String,
+      metric: Metric): Seq[(String, String, Long, Double, Long)] = {
+      import s.implicits._
+      val sfx = metricSfx(metric)
       // seven strategies scan the same store: materialize once (shared
       // with the registry's index builds)
       val st = cachedStore(s, dir)
@@ -556,29 +624,29 @@ object QueriesVector {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fGt = Future(exactCosineTopK(s, dir, nq, k))
+      val fGt = Future(exactTopK(s, dir, nq, k, metric))
       // embeddings' true neighbors sit at only ~0.4 cosine similarity, so
       // sign-LSH needs many short signatures for recall (selectivity is
       // data-dependent: on high-similarity corpora fewer/longer work).
       // Indexes come from the shared registry: built once per config for
       // the whole session, same instances the q_*_knn queries serve from.
-      val fLsh = Future(preparedIndex(s, dir, "lsh32x5")(
-        LshStrategy(Metric.Cosine, nTables = 32, nBits = 5)))
-      val fIvf = Future(preparedIndex(s, dir, "ivf16x8")(
-        IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8)))
-      val fSq8 = Future(preparedIndex(s, dir, "sq8")(
-        Sq8Strategy(Metric.Cosine, rerankFactor = 8)))
-      val fPq = Future(preparedIndex(s, dir, "pq8x8")(
-        PqStrategy(Metric.Cosine, m = 8, nbits = 8)))
+      val fLsh = Future(preparedIndex(s, dir, s"lsh32x5$sfx")(
+        LshStrategy(metric, nTables = 32, nBits = 5)))
+      val fIvf = Future(preparedIndex(s, dir, s"ivf16x8$sfx")(
+        IvfStrategy(metric, nlist = 16, nprobe = 8)))
+      val fSq8 = Future(preparedIndex(s, dir, s"sq8$sfx")(
+        Sq8Strategy(metric, rerankFactor = 8)))
+      val fPq = Future(preparedIndex(s, dir, s"pq8x8$sfx")(
+        PqStrategy(metric, m = 8, nbits = 8)))
       // the graph families complete the Q11 grid (round 6): registry-shared
       // with q_hnsw_knn / q_nndescent_knn, driver-walk-served at this scale
-      val fHnsw = Future(preparedIndex(s, dir, "hnsw16")(
-        HnswStrategy(Metric.Cosine)))
-      val fNnd = Future(preparedIndex(s, dir, "nnd15")(
-        NnDescentStrategy(Metric.Cosine)))
+      val fHnsw = Future(preparedIndex(s, dir, s"hnsw16$sfx")(
+        HnswStrategy(metric)))
+      val fNnd = Future(preparedIndex(s, dir, s"nnd15$sfx")(
+        NnDescentStrategy(metric)))
       val (ivf, ivfPrep) = Await.result(fIvf, Duration.Inf)
-      val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, "ivfpq16x8")(
-        mkIvfpq(s, dir)) // adopts ivf16x8's codebook, trained 1 line up
+      val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, s"ivfpq16x8$sfx")(
+        mkIvfpq(s, dir, metric)) // adopts ivf16x8's codebook, trained 1 line up
       val (lshS, lshPrep) = Await.result(fLsh, Duration.Inf)
       val lsh = lshS.asInstanceOf[LshStrategy]
       val (sq8, sq8Prep) = Await.result(fSq8, Duration.Inf)
@@ -586,7 +654,8 @@ object QueriesVector {
       val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)
       val (nnd, nndPrep) = Await.result(fNnd, Duration.Inf)
       // ground truth = the SAME cached exact top-k frame q_knn_cosine
-      // serves from (verdict-r2 trim: the gt pass was recomputed here)
+      // serves from on the cosine pass (verdict-r2 trim: the gt pass was
+      // recomputed here); euclidean gets its own cached frame
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
       val names = Seq("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw",
@@ -642,11 +711,9 @@ object QueriesVector {
         "ivfpq" -> ivfScan, "sq8" -> fullScan, "pq" -> fullScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),
         "nndescent" -> nnd.scanVolume(nndPrep, q))
-      names.map(n => (n, k.toLong, math.rint(recalls(n) * 1000) / 1000,
-          scans(n)))
-        .toDF("strategy", "k", "recall", "rows_scanned")
-    },
-    None)
+      names.map(n => (n, metric.name, k.toLong,
+        math.rint(recalls(n) * 1000) / 1000, scans(n)))
+  }
 
   // ----------------------------------------------------------- q_knn_classify
   /** k-NN majority-vote classification: label each query embedding by the
@@ -663,8 +730,11 @@ object QueriesVector {
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val emb = t(s, dir, "embeddings")
+      // rounded-both-sides convention (verdict r7 #4): rank on 6-decimal
+      // distances so a near-tie at the k-th boundary can't flip between the
+      // Spark and DuckDB float pipelines
       val topSelf = Knn.query(store(s, dir), queriesDf(s, dir, 50), 11,
-        Metric.Cosine)
+        Metric.Cosine).withColumn("dist", round(col("dist"), 6))
       val w = Window.partitionBy("query_id").orderBy(col("dist"), col("id"))
       val top = topSelf.where(col("id") =!= col("query_id"))
         .withColumn("_r", row_number().over(w)).where(col("_r") <= 10)
@@ -681,8 +751,8 @@ object QueriesVector {
     Some("""
       WITH pairs AS (
         SELECT q.vec_id AS query_id, s.vec_id AS id, s.label,
-               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+               round(greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                         CAST(q.embedding AS DOUBLE[])), 0), 6) AS d
         FROM embeddings s JOIN embeddings q ON s.vec_id <> q.vec_id
         WHERE q.vec_id < 50),
       ranked AS (
@@ -706,6 +776,6 @@ object QueriesVector {
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
-    qHnswKnn, qKnnClassify,
+    qHnswKnn, qHnswKnnExact, qKnnClassify,
     qEvaluate)
 }

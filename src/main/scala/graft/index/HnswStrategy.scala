@@ -290,6 +290,36 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       localLayers(0)._1, localLayers(0)._2, efSearch, hops, k)
   }
 
+  /** EXACT mode (the oracle anchor for the graph family, verdict r7 #7):
+    * seed the layer-0 beam with EVERY stored node, so every node is scored
+    * at seed time and the emitted top-k is provably the exact top-k — the
+    * `ef_search >= n` limit of the beam walk made explicit, and
+    * connectivity-independent (a disconnected layer-0 graph cannot hide a
+    * node from the seed set the way it can from a walk). Runs the SAME
+    * scoring kernel, (dist, id)-ascending tie-break, and rank plumbing as
+    * [[query]]'s beam ([[NnDescentStrategy.beamFrom]] /
+    * [[NnDescentStrategy.beamLocalOne]]); only the seed set widens and the
+    * hop count drops to 0 (expansion cannot add nodes beyond a full seed
+    * set). Cost is one full scan per query — the exactness/QPS trade the
+    * reference's BASIC backend makes; use [[query]] for the ANN path. */
+  def queryExhaustive(prepared: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(layers != null, "HnswStrategy.prepare must run before query")
+    val kn = scoringKernel
+    val q = kn.walkQueries(queries)
+    val batch = if (localIds == null) None
+      else NnDescentStrategy.driverBatch(q)
+    if (batch.isDefined) {
+      return kn.walkResultFrame(prepared.sparkSession, batch.get,
+        qv => kn.beamLocalOne(qv, localIds, localIds, localVs,
+          localLayers(0)._1, localLayers(0)._2, k, 0, k))
+    }
+    val vecs = prepared.select(col("id"), col("vector"))
+    val allSeeds = vecs.select("id").crossJoin(q.select("query_id"))
+    kn.beamFrom(layers(0), vecs, q, allSeeds, k, 0, k)
+  }
+
   /** ANN threshold semantics: top-max_k then strict `<` (hnsw.py:107-114) */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame =

@@ -92,6 +92,28 @@ class HnswSpec extends SparkSpec {
     assert(got.where(col("rank") < 1 || col("rank") > 10).isEmpty)
   }
 
+  test("queryExhaustive: full-seed walk equals exact top-10, both build paths") {
+    // the q_hnsw_knn_exact anchor (verdict r7 #7): with the layer-0 beam
+    // seeded by every node, the walk's top-k must BE the exact top-k —
+    // row for row, rank for rank — on the driver-array path and on the
+    // distributed DataFrame path alike
+    val df = store.cache()
+    val q = queriesOf(df, 7)
+    val exact = ExactStrategy(Metric.Cosine)
+    val gt = exact.query(exact.prepare(df), q, 10)
+      .select(col("query_id"), col("id"), col("rank"),
+        round(col("dist"), 6).as("dist6"))
+    for (small <- Seq(Long.MaxValue, 0L)) {
+      val strat = HnswStrategy(Metric.Cosine, smallBuildElems = small)
+      val got = strat.queryExhaustive(strat.prepare(df), q, 10)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("dist"), 6).as("dist6"))
+      assert(got.count() == gt.count())
+      assert(got.except(gt).isEmpty && gt.except(got).isEmpty,
+        s"exhaustive walk diverged from exact top-k (smallBuildElems=$small)")
+    }
+  }
+
   test("threshold: ANN shape — top-max_k then strict < (hnsw.py:107-114)") {
     val df = store.cache()
     val strat = HnswStrategy(Metric.Cosine)

@@ -157,11 +157,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stages.contains("4_kept"), "a sane corpus keeps something")
   }
 
-  test("q_evaluate reports a recall in [0,1] for all seven ANN strategies") {
+  test("q_evaluate reports a recall in [0,1] for all seven ANN strategies x both metrics") {
     val out = Queries.queryMap("q_evaluate")(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
-    assert(out.keySet === Set("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw",
-      "nndescent"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
+      .toMap
+    val fams = Set("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw", "nndescent")
+    assert(out.keySet ===
+      (for (f <- fams; m <- Set("cosine", "euclidean")) yield (f, m)))
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
   }
 
@@ -223,6 +225,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(5L) === ((1L, 0L)), "in-cluster dup of 4 -> dropped")
   }
 
+  test("semDedup: zero vector has distance 1.0 to everything (kernel + oracle semantics)") {
+    // the kernel defines zero-vector cosine distance as 1.0 (zero-safe
+    // normalize, VectorExpressions CosineDistance); the q_semdedup DuckDB
+    // oracle mirrors it via coalesce(1 - list_cosine_similarity(...), 1.0)
+    // — verdict r7 #3. tau = 0.5: zero vector is never a dup; tau = 1.0:
+    // a smaller-id zero vector counts as a neighbor of EVERY row.
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", Seq(0.0, 0.0)),  // zero vector, min id
+      (2L, "a", Seq(1.0, 0.0)),
+      (3L, "a", Seq(0.0, 0.0))   // second zero vector
+    ).toDF("id", "c", "vector")
+    val strict = Dedup.semDedup(df, "id", "c", "vector", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // zero-to-zero distance is also 1.0 (> 0.5), so ALL rows survive
+    assert(strict === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val loose = Dedup.semDedup(df, "id", "c", "vector", 1.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // at tau = 1.0 every pair is within threshold: only the min id survives
+    assert(loose === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("q_knn_classify: one prediction per query, sane vote counts, self excluded") {
     val out = Queries.queryMap("q_knn_classify")(spark, dir)
     val nq = math.min(50L, sf("embeddings").count())
@@ -249,8 +273,11 @@ class PipelineOpsSpec extends SparkSpec {
       val (rb, rv, rrf) = (r.getLong(1), r.getLong(2), r.getDouble(3))
       val expect = (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
         (if (rv > 0) 1.0 / (60 + rv) else 0.0)
-      assert(math.abs(rrf - math.rint(expect * 1e6) / 1e6) < 1e-9,
-        s"doc ${r.getLong(0)}")
+      // Spark's round() is HALF_UP; math.rint is half-even and fails
+      // spuriously on a 5 at the 7th decimal (verdict r7 #5)
+      val expect6 = BigDecimal(expect)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(rrf - expect6) < 1e-9, s"doc ${r.getLong(0)}")
     }
     val scores = out.map(_.getDouble(3))
     assert(scores.sliding(2).forall(p => p(0) >= p(1)))
