@@ -557,8 +557,59 @@ object QueriesText {
       FROM z ORDER BY doc_id
     """))
 
+  // ---------------------------------------------------------- q_pii_scrub
+  /** PII masking (emails, IPv4) — the redaction pass every
+    * training-corpus pipeline runs before release. The synthetic corpus
+    * contains no organic PII, so the query deterministically INJECTS a
+    * per-doc quota first (doc_id%3 emails, doc_id%2 IPs, built from
+    * doc_id with expressions both engines evaluate identically), then
+    * scrubs with [[TF.piiScrub]] and verifies end to end: match counts
+    * AND the md5 of the scrubbed text are oracle-checked, so a divergence
+    * in either regex engine's match set breaks the hash. Patterns are
+    * restricted to Java/RE2-identical syntax ([[TF.emailRe]] scaladoc).
+    * Plan: pure row-local expressions after the scan — no shuffle, the
+    * 100 TB shape of a masking pass. */
+  val qPiiScrub = Q("q_pii_scrub",
+    (s, dir) => {
+      val injected = concat(
+        expr("repeat(concat('reach user', cast(doc_id as string), " +
+          "'@example.org '), cast(doc_id % 3 as int))"),
+        expr("repeat(concat('node 10.0.', cast(doc_id % 256 as string), " +
+          "'.7 '), cast(doc_id % 2 as int))"),
+        col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), injected.as("_t"))
+        .select(col("doc_id"),
+          TF.piiCount(col("_t"), TF.emailRe).as("n_emails"),
+          TF.piiCount(col("_t"), TF.ipv4Re).as("n_ips"),
+          md5(TF.piiScrub(col("_t")).cast("binary")).as("scrub_md5"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH injected AS (
+        SELECT doc_id,
+               repeat('reach user' || CAST(doc_id AS VARCHAR) ||
+                 '@example.org ', CAST(doc_id % 3 AS INT)) ||
+               repeat('node 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+                 '.7 ', CAST(doc_id % 2 AS INT)) ||
+               text AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(t,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+             md5(regexp_replace(regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+               AS scrub_md5
+      FROM injected
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
     qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix,
-    qSpanDedup, qQualityLogreg)
+    qSpanDedup, qQualityLogreg, qPiiScrub)
 }

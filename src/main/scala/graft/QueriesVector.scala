@@ -772,10 +772,42 @@ object QueriesVector {
       ORDER BY query_id
     """))
 
+  /** NN-descent's walk in its provably-exhaustive mode
+    * ([[NnDescentStrategy.queryExhaustive]]: beam seeded with every node) —
+    * the second graph-family oracle anchor, pinning the PYNNDESCENT-family
+    * scoring/tie-break/rank plumbing the way q_hnsw_knn_exact pins HNSW's.
+    * Reuses the registry's nnd15 graph — zero extra build cost. */
+  val qNndescentKnnExact = Q("q_nndescent_knn_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "nnd15")(
+        NnDescentStrategy(Metric.Cosine))
+      strat.asInstanceOf[NnDescentStrategy].queryExhaustive(prepared,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
-    qHnswKnn, qHnswKnnExact, qKnnClassify,
+    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify,
     qEvaluate)
 }

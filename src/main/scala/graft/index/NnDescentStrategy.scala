@@ -471,6 +471,31 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     beamFrom(graph, vecs, q, seedPairs, beam, hops, k)
   }
 
+  /** EXACT mode (the NN-descent oracle anchor, mirroring
+    * [[HnswStrategy.queryExhaustive]]): seed the beam with EVERY stored
+    * node, so every node is scored at seed time and the emitted top-k is
+    * provably the exact top-k, independent of the k-NN graph's
+    * connectivity. Same scoring kernel, (dist, id) tie-break, and rank
+    * plumbing as [[query]]'s walk; only the seed set widens and hops drop
+    * to 0 (expansion cannot add nodes beyond a full seed set). One full
+    * scan per query — the exactness/QPS trade; use [[query]] for ANN. */
+  def queryExhaustive(prepared: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(graph != null, "NnDescentStrategy.prepare must run before query")
+    val q = walkQueries(queries)
+    val batch = if (localIds == null) None
+      else NnDescentStrategy.driverBatch(q)
+    if (batch.isDefined) {
+      return walkResultFrame(prepared.sparkSession, batch.get,
+        qv => beamLocalOne(qv, localIds, localIds, localVs,
+          localIds, localAdj, k, 0, k))
+    }
+    val vecs = prepared.select(col("id"), col("vector"))
+    val allSeeds = vecs.select("id").crossJoin(q.select("query_id"))
+    beamFrom(graph, vecs, q, allSeeds, k, 0, k)
+  }
+
   /** ANN threshold semantics: top-max_k then strict `<` mask
     * (pynndescent.py:85-93) */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,

@@ -120,4 +120,26 @@ object TextFunctions {
     * should materialize the words array and call shinglesOfWords) */
   def wordShingles(text: Column, n: Int = 3): Column =
     shinglesOfWords(words(text), n)
+
+  // ------------------------------------------------------------- PII scrub
+
+  /** PII patterns deliberately restricted to syntax with IDENTICAL
+    * semantics in Java regex (Spark codegen) and RE2 (DuckDB oracle):
+    * character classes, bounded repetition, ASCII `\d`/`\b` — no
+    * backreferences, no lookaround (RE2 has neither). */
+  val emailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val ipv4Re = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
+  /** count of non-overlapping matches (regexp_extract_all keeps both
+    * engines on the same leftmost-non-overlapping scan) */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** mask emails then IPv4s — the order matters (an email's host can
+    * contain a dotted quad; masking emails first keeps the verdicts
+    * disjoint), so both engines must apply the same sequence */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
+      lit(ipv4Re), lit("<IP>"))
 }

@@ -104,6 +104,27 @@ class NnDescentSpec extends SparkSpec {
     assert(got.where(col("rank") < 1 || col("rank") > 10).isEmpty)
   }
 
+  test("queryExhaustive: full-seed walk equals exact top-10, both build paths") {
+    // the q_nndescent_knn_exact anchor: seeding the beam with every node
+    // makes the walk's top-k the exact top-k, row for row, on the
+    // driver-array path and the distributed DataFrame path alike
+    val df = store.cache()
+    val q = queriesOf(df, 7)
+    val exact = ExactStrategy(Metric.Cosine)
+    val gt = exact.query(exact.prepare(df), q, 10)
+      .select(col("query_id"), col("id"), col("rank"),
+        round(col("dist"), 6).as("dist6"))
+    for (small <- Seq(Long.MaxValue, 0L)) {
+      val strat = NnDescentStrategy(Metric.Cosine, smallBuildElems = small)
+      val got = strat.queryExhaustive(strat.prepare(df), q, 10)
+        .select(col("query_id"), col("id"), col("rank"),
+          round(col("dist"), 6).as("dist6"))
+      assert(got.count() == gt.count())
+      assert(got.except(gt).isEmpty && gt.except(got).isEmpty,
+        s"exhaustive walk diverged from exact top-k (smallBuildElems=$small)")
+    }
+  }
+
   test("threshold: strict < mask over the capped walk (pynndescent.py:85-93)") {
     val df = store.cache()
     val strat = NnDescentStrategy(Metric.Cosine)

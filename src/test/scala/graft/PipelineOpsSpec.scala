@@ -247,6 +247,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("piiScrub masks emails before IPs; counts are non-overlapping matches") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b-c%d@sub.example.org then node 192.168.0.1 end"),
+      (2L, "no pii here at all"),
+      (3L, "two mails x@y.io z@w.ai one ip 10.0.0.7")
+    ).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.prep.TextFunctions.piiCount(col("text"),
+          graft.prep.TextFunctions.emailRe).as("ne"),
+        graft.prep.TextFunctions.piiCount(col("text"),
+          graft.prep.TextFunctions.ipv4Re).as("ni"),
+        graft.prep.TextFunctions.piiScrub(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((1L, 1L, "mail <EMAIL> then node <IP> end")))
+    assert(got(2L) === ((0L, 0L, "no pii here at all")))
+    assert(got(3L) === ((2L, 1L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
   test("q_knn_classify: one prediction per query, sane vote counts, self excluded") {
     val out = Queries.queryMap("q_knn_classify")(spark, dir)
     val nq = math.min(50L, sf("embeddings").count())

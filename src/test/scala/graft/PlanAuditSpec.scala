@@ -21,4 +21,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"cartesian plans in: ${offenders.mkString(", ")}")
   }
+
+  test("q_bm25 / q_rrf_fusion rank without any Window operator") {
+    // verdict r7 #2 regression guard: both queries used to rank through an
+    // unpartitioned Window.orderBy — a single-partition sort of every
+    // per-doc score. They now rank through the TopK bounded-heap aggregate
+    // (constant group key, map-side partial), so the physical plan must
+    // contain ZERO Window operators of any kind.
+    val dir = "/root/testdata/sf0.001"
+    Seq("q_bm25", "q_rrf_fusion").foreach { name =>
+      val plan = Queries.queryMap(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name plans a Window operator again")
+      assert(plan.contains("topk_neighbors"),
+        s"$name no longer ranks through the TopK aggregate")
+    }
+  }
 }
