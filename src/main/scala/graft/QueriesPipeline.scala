@@ -671,8 +671,86 @@ object QueriesPipeline {
       ORDER BY rank
     """))
 
+  // ---------------------------------------------------- q_cross_source_dups
+  /** Cross-source duplication leakage matrix: for every near-dup pair
+    * (the SAME exact-verified MinHash pair set q_minhash_dedup and
+    * q_dedup_clusters consume, via [[PrepCache.minhashPairs]]), count
+    * pairs per unordered (source, source) bucket — the curation signal
+    * that tells you which corpus sources plagiarize which (same-source
+    * diagonal = internal redundancy; off-diagonal = cross-source leakage
+    * that deduplication must resolve BEFORE mixture weights are chosen).
+    *
+    * Plan: the pair set is candidate-bounded (banded, never all-pairs);
+    * attaching sources is two equi-joins of the small pair frame against
+    * the (doc_id, source) projection; the matrix aggregation is
+    * vocabulary-sized. Nothing rescans text. */
+  val qCrossSourceDups = Q("q_cross_source_dups",
+    (s, dir) => {
+      val pairs = PrepCache.minhashPairs(s, dir).select("i", "j")
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("_sa")),
+          Seq("i"))
+        .join(src.select(col("doc_id").as("j"), col("source").as("_sb")),
+          Seq("j"))
+        .select(least(col("_sa"), col("_sb")).as("source_a"),
+          greatest(col("_sa"), col("_sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""
+      $pairsSql
+      lab AS (
+        SELECT least(sa.source, sb.source) AS source_a,
+               greatest(sa.source, sb.source) AS source_b
+        FROM good
+          JOIN documents sa ON sa.doc_id = good.i
+          JOIN documents sb ON sb.doc_id = good.j)
+      SELECT source_a, source_b, count(*) AS n_dup_pairs
+      FROM lab GROUP BY 1, 2
+      ORDER BY 1, 2
+    """))
+
+  // ------------------------------------------------------- q_gram_diversity
+  /** Per-source n-gram diversity (distinct 3-grams / total 3-grams) — the
+    * corpus-level self-repetition signal (a collapsing or templated source
+    * shows a low ratio; the Self-BLEU idea reduced to an exact, scalable
+    * statistic). Plan: one explode over the tokenized corpus, then ONE
+    * hash aggregation with a partial-aggregated count + exact distinct
+    * count per source (Spark plans count_distinct as a two-phase
+    * aggregate — no row leaves the partition un-combined). */
+  val qGramDiversity = Q("q_gram_diversity",
+    (s, dir) => {
+      val g = t(s, dir, "documents")
+        .select(col("source"), TF.words(col("text")).as("_w"))
+        .select(col("source"),
+          explode(TF.shinglesOfWordsAll(col("_w"), 3)).as("g"))
+      g.groupBy("source")
+        .agg(count(lit(1)).as("total_grams"),
+          count_distinct(col("g")).as("n_distinct"))
+        .select(col("source"), col("total_grams"), col("n_distinct"),
+          round(col("n_distinct") / col("total_grams"), 6).as("diversity"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH g AS (
+        SELECT source,
+               unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2])) AS g
+        FROM documents)
+      SELECT source, count(*) AS total_grams,
+             count(DISTINCT g) AS n_distinct,
+             round(count(DISTINCT g) * 1.0 / count(*), 6) AS diversity
+      FROM g GROUP BY 1
+      ORDER BY 1
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
-    qRrfFusion)
+    qRrfFusion, qCrossSourceDups, qGramDiversity)
 }

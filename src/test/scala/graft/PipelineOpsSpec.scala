@@ -247,6 +247,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("q_cross_source_dups: unordered source buckets, pair counts conserve the pair set") {
+    val out = Queries.queryMap("q_cross_source_dups")(spark, dir).collect()
+    out.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "buckets must be unordered")
+      assert(r.getLong(2) >= 1L)
+    }
+    val totalPairs = graft.PrepCache.minhashPairs(spark, dir).count()
+    assert(out.map(_.getLong(2)).sum == totalPairs,
+      "matrix must partition the full near-dup pair set")
+  }
+
+  test("q_gram_diversity: ratio in (0,1], distinct <= total, one row per source") {
+    val out = Queries.queryMap("q_gram_diversity")(spark, dir).collect()
+    assert(out.map(_.getString(0)).distinct.length == out.length)
+    out.foreach { r =>
+      val (total, distinct, div) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(distinct >= 1 && distinct <= total)
+      assert(div > 0.0 && div <= 1.0)
+    }
+  }
+
   test("piiScrub masks emails before IPs; counts are non-overlapping matches") {
     import spark.implicits._
     val df = Seq(
