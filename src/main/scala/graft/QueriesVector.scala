@@ -772,6 +772,43 @@ object QueriesVector {
       ORDER BY query_id
     """))
 
+  /** Metadata-filtered kNN (pre-filtered exact search): top-k among only
+    * the store rows passing a metadata predicate (label % 2 = 0 here) —
+    * the filtered-search capability every production vector store bolts
+    * on and the reference lacks. Composition over machinery: the
+    * predicate lands BEFORE the kernel, so the filter runs at the scan
+    * and the kernel scores only survivors (a simple-comparison predicate
+    * additionally reaches PushedFilters; this modulo gate filters in the
+    * scan stage, before any distance is computed) — pre-filtering, not
+    * post-filtering, so k results survive arbitrarily selective
+    * predicates. Same broadcast-queries/bounded-heap plan as every
+    * exact kNN. */
+  val qKnnFiltered = Q("q_knn_filtered",
+    (s, dir) => {
+      val st = t(s, dir, "embeddings")
+        .where(col("label") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      Knn.query(st, queriesDf(s, dir, 5), 10, Metric.Cosine)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5 AND s.label % 2 = 0
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
   /** NN-descent's walk in its provably-exhaustive mode
     * ([[NnDescentStrategy.queryExhaustive]]: beam seeded with every node) —
     * the second graph-family oracle anchor, pinning the PYNNDESCENT-family
@@ -808,6 +845,6 @@ object QueriesVector {
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
-    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify,
+    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
     qEvaluate)
 }
