@@ -354,6 +354,39 @@ object QueriesVector {
     },
     None)
 
+  /** The LSH machinery in its provably-exhaustive mode
+    * ([[LshStrategy.queryExhaustive]]: all-pairs candidate set, so the
+    * exact re-rank IS brute force — the nTables → ∞ limit) — the LSH
+    * family's oracle anchor, pinning its rerank distance join and rank
+    * plumbing the way q_hnsw_knn_exact pins the graph walk's. Reuses the
+    * registry's lsh32x5 index — zero extra build cost. */
+  val qLshKnnExact = Q("q_lsh_knn_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "lsh32x5")(
+        LshStrategy(Metric.Cosine, nTables = 32, nBits = 5))
+      strat.asInstanceOf[LshStrategy].queryExhaustive(prepared,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
   /** ANN top-k via IVF/KMeans cells (B5-ivf family) — rows-only check. */
   val qIvfKnn = Q("q_ivf_knn",
     (s, dir) => {
@@ -844,7 +877,8 @@ object QueriesVector {
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
-    qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn, qNndescentKnn,
+    qLshKnnExact, qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qIvfpqKnn,
+    qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
     qEvaluate)
 }

@@ -147,6 +147,21 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       "dist", k)
   }
 
+  /** EXACT mode (the LSH family's oracle anchor, mirroring
+    * [[HnswStrategy.queryExhaustive]]): candidate set = EVERY (query, id)
+    * pair, so the exact re-rank the ANN path already performs IS brute
+    * force and the emitted top-k is provably the exact top-k — the
+    * nTables → ∞ limit of bucket recall made explicit. Exercises the
+    * same [[rerank]] distance join and TopK rank plumbing as [[query]];
+    * only the bucket-collision pruning is bypassed. */
+  def queryExhaustive(prepared: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val all = prepared.select(col("id"))
+      .crossJoin(queries.select("query_id"))
+    queryFromCandidates(prepared, queries, all, k)
+  }
+
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
     if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)

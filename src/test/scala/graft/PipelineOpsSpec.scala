@@ -247,6 +247,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose === Map(1L -> 1L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("q_lsh_knn_exact: all-pairs rerank equals the exact top-k query") {
+    // the LSH family's oracle anchor: with candidates = every pair, the
+    // rerank path must reproduce q_knn_cosine row for row
+    val a = Queries.queryMap("q_lsh_knn_exact")(spark, dir)
+    val b = Queries.queryMap("q_knn_cosine")(spark, dir)
+    assert(a.count() == b.count())
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
   test("q_cross_source_dups: unordered source buckets, pair counts conserve the pair set") {
     val out = Queries.queryMap("q_cross_source_dups")(spark, dir).collect()
     out.foreach { r =>
