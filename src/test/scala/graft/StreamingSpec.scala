@@ -141,6 +141,32 @@ class StreamingSpec extends SparkSpec {
     assert(seen === Seq("h1", "h2", "h3"))
   }
 
+  test("streaming PII scrub: row-local masking composes with a stream, no state") {
+    // the ingest-time redaction pass: piiScrub/piiCount are pure row-local
+    // expressions, so they run inside any streaming micro-batch with no
+    // state store, no watermark, and no output-mode constraint
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.prep.TextFunctions.piiCount(col("text"),
+          graft.prep.TextFunctions.emailRe).as("n_emails"),
+        graft.prep.TextFunctions.piiScrub(col("text")).as("scrubbed"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("scrub_stream").start()
+    input.addData((1L, "ping a@b.io now"), (2L, "clean row"))
+    q.processAllAvailable()
+    input.addData((3L, "ip 10.0.0.1 and mail c@d.org"))
+    q.processAllAvailable()
+    val rows = spark.table("scrub_stream")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    q.stop()
+    assert(rows(1L) === ((1L, "ping <EMAIL> now")))
+    assert(rows(2L) === ((0L, "clean row")))
+    assert(rows(3L) === ((1L, "ip <IP> and mail <EMAIL>")))
+  }
+
   test("streaming kNN: stream-static join per micro-batch (foreachBatch)") {
     implicit val sqlCtx = spark.sqlContext
     val store = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
