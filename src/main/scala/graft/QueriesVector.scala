@@ -370,22 +370,7 @@ object QueriesVector {
         .select(col("query_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
-        FROM embeddings s, embeddings q
-        WHERE q.vec_id < 5
-      ), ranked AS (
-        SELECT query_id, neighbor_id, d,
-               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-        FROM pairs
-      )
-      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
-      FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank
-    """))
+    Some(exactCosineOracle(5)))
 
   /** ANN top-k via IVF/KMeans cells (B5-ivf family) — rows-only check. */
   val qIvfKnn = Q("q_ivf_knn",
@@ -445,6 +430,28 @@ object QueriesVector {
     * existing q_*_knn query keeps sharing the cosine builds */
   private def metricSfx(metric: Metric): String =
     if (metric == Metric.Cosine) "" else s"-${metric.name}"
+
+  /** exact cosine top-10 oracle over the first `nq` query vectors —
+    * shared verbatim by every exact-mode ANN anchor (SQ8 rerank, LSH /
+    * HNSW / NN-descent exhaustive, filtered kNN) so their ground truth
+    * cannot drift apart; `extraWhere` ANDs into the store-side predicate
+    * (the filtered-kNN label gate) */
+  private def exactCosineOracle(nq: Int, extraWhere: String = ""): String = s"""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < $nq$extraWhere
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """
 
   /** composed IVF+PQ: probe cells pruned, ADC-scanned, exact re-rank
     * (B5 ivfpq/ivfpqr) — rows-only check. */
@@ -509,22 +516,7 @@ object QueriesVector {
         .select(col("query_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
-        FROM embeddings s, embeddings q
-        WHERE q.vec_id < 5
-      ), ranked AS (
-        SELECT query_id, neighbor_id, d,
-               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-        FROM pairs
-      )
-      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
-      FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank
-    """))
+    Some(exactCosineOracle(5)))
 
   /** Distributed ANN self-join via IVF cells — the similarity self-join
     * scale path (no broadcast of the store, no driver collect; see
@@ -597,22 +589,7 @@ object QueriesVector {
         .select(col("query_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
-        FROM embeddings s, embeddings q
-        WHERE q.vec_id < 8
-      ), ranked AS (
-        SELECT query_id, neighbor_id, d,
-               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-        FROM pairs
-      )
-      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
-      FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank
-    """))
+    Some(exactCosineOracle(8)))
 
   /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
     * deterministic recall of each ANN strategy vs the exact ground truth
@@ -825,22 +802,7 @@ object QueriesVector {
         .select(col("query_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
-        FROM embeddings s, embeddings q
-        WHERE q.vec_id < 5 AND s.label % 2 = 0
-      ), ranked AS (
-        SELECT query_id, neighbor_id, d,
-               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-        FROM pairs
-      )
-      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
-      FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank
-    """))
+    Some(exactCosineOracle(5, " AND s.label % 2 = 0")))
 
   /** NN-descent's walk in its provably-exhaustive mode
     * ([[NnDescentStrategy.queryExhaustive]]: beam seeded with every node) —
@@ -857,22 +819,7 @@ object QueriesVector {
         .select(col("query_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
     },
-    Some("""
-      WITH pairs AS (
-        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
-               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
-                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
-        FROM embeddings s, embeddings q
-        WHERE q.vec_id < 5
-      ), ranked AS (
-        SELECT query_id, neighbor_id, d,
-               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-        FROM pairs
-      )
-      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
-      FROM ranked WHERE rank <= 10
-      ORDER BY query_id, rank
-    """))
+    Some(exactCosineOracle(5)))
 
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
