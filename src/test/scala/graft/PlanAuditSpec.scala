@@ -22,6 +22,37 @@ class PlanAuditSpec extends SparkSpec {
       s"cartesian plans in: ${offenders.mkString(", ")}")
   }
 
+  test("no query plans an UNPARTITIONED Window (single-partition global sort)") {
+    // the r7->r8 class of scale killer, as a surface-wide net: a physical
+    // WindowExec with an empty partition spec funnels every row through one
+    // partition. Plan strings print `Window [functions], [partitionSpec],
+    // [orderSpec]` but OMIT empty spec groups, so group count alone cannot
+    // distinguish partitioned-unordered (2 groups, benign) from
+    // unpartitioned-ordered (2 groups, the killer). Discriminator: order
+    // specs carry ASC/DESC sort directions, partition specs are bare
+    // attributes — so the offender shapes are exactly
+    //   1 group              (both specs empty: global whole-frame window)
+    //   2 groups, last has ASC|DESC  (global ordered window / global rank)
+    val dir = "/root/testdata/sf0.001"
+    val offenders = Queries.all.flatMap { q =>
+      val plan = Queries.queryMap(q.name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      val bad = plan.linesIterator.exists { line =>
+        val i = line.indexOf("Window [")
+        if (i < 0) false
+        else {
+          val groups = line.substring(i).split("\\], \\[")
+          groups.length == 1 ||
+            (groups.length == 2 &&
+              (groups.last.contains(" ASC") || groups.last.contains(" DESC")))
+        }
+      }
+      if (bad) Some(q.name) else None
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned Window in: ${offenders.mkString(", ")}")
+  }
+
   test("q_bm25 / q_rrf_fusion rank without any Window operator") {
     // verdict r7 #2 regression guard: both queries used to rank through an
     // unpartitioned Window.orderBy — a single-partition sort of every
