@@ -608,8 +608,62 @@ object QueriesText {
       ORDER BY doc_id
     """))
 
+  // -------------------------------------------------------- q_ppl_buckets
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting high quality monolingual datasets from web crawl data"):
+    * label each document head/middle/tail by its unigram-LM NLL relative
+    * to the corpus distribution — the staged-quality split CCNet feeds to
+    * downstream sampling. CCNet cuts at ppl terciles; exact global
+    * quantiles need a global sort (the unpartitioned-Window shape this
+    * engine bans, PlanAuditSpec), so the cutoffs are the normal-
+    * approximation terciles mean ± 0.430727·σ — TWO scalar statistics
+    * from one partial-aggregated pass, broadcast back; every bucket
+    * verdict is then row-local. Buckets compare the 6-rounded z-score in
+    * both engines (rounded-both-sides). NLL pipeline identical to
+    * [[qUnigramPpl]]: vocabulary-sized count table broadcast, corpus
+    * never self-joined. */
+  val qPplBuckets = Q("q_ppl_buckets",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      val counts = toks.groupBy("w").agg(count(lit(1)).as("_c"))
+      val tot = counts.agg(sum("_c").as("_t"))
+      val nll = toks.join(broadcast(counts), "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(avg(-log(col("_c") / col("_t"))).as("_nll"))
+      val stats = nll.agg(avg("_nll").as("_mu"),
+        stddev_samp("_nll").as("_sd"))
+      val zCut = 0.430727
+      nll.crossJoin(broadcast(stats))
+        .select(col("doc_id"), round(col("_nll"), 6).as("nll"),
+          round((col("_nll") - col("_mu")) / col("_sd"), 6).as("z"))
+        .withColumn("bucket",
+          when(col("z") <= -zCut, "head")
+            .when(col("z") >= zCut, "tail")
+            .otherwise("middle"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      counts AS (SELECT w, count(*) AS c FROM toks GROUP BY 1),
+      tot AS (SELECT sum(c) AS t FROM counts),
+      nll AS (
+        SELECT doc_id, avg(-ln(c * 1.0 / t)) AS nll
+        FROM toks JOIN counts USING (w) CROSS JOIN tot GROUP BY doc_id),
+      st AS (SELECT avg(nll) AS mu, stddev_samp(nll) AS sd FROM nll)
+      SELECT doc_id, round(nll, 6) AS nll,
+             round((nll - mu) / sd, 6) AS z,
+             CASE WHEN round((nll - mu) / sd, 6) <= -0.430727 THEN 'head'
+                  WHEN round((nll - mu) / sd, 6) >= 0.430727 THEN 'tail'
+                  ELSE 'middle' END AS bucket
+      FROM nll CROSS JOIN st
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
     qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix,
-    qSpanDedup, qQualityLogreg, qPiiScrub)
+    qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

@@ -277,6 +277,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_ppl_buckets: one row per doc, z standardized, buckets match the z cuts") {
+    val out = Queries.queryMap("q_ppl_buckets")(spark, dir).collect()
+    assert(out.length == sf("documents").count())
+    val zs = out.map(_.getDouble(2))
+    // standardized scores: mean ~0, sample sd ~1 (rounding noise only)
+    assert(math.abs(zs.sum / zs.length) < 1e-3)
+    val sd = math.sqrt(zs.map(z => z * z).sum / (zs.length - 1))
+    assert(math.abs(sd - 1.0) < 1e-2)
+    out.foreach { r =>
+      val (z, b) = (r.getDouble(2), r.getString(3))
+      val expect = if (z <= -0.430727) "head"
+        else if (z >= 0.430727) "tail" else "middle"
+      assert(b == expect, s"doc ${r.getLong(0)}: z=$z bucket=$b")
+    }
+    assert(out.map(_.getString(3)).toSet == Set("head", "middle", "tail"))
+  }
+
   test("piiScrub masks emails before IPs; counts are non-overlapping matches") {
     import spark.implicits._
     val df = Seq(
