@@ -609,7 +609,13 @@ object QueriesVector {
     None)
 
   /** one metric's evaluate pass — the Q11 grid over all seven ANN
-    * families, returning (strategy, metric, k, recall, rows_scanned) */
+    * families, returning (strategy, metric, k, recall, rows_scanned).
+    * NOTE: the driver's embeddings are unit-normalized, so euclidean is a
+    * monotonic transform of cosine (‖a−b‖ = √(2−2cos)) and the two
+    * metrics legitimately report IDENTICAL recalls and scan volumes on
+    * this corpus — matching rows are the expected outcome, not a wiring
+    * error; the passes still exercise the full per-metric build/query
+    * paths (separate registry keys, kernels, and ground truths). */
   private def evalGrid(s: SparkSession, dir: String,
       metric: Metric): Seq[(String, String, Long, Double, Long)] = {
       import s.implicits._
