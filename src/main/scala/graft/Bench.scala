@@ -27,8 +27,10 @@ object Bench {
     val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       if (warmup) {
+        // NonFatal only (advice r8): a warmup OOM/VM error must fail loudly,
+        // not leave the timed pass running in a silently degraded heap
         try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-        catch { case _: Throwable => () } // failure re-surfaces in the timed pass
+        catch { case scala.util.control.NonFatal(_) => () } // re-surfaces in the timed pass
       }
       val t0 = System.nanoTime()
       // materialize every column (count() would let Catalyst prune the

@@ -36,10 +36,14 @@ object PlanAudit {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val opt = df.queryExecution.optimizedPlan.toString
       val phys = df.queryExecution.executedPlan.toString
+      def occ(s: String, h: String) = s.sliding(h.length).count(_ == h)
       val counts = hot.map { h =>
-        val n = opt.sliding(h.length).count(_ == h)
-        val p = phys.sliding(h.length).count(_ == h)
-        s"$h=$n/$p"
+        // 'Exchange' is a substring of 'Exchange SinglePartition': subtract
+        // the overlap so the two counters read independently (advice r8)
+        def adj(s: String) =
+          if (h == "Exchange") occ(s, h) - occ(s, "Exchange SinglePartition")
+          else occ(s, h)
+        s"$h=${adj(opt)}/${adj(phys)}"
       }.mkString(" ")
       println(s"[$name] optimized/physical occurrences: $counts")
       println(f"[$name] cold $cold%.2f s, warm ${run()}%.2f s, warm ${run()}%.2f s")

@@ -82,9 +82,11 @@ object QueriesPipeline {
 
   /** TF-IDF: top-3 terms per document by tf·ln(N/df), tie-broken on term.
     * Plan: explode → two hash aggregations (term frequencies, document
-    * frequencies) → broadcast the (small) df side back — the df table is
-    * vocabulary-sized, not corpus-sized, so the join never shuffles the
-    * corpus twice. */
+    * frequencies) → join the df side back on `term`. The df table is
+    * vocabulary-sized, which grows with the corpus (Heaps' law — web text
+    * reaches 10⁸+ distinct tokens at 100 TB), so it is NOT force-broadcast
+    * (verdict r8 #1): AQE broadcasts it when it fits and shuffle-joins on
+    * `term` when it doesn't. Only the 1-row corpus count is hinted. */
   val qTfidf = Q("q_tfidf",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -93,7 +95,7 @@ object QueriesPipeline {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDf = docs.agg(count(lit(1)).as("n"))
-      val scored = tf.join(broadcast(dfreq), "term")
+      val scored = tf.join(dfreq, "term")
         .crossJoin(broadcast(nDf))
         .withColumn("tfidf",
           col("tf") * log(col("n").cast("double") / col("df")))

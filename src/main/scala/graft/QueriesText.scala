@@ -392,16 +392,19 @@ object QueriesText {
     * corpus_count(w)/total_tokens, score = avg over tokens of -ln p(w).
     * Low = stereotypical text, high = rare-word-heavy — the standard
     * quality/outlier signal. Scale shape: one explode -> hash-agg for
-    * counts (vocabulary-sized result), tokens re-scored through a
-    * BROADCAST join of the tiny vocab table, one final per-doc agg —
-    * the corpus is never joined against itself. */
+    * counts (vocabulary-sized result), tokens re-scored through a join on
+    * `w`, one final per-doc agg — the corpus is never joined against
+    * itself. The vocab table grows with the corpus (Heaps' law), so it is
+    * NOT force-broadcast (verdict r8 #1): AQE broadcasts it when it fits
+    * and shuffle-joins on `w` when it doesn't. Only the 1-row total is
+    * hinted. */
   val qUnigramPpl = Q("q_unigram_ppl",
     (s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
       val counts = toks.groupBy("w").agg(count(lit(1)).as("_c"))
       val tot = counts.agg(sum("_c").as("_t"))
-      toks.join(broadcast(counts), "w")
+      toks.join(counts, "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_tokens"),
@@ -620,15 +623,16 @@ object QueriesText {
     * from one partial-aggregated pass, broadcast back; every bucket
     * verdict is then row-local. Buckets compare the 6-rounded z-score in
     * both engines (rounded-both-sides). NLL pipeline identical to
-    * [[qUnigramPpl]]: vocabulary-sized count table broadcast, corpus
-    * never self-joined. */
+    * [[qUnigramPpl]]: vocabulary-sized count table joined on `w` with no
+    * forced broadcast (verdict r8 #1 — vocab grows with the corpus; AQE
+    * decides), corpus never self-joined. */
   val qPplBuckets = Q("q_ppl_buckets",
     (s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
       val counts = toks.groupBy("w").agg(count(lit(1)).as("_c"))
       val tot = counts.agg(sum("_c").as("_t"))
-      val nll = toks.join(broadcast(counts), "w")
+      val nll = toks.join(counts, "w")
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(avg(-log(col("_c") / col("_t"))).as("_nll"))

@@ -739,9 +739,12 @@ object QueriesVector {
     *
     * Plan: one exact top-(k+1) pass (the self row occupies at most one of
     * the k+1 slots, so dropping it always leaves the true non-self top-k),
-    * then a vocabulary-sized broadcast label join and a per-query vote
-    * window. Scale shape is the kNN kernel's — the store never shuffles,
-    * the vote aggregation is k rows per query. */
+    * then a label join and a per-query vote window. The broadcast side is
+    * the top-k frame (k·|queries| rows, provably bounded) — NEVER the
+    * store-sized label projection, which grows with the corpus and would
+    * OOM the driver at 100× (verdict r8 #1). Scale shape is the kNN
+    * kernel's — the store never shuffles, the vote aggregation is k rows
+    * per query. */
   private val qKnnClassify = Q("q_knn_classify",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -755,7 +758,7 @@ object QueriesVector {
       val top = topSelf.where(col("id") =!= col("query_id"))
         .withColumn("_r", row_number().over(w)).where(col("_r") <= 10)
       val labels = emb.select(col("vec_id").as("id"), col("label"))
-      val votes = top.join(broadcast(labels), "id")
+      val votes = broadcast(top).join(labels, "id")
         .groupBy("query_id", "label").agg(count(lit(1)).as("votes"))
       val wv = Window.partitionBy("query_id")
         .orderBy(col("votes").desc, col("label"))

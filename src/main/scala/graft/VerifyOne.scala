@@ -1,9 +1,13 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
 /** Targeted correctness dump: like [[Verify]] but only for the named
   * queries — the fast iteration loop when ONE oracle is under repair
   * (full Verify replays all ~80 queries for a one-query check).
+  *
+  * The outDir is made self-consistent on every run (advice r8): stale
+  * sibling dumps from a previous invocation with a different query list are
+  * deleted, so check_oracle.py only ever sees dumps whose SQL is present in
+  * the freshly written oracle_sql.json.
   *
   * Usage: runMain graft.VerifyOne <sfDir> <outDir> <query> [query ...]
   * then:  python3 tools/check_oracle.py <sfDir> <outDir>
@@ -20,23 +24,17 @@ object VerifyOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    val out = new java.io.File(outDir)
+    out.mkdirs()
+    Option(out.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !names.contains(f.getName))
+      .foreach(VerifyIO.deleteRec)
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    VerifyIO.writeOracleJson(outDir,
+      SparkEntry.oracleSql.filter(kv => names.contains(kv._1)))
     spark.stop()
   }
 }

@@ -53,7 +53,10 @@ class PipelineOpsSpec extends SparkSpec {
     // "b c d e f" (pos 1) -> covers positions 0..5 = 6 of 8 words
     assert(got(1L) === ((8L, 2L, 0.75)))
     // doc 2: 9 words, spans at 1,2 duplicated -> positions 1..6 = 6/9
-    assert(got(2L) === ((9L, 2L, math.rint(6.0 / 9 * 1e6) / 1e6)))
+    // (recompute with HALF_UP like Spark's round; math.rint is half-even
+    // and fails spuriously on a 5 at the 7th decimal — verdict r7 #5)
+    assert(got(2L) === ((9L, 2L, BigDecimal(6.0 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
     // within-doc repetition is NOT cross-doc duplication
     assert(got(3L)._2 === 0L)
     // too short to have any span; zero-filled, not dropped
