@@ -42,24 +42,71 @@ object Dedup {
   /** LSH candidate pairs via banding: docs sharing any full band of the
     * signature. Input must have (idCol, shingleCol); output (i, j) with
     * i < j, distinct. `bands × rowsPerBand` hash functions are used.
-    */
+    *
+    * Hot-bucket bound (verdict r8 #2): the band self-join is O(|bucket|²)
+    * within each `(band, bucket)` shuffle group, and on boilerplate-heavy
+    * web data one bucket can hold millions of near-identical documents —
+    * a 10¹²-pair task. Buckets above `maxBucket` members are therefore
+    * STAR-LINKED instead of pairwise-joined: every member pairs with the
+    * bucket's minimum id only. Members of an over-cap bucket agree on a
+    * full signature band, i.e. they are near-identical with overwhelming
+    * probability, so the star preserves exactly what downstream consumers
+    * need — cluster connectivity ([[connectedComponents]] labels the same
+    * components) and a verified dup pair per member — while capping the
+    * per-group work at max(maxBucket², |bucket|). On non-degenerate
+    * corpora (no bucket over the cap) the output is IDENTICAL to the
+    * unbounded join. Over-cap buckets are observable via
+    * [[overCapBuckets]] — log them before large runs; the default cap of
+    * 10⁴ keeps the worst group at 10⁸ comparisons, a bounded task. */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
-      bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame = {
-    val sigUdf = minhashSignatureUdf(bands * rowsPerBand, seed)
-    val withSig = df
-      .where(size(col(shingleCol)) > 0)
-      .withColumn("_sig", sigUdf(col(shingleCol)))
-    val banded = withSig.select(col(idCol),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .toDF(idCol, "_band", "_bucket")
-    banded.as("l").join(banded.as("r"),
+      bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val banded = bandedBuckets(df, idCol, shingleCol, bands, rowsPerBand, seed)
+    // one shuffle on (band, bucket) tags each row with its bucket size and
+    // bucket-min id; the self-join below then reuses that partitioning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_band", "_bucket")
+    val sized = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_minid", min(col(idCol)).over(w))
+    val small = sized.where(col("_n") <= maxBucket)
+      .select(col(idCol), col("_band"), col("_bucket"))
+    val smallPairs = small.as("l").join(small.as("r"),
         col("l._band") === col("r._band") &&
         col("l._bucket") === col("r._bucket") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(col(s"l.$idCol").as("i"), col(s"r.$idCol").as("j"))
-      .distinct()
+    val starPairs = sized
+      .where(col("_n") > maxBucket && col(idCol) =!= col("_minid"))
+      .select(col("_minid").as("i"), col(idCol).as("j")) // minid < id always
+    smallPairs.union(starPairs).distinct()
   }
+
+  /** the (id, band, bucket) explosion [[minhashCandidates]] joins on */
+  private def bandedBuckets(df: DataFrame, idCol: String, shingleCol: String,
+      bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
+    val sigUdf = minhashSignatureUdf(bands * rowsPerBand, seed)
+    df.where(size(col(shingleCol)) > 0)
+      .withColumn("_sig", sigUdf(col(shingleCol)))
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
+      .toDF(idCol, "_band", "_bucket")
+  }
+
+  /** Monitoring hook for the hot-bucket bound: the `(band, bucket)` groups
+    * whose size exceeds `maxBucket`, with their sizes — the buckets
+    * [[minhashCandidates]] will star-link instead of pairwise-joining. Run
+    * (and log) this before a large dedup job; a non-empty result means the
+    * corpus has degenerate boilerplate and the emitted pair set is the
+    * star-reduced one. */
+  def overCapBuckets(df: DataFrame, idCol: String, shingleCol: String,
+      bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame =
+    bandedBuckets(df, idCol, shingleCol, bands, rowsPerBand, seed)
+      .groupBy("_band", "_bucket").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
 
   /** Exact Jaccard on candidate pairs: |A∩B| / |A∪B| over distinct shingle
     * sets. Joining the shingle arrays back onto the (small) candidate set. */
@@ -82,7 +129,7 @@ object Dedup {
     */
   def minhashDedup(df: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.7, bands: Int = 24, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     // shingle sets are consumed three times (signature + both verify sides):
     // materialize once — unless the caller already caches the input (e.g.
     // graft.PrepCache), in which case adding a second entry would just leak
@@ -91,7 +138,7 @@ object Dedup {
       if (df.storageLevel.useMemory || df.storageLevel.useDisk) shingled0
       else shingled0.cache()
     val cands = minhashCandidates(shingled, idCol, shingleCol, bands,
-      rowsPerBand, seed)
+      rowsPerBand, seed, maxBucket)
     verifyJaccard(cands, shingled, idCol, shingleCol, threshold)
   }
 

@@ -24,6 +24,41 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("minhash hot buckets are star-linked, not pairwise-joined") {
+    import spark.implicits._
+    // verdict r8 #2: a degenerate boilerplate corpus lands thousands of
+    // near-identical docs in ONE (band, bucket) group; unbounded banding
+    // would emit C(10000,2) ≈ 5·10⁷ pairs in a single shuffle group. The
+    // cap star-links over-cap buckets to the bucket-min id instead.
+    val hot = (1 to 10000).map(i => (i.toLong, Seq("a b c", "b c d", "c d e")))
+    val pairDocs = Seq(
+      (20001L, Seq("x y z", "y z w", "z w v")),
+      (20002L, Seq("x y z", "y z w", "z w v")))
+    val df = (hot ++ pairDocs).toDF("doc_id", "shingles")
+    val candsDf = Dedup.minhashCandidates(df, "doc_id", "shingles",
+      maxBucket = 100).cache()
+    val cands = candsDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // over-cap bucket: 9,999 star pairs to the min id, not 5·10⁷ rows
+    val star = cands.filter(_._2 <= 10000L)
+    assert(star.length == 9999 && star.forall(_._1 == 1L))
+    // under-cap buckets still pairwise: the small near-dup pair survives
+    assert(cands.contains((20001L, 20002L)))
+    // star pairs preserve what downstream needs: cluster connectivity
+    val labels = Dedup.connectedComponents(candsDf.select("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to 10000).forall(i => labels(i.toLong) == 1L))
+    candsDf.unpersist()
+    // boundary: a bucket of exactly maxBucket members stays pairwise
+    val five = (1 to 5).map(i => (i.toLong, Seq("p q r")))
+      .toDF("doc_id", "shingles")
+    assert(Dedup.minhashCandidates(five, "doc_id", "shingles",
+      maxBucket = 5).count() == 10)
+    // the monitoring hook reports exactly the over-cap groups (one per band)
+    val oc = Dedup.overCapBuckets(df, "doc_id", "shingles", maxBucket = 100)
+      .collect()
+    assert(oc.length == 24 && oc.forall(_.getLong(2) == 10000L))
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     import spark.implicits._
     val n = 12

@@ -141,6 +141,50 @@ class StreamingSpec extends SparkSpec {
     assert(seen === Seq("h1", "h2", "h3"))
   }
 
+  test("ANN index freshness mid-stream: each appended batch serves kNN immediately") {
+    // the reference's insert-then-query semantics (vicinity.py:236-253)
+    // under streaming (verdict r8 stretch): micro-batches fold into a LIVE
+    // HNSW-backed Vicinity via the incremental insert path, and every
+    // inserted vector must be servable (as its own nearest neighbor) the
+    // moment its batch commits — index freshness, not just file growth.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.api.Vicinity
+    import graft.core.{Backend, BackendArgs}
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(8)(rnd.nextDouble() - 0.5)
+    val baseVecs = Seq.fill(60)(vec())
+    @volatile var v = Vicinity.fromVectorsAndItems(spark,
+      baseVecs.indices.map(i => s"base_$i"), baseVecs,
+      Backend.Hnsw, Some(BackendArgs.HnswArgs(Metric.Cosine)))
+    @volatile var postAppendMisses = 0
+    val input = MemoryStream[(String, Seq[Double])]
+    val q = input.toDF().toDF("item", "vector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect()
+          .map(r => (r.getString(0), r.getSeq[Double](1).toSeq)).toSeq
+        if (rows.nonEmpty) {
+          v = v.insert(rows.map(_._1), rows.map(_._2))
+          rows.foreach { case (tok, x) => // fresh row must serve NOW
+            val (hitTok, d) = v.queryOne(x, 1).head
+            if (hitTok != tok || d > 1e-6) postAppendMisses += 1
+          }
+        }
+      }.start()
+    val streamed = (0 until 3).flatMap { b =>
+      val batch = (0 until 4).map(i => (s"live_${b}_$i", vec()))
+      input.addData(batch: _*)
+      q.processAllAvailable()
+      batch
+    }
+    q.stop()
+    assert(postAppendMisses === 0,
+      s"$postAppendMisses inserted vectors not immediately servable")
+    assert(v.length === 72L)
+    // the grown graph still grades well against exact ground truth
+    val (qps, recall) = v.evaluate(streamed.map(_._2), k = 5)
+    assert(qps > 0 && recall >= 0.8, s"recall=$recall")
+  }
+
   test("streaming PII scrub: row-local masking composes with a stream, no state") {
     // the ingest-time redaction pass: piiScrub/piiCount are pure row-local
     // expressions, so they run inside any streaming micro-batch with no
