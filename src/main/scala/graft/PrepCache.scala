@@ -55,4 +55,29 @@ object PrepCache {
       pairs.count()
       pairs
     })
+
+  /** [[shingledDocs]] + the incremental-ingest flag: the last 20% of
+    * doc_ids stand in for "today's batch" (is_new ⇔ doc_id·5 ≥ 4·n —
+    * integer arithmetic so the DuckDB oracle derives the identical flag) */
+  def flaggedShingledDocs(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"shingled_flagged/$dir", {
+      val docs = shingledDocs(s, dir)
+      val n = docs.agg(count(lit(1)).as("_n"))
+      val f = docs.crossJoin(org.apache.spark.sql.functions.broadcast(n))
+        .withColumn("is_new", col("doc_id") * 5 >= col("_n") * 4)
+        .select(col("doc_id"), col("shingles"), col("is_new"))
+        .cache()
+      f.count()
+      f
+    })
+
+  /** exact-verified incremental pair set: Jaccard >= 0.7 pairs with at
+    * least one new member — history is never paired against itself */
+  def incrementalPairs(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"incrpairs/$dir", {
+      val pairs = Dedup.incrementalMinhashDedup(flaggedShingledDocs(s, dir),
+        "doc_id", "shingles", "is_new", threshold = 0.7).cache()
+      pairs.count()
+      pairs
+    })
 }

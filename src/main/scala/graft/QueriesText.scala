@@ -142,6 +142,56 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** Incremental near-dup detection — today's ingest batch (the last 20%
+    * of doc_ids) deduped against the full history WITHOUT re-pairing
+    * history against itself ([[Dedup.incrementalCandidates]]: the banded
+    * join probes with new docs only, so the |old|² pair space is never
+    * generated — the daily-ingest shape every production pipeline runs).
+    * Output: every exact-verified Jaccard ≥ 0.7 pair with ≥ 1 new member,
+    * plus n_new ∈ {1, 2} distinguishing new-vs-history dups (n_new = 1,
+    * today's doc repeats the archive) from within-batch dups (n_new = 2).
+    * Oracle: brute-force gram pairs restricted to the same flag gate. */
+  val qIncrementalDedup = Q("q_incremental_dedup",
+    (s, dir) => {
+      val pairs = PrepCache.incrementalPairs(s, dir)
+      val flags = PrepCache.flaggedShingledDocs(s, dir)
+        .select(col("doc_id"), col("is_new"))
+      pairs
+        .join(flags.select(col("doc_id").as("i"), col("is_new").as("_ni")), "i")
+        .join(flags.select(col("doc_id").as("j"), col("is_new").as("_nj")), "j")
+        .select(col("i"), col("j"), round(col("jaccard"), 6).as("jaccard"),
+          (col("_ni").cast("long") + col("_nj").cast("long")).as("n_new"))
+        .orderBy("i", "j")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM documents),
+      flags AS (SELECT doc_id, (doc_id * 5 >= 4 * tot.n) AS is_new
+                FROM documents CROSS JOIN tot),
+      pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard,
+             CAST((CASE WHEN fi.is_new THEN 1 ELSE 0 END) +
+                  (CASE WHEN fj.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM pairs
+        JOIN sizes si ON si.doc_id = i
+        JOIN sizes sj ON sj.doc_id = j
+        JOIN flags fi ON fi.doc_id = i
+        JOIN flags fj ON fj.doc_id = j
+      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7
+        AND (fi.is_new OR fj.is_new)
+      ORDER BY i, j
+    """))
+
   /** exact n-gram Jaccard similarity join (prefix-filtered inverted-index
     * plan, no signatures): 3-gram shingles, threshold 0.5 — the
     * deterministic complement to q_minhash_dedup's probabilistic candidate
@@ -667,7 +717,8 @@ object QueriesText {
     """))
 
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
-    qMinhashDedup, qNgramJaccard, qSimhashPairs, qBinaryMeta, qFrameSample,
+    qMinhashDedup, qIncrementalDedup, qNgramJaccard, qSimhashPairs,
+    qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix,
     qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

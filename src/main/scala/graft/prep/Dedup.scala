@@ -83,16 +83,78 @@ object Dedup {
     smallPairs.union(starPairs).distinct()
   }
 
-  /** the (id, band, bucket) explosion [[minhashCandidates]] joins on */
+  /** the (id, band, bucket) explosion [[minhashCandidates]] joins on;
+    * `extra` columns (e.g. a new-batch flag) are carried through */
   private def bandedBuckets(df: DataFrame, idCol: String, shingleCol: String,
-      bands: Int, rowsPerBand: Int, seed: Long): DataFrame = {
+      bands: Int, rowsPerBand: Int, seed: Long,
+      extra: Seq[String] = Nil): DataFrame = {
     val sigUdf = minhashSignatureUdf(bands * rowsPerBand, seed)
     df.where(size(col(shingleCol)) > 0)
       .withColumn("_sig", sigUdf(col(shingleCol)))
-      .select(col(idCol),
+      .select(col(idCol) +: extra.map(col) :+
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .toDF(idCol, "_band", "_bucket")
+          b => hash(slice(col("_sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))): _*)
+      .toDF((idCol +: extra) ++ Seq("_band", "_bucket"): _*)
+  }
+
+  /** Incremental near-dup candidates: pairs with at least one NEW member
+    * (`isNewCol` boolean) — the daily-ingest shape at 100 TB, where today's
+    * batch must be deduped against the full history WITHOUT re-pairing
+    * history against itself. History contributes only its banded bucket
+    * keys (in production read back from the saved signature table, not
+    * re-shingled); the join's probe side is the new batch only, so
+    * per-bucket work is O(|new ∩ bucket| · |bucket|), never the
+    * O(|bucket|²) of a full re-dedup — at a 1% daily ingest rate that is
+    * a 100× cut on the dominant stage. The [[minhashCandidates]] hot-bucket
+    * bound applies here too: in buckets above `maxBucket`, each NEW member
+    * star-links to the bucket's min id (or the second-smallest when it IS
+    * the min), keeping dup detection and cluster connectivity at O(|new|)
+    * pairs. Output (i, j), i < j, distinct, every pair ≥ 1 new member. */
+  def incrementalCandidates(df: DataFrame, idCol: String, shingleCol: String,
+      isNewCol: String, bands: Int = 24, rowsPerBand: Int = 4,
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val banded = bandedBuckets(df, idCol, shingleCol, bands, rowsPerBand,
+      seed, extra = Seq(isNewCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_band", "_bucket")
+    val sized = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_minid", min(col(idCol)).over(w))
+      .withColumn("_min2",
+        min(when(col(idCol) =!= col("_minid"), col(idCol))).over(w))
+    val small = sized.where(col("_n") <= maxBucket)
+    val probe = small.where(col(isNewCol))
+      .select(col(idCol).as("_lid"), col("_band"), col("_bucket"))
+    val build = small.select(col(idCol).as("_rid"), col("_band"), col("_bucket"))
+    val smallPairs = probe.join(build, Seq("_band", "_bucket"))
+      .where(col("_lid") =!= col("_rid"))
+      .select(least(col("_lid"), col("_rid")).as("i"),
+        greatest(col("_lid"), col("_rid")).as("j"))
+    val starPairs = sized
+      .where(col("_n") > maxBucket && col(isNewCol))
+      .withColumn("_anchor", when(col(idCol) =!= col("_minid"),
+        col("_minid")).otherwise(col("_min2")))
+      .where(col("_anchor").isNotNull) // singleton bucket: nothing to pair
+      .select(least(col(idCol), col("_anchor")).as("i"),
+        greatest(col(idCol), col("_anchor")).as("j"))
+    smallPairs.union(starPairs).distinct()
+  }
+
+  /** End-to-end incremental MinHash near-dup: [[incrementalCandidates]] →
+    * exact Jaccard verify — same output contract as [[minhashDedup]]
+    * restricted to pairs with at least one new member. */
+  def incrementalMinhashDedup(df: DataFrame, idCol: String,
+      shingleCol: String, isNewCol: String, threshold: Double = 0.7,
+      bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L,
+      maxBucket: Int = 10000): DataFrame = {
+    val shingled0 = df.select(col(idCol), col(shingleCol), col(isNewCol))
+    val shingled =
+      if (df.storageLevel.useMemory || df.storageLevel.useDisk) shingled0
+      else shingled0.cache()
+    val cands = incrementalCandidates(shingled, idCol, shingleCol, isNewCol,
+      bands, rowsPerBand, seed, maxBucket)
+    verifyJaccard(cands, shingled, idCol, shingleCol, threshold)
   }
 
   /** Monitoring hook for the hot-bucket bound: the `(band, bucket)` groups

@@ -59,6 +59,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(oc.length == 24 && oc.forall(_.getLong(2) == 10000L))
   }
 
+  test("incremental dedup pairs new docs only; old-old pair space untouched") {
+    import spark.implicits._
+    // three identical doc groups: {1,2} old-old (must NOT pair — that's
+    // history re-deduped), {3,40} old-new, {41,42} new-new; 50 = cutoff
+    val sh = Seq("a b c", "b c d", "c d e")
+    val sh2 = Seq("x y z", "y z w", "z w v")
+    val sh3 = Seq("p q r", "q r s", "r s t")
+    val df = Seq(
+      (1L, sh, false), (2L, sh, false),          // old dup pair
+      (3L, sh2, false), (40L, sh2, true),        // new doc dups history
+      (41L, sh3, true), (42L, sh3, true))        // within-batch dup
+      .toDF("doc_id", "shingles", "is_new")
+    val got = Dedup.incrementalMinhashDedup(df, "doc_id", "shingles",
+        "is_new").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((3L, 40L), (41L, 42L)))
+    // hot-bucket star path under incremental semantics: 10k identical OLD
+    // docs + 2 identical NEW ones in the same bucket -> each new doc links
+    // to the bucket min (old id 1), nothing else pairs; and when the
+    // bucket-min itself is NEW it links to the second-smallest instead
+    val hot = (1 to 10000).map(i => (i.toLong, sh, false)) ++
+      Seq((20001L, sh, true), (20002L, sh, true))
+    val hotCands = Dedup.incrementalCandidates(
+      hot.toDF("doc_id", "shingles", "is_new"), "doc_id", "shingles",
+      "is_new", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hotCands === Set((1L, 20001L), (1L, 20002L)))
+    val minNew = Seq((5L, sh, true)) ++ (10 to 300).map(i => (i.toLong, sh, false))
+    val minNewCands = Dedup.incrementalCandidates(
+      minNew.toDF("doc_id", "shingles", "is_new"), "doc_id", "shingles",
+      "is_new", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(minNewCands === Set((5L, 10L))) // min IS new -> second-smallest
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     import spark.implicits._
     val n = 12
