@@ -192,6 +192,48 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** The deduped corpus itself — the end artifact every near-dup pipeline
+    * actually ships: all documents with NO smaller-id near-duplicate
+    * (first-occurrence-keep over the exact-verified pair set, matching
+    * [[Dedup.exactDedup]]'s min-id survivor convention; docs in no pair
+    * survive trivially). Scale shape: one anti-join of the corpus against
+    * the pair set's j-side projection — the pair set is the shared cached
+    * [[PrepCache.minhashPairs]] frame, orders of magnitude smaller than
+    * the corpus, and AQE picks the join strategy (no forced hint; the
+    * corpus side never shuffles under a broadcast anti-join). */
+  val qNeardupSurvivors = Q("q_neardup_survivors",
+    (s, dir) => {
+      val dropped = PrepCache.minhashPairs(s, dir)
+        .select(col("j").as("doc_id")).distinct()
+      t(s, dir, "documents")
+        .join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      dropped AS (
+        SELECT DISTINCT j FROM pairs
+          JOIN sizes si ON si.doc_id = i
+          JOIN sizes sj ON sj.doc_id = j
+        WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d LEFT JOIN dropped ON dropped.j = d.doc_id
+      WHERE dropped.j IS NULL
+      ORDER BY d.doc_id
+    """))
+
   /** exact n-gram Jaccard similarity join (prefix-filtered inverted-index
     * plan, no signatures): 3-gram shingles, threshold 0.5 — the
     * deterministic complement to q_minhash_dedup's probabilistic candidate
@@ -717,8 +759,8 @@ object QueriesText {
     """))
 
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
-    qMinhashDedup, qIncrementalDedup, qNgramJaccard, qSimhashPairs,
-    qBinaryMeta, qFrameSample,
+    qMinhashDedup, qIncrementalDedup, qNeardupSurvivors, qNgramJaccard,
+    qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix,
     qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }
