@@ -508,7 +508,9 @@ object QueriesPipeline {
     * per-term tf and doc length are row-local higher-order-function
     * expressions over the tokenized text (no token explode, no shuffle of
     * the corpus; the per-(doc, term) frame materializes only matched terms),
-    * then the vocabulary-sized df table broadcasts back. */
+    * then the df table broadcasts back — it is QUERY-TERM-sized (≤ 3 rows,
+    * one per fixed search term), not vocabulary-sized, so the hint is
+    * provably bounded at any corpus scale. */
   private val bm25Terms = Seq("spark", "join", "window")
 
   private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
