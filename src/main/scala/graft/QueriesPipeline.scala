@@ -324,6 +324,68 @@ object QueriesPipeline {
       FROM c ORDER BY doc_id
     """))
 
+  /** Overlapping sliding-window chunking — the per-document chunker every
+    * embedding/RAG pipeline runs before vectorizing (complement to
+    * [[qPackChunks]]' cross-document concat-and-pack): word windows of
+    * width W = 64 at stride S = 48 (16-word overlap), with the final
+    * window clamped to end at the document's last word (standard
+    * last-chunk handling — no sub-width tail fully contained in its
+    * predecessor). Scale shape: pure row-local expressions (sequence →
+    * clamp → distinct starts → slice) exploded to one row per chunk —
+    * no join, no shuffle beyond the final per-doc rank window (partitioned
+    * by doc_id). Chunk text travels as an md5, not the text itself, so
+    * the dump stays bounded. */
+  val qChunkOverlap = Q("q_chunk_overlap",
+    (s, dir) => {
+      val W = 64; val S = 48
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), TF.words(col("text")).as("_w"))
+        .withColumn("_nw", size(col("_w")))
+      // starts: k·S+1 for k = 0..ceil(max(nw−W,0)/S), each clamped to the
+      // last full-window start max(nw−W+1, 1); clamping makes trailing
+      // starts collide → array_distinct keeps each chunk once
+      val starts = array_distinct(transform(
+        sequence(lit(0),
+          ceil(greatest(col("_nw") - W, lit(0)) / S).cast("int")),
+        k => least(k * S + 1, greatest(col("_nw") - (W - 1), lit(1)))))
+      val wRank = Window.partitionBy("doc_id").orderBy("chunk_start")
+      d.where(col("_nw") > 0)
+        .select(col("doc_id"), col("_nw"), col("_w"),
+          explode(starts).as("chunk_start"))
+        .withColumn("_chunk",
+          slice(col("_w"), col("chunk_start"), lit(W)))
+        .select(col("doc_id"), col("_nw").cast("long").as("n_words"),
+          col("chunk_start").cast("long").as("chunk_start"),
+          size(col("_chunk")).cast("long").as("chunk_len"),
+          md5(concat_ws(" ", col("_chunk"))).as("chunk_md5"))
+        .withColumn("chunk_idx", row_number().over(wRank).cast("long"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS nw
+        FROM documents),
+      starts AS (
+        SELECT doc_id, nw, unnest(list_distinct(list_transform(
+                 range(0, CAST(ceil(greatest(nw - 64, 0) / 48.0) AS BIGINT) + 1),
+                 k -> least(k * 48 + 1, greatest(nw - 63, 1))))) AS chunk_start
+        FROM d WHERE nw > 0),
+      chunks AS (
+        SELECT s.doc_id, s.nw, s.chunk_start,
+               list_slice(d.w, s.chunk_start,
+                 least(s.chunk_start + 63, s.nw)) AS chunk
+        FROM starts s JOIN d USING (doc_id))
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words,
+             CAST(chunk_start AS BIGINT) AS chunk_start,
+             CAST(len(chunk) AS BIGINT) AS chunk_len,
+             md5(array_to_string(chunk, ' ')) AS chunk_md5,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY chunk_start) AS BIGINT) AS chunk_idx
+      FROM chunks
+      ORDER BY doc_id, chunk_idx
+    """))
+
   /** per-label embedding centroids, one row per (label, dimension) —
     * posexplode → partial-aggregated mean, the distributed shape of
     * cluster-centroid maintenance (no vector ever collected) */
@@ -754,7 +816,8 @@ object QueriesPipeline {
     """))
 
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
-    qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks, qCentroids,
+    qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks,
+    qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
     qRrfFusion, qCrossSourceDups, qGramDiversity)
 }
