@@ -505,6 +505,38 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** True range search through the IVF family in its provably-exact mode
+    * (nprobe = nlist scans every cell) — the reference exposes genuine
+    * range search on flat/ivf/scalar FAISS indexes
+    * (`/root/reference/vicinity/backends/faiss.py:18-23,173-183`, strict
+    * `<`), and this anchors the index-family queryThreshold plumbing the
+    * way the `q_*_knn_exact` anchors pin top-k. Euclidean, because the
+    * faithful FAISS cosine bound quirk (`faissRangeBound`: min(t, 1−t))
+    * caps the usable cosine radius at 0.5, below this corpus's closest
+    * non-self pair (≈ 0.6) — a euclidean radius passes through unchanged
+    * and 1.2 admits a non-trivial neighbor set (closest distance to the
+    * boundary ≈ 1.4e-4, far above cross-engine double noise). */
+  val qIvfRadiusExact = Q("q_ivf_radius_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivf16x16-euclidean")(
+        IvfStrategy(Metric.Euclidean, nlist = 16, nprobe = 16))
+      strat.queryThreshold(prepared, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""
+      SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+             round(list_distance(CAST(s.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])), 6) AS dist
+      FROM embeddings s, embeddings q
+      WHERE q.vec_id < 5
+        AND list_distance(CAST(s.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) < 1.2
+      ORDER BY query_id, neighbor_id
+    """))
+
   /** ANN top-k via the NN-descent graph index (B4, the genuine graph-based
     * family member — `NnDescentStrategy`): kNN graph built as an iterative
     * DataFrame job, queried with a batched beam walk. Approximate by
@@ -873,8 +905,8 @@ object QueriesVector {
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
-    qLshKnnExact, qIvfKnn, qSq8Knn, qSq8RerankKnn, qPqKnn, qPqRerankKnn,
-    qIvfpqKnn, qIvfpqrKnn,
+    qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Knn, qSq8RerankKnn, qPqKnn,
+    qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
     qEvaluate)
