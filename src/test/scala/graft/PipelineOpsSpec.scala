@@ -93,6 +93,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(minNewCands === Set((5L, 10L))) // min IS new -> second-smallest
   }
 
+  test("incremental candidates degenerate to the full/empty pair set at the flag extremes") {
+    import spark.implicits._
+    // all-new == the plain banded pair set (incremental is a strict
+    // generalization); none-new == empty (history alone is never paired)
+    val sh = Seq("a b c", "b c d", "c d e")
+    val sh2 = Seq("x y z", "y z w", "z w v")
+    val docs = Seq((1L, sh), (2L, sh), (3L, sh2), (4L, sh2), (5L, Seq("k l m")))
+    def flagged(isNew: Boolean) =
+      docs.map { case (i, w) => (i, w, isNew) }.toDF("doc_id", "shingles", "is_new")
+    val full = Dedup.minhashCandidates(docs.toDF("doc_id", "shingles"),
+      "doc_id", "shingles").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allNew = Dedup.incrementalCandidates(flagged(true), "doc_id",
+      "shingles", "is_new").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(allNew === full && full === Set((1L, 2L), (3L, 4L)))
+    assert(Dedup.incrementalCandidates(flagged(false), "doc_id",
+      "shingles", "is_new").isEmpty)
+  }
+
+  test("q_chunk_overlap window arithmetic: widths, strides, clamped last chunk") {
+    // mirror the query's constants (W=64, S=48) on synthetic word counts
+    // where the start/clamp arithmetic has edge cases the corpus may miss
+    import spark.implicits._
+    def chunksOf(nw: Int): Seq[(Long, Long)] = { // (chunk_start, chunk_len)
+      val text = (1 to nw).map(i => s"w$i").mkString(" ")
+      val docs = Seq((1L, text, "en", "s", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = Queries.queryMap("q_chunk_overlap")(spark, tmp.toString)
+        .select("chunk_start", "chunk_len").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      out
+    }
+    assert(chunksOf(3) === Seq((1L, 3L)))            // shorter than W: one chunk
+    assert(chunksOf(64) === Seq((1L, 64L)))          // exactly W: one chunk
+    assert(chunksOf(65) === Seq((1L, 64L), (2L, 64L))) // W+1: clamped last start
+    // 200 words: starts 1, 49, 97, then clamp(145 -> 137) so the last
+    // window ends exactly at word 200; every chunk full-width
+    assert(chunksOf(200) ===
+      Seq((1L, 64L), (49L, 64L), (97L, 64L), (137L, 64L)))
+  }
+
   test("connectedComponents converges on a long path (diameter > 1 round)") {
     import spark.implicits._
     val n = 12
