@@ -38,10 +38,12 @@ object PlanAudit {
       val phys = df.queryExecution.executedPlan.toString
       def occ(s: String, h: String) = s.sliding(h.length).count(_ == h)
       val counts = hot.map { h =>
-        // 'Exchange' is a substring of 'Exchange SinglePartition': subtract
-        // the overlap so the two counters read independently (advice r8)
+        // 'Exchange' is a substring of both 'Exchange SinglePartition' and
+        // 'BroadcastExchange': subtract both overlaps so the counter reads
+        // shuffle exchanges only (advice r8 + r9)
         def adj(s: String) =
-          if (h == "Exchange") occ(s, h) - occ(s, "Exchange SinglePartition")
+          if (h == "Exchange")
+            occ(s, h) - occ(s, "Exchange SinglePartition") - occ(s, "BroadcastExchange")
           else occ(s, h)
         s"$h=${adj(opt)}/${adj(phys)}"
       }.mkString(" ")

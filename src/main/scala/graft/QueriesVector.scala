@@ -799,8 +799,11 @@ object QueriesVector {
         "ivfpq" -> ivfScan, "sq8" -> fullScan, "pq" -> fullScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),
         "nndescent" -> nnd.scanVolume(nndPrep, q))
+      // HALF_UP, matching Spark's round() semantics repo-wide (math.rint is
+      // half-even and contradicts the convention — advice r9)
       names.map(n => (n, metric.name, k.toLong,
-        math.rint(recalls(n) * 1000) / 1000, scans(n)))
+        BigDecimal(recalls(n)).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, scans(n)))
   }
 
   // ----------------------------------------------------------- q_knn_classify

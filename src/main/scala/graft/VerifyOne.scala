@@ -26,8 +26,12 @@ object VerifyOne {
     spark.sparkContext.setLogLevel("WARN")
     val out = new java.io.File(outDir)
     out.mkdirs()
+    // Only reclaim directories that are recognizably prior dumps (named
+    // after a declared query); unrelated content in a shared outDir is
+    // left alone (advice r9).
     Option(out.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && !names.contains(f.getName))
+      .filter(f => f.isDirectory && !names.contains(f.getName) &&
+        SparkEntry.queries.contains(f.getName))
       .foreach(VerifyIO.deleteRec)
     names.foreach { name =>
       SparkEntry.queries(name)(spark, sfDir).coalesce(1)

@@ -50,10 +50,15 @@ object Dedup {
     * STAR-LINKED instead of pairwise-joined: every member pairs with the
     * bucket's minimum id only. Members of an over-cap bucket agree on a
     * full signature band, i.e. they are near-identical with overwhelming
-    * probability, so the star preserves exactly what downstream consumers
-    * need — cluster connectivity ([[connectedComponents]] labels the same
-    * components) and a verified dup pair per member — while capping the
-    * per-group work at max(maxBucket², |bucket|). On non-degenerate
+    * probability, so the star preserves what downstream consumers need —
+    * cluster connectivity ([[connectedComponents]] labels the same
+    * components) and, w.h.p., a verified dup pair per member — while
+    * capping the per-group work at max(maxBucket², |bucket|). The
+    * per-member guarantee is probabilistic post-verify: star candidates
+    * pair each member with the bucket-min id only, and the downstream
+    * exact-Jaccard verify can drop a star edge whose Jaccard with the min
+    * falls below threshold even though the member has an over-threshold
+    * pair elsewhere in the bucket. On non-degenerate
     * corpora (no bucket over the cap) the output is IDENTICAL to the
     * unbounded join. Over-cap buckets are observable via
     * [[overCapBuckets]] — log them before large runs; the default cap of
@@ -162,7 +167,12 @@ object Dedup {
     * [[minhashCandidates]] will star-link instead of pairwise-joining. Run
     * (and log) this before a large dedup job; a non-empty result means the
     * corpus has degenerate boilerplate and the emitted pair set is the
-    * star-reduced one. */
+    * star-reduced one.
+    *
+    * Note: this recomputes the banded explosion rather than sharing the
+    * `_n` column [[minhashCandidates]] already derives — fine for its
+    * intended ad-hoc monitoring use; if ever run in-line with the dedup
+    * job, cache the [[bandedBuckets]] frame and derive both from it. */
   def overCapBuckets(df: DataFrame, idCol: String, shingleCol: String,
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame =

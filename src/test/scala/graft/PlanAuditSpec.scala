@@ -122,9 +122,19 @@ class PlanAuditSpec extends SparkSpec {
       "keys=\\[\\]",                       // scalar agg -> 1 row
       "topk",                              // bounded-heap top-k agg
       "GlobalLimit|LocalLimit|CollectLimit|TakeOrderedAndProject",
-      // literal-comparison filter, post-scan or pushed into the scan
-      "Filter .*(<=?|>=?|=) -?\\d",
-      "PushedFilters: .*(LessThan|GreaterThan|EqualTo|In)\\(").map(_.r)
+      // literal comparison on a KNOWN key/selective column (doc_id/vec_id
+      // point or range selections; term = the 3-word query-term selection
+      // bounding bm25/rrf's dfreq), post-scan or pushed into the scan —
+      // restricting to named columns keeps incidental guards like
+      // size(shingles) > 0 or n_chars > 0 from counting as row-limiting
+      // (advice r9: those don't bound the frame)
+      "Filter .*(doc_id|vec_id|term)#\\d+L? (<=?|>=?|=) -?\\d",
+      "PushedFilters: .*(LessThan|GreaterThan|EqualTo|In)\\((doc_id|vec_id|term)",
+      // a `term` field generated from a LITERAL struct array (bm25/rrf's
+      // fixed query terms): the downstream keys=[term] aggregate emits at
+      // most one row per array literal, bounding the frame at any corpus
+      // size regardless of incidental tf > 0 guards
+      "Generate explode\\(array\\(struct\\(term, ").map(_.r)
     val lines = plan.linesIterator.toVector
     lines.indices.flatMap { i =>
       if (!lines(i).contains("BroadcastExchange") ||
