@@ -80,4 +80,37 @@ object PrepCache {
       pairs.count()
       pairs
     })
+
+  /** History's signature table round-tripped through parquet — the
+    * production snapshot artifact ([[Dedup.saveSignatureTable]]): written
+    * once per (session, dir) to a temp directory and READ BACK, so every
+    * consumer downstream provably works from the persisted form, not the
+    * in-memory lineage. */
+  def persistedHistorySignatures(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"sigtable/$dir", {
+      val hist = flaggedShingledDocs(s, dir).where(!col("is_new"))
+      val path = java.nio.file.Files.createTempDirectory("graft_sigs")
+        .toString
+      Dedup.saveSignatureTable(hist, "doc_id", "shingles", path)
+      val loaded = Dedup.loadSignatureTable(s, path).cache()
+      loaded.count()
+      loaded
+    })
+
+  /** [[incrementalPairs]] computed the fully-incremental way: history's
+    * bucket keys come from [[persistedHistorySignatures]] (no re-shingle,
+    * no re-sign), history text is consulted only for candidate members.
+    * Same deterministic output as [[incrementalPairs]] — same hash family,
+    * same banding — which is exactly the property the oracle checks. */
+  def incrementalPairsPersisted(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"incrpairs_persisted/$dir", {
+      val flagged = flaggedShingledDocs(s, dir)
+      val pairs = Dedup.incrementalMinhashDedupPersisted(
+        flagged.where(col("is_new")),
+        flagged.where(!col("is_new")),
+        persistedHistorySignatures(s, dir),
+        "doc_id", "shingles", threshold = 0.7).cache()
+      pairs.count()
+      pairs
+    })
 }
