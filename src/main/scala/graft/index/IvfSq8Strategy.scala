@@ -67,4 +67,9 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
 
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     ivf.writeIndex(prepared, path)
+
+  /** rows actually scored = rows in the probed cells (same cells as the
+    * inner IVF — quantization changes bytes per row, not rows) */
+  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
+    ivf.scanVolume(prepared, queries)
 }

@@ -93,6 +93,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(minNewCands === Set((5L, 10L))) // min IS new -> second-smallest
   }
 
+  test("persisted signature table: roundtrip equals recompute, param mismatch fails fast") {
+    import spark.implicits._
+    // the r9 gap: incremental dedup re-shingled history every run. The
+    // persisted path must (a) reproduce the in-memory path's pairs exactly
+    // from a parquet-roundtripped signature table, and (b) refuse a table
+    // banded under a different hash family (silently-empty joins otherwise).
+    val sh = Seq("a b c", "b c d", "c d e")
+    val sh2 = Seq("x y z", "y z w", "z w v")
+    val sh3 = Seq("p q r", "q r s", "r s t")
+    val hist = Seq((1L, sh), (2L, sh), (3L, sh2), (10L, sh3))
+      .toDF("doc_id", "shingles")
+    val batch = Seq((40L, sh2), (41L, sh3), (42L, sh3))
+      .toDF("doc_id", "shingles")
+    val tmp = java.nio.file.Files.createTempDirectory("sigspec").toString
+    Dedup.saveSignatureTable(hist, "doc_id", "shingles", tmp)
+    val sigs = Dedup.loadSignatureTable(spark, tmp)
+    // loaded table is exactly the recomputed banding (set equality)
+    val recomputed = Dedup.signatureTable(hist, "doc_id", "shingles")
+      .select("doc_id", "_band", "_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val loaded = sigs.select("doc_id", "_band", "_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(loaded === recomputed && loaded.nonEmpty)
+    // persisted-path pairs == in-memory incremental pairs over same corpus
+    val persisted = Dedup.incrementalMinhashDedupPersisted(batch, hist, sigs,
+        "doc_id", "shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flagged = hist.withColumn("is_new", lit(false))
+      .unionByName(batch.withColumn("is_new", lit(true)))
+    val inMemory = Dedup.incrementalMinhashDedup(flagged, "doc_id",
+        "shingles", "is_new")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(persisted === inMemory)
+    assert(persisted === Set((3L, 40L), (10L, 41L), (10L, 42L), (41L, 42L)))
+    // mismatched banding parameters must fail fast, not join empty
+    val e = intercept[IllegalArgumentException] {
+      Dedup.loadSignatureTable(spark, tmp, bands = 16)
+    }
+    assert(e.getMessage.contains("banded with"))
+    VerifyIO.deleteRec(new java.io.File(tmp))
+  }
+
   test("incremental candidates degenerate to the full/empty pair set at the flag extremes") {
     import spark.implicits._
     // all-new == the plain banded pair set (incremental is a strict
@@ -271,11 +313,12 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stages.contains("4_kept"), "a sane corpus keeps something")
   }
 
-  test("q_evaluate reports a recall in [0,1] for all seven ANN strategies x both metrics") {
+  test("q_evaluate reports a recall in [0,1] for all eight ANN strategies x both metrics") {
     val out = Queries.queryMap("q_evaluate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
       .toMap
-    val fams = Set("lsh", "ivf", "ivfpq", "sq8", "pq", "hnsw", "nndescent")
+    val fams = Set("lsh", "ivf", "ivfpq", "ivf_scalar", "sq8", "pq", "hnsw",
+      "nndescent")
     assert(out.keySet ===
       (for (f <- fams; m <- Set("cosine", "euclidean")) yield (f, m)))
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
