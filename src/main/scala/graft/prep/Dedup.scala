@@ -217,6 +217,26 @@ object Dedup {
     t.drop("_bands", "_rows_per_band", "_seed")
   }
 
+  /** The snapshot MAINTENANCE step of the daily loop: append the new
+    * batch's signatures to an existing snapshot, so the batch is signed
+    * ONCE and the one pass serves both today's incremental dedup and
+    * tomorrow's history. Fails fast (via [[loadSignatureTable]]'s stamp
+    * check) if the snapshot was banded under different parameters —
+    * appending a foreign hash family would silently poison every future
+    * run. Parquet append into the same `_band` partitioning; id
+    * disjointness between snapshot and batch is the caller's contract,
+    * as everywhere in this module. */
+  def appendSignatureTable(df: DataFrame, idCol: String, shingleCol: String,
+      path: String, bands: Int = 24, rowsPerBand: Int = 4,
+      seed: Long = 42L): Unit = {
+    loadSignatureTable(df.sparkSession, path, bands, rowsPerBand, seed)
+    signatureTable(df, idCol, shingleCol, bands, rowsPerBand, seed)
+      .withColumn("_bands", lit(bands))
+      .withColumn("_rows_per_band", lit(rowsPerBand))
+      .withColumn("_seed", lit(seed))
+      .write.mode("append").partitionBy("_band").parquet(path)
+  }
+
   /** Incremental near-dup with PERSISTED history: same output contract as
     * [[incrementalMinhashDedup]] over the equivalent corpus, but history
     * enters as `histSigs` — the loaded signature table — plus `histDocs`

@@ -77,6 +77,66 @@ object StreamOps {
     rows.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** The daily incremental near-dup loop at micro-batch cadence: each
+    * batch of shingled documents is (1) near-dup-checked against the
+    * PERSISTED signature snapshot (`Dedup.loadSignatureTable` — history is
+    * never re-shingled; the banded join probes with the batch only) and
+    * (2) folded into the snapshot (stamped parquet append), so the NEXT
+    * batch dedups against history-plus-this-batch. The batch is signed
+    * exactly ONCE — the same banded frame serves the dedup probe and the
+    * snapshot append. History text is consulted only for docs that land
+    * in a candidate pair, resolved through `corpus` as a semi-join prune
+    * (the shingle projection is lazy, so unpruned corpus rows never
+    * evaluate it). `corpus()` must return history EXCLUSIVE of the
+    * in-flight batch (duplicate ids would double verify-join rows).
+    * Bootstrap the snapshot with [[graft.prep.Dedup.saveSignatureTable]]
+    * before starting the stream. Verified pairs go to `onPairs` per batch.
+    *
+    * This is the 100 TB/day ingest shape end-to-end: per batch, the only
+    * work proportional to history is the signature-table read (bucket keys,
+    * ~200 B/doc, band-partition-prunable) — text is scanned for the batch
+    * and the candidate members, nothing else. */
+  def nearDupOnIngest(docStream: DataFrame, idCol: String, shingleCol: String,
+      sigPath: String, corpus: () => DataFrame,
+      onPairs: DataFrame => Unit, checkpointDir: String,
+      threshold: Double = 0.7, bands: Int = 24, rowsPerBand: Int = 4,
+      seed: Long = 42L, maxBucket: Int = 10000) = {
+    import graft.prep.Dedup
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val newShingled = batch.select(col(idCol), col(shingleCol)).cache()
+        val newBanded = Dedup.signatureTable(newShingled, idCol, shingleCol,
+          bands, rowsPerBand, seed).cache()
+        val histSigs = Dedup.loadSignatureTable(s, sigPath, bands,
+          rowsPerBand, seed)
+        val banded = newBanded.withColumn("_isnew", lit(true))
+          .unionByName(histSigs
+            .select(col(idCol), col("_band"), col("_bucket"))
+            .withColumn("_isnew", lit(false)))
+        val cands = Dedup.incrementalCandidatesFromBanded(banded, idCol,
+          "_isnew", maxBucket)
+        val candIds = cands.select(col("i").as(idCol))
+          .union(cands.select(col("j").as(idCol))).distinct()
+        val histNeeded = corpus().join(candIds, Seq(idCol), "left_semi")
+          .select(col(idCol), col(shingleCol))
+        onPairs(Dedup.verifyJaccard(cands,
+          newShingled.unionByName(histNeeded), idCol, shingleCol, threshold))
+        // maintenance: stamped append of the SAME banded frame (one sign
+        // pass per batch), matching saveSignatureTable's layout
+        newBanded
+          .withColumn("_bands", lit(bands))
+          .withColumn("_rows_per_band", lit(rowsPerBand))
+          .withColumn("_seed", lit(seed))
+          .write.mode("append").partitionBy("_band").parquet(sigPath)
+        newShingled.unpersist()
+        newBanded.unpersist()
+        ()
+      }
+      .start()
+  }
+
   /** Streaming index maintenance: append (id, item, vector) micro-batches
     * into a growing parquet index — the streaming analogue of
     * `vicinity.insert` (Q5). Returns the started query; the index dir can

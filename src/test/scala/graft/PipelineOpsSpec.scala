@@ -132,6 +132,21 @@ class PipelineOpsSpec extends SparkSpec {
       Dedup.loadSignatureTable(spark, tmp, bands = 16)
     }
     assert(e.getMessage.contains("banded with"))
+    // daily maintenance: appending the batch makes the snapshot equal the
+    // union's recomputed signatures; a foreign hash family is refused
+    Dedup.appendSignatureTable(batch, "doc_id", "shingles", tmp)
+    val appended = Dedup.loadSignatureTable(spark, tmp)
+      .select("doc_id", "_band", "_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val unionRecomputed = Dedup.signatureTable(hist.unionByName(batch),
+        "doc_id", "shingles")
+      .select("doc_id", "_band", "_bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(appended === unionRecomputed)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.appendSignatureTable(batch, "doc_id", "shingles", tmp, seed = 7L)
+    }
+    assert(e2.getMessage.contains("banded with"))
     VerifyIO.deleteRec(new java.io.File(tmp))
   }
 

@@ -185,6 +185,47 @@ class StreamingSpec extends SparkSpec {
     assert(qps > 0 && recall >= 0.8, s"recall=$recall")
   }
 
+  test("streaming near-dup maintenance: batches dedup against the growing signature snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.prep.Dedup
+    // the daily loop at micro-batch cadence: batch 1 dups a HISTORY doc
+    // (caught via the bootstrapped snapshot), batch 2 dups history AND
+    // batch 1 — the (10, 20) pair proves the foreachBatch append folded
+    // batch 1 into the snapshot before batch 2 arrived
+    val sh = Seq("a b c", "b c d", "c d e")
+    val sh2 = Seq("x y z", "y z w", "z w v")
+    val hist = Seq((1L, sh), (2L, sh2)).toDF("doc_id", "shingles")
+    val sig = java.nio.file.Files.createTempDirectory("graft_sig_stream")
+      .toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sig_ckpt")
+      .toString
+    Dedup.saveSignatureTable(hist, "doc_id", "shingles", sig)
+    @volatile var corpus = hist // history text, grown between batches
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    val input = MemoryStream[(Long, Seq[String])]
+    val q = StreamOps.nearDupOnIngest(
+      input.toDF().toDF("doc_id", "shingles"), "doc_id", "shingles", sig,
+      () => corpus,
+      p => seen.synchronized {
+        seen ++= p.collect().map(r => (r.getLong(0), r.getLong(1)))
+      },
+      ckpt)
+    input.addData((10L, sh))
+    q.processAllAvailable()
+    assert(seen.toSet === Set((1L, 10L)))
+    corpus = corpus.unionByName(Seq((10L, sh)).toDF("doc_id", "shingles"))
+    input.addData((20L, sh))
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.toSet === Set((1L, 10L), (1L, 20L), (10L, 20L)))
+    // the snapshot now holds history + both batches
+    val ids = Dedup.loadSignatureTable(spark, sig)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 10L, 20L))
+    VerifyIO.deleteRec(new java.io.File(sig))
+    VerifyIO.deleteRec(new java.io.File(ckpt))
+  }
+
   test("streaming PII scrub: row-local masking composes with a stream, no state") {
     // the ingest-time redaction pass: piiScrub/piiCount are pure row-local
     // expressions, so they run inside any streaming micro-batch with no
