@@ -427,6 +427,20 @@ object QueriesVector {
     st
   }
 
+  /** like [[mkIvfpq]]: reuse any registry-trained nlist=16 IVF's centroids
+    * for the composed IVF+SQ build (KMeans depends on nlist/seed/store, not
+    * nprobe, so either the x8 or x16 probe config is an identical donor) */
+  private def mkIvfSq8(s: SparkSession, dir: String, metric: Metric,
+      nprobe: Int = 8): IvfSq8Strategy = {
+    val st = IvfSq8Strategy(metric, nlist = 16, nprobe = nprobe)
+    val m = mapOf(indexCaches, s)
+    Seq(s"ivf16x8${metricSfx(metric)}", s"ivf16x16${metricSfx(metric)}")
+      .flatMap(k => m.get(s"$dir/$k")).map(_._1)
+      .collectFirst { case i: IvfStrategy if i.isTrained => i }
+      .foreach(i => st.adoptCentroids(i.centroidArray))
+    st
+  }
+
   /** registry-key suffix per metric; cosine's keys stay bare so every
     * existing q_*_knn query keeps sharing the cosine builds */
   private def metricSfx(metric: Metric): String =
@@ -608,7 +622,7 @@ object QueriesVector {
   val qIvfSq8Radius = Q("q_ivfsq8_radius",
     (s, dir) => {
       val (strat, prepared) = preparedIndex(s, dir, "ivfsq8x16-euclidean")(
-        IvfSq8Strategy(Metric.Euclidean, nlist = 16, nprobe = 16))
+        mkIvfSq8(s, dir, Metric.Euclidean, nprobe = 16))
       strat.asInstanceOf[IvfSq8Strategy].queryThreshold(prepared,
         queriesDf(s, dir, 5)
           .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
@@ -805,10 +819,6 @@ object QueriesVector {
         IvfStrategy(metric, nlist = 16, nprobe = 8)))
       val fSq8 = Future(preparedIndex(s, dir, s"sq8$sfx")(
         Sq8Strategy(metric, rerankFactor = 8)))
-      // ivf_scalar completes the grid (verdict r9 #3): composed IVF cells
-      // over SQ codes, graded at the same nlist/nprobe as the ivf family
-      val fIvfSq8 = Future(preparedIndex(s, dir, s"ivfsq8x16x8$sfx")(
-        IvfSq8Strategy(metric, nlist = 16, nprobe = 8)))
       val fPq = Future(preparedIndex(s, dir, s"pq8x8$sfx")(
         PqStrategy(metric, m = 8, nbits = 8)))
       // the graph families complete the Q11 grid (round 6): registry-shared
@@ -818,11 +828,18 @@ object QueriesVector {
       val fNnd = Future(preparedIndex(s, dir, s"nnd15$sfx")(
         NnDescentStrategy(metric)))
       val (ivf, ivfPrep) = Await.result(fIvf, Duration.Inf)
-      val (ivfpq, ivfpqPrep) = preparedIndex(s, dir, s"ivfpq16x8$sfx")(
-        mkIvfpq(s, dir, metric)) // adopts ivf16x8's codebook, trained 1 line up
+      // both composed-IVF builds adopt ivf16x8's centroids (trained one
+      // line up) and run as futures so they overlap the remaining awaits
+      val fIvfpq = Future(preparedIndex(s, dir, s"ivfpq16x8$sfx")(
+        mkIvfpq(s, dir, metric)))
+      val fIvfSq8 = Future(preparedIndex(s, dir, s"ivfsq8x16x8$sfx")(
+        mkIvfSq8(s, dir, metric)))
+      val (ivfpq, ivfpqPrep) = Await.result(fIvfpq, Duration.Inf)
       val (lshS, lshPrep) = Await.result(fLsh, Duration.Inf)
       val lsh = lshS.asInstanceOf[LshStrategy]
       val (sq8, sq8Prep) = Await.result(fSq8, Duration.Inf)
+      // ivf_scalar completes the grid (verdict r9 #3): composed IVF cells
+      // over SQ codes at the ivf family's nlist/nprobe
       val (ivfsq8, ivfsq8Prep) = Await.result(fIvfSq8, Duration.Inf)
       val (pq, pqPrep) = Await.result(fPq, Duration.Inf)
       val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)

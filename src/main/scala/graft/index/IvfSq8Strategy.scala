@@ -72,4 +72,10 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * inner IVF — quantization changes bytes per row, not rows) */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
     ivf.scanVolume(prepared, queries)
+
+  /** adopt an identically-trained IVF's centroids (same nlist/seed/store ⇒
+    * bitwise-equal to what this instance would train — see
+    * [[IvfStrategy.adoptCentroids]]); skips one KMeans per build */
+  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
+    ivf.adoptCentroids(c)
 }
