@@ -189,17 +189,45 @@ object Dedup {
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L): DataFrame =
     bandedBuckets(df, idCol, shingleCol, bands, rowsPerBand, seed)
 
-  /** Write the snapshot signature table as parquet, partitioned by `_band`
-    * (the incremental join's leading key, so a band-pruned probe reads only
-    * matching files) and stamped with the banding parameters. */
+  /** Write the snapshot signature table as parquet, partitioned by
+    * `(_batch, _band)` and stamped with the banding parameters. `_band` is
+    * the incremental join's leading key (a band-pruned probe reads only
+    * matching files); `_batch` identifies the writer generation
+    * (`"base"` here, `"manual-N"` per [[appendSignatureTable]],
+    * `"stream-N"` per micro-batch in `StreamOps.nearDupOnIngest`) so that
+    * every append targets its OWN partitions and a replayed write —
+    * checkpoint recovery, manual retry — overwrites them idempotently
+    * instead of duplicating rows. */
   def saveSignatureTable(df: DataFrame, idCol: String, shingleCol: String,
       path: String, bands: Int = 24, rowsPerBand: Int = 4,
       seed: Long = 42L): Unit =
-    signatureTable(df, idCol, shingleCol, bands, rowsPerBand, seed)
+    writeSignatures(df, idCol, shingleCol, path, "base", bands, rowsPerBand,
+      seed, overwriteAll = true)
+
+  /** shared stamped writer: dynamic partition overwrite makes re-writing
+    * the SAME `_batch` value replace that generation's partitions and
+    * leave every other generation untouched */
+  private[graft] def writeSignatures(df: DataFrame, idCol: String,
+      shingleCol: String, path: String, batchTag: String, bands: Int,
+      rowsPerBand: Int, seed: Long, overwriteAll: Boolean = false): Unit =
+    writeBandedSignatures(
+      signatureTable(df, idCol, shingleCol, bands, rowsPerBand, seed),
+      path, batchTag, bands, rowsPerBand, seed, overwriteAll)
+
+  /** [[writeSignatures]] for an ALREADY-banded frame — the streaming path
+    * signs each micro-batch once and writes that same frame */
+  private[graft] def writeBandedSignatures(banded: DataFrame, path: String,
+      batchTag: String, bands: Int, rowsPerBand: Int, seed: Long,
+      overwriteAll: Boolean = false): Unit =
+    banded
       .withColumn("_bands", lit(bands))
       .withColumn("_rows_per_band", lit(rowsPerBand))
       .withColumn("_seed", lit(seed))
-      .write.mode("overwrite").partitionBy("_band").parquet(path)
+      .withColumn("_batch", lit(batchTag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", if (overwriteAll) "static" else "dynamic")
+      .partitionBy("_batch", "_band").parquet(path)
+
 
   /** Read a [[saveSignatureTable]] snapshot back, failing fast if it was
     * banded under different parameters than the caller expects (signatures
@@ -214,7 +242,7 @@ object Dedup {
       s"signature table at $path was banded with (bands=${stamp.getInt(0)}, " +
         s"rowsPerBand=${stamp.getInt(1)}, seed=${stamp.getLong(2)}), " +
         s"caller expects ($bands, $rowsPerBand, $seed)")
-    t.drop("_bands", "_rows_per_band", "_seed")
+    t.drop("_bands", "_rows_per_band", "_seed", "_batch")
   }
 
   /** The snapshot MAINTENANCE step of the daily loop: append the new
@@ -223,18 +251,21 @@ object Dedup {
     * tomorrow's history. Fails fast (via [[loadSignatureTable]]'s stamp
     * check) if the snapshot was banded under different parameters —
     * appending a foreign hash family would silently poison every future
-    * run. Parquet append into the same `_band` partitioning; id
-    * disjointness between snapshot and batch is the caller's contract,
-    * as everywhere in this module. */
+    * run. The generation tag is derived from the batch's CONTENT (an
+    * order-independent id hash), so retrying the same append — including
+    * after a mid-write failure — targets the same `_batch` partitions and
+    * the dynamic overwrite replaces any partial leftovers instead of
+    * duplicating them; appending a genuinely different batch lands in its
+    * own generation. Id disjointness between snapshot and batch is the
+    * caller's contract, as everywhere in this module. */
   def appendSignatureTable(df: DataFrame, idCol: String, shingleCol: String,
       path: String, bands: Int = 24, rowsPerBand: Int = 4,
       seed: Long = 42L): Unit = {
     loadSignatureTable(df.sparkSession, path, bands, rowsPerBand, seed)
-    signatureTable(df, idCol, shingleCol, bands, rowsPerBand, seed)
-      .withColumn("_bands", lit(bands))
-      .withColumn("_rows_per_band", lit(rowsPerBand))
-      .withColumn("_seed", lit(seed))
-      .write.mode("append").partitionBy("_band").parquet(path)
+    val tag = df.agg(coalesce(sum(xxhash64(col(idCol))), lit(0L))
+      .cast("string")).head().getString(0)
+    writeSignatures(df, idCol, shingleCol, path, s"manual-$tag", bands,
+      rowsPerBand, seed)
   }
 
   /** Incremental near-dup with PERSISTED history: same output contract as

@@ -104,7 +104,7 @@ object StreamOps {
     import graft.prep.Dedup
     docStream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val newShingled = batch.select(col(idCol), col(shingleCol)).cache()
         val newBanded = Dedup.signatureTable(newShingled, idCol, shingleCol,
@@ -123,13 +123,13 @@ object StreamOps {
           .select(col(idCol), col(shingleCol))
         onPairs(Dedup.verifyJaccard(cands,
           newShingled.unionByName(histNeeded), idCol, shingleCol, threshold))
-        // maintenance: stamped append of the SAME banded frame (one sign
-        // pass per batch), matching saveSignatureTable's layout
-        newBanded
-          .withColumn("_bands", lit(bands))
-          .withColumn("_rows_per_band", lit(rowsPerBand))
-          .withColumn("_seed", lit(seed))
-          .write.mode("append").partitionBy("_band").parquet(sigPath)
+        // maintenance: fold the batch into its OWN `_batch = stream-<id>`
+        // generation via the shared dynamic-overwrite writer — checkpoint
+        // recovery replays a micro-batch under the SAME id, so the replay
+        // REPLACES the generation instead of double-appending signatures
+        // (exactly-once snapshot maintenance on at-least-once replay)
+        Dedup.writeBandedSignatures(newBanded, sigPath, s"stream-$batchId",
+          bands, rowsPerBand, seed)
         newShingled.unpersist()
         newBanded.unpersist()
         ()

@@ -143,6 +143,12 @@ class PipelineOpsSpec extends SparkSpec {
       .select("doc_id", "_band", "_bucket").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(appended === unionRecomputed)
+    // retry idempotence: re-appending the SAME batch hits the same
+    // content-derived _batch generation, which the dynamic overwrite
+    // REPLACES — row count unchanged, nothing double-appended
+    val before = Dedup.loadSignatureTable(spark, tmp).count()
+    Dedup.appendSignatureTable(batch, "doc_id", "shingles", tmp)
+    assert(Dedup.loadSignatureTable(spark, tmp).count() === before)
     val e2 = intercept[IllegalArgumentException] {
       Dedup.appendSignatureTable(batch, "doc_id", "shingles", tmp, seed = 7L)
     }

@@ -218,10 +218,14 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
     assert(seen.toSet === Set((1L, 10L), (1L, 20L), (10L, 20L)))
-    // the snapshot now holds history + both batches
-    val ids = Dedup.loadSignatureTable(spark, sig)
-      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // the snapshot now holds history + both batches, each doc signed in
+    // exactly one generation (no double-appends from the per-batch writes)
+    val sigs = Dedup.loadSignatureTable(spark, sig)
+    val ids = sigs.select("doc_id").distinct().collect()
+      .map(_.getLong(0)).toSet
     assert(ids === Set(1L, 2L, 10L, 20L))
+    assert(sigs.groupBy("doc_id", "_band").count()
+      .where(col("count") > 1).isEmpty)
     VerifyIO.deleteRec(new java.io.File(sig))
     VerifyIO.deleteRec(new java.io.File(ckpt))
   }
