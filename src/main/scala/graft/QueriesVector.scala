@@ -769,8 +769,19 @@ object QueriesVector {
       // exercises both (verdict r7 #8) — one per-metric pass each, all
       // builds registry-shared and seeded, so the output stays
       // deterministic. Cosine's registry keys are unchanged, so the
-      // q_*_knn queries keep serving from the same instances.
-      (evalGrid(s, dir, Metric.Cosine) ++ evalGrid(s, dir, Metric.Euclidean))
+      // q_*_knn queries keep serving from the same instances. The two
+      // passes run CONCURRENTLY (round 10): their registry keys are
+      // metric-disjoint, the shared store cache is pre-warmed here, and
+      // the result concatenation order is fixed, so parallelism changes
+      // wall clock only — on local[32] the per-pass build/recall jobs
+      // interleave instead of serializing.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      cachedStore(s, dir)
+      val fCos = Future(evalGrid(s, dir, Metric.Cosine))
+      val fEuc = Future(evalGrid(s, dir, Metric.Euclidean))
+      (Await.result(fCos, Duration.Inf) ++ Await.result(fEuc, Duration.Inf))
         .toDF("strategy", "metric", "k", "recall", "rows_scanned")
     },
     None)
