@@ -54,6 +54,38 @@ class DistancePropertySpec extends SparkSpec {
     }
   }
 
+  test("SQ8 asymmetric distance is within the per-dim quantization error bound") {
+    import spark.implicits._
+    // the invariant the quantized-replica radius anchors lean on: with
+    // per-dim range Δ_i = (hi_i − lo_i), the midpoint decode is within
+    // ~Δ_i/256 of the original per dim, so the euclidean ADC distance is
+    // within ‖(Δ_i/255)_i‖₂ of the exact distance — a radius whose margin
+    // to the nearest quantized distance exceeds cross-engine float noise
+    // (and whose MEMBERSHIP the oracle replicates exactly) is stable.
+    val dim = 6
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, List.fill(dim)(rnd.nextDouble() * 4 - 2)))
+    val st = graft.index.Sq8Strategy(graft.core.Metric.Euclidean)
+    val prepared = st.prepare(vecs.toDF("id", "vector"))
+    val got = st.queryThreshold(prepared,
+        vecs.take(5).toDF("query_id", "qvector"), 1e9, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got.size === 5 * 40) // uncapped: every (query, store) pair
+    val bound = math.sqrt((0 until dim).map { d =>
+      val c = vecs.map(_._2(d))
+      math.pow((c.max - c.min) / 255.0, 2)
+    }.sum) + 1e-9
+    val byId = vecs.toMap
+    got.foreach { case ((q, id), adc) =>
+      val exact = math.sqrt(byId(q).zip(byId(id))
+        .map { case (a, b) => (a - b) * (a - b) }.sum)
+      assert(math.abs(adc - exact) <= bound,
+        s"($q,$id): adc=$adc exact=$exact bound=$bound")
+    }
+  }
+
   test("l2_normalize produces unit vectors (or zero) and is idempotent") {
     (samples(15) :+ List(0.0, 0.0, 0.0)).foreach { v =>
       val once = Seq(1).toDF("x")
