@@ -61,8 +61,9 @@ object Dedup {
     * pair elsewhere in the bucket. On non-degenerate
     * corpora (no bucket over the cap) the output is IDENTICAL to the
     * unbounded join. Over-cap buckets are observable via
-    * [[overCapBuckets]] — log them before large runs; the default cap of
-    * 10⁴ keeps the worst group at 10⁸ comparisons, a bounded task. */
+    * [[overCapBuckets]] and the edges the cap may have cost via
+    * [[droppedStarEdges]] — log both before large runs; the default cap
+    * of 10⁴ keeps the worst group at 10⁸ comparisons, a bounded task. */
   def minhashCandidates(df: DataFrame, idCol: String, shingleCol: String,
       bands: Int = 24, rowsPerBand: Int = 4, seed: Long = 42L,
       maxBucket: Int = 10000): DataFrame = {
@@ -318,6 +319,31 @@ object Dedup {
     bandedBuckets(df, idCol, shingleCol, bands, rowsPerBand, seed)
       .groupBy("_band", "_bucket").agg(count(lit(1)).as("n_members"))
       .where(col("n_members") > maxBucket)
+
+  /** The other half of the hot-bucket audit (advice r9): the star-candidate
+    * edges that FAIL the exact-Jaccard threshold — i.e. exactly the edges
+    * on which the star reduction's per-member dup-pair guarantee is only
+    * probabilistic (a member whose Jaccard with the bucket-min falls below
+    * threshold loses its edge even if it has an over-threshold pair
+    * elsewhere in the bucket; see [[minhashCandidates]]). Empty on
+    * non-degenerate corpora (no over-cap buckets ⇒ no star edges). Run
+    * with [[overCapBuckets]] before a large dedup job: `overCapBuckets`
+    * says WHERE the cap fires, this says WHAT it may have cost. */
+  def droppedStarEdges(df: DataFrame, idCol: String, shingleCol: String,
+      threshold: Double = 0.7, bands: Int = 24, rowsPerBand: Int = 4,
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val banded = bandedBuckets(df, idCol, shingleCol, bands, rowsPerBand, seed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_band", "_bucket")
+    val starPairs = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_minid", min(col(idCol)).over(w))
+      .where(col("_n") > maxBucket && col(idCol) =!= col("_minid"))
+      .select(col("_minid").as("i"), col(idCol).as("j")).distinct()
+    val kept = verifyJaccard(starPairs, df.select(col(idCol), col(shingleCol)),
+      idCol, shingleCol, threshold)
+    starPairs.join(kept.select("i", "j"), Seq("i", "j"), "left_anti")
+  }
 
   /** Exact Jaccard on candidate pairs: |A∩B| / |A∪B| over distinct shingle
     * sets. Joining the shingle arrays back onto the (small) candidate set. */

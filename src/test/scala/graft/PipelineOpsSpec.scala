@@ -59,6 +59,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(oc.length == 24 && oc.forall(_.getLong(2) == 10000L))
   }
 
+  test("droppedStarEdges reports exactly the star edges exact-verify rejects") {
+    import spark.implicits._
+    // advice r9: the star reduction's per-member dup-pair guarantee is
+    // probabilistic post-verify — this audit quantifies it. doc 1 shares
+    // enough shingles with the 299-member block to band-collide (jaccard
+    // 0.6 -> P(>=1 shared band) ~ 96%, deterministic under the fixed
+    // seed) and, as the global min id, becomes the star anchor in every
+    // bucket it lands in; its 0.6 < 0.7 edges are exactly what the audit
+    // must report. Member-member star edges (anchor 2, jaccard 1.0)
+    // verify fine and must NOT appear.
+    val sh = Seq("a b c", "b c d", "c d e")
+    val outlier = sh ++ Seq("p q r", "q r s") // |A∩B|/|A∪B| = 3/5
+    val df = (Seq((1L, outlier)) ++ (2 to 300).map(i => (i.toLong, sh)))
+      .toDF("doc_id", "shingles")
+    val dropped = Dedup.droppedStarEdges(df, "doc_id", "shingles",
+        maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dropped.nonEmpty && dropped.forall(_._1 == 1L))
+    // no over-cap buckets (default cap) -> nothing star-linked -> empty
+    assert(Dedup.droppedStarEdges(df, "doc_id", "shingles").isEmpty)
+  }
+
   test("incremental dedup pairs new docs only; old-old pair space untouched") {
     import spark.implicits._
     // three identical doc groups: {1,2} old-old (must NOT pair — that's
