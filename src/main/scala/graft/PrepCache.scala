@@ -91,6 +91,10 @@ object PrepCache {
       val hist = flaggedShingledDocs(s, dir).where(!col("is_new"))
       val path = java.nio.file.Files.createTempDirectory("graft_sigs")
         .toString
+      // the snapshot is a session-scoped scratch artifact: reclaim it at
+      // JVM exit so repeated bench/verify runs don't accumulate in /tmp
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        VerifyIO.deleteRec(new java.io.File(path))))
       Dedup.saveSignatureTable(hist, "doc_id", "shingles", path)
       val loaded = Dedup.loadSignatureTable(s, path).cache()
       loaded.count()

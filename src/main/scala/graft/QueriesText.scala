@@ -142,6 +142,38 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** shared by q_incremental_dedup AND q_incremental_dedup_persisted —
+    * the persisted path must reproduce the recomputed path exactly, and
+    * one definition keeps any future oracle-convention fix atomic */
+  private val incrementalDedupOracle = """
+      WITH grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))) AS g
+        FROM documents),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      tot AS (SELECT count(*) AS n FROM documents),
+      flags AS (SELECT doc_id, (doc_id * 5 >= 4 * tot.n) AS is_new
+                FROM documents CROSS JOIN tot),
+      pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT i, j, round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard,
+             CAST((CASE WHEN fi.is_new THEN 1 ELSE 0 END) +
+                  (CASE WHEN fj.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM pairs
+        JOIN sizes si ON si.doc_id = i
+        JOIN sizes sj ON sj.doc_id = j
+        JOIN flags fi ON fi.doc_id = i
+        JOIN flags fj ON fj.doc_id = j
+      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7
+        AND (fi.is_new OR fj.is_new)
+      ORDER BY i, j
+    """
+
   /** Incremental near-dup detection — today's ingest batch (the last 20%
     * of doc_ids) deduped against the full history WITHOUT re-pairing
     * history against itself ([[Dedup.incrementalCandidates]]: the banded
@@ -163,34 +195,7 @@ object QueriesText {
           (col("_ni").cast("long") + col("_nj").cast("long")).as("n_new"))
         .orderBy("i", "j")
     },
-    Some("""
-      WITH grams AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-                 i -> string_split(text, ' ')[i] || ' ' ||
-                      string_split(text, ' ')[i+1] || ' ' ||
-                      string_split(text, ' ')[i+2]))) AS g
-        FROM documents),
-      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
-      tot AS (SELECT count(*) AS n FROM documents),
-      flags AS (SELECT doc_id, (doc_id * 5 >= 4 * tot.n) AS is_new
-                FROM documents CROSS JOIN tot),
-      pairs AS (
-        SELECT a.doc_id i, b.doc_id j, count(*) inter
-        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT i, j, round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard,
-             CAST((CASE WHEN fi.is_new THEN 1 ELSE 0 END) +
-                  (CASE WHEN fj.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
-      FROM pairs
-        JOIN sizes si ON si.doc_id = i
-        JOIN sizes sj ON sj.doc_id = j
-        JOIN flags fi ON fi.doc_id = i
-        JOIN flags fj ON fj.doc_id = j
-      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7
-        AND (fi.is_new OR fj.is_new)
-      ORDER BY i, j
-    """))
+    Some(incrementalDedupOracle))
 
   /** [[qIncrementalDedup]]'s production form: history enters through the
     * PERSISTED signature table ([[PrepCache.persistedHistorySignatures]] —
@@ -211,34 +216,7 @@ object QueriesText {
           (col("_ni").cast("long") + col("_nj").cast("long")).as("n_new"))
         .orderBy("i", "j")
     },
-    Some("""
-      WITH grams AS (
-        SELECT doc_id, unnest(list_distinct(list_transform(
-                 range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
-                 i -> string_split(text, ' ')[i] || ' ' ||
-                      string_split(text, ' ')[i+1] || ' ' ||
-                      string_split(text, ' ')[i+2]))) AS g
-        FROM documents),
-      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
-      tot AS (SELECT count(*) AS n FROM documents),
-      flags AS (SELECT doc_id, (doc_id * 5 >= 4 * tot.n) AS is_new
-                FROM documents CROSS JOIN tot),
-      pairs AS (
-        SELECT a.doc_id i, b.doc_id j, count(*) inter
-        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-        GROUP BY 1, 2)
-      SELECT i, j, round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard,
-             CAST((CASE WHEN fi.is_new THEN 1 ELSE 0 END) +
-                  (CASE WHEN fj.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
-      FROM pairs
-        JOIN sizes si ON si.doc_id = i
-        JOIN sizes sj ON sj.doc_id = j
-        JOIN flags fi ON fi.doc_id = i
-        JOIN flags fj ON fj.doc_id = j
-      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7
-        AND (fi.is_new OR fj.is_new)
-      ORDER BY i, j
-    """))
+    Some(incrementalDedupOracle))
 
   /** The deduped corpus itself — the end artifact every near-dup pipeline
     * actually ships: all documents with NO smaller-id near-duplicate

@@ -216,10 +216,15 @@ object Dedup {
       path, batchTag, bands, rowsPerBand, seed, overwriteAll)
 
   /** [[writeSignatures]] for an ALREADY-banded frame — the streaming path
-    * signs each micro-batch once and writes that same frame */
+    * signs each micro-batch once and writes that same frame. Alongside the
+    * data, a `_sig_meta.json` sidecar records the banding parameters and
+    * the id column's name/type, so [[loadSignatureTable]] can stamp-check
+    * and reconstruct the schema WITHOUT reading a data row — which is what
+    * makes an EMPTY snapshot (day-1 bootstrap with no history, or a batch
+    * whose docs all shingle to nothing) first-class instead of a crash. */
   private[graft] def writeBandedSignatures(banded: DataFrame, path: String,
       batchTag: String, bands: Int, rowsPerBand: Int, seed: Long,
-      overwriteAll: Boolean = false): Unit =
+      overwriteAll: Boolean = false): Unit = {
     banded
       .withColumn("_bands", lit(bands))
       .withColumn("_rows_per_band", lit(rowsPerBand))
@@ -228,22 +233,62 @@ object Dedup {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", if (overwriteAll) "static" else "dynamic")
       .partitionBy("_batch", "_band").parquet(path)
-
+    // after the data write: static overwrite truncates the root first,
+    // dynamic overwrite only touches its own partition dirs
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("bands", bands)
+    root.put("rows_per_band", rowsPerBand)
+    root.put("seed", seed)
+    root.put("id_col", banded.columns.head)
+    root.put("id_type", banded.schema.head.dataType.json)
+    graft.core.FsIO.write(s"$path/_sig_meta.json",
+      mapper.writeValueAsString(root))
+  }
 
   /** Read a [[saveSignatureTable]] snapshot back, failing fast if it was
     * banded under different parameters than the caller expects (signatures
-    * from mismatched hash families produce silently-empty joins). */
+    * from mismatched hash families produce silently-empty joins). The
+    * stamp check and schema come from the `_sig_meta.json` sidecar, so an
+    * empty snapshot loads as an empty frame rather than failing parquet
+    * schema inference. `excludeGeneration` drops one `_batch` generation
+    * on read — the streaming replay guard: a micro-batch that crashed
+    * after its signature write but before its checkpoint commit must not
+    * see its OWN signatures as history when it replays. */
   def loadSignatureTable(spark: org.apache.spark.sql.SparkSession,
       path: String, bands: Int = 24, rowsPerBand: Int = 4,
-      seed: Long = 42L): DataFrame = {
-    val t = spark.read.parquet(path)
-    val stamp = t.select("_bands", "_rows_per_band", "_seed").head()
-    require(stamp.getInt(0) == bands && stamp.getInt(1) == rowsPerBand &&
-      stamp.getLong(2) == seed,
-      s"signature table at $path was banded with (bands=${stamp.getInt(0)}, " +
-        s"rowsPerBand=${stamp.getInt(1)}, seed=${stamp.getLong(2)}), " +
+      seed: Long = 42L, excludeGeneration: Option[String] = None): DataFrame = {
+    require(graft.core.FsIO.exists(s"$path/_sig_meta.json"),
+      s"no signature snapshot at $path (missing _sig_meta.json)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_sig_meta.json"))
+    require(meta.get("bands").asInt() == bands &&
+      meta.get("rows_per_band").asInt() == rowsPerBand &&
+      meta.get("seed").asLong() == seed,
+      s"signature table at $path was banded with " +
+        s"(bands=${meta.get("bands").asInt()}, " +
+        s"rowsPerBand=${meta.get("rows_per_band").asInt()}, " +
+        s"seed=${meta.get("seed").asLong()}), " +
         s"caller expects ($bands, $rowsPerBand, $seed)")
-    t.drop("_bands", "_rows_per_band", "_seed", "_batch")
+    val idCol = meta.get("id_col").asText()
+    val t =
+      try spark.read.parquet(path)
+          .drop("_bands", "_rows_per_band", "_seed")
+      catch {
+        // schema inference fails when the snapshot holds zero data files
+        case _: org.apache.spark.sql.AnalysisException =>
+          import org.apache.spark.sql.types._
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(Seq(
+              StructField(idCol, DataType.fromJson(
+                meta.get("id_type").asText())),
+              StructField("_band", IntegerType),
+              StructField("_bucket", IntegerType),
+              StructField("_batch", StringType))))
+      }
+    excludeGeneration.fold(t.drop("_batch"))(g =>
+      t.where(col("_batch") =!= lit(g)).drop("_batch"))
   }
 
   /** The snapshot MAINTENANCE step of the daily loop: append the new
@@ -263,10 +308,17 @@ object Dedup {
       path: String, bands: Int = 24, rowsPerBand: Int = 4,
       seed: Long = 42L): Unit = {
     loadSignatureTable(df.sparkSession, path, bands, rowsPerBand, seed)
-    val tag = df.agg(coalesce(sum(xxhash64(col(idCol))), lit(0L))
-      .cast("string")).head().getString(0)
-    writeSignatures(df, idCol, shingleCol, path, s"manual-$tag", bands,
-      rowsPerBand, seed)
+    // band once (cached), derive the content tag from the banded ids, and
+    // write that same frame — the batch's shingle+sign pass runs exactly
+    // once across the tag action and the data write
+    val banded = signatureTable(df, idCol, shingleCol, bands, rowsPerBand,
+      seed).cache()
+    val tag = banded.select(col(idCol)).distinct()
+      .agg(coalesce(sum(xxhash64(col(idCol))), lit(0L)).cast("string"))
+      .head().getString(0)
+    writeBandedSignatures(banded, path, s"manual-$tag", bands, rowsPerBand,
+      seed)
+    banded.unpersist()
   }
 
   /** Incremental near-dup with PERSISTED history: same output contract as
@@ -275,11 +327,11 @@ object Dedup {
     * for verification only. The two history costs scale differently and
     * this split optimizes both: candidate generation reads the tiny
     * signature table (never re-shingling history), and the exact-Jaccard
-    * verify re-shingles ONLY history docs that actually appear in a
-    * candidate pair (a semi-join prune — the shingle projection on
-    * `histDocs` is lazy, so unpruned rows never evaluate it). At 100 TB:
-    * signature pass over the new 1%, text scan over the ~0.1% of history
-    * in candidate pairs, nothing else touches the archive. */
+    * verify evaluates history shingles only for rows the (small,
+    * broadcast) candidate frame's hash join matches — a doc in no
+    * candidate pair never pays its shingle projection. At 100 TB:
+    * signature pass over the new 1%, shingle evaluation over the ~0.1%
+    * of history in candidate pairs, nothing else touches the archive. */
   def incrementalMinhashDedupPersisted(newDf: DataFrame, histDocs: DataFrame,
       histSigs: DataFrame, idCol: String, shingleCol: String,
       threshold: Double = 0.7, bands: Int = 24, rowsPerBand: Int = 4,
@@ -288,18 +340,28 @@ object Dedup {
     val newShingled =
       if (newDf.storageLevel.useMemory || newDf.storageLevel.useDisk) newShingled0
       else newShingled0.cache()
-    val banded = bandedBuckets(newShingled, idCol, shingleCol, bands,
-        rowsPerBand, seed).withColumn("_isnew", lit(true))
+    incrementalPersistedCore(newShingled,
+      bandedBuckets(newShingled, idCol, shingleCol, bands, rowsPerBand, seed),
+      histDocs, histSigs, idCol, shingleCol, threshold, maxBucket)
+  }
+
+  /** [[incrementalMinhashDedupPersisted]]'s join core, shared with
+    * `StreamOps.nearDupOnIngest` (which supplies its own cached
+    * shingled/banded batch frames so one sign pass serves both dedup and
+    * snapshot append). The candidate frame is consumed exactly ONCE — by
+    * [[verifyJaccard]]'s join chain — so nothing here needs a cache. */
+  private[graft] def incrementalPersistedCore(newShingled: DataFrame,
+      newBanded: DataFrame, histDocs: DataFrame, histSigs: DataFrame,
+      idCol: String, shingleCol: String, threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val banded = newBanded.withColumn("_isnew", lit(true))
       .unionByName(histSigs.select(col(idCol), col("_band"), col("_bucket"))
         .withColumn("_isnew", lit(false)))
     val cands = incrementalCandidatesFromBanded(banded, idCol, "_isnew",
-      maxBucket).cache()
-    val candIds = cands.select(col("i").as(idCol))
-      .union(cands.select(col("j").as(idCol))).distinct()
-    val histNeeded = histDocs.join(candIds, Seq(idCol), "left_semi")
-      .select(col(idCol), col(shingleCol))
-    verifyJaccard(cands, newShingled.unionByName(histNeeded), idCol,
-      shingleCol, threshold)
+      maxBucket)
+    verifyJaccard(cands,
+      newShingled.unionByName(histDocs.select(col(idCol), col(shingleCol))),
+      idCol, shingleCol, threshold)
   }
 
   /** Monitoring hook for the hot-bucket bound: the `(band, bucket)` groups

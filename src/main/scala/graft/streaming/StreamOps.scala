@@ -106,30 +106,26 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
+        val tag = s"stream-$batchId"
         val newShingled = batch.select(col(idCol), col(shingleCol)).cache()
         val newBanded = Dedup.signatureTable(newShingled, idCol, shingleCol,
           bands, rowsPerBand, seed).cache()
+        // replay guard: a batch that crashed AFTER its signature write but
+        // BEFORE its checkpoint commit replays with its own generation
+        // already in the snapshot — excluding it keeps the replayed run's
+        // bucket sizes (and thus its emitted pair set) identical to the
+        // original run's
         val histSigs = Dedup.loadSignatureTable(s, sigPath, bands,
-          rowsPerBand, seed)
-        val banded = newBanded.withColumn("_isnew", lit(true))
-          .unionByName(histSigs
-            .select(col(idCol), col("_band"), col("_bucket"))
-            .withColumn("_isnew", lit(false)))
-        val cands = Dedup.incrementalCandidatesFromBanded(banded, idCol,
-          "_isnew", maxBucket)
-        val candIds = cands.select(col("i").as(idCol))
-          .union(cands.select(col("j").as(idCol))).distinct()
-        val histNeeded = corpus().join(candIds, Seq(idCol), "left_semi")
-          .select(col(idCol), col(shingleCol))
-        onPairs(Dedup.verifyJaccard(cands,
-          newShingled.unionByName(histNeeded), idCol, shingleCol, threshold))
+          rowsPerBand, seed, excludeGeneration = Some(tag))
+        onPairs(Dedup.incrementalPersistedCore(newShingled, newBanded,
+          corpus(), histSigs, idCol, shingleCol, threshold, maxBucket))
         // maintenance: fold the batch into its OWN `_batch = stream-<id>`
         // generation via the shared dynamic-overwrite writer — checkpoint
         // recovery replays a micro-batch under the SAME id, so the replay
         // REPLACES the generation instead of double-appending signatures
         // (exactly-once snapshot maintenance on at-least-once replay)
-        Dedup.writeBandedSignatures(newBanded, sigPath, s"stream-$batchId",
-          bands, rowsPerBand, seed)
+        Dedup.writeBandedSignatures(newBanded, sigPath, tag, bands,
+          rowsPerBand, seed)
         newShingled.unpersist()
         newBanded.unpersist()
         ()

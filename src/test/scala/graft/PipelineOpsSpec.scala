@@ -175,7 +175,26 @@ class PipelineOpsSpec extends SparkSpec {
       Dedup.appendSignatureTable(batch, "doc_id", "shingles", tmp, seed = 7L)
     }
     assert(e2.getMessage.contains("banded with"))
+    // excludeGeneration: the streaming replay guard — dropping one writer
+    // generation on read leaves exactly the other generations' ids
+    val exBase = Dedup.loadSignatureTable(spark, tmp,
+        excludeGeneration = Some("base"))
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(exBase === Set(40L, 41L, 42L))
+    // day-1 bootstrap: an EMPTY snapshot loads as an empty frame (schema
+    // from the meta sidecar, no parquet inference crash) and the persisted
+    // dedup degrades to within-batch-only pairs
+    val tmp2 = java.nio.file.Files.createTempDirectory("sigspec2").toString
+    Dedup.saveSignatureTable(hist.limit(0), "doc_id", "shingles", tmp2)
+    val emptySigs = Dedup.loadSignatureTable(spark, tmp2)
+    assert(emptySigs.isEmpty &&
+      emptySigs.columns.toSeq === Seq("doc_id", "_band", "_bucket"))
+    val day1 = Dedup.incrementalMinhashDedupPersisted(batch, hist.limit(0),
+        emptySigs, "doc_id", "shingles")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(day1 === Set((41L, 42L)))
     VerifyIO.deleteRec(new java.io.File(tmp))
+    VerifyIO.deleteRec(new java.io.File(tmp2))
   }
 
   test("incremental candidates degenerate to the full/empty pair set at the flag extremes") {
