@@ -815,9 +815,202 @@ object QueriesPipeline {
       ORDER BY 1
     """))
 
+  // --------------------------------------------------------- q_dsir_weights
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how target-like its hashed-n-gram bag is, log p_target / p_raw under
+    * two smoothed bag-of-buckets unigram models. Target distribution here =
+    * the English slice (stand-in for the paper's high-quality target corpus);
+    * features = word unigrams hashed into 256 buckets (first md5 hex pair —
+    * the paper's hashing trick, which is what makes the model table FIXED
+    * SIZE regardless of corpus vocabulary).
+    *
+    * Scale shape: one explode over the corpus feeds ONE hash aggregate that
+    * computes raw and target bucket counts together (target is a filtered
+    * sum in the same pass — history is not scanned twice); the bucket model
+    * is ≤ 256 rows BY CONSTRUCTION (hash range, not vocabulary), so the
+    * log-ratio join back to the token stream is an AQE-chosen broadcast
+    * that cannot grow with the corpus; per-doc score is one more keyed agg.
+    * Top-20 selection is orderBy+limit (TakeOrdered — no global Window). */
+  val qDsirWeights = Q("q_dsir_weights",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(TF.words(col("text"))).as("w"))
+        .withColumn("b", substring(md5(col("w").cast("binary")), 1, 2))
+      val buckets = words.groupBy("b")
+        .agg(count(lit(1)).as("cr"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"))
+      val totals = buckets.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+      val ratio = buckets.crossJoin(broadcast(totals))
+        .select(col("b"),
+          (log((col("ct") + 1.0) / (col("tt") + 256.0)) -
+           log((col("cr") + 1.0) / (col("tr") + 256.0))).as("lr"))
+      words.join(ratio, "b")
+        .groupBy("doc_id", "lang")
+        .agg(round(sum("lr"), 6).as("dsir_score"),
+          count(lit(1)).as("n_words"))
+        .orderBy(col("dsir_score").desc, col("doc_id"))
+        .limit(20)
+    },
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+              FROM documents)),
+      buckets AS (
+        SELECT b, count(*) AS cr,
+               sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM toks GROUP BY 1),
+      totals AS (SELECT sum(cr) AS tr, sum(ct) AS tt FROM buckets),
+      ratio AS (
+        SELECT b, ln((ct + 1.0) / (tt + 256.0)) -
+                  ln((cr + 1.0) / (tr + 256.0)) AS lr
+        FROM buckets, totals),
+      scored AS (
+        SELECT doc_id, lang, round(sum(lr), 6) AS dsir_score,
+               count(*) AS n_words
+        FROM toks JOIN ratio USING (b)
+        GROUP BY 1, 2)
+      SELECT doc_id, lang, dsir_score, n_words FROM scored
+      ORDER BY dsir_score DESC, doc_id
+      LIMIT 20
+    """))
+
+  // ------------------------------------------------------ q_prototypicality
+  /** D4-style prototypicality scoring (Tirumala et al. 2023, "D4: Improving
+    * LLM Pretraining via Document De-Duplication and Diversification"):
+    * within each cluster, rank points by cosine distance to the cluster
+    * centroid and flag the most prototypical ~20% for dropping (after
+    * SemDeDup removes near-dups, D4 prunes the cluster cores — the "too
+    * typical to teach anything" mass). The `label` column stands in for the
+    * KMeans cluster id exactly as in [[qSemdedup]].
+    *
+    * Scale shape: centroids are one posexplode + two keyed aggs producing a
+    * clusters×1 frame (bounded by k, not the corpus) that AQE broadcasts
+    * back onto the store; the rank Window partitions by cluster — the same
+    * per-cluster sort the algorithm itself defines. Distances are computed
+    * in double ([[graft.functions.VectorFunctions.cosine_distance]]) and
+    * ranked on the ROUNDED value in both engines. */
+  val qPrototypicality = Q("q_prototypicality",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cent = emb
+        .select(col("label"), posexplode(col("embedding")))
+        .toDF("label", "pos", "v")
+        .groupBy("label", "pos").agg(avg("v").as("m"))
+        .groupBy("label")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("cvec"))
+      val d = emb.join(cent, "label")
+        .withColumn("proto_dist", round(greatest(
+          graft.functions.VectorFunctions.cosine_distance(
+            col("embedding").cast("array<double>"), col("cvec")),
+          lit(0.0)), 6))
+        .withColumn("n_label", count(lit(1)).over(Window.partitionBy("label")))
+      d.withColumn("rnk", row_number()
+          .over(Window.partitionBy("label").orderBy("proto_dist", "vec_id"))
+          .cast("long"))
+        .where(col("rnk") <= ceil(col("n_label") * 0.2).cast("long"))
+        .select(col("label").cast("long").as("label"), col("vec_id"),
+          col("proto_dist"), col("rnk"), col("n_label"))
+        .orderBy("label", "rnk")
+    },
+    Some("""
+      WITH dims AS (
+        SELECT label, CAST(p.i AS BIGINT) AS pos,
+               avg(embedding[CAST(p.i AS INT) + 1]) AS m
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS p(i)
+        GROUP BY 1, 2),
+      cent AS (
+        SELECT label, list(m ORDER BY pos) AS cvec FROM dims GROUP BY 1),
+      d AS (
+        SELECT e.label, e.vec_id,
+               round(greatest(coalesce(1 - list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), c.cvec), 1.0), 0), 6)
+                 AS proto_dist,
+               count(*) OVER (PARTITION BY e.label) AS n_label
+        FROM embeddings e JOIN cent c USING (label)),
+      r AS (
+        SELECT label, vec_id, proto_dist, n_label,
+               row_number() OVER (PARTITION BY label
+                 ORDER BY proto_dist, vec_id) AS rnk
+        FROM d)
+      SELECT CAST(label AS BIGINT) AS label, vec_id, proto_dist, rnk, n_label
+      FROM r WHERE rnk <= CAST(ceil(n_label * 0.2) AS BIGINT)
+      ORDER BY label, rnk
+    """))
+
+  // ----------------------------------------------------- q_temperature_mix
+  /** Temperature-scaled source mixing (the multilingual-LM sampling rule,
+    * p_s ∝ n_s^α with α = 0.5): compute each source's temperature weight,
+    * turn it into a per-source KEEP RATE for a 200-doc budget, and select
+    * by deterministic hash fraction — NOT by per-source rank. The
+    * hash-fraction predicate (first 4 md5 hex chars of the id as a number
+    * in [0,1)) is a pure row-local function: no per-source sort, no window,
+    * reproducible at any cluster size — the same property [[qSampleHash]]
+    * pins for flat sampling, here modulated by a per-source rate. Rates are
+    * compared ROUNDED in both engines (rounded-both-sides rule); the
+    * per-source rate table is sources×1 (bounded), AQE broadcasts it. */
+  val qTemperatureMix = Q("q_temperature_mix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val z = cnt.agg(sum(pow(col("n_docs"), 0.5)).as("z"))
+      val rate = cnt.crossJoin(broadcast(z))
+        .select(col("source"), col("n_docs"),
+          round(least(lit(1.0),
+            lit(200.0) * pow(col("n_docs"), 0.5) / col("z") / col("n_docs")),
+            6).as("rate"))
+      val h = docs.withColumn("_h",
+          md5(col("doc_id").cast("string").cast("binary")))
+        // first 4 hex chars as a number in [0, 65536) — the DuckDB side
+        // spells the same value with a strpos digit chain (no conv there)
+        .withColumn("hfrac",
+          conv(substring(col("_h"), 1, 4), 16, 10).cast("long") / 65536.0)
+      val sel = h.join(rate.select("source", "rate"), "source")
+        .where(col("hfrac") < col("rate"))
+        .groupBy("source").agg(count(lit(1)).as("sel_docs"))
+      rate.join(sel, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("rate"),
+          coalesce(col("sel_docs"), lit(0L)).as("sel_docs"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH cnt AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+      z AS (SELECT sum(pow(n_docs, 0.5)) AS z FROM cnt),
+      rate AS (
+        SELECT source, n_docs,
+               round(least(1.0, 200.0 * pow(n_docs, 0.5) / z / n_docs), 6)
+                 AS rate
+        FROM cnt, z),
+      h AS (
+        SELECT doc_id, source,
+               ((strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+                (strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) / 65536.0
+                 AS hfrac
+        FROM documents),
+      sel AS (
+        SELECT h.source, count(*) AS sel_docs
+        FROM h JOIN rate USING (source)
+        WHERE h.hfrac < rate.rate
+        GROUP BY 1)
+      SELECT r.source, r.n_docs, r.rate, coalesce(s.sel_docs, 0) AS sel_docs
+      FROM rate r LEFT JOIN sel s USING (source)
+      ORDER BY r.source
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
-    qRrfFusion, qCrossSourceDups, qGramDiversity)
+    qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
+    qPrototypicality, qTemperatureMix)
 }

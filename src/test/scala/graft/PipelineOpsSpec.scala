@@ -568,4 +568,53 @@ class PipelineOpsSpec extends SparkSpec {
     val scores = out.map(_.getDouble(3))
     assert(scores.sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("q_dsir_weights: top-20 by score, English dominates the target-like tail") {
+    val out = Queries.queryMap("q_dsir_weights")(spark, dir).collect()
+    assert(out.length == 20)
+    // sorted descending by score, tie-broken by doc_id
+    val scores = out.map(_.getDouble(2))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+    // the importance weights are log p_en-like / p_raw: the top of the
+    // ranking must be majority-English (that's the operator's whole point)
+    val en = out.count(_.getString(1) == "en")
+    assert(en > 10, s"only $en/20 English docs in the DSIR top-20")
+    // n_words is a real token count
+    assert(out.forall(_.getLong(3) > 0))
+  }
+
+  test("q_prototypicality: ~20% per label, ranks contiguous, rank 1 is the min") {
+    val out = Queries.queryMap("q_prototypicality")(spark, dir).collect()
+    val byLabel = out.groupBy(_.getLong(0))
+    assert(byLabel.nonEmpty)
+    byLabel.foreach { case (label, rows) =>
+      val n = rows.head.getLong(4)
+      assert(rows.length == math.ceil(n * 0.2).toLong,
+        s"label $label kept ${rows.length} of $n")
+      val ranks = rows.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to rows.length).toSeq, s"label $label ranks $ranks")
+      // rank order agrees with distance order (rounded, tie-broken by id)
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2)).toSeq
+      assert(byRank.sliding(2).forall(p => p(0) <= p(1)), s"label $label")
+    }
+  }
+
+  test("q_temperature_mix: alpha=0.5 flattens the mix; selection tracks the rate") {
+    val out = Queries.queryMap("q_temperature_mix")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, rate, sel) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      assert(rate > 0.0 && rate <= 1.0, s"${r.getString(0)} rate $rate")
+      assert(sel <= n)
+      // hash-fraction selection is Binomial(n, rate): allow a wide band
+      val expected = n * rate
+      assert(math.abs(sel - expected) <= math.max(5.0, 4 * math.sqrt(expected)),
+        s"${r.getString(0)}: sel $sel vs expected $expected")
+    }
+    // temperature flattening: smaller sources get HIGHER keep rates
+    val sorted = out.sortBy(_.getLong(1))
+    val rates = sorted.map(_.getDouble(2)).toSeq
+    assert(rates.sliding(2).forall(p => p(0) >= p(1)),
+      s"rates not monotone non-increasing in source size: $rates")
+  }
 }
