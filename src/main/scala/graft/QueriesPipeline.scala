@@ -1007,10 +1007,62 @@ object QueriesPipeline {
       ORDER BY r.source
     """))
 
+  // -------------------------------------------------- q_leakage_safe_split
+  /** Leakage-safe train/val/test split: hash-split by near-dup CLUSTER, not
+    * by document. A doc-keyed split (like [[qShardSplit]]) puts ~2τ of every
+    * near-dup pair's members on opposite sides of the train/eval boundary —
+    * the classic evaluation-contamination leak (the same failure
+    * [[qContamination]] measures for benchmark n-grams, here caused by the
+    * split itself). Group key = the verified near-dup component's min-id
+    * label (singleton docs group as themselves), hashed with the SAME
+    * thresholds as q_shard_split — so the expected split fractions are
+    * unchanged, but every component lands atomically in one split.
+    *
+    * Scale shape: the label frame covers only docs that appear in a
+    * verified pair (pair-set-sized, not corpus-sized); one left equi-join
+    * attaches it, the group hash is row-local, and no window or sort exists
+    * anywhere. The pair set and components are the SHARED cached frames
+    * ([[PrepCache]]) every other dedup query reuses. */
+  val qLeakageSafeSplit = Q("q_leakage_safe_split",
+    (s, dir) => {
+      val labels = Dedup.connectedComponents(
+          PrepCache.minhashPairs(s, dir).select("i", "j"))
+        .select(col("node").as("doc_id"), col("label").as("_grp"))
+      t(s, dir, "documents")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("_grp"), col("doc_id")))
+        .withColumn("_h", md5(col("grp").cast("string").cast("binary")))
+        .select(col("doc_id"), col("grp"),
+          when(substring(col("_h"), 1, 4) < "028f", "val")
+            .when(substring(col("_h"), 1, 4) < "051e", "test")
+            .otherwise("train").as("split"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      $pairsSql
+      edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
+      reach(node, r) AS (
+        SELECT DISTINCT i AS node, i AS r FROM edges
+        UNION
+        SELECT e.j, r.r FROM reach r JOIN edges e ON e.i = r.node),
+      labels AS (SELECT node AS doc_id, min(r) AS grp FROM reach GROUP BY node),
+      grouped AS (
+        SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS grp
+        FROM documents d LEFT JOIN labels l USING (doc_id))
+      SELECT doc_id, grp,
+             CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 4) < '028f'
+                    THEN 'val'
+                  WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 4) < '051e'
+                    THEN 'test'
+                  ELSE 'train' END AS split
+      FROM grouped
+      ORDER BY doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
     qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
-    qPrototypicality, qTemperatureMix)
+    qPrototypicality, qTemperatureMix, qLeakageSafeSplit)
 }

@@ -617,4 +617,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rates.sliding(2).forall(p => p(0) >= p(1)),
       s"rates not monotone non-increasing in source size: $rates")
   }
+
+  test("q_leakage_safe_split: no near-dup pair straddles a split boundary") {
+    val out = Queries.queryMap("q_leakage_safe_split")(spark, dir).collect()
+    val split = out.map(r => r.getLong(0) -> r.getString(2)).toMap
+    val grp = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc assigned exactly once, group label <= doc id (min-id label)
+    assert(out.length == split.size)
+    assert(grp.forall { case (d, g) => g <= d })
+    // THE property: both members of every verified near-dup pair share a
+    // group, hence a split — the doc-keyed q_shard_split cannot promise this
+    val pairs = PrepCache.minhashPairs(spark, dir).select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs to protect")
+    pairs.foreach { case (i, j) =>
+      assert(grp(i) == grp(j), s"pair ($i,$j) split into different groups")
+      assert(split(i) == split(j), s"pair ($i,$j) leaked across splits")
+    }
+    // split labels are the expected three
+    assert(out.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
+  }
 }
