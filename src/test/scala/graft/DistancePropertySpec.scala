@@ -86,6 +86,55 @@ class DistancePropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents matches a reference BFS on random graphs (both solvers)") {
+    import graft.prep.Dedup
+    // the labels under q_dedup_clusters AND q_leakage_safe_split: a wrong
+    // component either merges unrelated docs into one split group or drops
+    // a dup pair across the train/eval boundary
+    val edgeGen = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        i <- Gen.chooseNum(0L, n.toLong - 1)
+        j <- Gen.chooseNum(0L, n.toLong - 1) if i != j
+      } yield (math.min(i, j), math.max(i, j)))
+    } yield es.distinct
+    def bfsLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val adj = (edges ++ edges.map(_.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val seen = scala.collection.mutable.Map[Long, Long]()
+      adj.keys.toSeq.sorted.foreach { start =>
+        if (!seen.contains(start)) {
+          val queue = scala.collection.mutable.Queue(start)
+          var comp = List(start)
+          seen(start) = -1
+          while (queue.nonEmpty) {
+            val u = queue.dequeue()
+            adj.getOrElse(u, Nil).foreach { v =>
+              if (!seen.contains(v)) { seen(v) = -1; queue += v; comp ::= v }
+            }
+          }
+          val label = comp.min
+          comp.foreach(seen(_) = label)
+        }
+      }
+      seen.toMap
+    }
+    (0 until 8).foreach { i =>
+      val edges = edgeGen.apply(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(Seq.empty)
+      if (edges.nonEmpty) {
+        val expect = bfsLabels(edges)
+        val df = edges.toDF("i", "j")
+        for (driverMax <- Seq(Long.MaxValue, 0L)) { // union-find vs iterative
+          val got = Dedup.connectedComponents(df, driverSolveMaxEdges = driverMax)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got == expect, s"seed ${1000 + i}, driverMax=$driverMax")
+        }
+      }
+    }
+  }
+
   test("l2_normalize produces unit vectors (or zero) and is idempotent") {
     (samples(15) :+ List(0.0, 0.0, 0.0)).foreach { v =>
       val once = Seq(1).toDF("x")
