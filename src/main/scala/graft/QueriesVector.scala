@@ -786,7 +786,7 @@ object QueriesVector {
     },
     None)
 
-  /** one metric's evaluate pass — the Q11 grid over all eight ANN
+  /** one metric's evaluate pass — the Q11 grid over all nine ANN
     * families, returning (strategy, metric, k, recall, rows_scanned).
     * NOTE: the driver's embeddings are unit-normalized, so euclidean is a
     * monotonic transform of cosine (‖a−b‖ = √(2−2cos)) and the two
@@ -798,7 +798,7 @@ object QueriesVector {
       metric: Metric): Seq[(String, String, Long, Double, Long)] = {
       import s.implicits._
       val sfx = metricSfx(metric)
-      // eight strategies scan the same store: materialize once (shared
+      // nine strategies scan the same store: materialize once (shared
       // with the registry's index builds)
       val st = cachedStore(s, dir)
       // n = 10 queries, the reference harness width (advice r3: the r3 trim
@@ -860,22 +860,31 @@ object QueriesVector {
       // recomputed here); euclidean gets its own cached frame
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
-      val names = Seq("lsh", "ivf", "ivfpq", "ivf_scalar", "sq8", "pq",
-        "hnsw", "nndescent")
+      val names = Seq("lsh", "lsh_mp", "ivf", "ivfpq", "ivf_scalar", "sq8",
+        "pq", "hnsw", "nndescent")
       // LSH's bucket-collision candidate set is the one scan set that costs
       // a real job to derive — persist it so the recall pass and the
       // rows_scanned count share ONE materialization (verdict r3: the r3
       // shape ran the whole postings join twice per bench run)
       val lshCands = lsh.candidateFrame(lshPrep, q).persist()
+      // multi-probe LSH (round 10): the SAME lsh32x5 index queried with 2
+      // extra low-margin bucket probes per table — probing is query-side
+      // only, so no build happens here; its candidate set is a superset of
+      // lsh's (spec-asserted), which is the recall-vs-scan trade the grid
+      // exists to expose
+      val lshMp = lsh.copy(nProbes = 2)
+      val mpCands = lshMp.candidateFrame(lshPrep, q).persist()
       // ONE recall job over the tagged union of all strategies' results
       // (separate per-strategy aggregations were 3× the job overhead);
       // queries with zero ANN results count as recall 0 (vicinity.py:386-392),
       // so the average is driven from the (strategy × gt query) grid.
-      // All eight builds come from the shared registry, so the q_*_knn
+      // All builds come from the shared registry, so the q_*_knn
       // queries serve from the same instances at no extra cost.
       val tagged = Seq(
         lsh.queryFromCandidates(lshPrep, q, lshCands, k)
           .withColumn("strategy", lit("lsh")),
+        lshMp.queryFromCandidates(lshPrep, q, mpCands, k)
+          .withColumn("strategy", lit("lsh_mp")),
         ivf.query(ivfPrep, q, k).withColumn("strategy", lit("ivf")),
         ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")),
         ivfsq8.query(ivfsq8Prep, q, k)
@@ -909,12 +918,14 @@ object QueriesVector {
       // from the store count the cache already holds — no extra jobs.
       val lshScan = lshCands.count()
       lshCands.unpersist()
+      val mpScan = mpCands.count()
+      mpCands.unpersist()
       val ivfScan = ivf.scanVolume(ivfPrep, q)
       val fullScan = st.count() * nq
       // ivf_scalar's inner IVF is trained with the same seed/nlist/nprobe/
       // store as ivf16x8, so its probed-cell volume is the SAME aggregation
       // result — reuse it rather than re-running the cell-size job
-      val scans = Map("lsh" -> lshScan, "ivf" -> ivfScan,
+      val scans = Map("lsh" -> lshScan, "lsh_mp" -> mpScan, "ivf" -> ivfScan,
         "ivfpq" -> ivfScan, "ivf_scalar" -> ivfScan,
         "sq8" -> fullScan, "pq" -> fullScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),

@@ -19,6 +19,18 @@ import graft.functions.{TopK, VectorFunctions}
   * Euclidean: E2LSH — per table, `nBits` seeded projections quantized by
   * width `w`, hashed together.
   *
+  * Multi-probe (`nProbes` > 0, Lv et al. 2007, "Multi-Probe LSH"):
+  * each QUERY additionally probes, per table, the `nProbes` buckets
+  * reached by flipping the single signature position with the smallest
+  * margin — |projection| for sign-LSH, distance to the nearer
+  * quantization boundary (stepping toward it) for E2LSH. Probing is
+  * query-side only: the INDEX is unchanged (`prepare` does not depend on
+  * `nProbes`), so a multi-probe strategy can serve from an already-built
+  * single-probe index at zero extra build cost, trading a bounded factor
+  * of candidate volume — ≤ (1+nProbes)× — for recall that is provably a
+  * superset of the single-probe result (the base bucket is always
+  * probed).
+  *
   * Physical shape: the index is the store exploded to `(table, bucket)`
   * posting rows WITHOUT the vector payload (bucket joins move only ids);
   * candidates are re-ranked with the exact kernel against the original
@@ -31,9 +43,12 @@ import graft.functions.{TopK, VectorFunctions}
   * delete is unsupported (`hnsw.py:103-105`).
   */
 case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
-    w: Double = 1.0, seed: Long = 42L) extends IndexStrategy {
+    w: Double = 1.0, seed: Long = 42L, nProbes: Int = 0)
+    extends IndexStrategy {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the LSH backend.")
+  require(nProbes >= 0 && nProbes <= nBits,
+    s"nProbes must be in [0, nBits=$nBits], got $nProbes")
   val name = "lsh"
 
   /** Seeded projection matrix: nTables × nBits hyperplanes, lazily sized to
@@ -75,6 +90,69 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     }
   }
 
+  /** query -> (1+nProbes) bucket hashes per table, base bucket first, then
+    * the single-position flips in ascending-margin order (the perturbation
+    * sequence of Lv et al. 2007 truncated to 1-flips — for the short
+    * signatures used here, T·nProbes single flips cover the probe budget
+    * before any 2-flip would be reached). Store rows always hash with
+    * [[bucketUdf]]; this UDF is query-side only. */
+  private def probeBucketsUdf(dim: Int) = {
+    val isCosine = metric == Metric.Cosine
+    val nt = nTables; val nb = nBits; val ww = w; val np = nProbes
+    val pl = planes(dim)
+    val off = offsets(dim)
+    udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      val out = new Array[Long](nt * (1 + np))
+      var t = 0
+      while (t < nt) {
+        val codes = new Array[Long](nb)
+        val alt = new Array[Long](nb) // the flip target per position
+        val margin = new Array[Double](nb)
+        var b = 0
+        while (b < nb) {
+          var dot = 0.0
+          val p = pl(t)(b)
+          var i = 0
+          while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
+          if (isCosine) {
+            codes(b) = if (dot >= 0) 1L else 0L
+            alt(b) = 1L - codes(b)
+            margin(b) = math.abs(dot)
+          } else {
+            val x = (dot + off(t)(b)) / ww
+            val c = math.floor(x).toLong
+            codes(b) = c
+            val frac = x - c
+            if (frac >= 0.5) { alt(b) = c + 1; margin(b) = 1.0 - frac }
+            else { alt(b) = c - 1; margin(b) = frac }
+          }
+          b += 1
+        }
+        def hashWithFlip(flip: Int): Long = {
+          var h = 1125899906842597L
+          var i = 0
+          while (i < nb) {
+            h = h * 31 + (if (i == flip) alt(i) else codes(i))
+            i += 1
+          }
+          h
+        }
+        out(t * (1 + np)) = hashWithFlip(-1)
+        if (np > 0) {
+          val order = (0 until nb).sortBy(margin)
+          var pi = 0
+          while (pi < np) {
+            out(t * (1 + np) + 1 + pi) = hashWithFlip(order(pi))
+            pi += 1
+          }
+        }
+        t += 1
+      }
+      out
+    }
+  }
+
   @transient private var cachedDim: Int = -1
 
   /** hashes are per-row from seeded planes: hash the increment only */
@@ -104,10 +182,23 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   private def candidatePairs(prepared: DataFrame, queries: DataFrame): DataFrame = {
     val dim = if (cachedDim > 0) cachedDim
       else queries.select(size(col("qvector"))).head.getInt(0)
-    val qb = queries
-      .withColumn("_buckets", bucketUdf(dim)(col("qvector").cast("array<double>")))
-    val qPost = qb.select(col("query_id"), posexplode(col("_buckets")))
-      .toDF("query_id", "table", "bucket")
+    val qPost = if (nProbes == 0) {
+      queries
+        .withColumn("_buckets",
+          bucketUdf(dim)(col("qvector").cast("array<double>")))
+        .select(col("query_id"), posexplode(col("_buckets")))
+        .toDF("query_id", "table", "bucket")
+    } else {
+      // (1+nProbes) hashes per table, grouped by table: pos / (1+nProbes)
+      // recovers the table index for the equi-join
+      queries
+        .withColumn("_buckets",
+          probeBucketsUdf(dim)(col("qvector").cast("array<double>")))
+        .select(col("query_id"), posexplode(col("_buckets")))
+        .toDF("query_id", "pos", "bucket")
+        .select(col("query_id"),
+          (col("pos") / (1 + nProbes)).cast("int").as("table"), col("bucket"))
+    }
     postings(prepared)
       .join(broadcast(qPost), Seq("table", "bucket"))
       .select("query_id", "id").distinct()

@@ -375,15 +375,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stages.contains("4_kept"), "a sane corpus keeps something")
   }
 
-  test("q_evaluate reports a recall in [0,1] for all eight ANN strategies x both metrics") {
-    val out = Queries.queryMap("q_evaluate")(spark, dir)
-      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3))
-      .toMap
-    val fams = Set("lsh", "ivf", "ivfpq", "ivf_scalar", "sq8", "pq", "hnsw",
-      "nndescent")
+  test("q_evaluate reports a recall in [0,1] for all nine ANN strategies x both metrics") {
+    val rows = Queries.queryMap("q_evaluate")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(3), r.getLong(4))).toMap
+    val out = rows.view.mapValues(_._1).toMap
+    val fams = Set("lsh", "lsh_mp", "ivf", "ivfpq", "ivf_scalar", "sq8", "pq",
+      "hnsw", "nndescent")
     assert(out.keySet ===
       (for (f <- fams; m <- Set("cosine", "euclidean")) yield (f, m)))
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
+    // multi-probe LSH reads the SAME index with extra buckets: recall can
+    // only improve and the candidate volume can only grow (superset)
+    for (m <- Seq("cosine", "euclidean")) {
+      assert(out(("lsh_mp", m)) >= out(("lsh", m)),
+        s"multi-probe recall below single-probe for $m")
+      assert(rows(("lsh_mp", m))._2 >= rows(("lsh", m))._2,
+        s"multi-probe scanned fewer rows than single-probe for $m")
+    }
+  }
+
+  test("multi-probe LSH: candidates are a strict superset, recall never drops") {
+    import graft.core.Metric
+    import graft.index.LshStrategy
+    val store = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vector"))
+    val queries = store.where(col("id") < 5)
+      .select(col("id").as("query_id"), col("vector").as("qvector"))
+    for (metric <- Seq(Metric.Cosine, Metric.Euclidean)) {
+      // few short tables: single-probe recall is intentionally lossy here,
+      // which is what gives the probes something to recover
+      val base = LshStrategy(metric, nTables = 4, nBits = 6)
+      val prep = base.prepare(store)
+      val c0 = base.candidateFrame(prep, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mp = base.copy(nProbes = 3)
+      val c3 = mp.candidateFrame(prep, queries)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // the base bucket is always probed: superset is structural, and on
+      // this lossy config the probes must actually add candidates
+      assert(c0.subsetOf(c3), s"$metric: single-probe candidate escaped")
+      assert(c3.size > c0.size, s"$metric: probes added no candidates")
+      // per-query recall@10 against the exact kernel can only improve
+      val gt = graft.operators.Knn.query(store, queries, 10, metric)
+        .select("query_id", "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(c: Set[(Long, Long)]) = gt.count(c.contains).toDouble / gt.size
+      assert(recall(c3) >= recall(c0), s"$metric: multi-probe lost recall")
+    }
   }
 
   test("q_salted_agg equals the unsalted plain groupBy") {
