@@ -56,6 +56,20 @@ object PrepCache {
       pairs
     })
 
+  /** connected components over [[minhashPairs]]: (node, label) min-id
+    * component labels, computed once per (session, dir) and shared by
+    * cluster reporting (q_dedup_clusters) and the leakage-safe split
+    * (q_leakage_safe_split) — the component walk costs a driver union-find
+    * or an iterative propagation, so per-query recomputation is the same
+    * waste the pair-set cache exists to avoid */
+  def components(s: SparkSession, dir: String): DataFrame =
+    cacheOf(s).getOrElseUpdate(s"components/$dir", {
+      val labels = Dedup.connectedComponents(
+        minhashPairs(s, dir).select("i", "j")).cache()
+      labels.count()
+      labels
+    })
+
   /** [[shingledDocs]] + the incremental-ingest flag: the last 20% of
     * doc_ids stand in for "today's batch" (is_new ⇔ doc_id·5 ≥ 4·n —
     * integer arithmetic so the DuckDB oracle derives the identical flag) */

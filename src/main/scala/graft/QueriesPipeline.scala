@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,32 @@ object QueriesPipeline {
           JOIN sizes sj ON sj.doc_id = j
         WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7),"""
 
+  /** [[pairsSql]] + the component walk: recursive min-reachable-id labels
+    * over the verified pair set, ending in `labels(doc_id, comp)`. Shared
+    * by the q_dedup_clusters and q_leakage_safe_split oracles — one copy of
+    * the reach CTE, exactly like pairsSql is one copy of the shingling. */
+  private val componentsSql = s"""
+      $pairsSql
+      edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
+      reach(node, r) AS (
+        SELECT DISTINCT i AS node, i AS r FROM edges
+        UNION
+        SELECT e.j, r.r FROM reach r JOIN edges e ON e.i = r.node),
+      labels AS (SELECT node AS doc_id, min(r) AS comp FROM reach GROUP BY node),"""
+
+  /** the ~98/1/1 hash-split rule shared by [[qShardSplit]] and
+    * [[qLeakageSafeSplit]] — ONE definition of the threshold literals, so
+    * the two queries' split fractions cannot drift apart (the leakage-safe
+    * split's fraction-parity claim depends on them matching) */
+  private def splitCol(h: Column): Column =
+    when(substring(h, 1, 4) < "028f", "val") // 655/65536 ~ 1%
+      .when(substring(h, 1, 4) < "051e", "test") // next ~1%
+      .otherwise("train")
+  private def splitSql(hexpr: String): String =
+    s"""CASE WHEN substr($hexpr, 1, 4) < '028f' THEN 'val'
+                  WHEN substr($hexpr, 1, 4) < '051e' THEN 'test'
+                  ELSE 'train' END"""
+
   /** Near-dup clusters: MinHash+LSH pairs (exact-verified, same pair set as
     * q_minhash_dedup) → connected components → (doc, cluster, size). The
     * Spark side is [[Dedup.connectedComponents]]; the oracle walks the same
@@ -56,8 +82,7 @@ object QueriesPipeline {
     * [[Dedup.ngramJaccardJoin]] instead. */
   val qDedupClusters = Q("q_dedup_clusters",
     (s, dir) => {
-      val pairs = PrepCache.minhashPairs(s, dir).select("i", "j")
-      val labels = Dedup.connectedComponents(pairs)
+      val labels = PrepCache.components(s, dir)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       val sizes = labels.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
@@ -66,17 +91,10 @@ object QueriesPipeline {
         .orderBy("doc_id")
     },
     Some(s"""
-      $pairsSql
-      edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
-      reach(node, r) AS (
-        SELECT DISTINCT i AS node, i AS r FROM edges
-        UNION
-        SELECT e.j, r.r FROM reach r JOIN edges e ON e.i = r.node),
-      labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node)
-      SELECT l.doc_id, l.cluster_id, c.sz AS cluster_size
-      FROM labels l
-        JOIN (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1) c
-          USING (cluster_id)
+      $componentsSql
+      sized AS (SELECT comp, count(*) AS sz FROM labels GROUP BY 1)
+      SELECT l.doc_id, l.comp AS cluster_id, c.sz AS cluster_size
+      FROM labels l JOIN sized c USING (comp)
       ORDER BY doc_id
     """))
 
@@ -505,24 +523,19 @@ object QueriesPipeline {
   val qShardSplit = Q("q_shard_split",
     (s, dir) => t(s, dir, "documents")
       .withColumn("_h", md5(col("doc_id").cast("string").cast("binary")))
-      .withColumn("split",
-        when(substring(col("_h"), 1, 4) < "028f", "val") // 655/65536 ~ 1%
-          .when(substring(col("_h"), 1, 4) < "051e", "test") // next ~1%
-          .otherwise("train"))
+      .withColumn("split", splitCol(col("_h")))
       .withColumn("shard", substring(col("_h"), 5, 1))
       .groupBy("split", "shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(TF.wordCount(col("text"))).cast("long").as("n_tokens"),
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
       .orderBy("split", "shard"),
-    Some("""
+    Some(s"""
       WITH h AS (
         SELECT doc_id, len(string_split(text, ' ')) AS nw,
                md5(CAST(doc_id AS VARCHAR)) AS hv
         FROM documents)
-      SELECT CASE WHEN substr(hv, 1, 4) < '028f' THEN 'val'
-                  WHEN substr(hv, 1, 4) < '051e' THEN 'test'
-                  ELSE 'train' END AS split,
+      SELECT ${splitSql("hv")} AS split,
              substr(hv, 5, 1) AS shard,
              count(*) AS n_docs,
              CAST(sum(nw) AS BIGINT) AS n_tokens,
@@ -925,10 +938,20 @@ object QueriesPipeline {
       cent AS (
         SELECT label, list(m ORDER BY pos) AS cvec FROM dims GROUP BY 1),
       d AS (
+        -- zero-vector guard spelled as an explicit norm test: the Spark
+        -- kernel defines zero-vector cosine distance = 1.0, and this
+        -- duckdb's list_cosine_similarity returns -1.0 (not NULL) on a
+        -- zero vector, so the repo's usual coalesce(...) guard would not
+        -- fire for a cancelled-out centroid
         SELECT e.label, e.vec_id,
-               round(greatest(coalesce(1 - list_cosine_similarity(
-                 CAST(e.embedding AS DOUBLE[]), c.cvec), 1.0), 0), 6)
-                 AS proto_dist,
+               round(greatest(CASE
+                 WHEN list_sum(list_transform(
+                        CAST(e.embedding AS DOUBLE[]), x -> x * x)) = 0
+                   OR list_sum(list_transform(c.cvec, x -> x * x)) = 0
+                 THEN 1.0
+                 ELSE coalesce(1 - list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]), c.cvec), 1.0)
+               END, 0), 6) AS proto_dist,
                count(*) OVER (PARTITION BY e.label) AS n_label
         FROM embeddings e JOIN cent c USING (label)),
       r AS (
@@ -1025,36 +1048,22 @@ object QueriesPipeline {
     * ([[PrepCache]]) every other dedup query reuses. */
   val qLeakageSafeSplit = Q("q_leakage_safe_split",
     (s, dir) => {
-      val labels = Dedup.connectedComponents(
-          PrepCache.minhashPairs(s, dir).select("i", "j"))
+      val labels = PrepCache.components(s, dir)
         .select(col("node").as("doc_id"), col("label").as("_grp"))
       t(s, dir, "documents")
         .join(labels, Seq("doc_id"), "left")
         .withColumn("grp", coalesce(col("_grp"), col("doc_id")))
         .withColumn("_h", md5(col("grp").cast("string").cast("binary")))
-        .select(col("doc_id"), col("grp"),
-          when(substring(col("_h"), 1, 4) < "028f", "val")
-            .when(substring(col("_h"), 1, 4) < "051e", "test")
-            .otherwise("train").as("split"))
+        .select(col("doc_id"), col("grp"), splitCol(col("_h")).as("split"))
         .orderBy("doc_id")
     },
     Some(s"""
-      $pairsSql
-      edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
-      reach(node, r) AS (
-        SELECT DISTINCT i AS node, i AS r FROM edges
-        UNION
-        SELECT e.j, r.r FROM reach r JOIN edges e ON e.i = r.node),
-      labels AS (SELECT node AS doc_id, min(r) AS grp FROM reach GROUP BY node),
+      $componentsSql
       grouped AS (
-        SELECT d.doc_id, coalesce(l.grp, d.doc_id) AS grp
+        SELECT d.doc_id, coalesce(l.comp, d.doc_id) AS grp
         FROM documents d LEFT JOIN labels l USING (doc_id))
       SELECT doc_id, grp,
-             CASE WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 4) < '028f'
-                    THEN 'val'
-                  WHEN substr(md5(CAST(grp AS VARCHAR)), 1, 4) < '051e'
-                    THEN 'test'
-                  ELSE 'train' END AS split
+             ${splitSql("md5(CAST(grp AS VARCHAR))")} AS split
       FROM grouped
       ORDER BY doc_id
     """))

@@ -63,30 +63,16 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   }
 
   /** vector -> one bucket hash per table; planes generated ONCE on the
-    * driver (deterministic from seed+dim) and shipped in the closure. */
+    * driver (deterministic from seed+dim) and shipped in the closure.
+    * Always probe-free (np = 0): the STORE hashes one bucket per table
+    * regardless of nProbes — multi-probe is query-directed only. */
   private def bucketUdf(dim: Int) = {
     val isCosine = metric == Metric.Cosine
     val nt = nTables; val nb = nBits; val ww = w
     val pl = planes(dim)
     val off = offsets(dim)
     udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      Array.tabulate(nt) { t =>
-        var h = 1125899906842597L
-        var b = 0
-        while (b < nb) {
-          var dot = 0.0
-          val p = pl(t)(b)
-          var i = 0
-          while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
-          val code: Long =
-            if (isCosine) { if (dot >= 0) 1L else 0L }
-            else math.floor((dot + off(t)(b)) / ww).toLong
-          h = h * 31 + code
-          b += 1
-        }
-        h
-      }
+      LshStrategy.buckets(v.toArray, pl, off, isCosine, nt, nb, ww, 0)
     }
   }
 
@@ -94,62 +80,17 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * the single-position flips in ascending-margin order (the perturbation
     * sequence of Lv et al. 2007 truncated to 1-flips — for the short
     * signatures used here, T·nProbes single flips cover the probe budget
-    * before any 2-flip would be reached). Store rows always hash with
-    * [[bucketUdf]]; this UDF is query-side only. */
+    * before any 2-flip would be reached). SAME core as [[bucketUdf]]
+    * ([[LshStrategy.buckets]]), so base buckets are bit-identical by
+    * construction — the superset guarantee is structural, not a
+    * two-copies-kept-in-sync invariant. */
   private def probeBucketsUdf(dim: Int) = {
     val isCosine = metric == Metric.Cosine
     val nt = nTables; val nb = nBits; val ww = w; val np = nProbes
     val pl = planes(dim)
     val off = offsets(dim)
     udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      val out = new Array[Long](nt * (1 + np))
-      var t = 0
-      while (t < nt) {
-        val codes = new Array[Long](nb)
-        val alt = new Array[Long](nb) // the flip target per position
-        val margin = new Array[Double](nb)
-        var b = 0
-        while (b < nb) {
-          var dot = 0.0
-          val p = pl(t)(b)
-          var i = 0
-          while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
-          if (isCosine) {
-            codes(b) = if (dot >= 0) 1L else 0L
-            alt(b) = 1L - codes(b)
-            margin(b) = math.abs(dot)
-          } else {
-            val x = (dot + off(t)(b)) / ww
-            val c = math.floor(x).toLong
-            codes(b) = c
-            val frac = x - c
-            if (frac >= 0.5) { alt(b) = c + 1; margin(b) = 1.0 - frac }
-            else { alt(b) = c - 1; margin(b) = frac }
-          }
-          b += 1
-        }
-        def hashWithFlip(flip: Int): Long = {
-          var h = 1125899906842597L
-          var i = 0
-          while (i < nb) {
-            h = h * 31 + (if (i == flip) alt(i) else codes(i))
-            i += 1
-          }
-          h
-        }
-        out(t * (1 + np)) = hashWithFlip(-1)
-        if (np > 0) {
-          val order = (0 until nb).sortBy(margin)
-          var pi = 0
-          while (pi < np) {
-            out(t * (1 + np) + 1 + pi) = hashWithFlip(order(pi))
-            pi += 1
-          }
-        }
-        t += 1
-      }
-      out
+      LshStrategy.buckets(v.toArray, pl, off, isCosine, nt, nb, ww, np)
     }
   }
 
@@ -182,23 +123,16 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   private def candidatePairs(prepared: DataFrame, queries: DataFrame): DataFrame = {
     val dim = if (cachedDim > 0) cachedDim
       else queries.select(size(col("qvector"))).head.getInt(0)
-    val qPost = if (nProbes == 0) {
-      queries
-        .withColumn("_buckets",
-          bucketUdf(dim)(col("qvector").cast("array<double>")))
-        .select(col("query_id"), posexplode(col("_buckets")))
-        .toDF("query_id", "table", "bucket")
-    } else {
-      // (1+nProbes) hashes per table, grouped by table: pos / (1+nProbes)
-      // recovers the table index for the equi-join
-      queries
-        .withColumn("_buckets",
-          probeBucketsUdf(dim)(col("qvector").cast("array<double>")))
-        .select(col("query_id"), posexplode(col("_buckets")))
-        .toDF("query_id", "pos", "bucket")
-        .select(col("query_id"),
-          (col("pos") / (1 + nProbes)).cast("int").as("table"), col("bucket"))
-    }
+    // (1+nProbes) hashes per table, grouped by table: pos / (1+nProbes)
+    // recovers the table index for the equi-join (nProbes = 0 reduces to
+    // the plain one-bucket-per-table posting)
+    val qPost = queries
+      .withColumn("_buckets",
+        probeBucketsUdf(dim)(col("qvector").cast("array<double>")))
+      .select(col("query_id"), posexplode(col("_buckets")))
+      .toDF("query_id", "pos", "bucket")
+      .select(col("query_id"),
+        (col("pos") / (1 + nProbes)).cast("int").as("table"), col("bucket"))
     postings(prepared)
       .join(broadcast(qPost), Seq("table", "bucket"))
       .select("query_id", "id").distinct()
@@ -259,5 +193,65 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val capped = TopK.topKPerGroup(candidates(prepared, queries),
       Seq("query_id"), "id", "dist", maxK)
     capped.where(col("dist") < threshold).drop("rank") // strict <: hnsw.py:111
+  }
+}
+
+object LshStrategy {
+  /** The ONE bucket-hash core both the store and query sides use: per
+    * table, the base `nBits`-position signature hash, followed by `np`
+    * single-position flips in ascending-margin order (margin = |projection|
+    * for sign-LSH; distance to the nearer quantization boundary, stepping
+    * toward it, for E2LSH). `np = 0` emits exactly the base hashes. */
+  private[index] def buckets(arr: Array[Double],
+      pl: Array[Array[Array[Double]]], off: Array[Array[Double]],
+      isCosine: Boolean, nt: Int, nb: Int, ww: Double,
+      np: Int): Array[Long] = {
+    val out = new Array[Long](nt * (1 + np))
+    var t = 0
+    while (t < nt) {
+      val codes = new Array[Long](nb)
+      val alt = new Array[Long](nb) // the flip target per position
+      val margin = new Array[Double](nb)
+      var b = 0
+      while (b < nb) {
+        var dot = 0.0
+        val p = pl(t)(b)
+        var i = 0
+        while (i < arr.length) { dot += arr(i) * p(i); i += 1 }
+        if (isCosine) {
+          codes(b) = if (dot >= 0) 1L else 0L
+          alt(b) = 1L - codes(b)
+          margin(b) = math.abs(dot)
+        } else {
+          val x = (dot + off(t)(b)) / ww
+          val c = math.floor(x).toLong
+          codes(b) = c
+          val frac = x - c
+          if (frac >= 0.5) { alt(b) = c + 1; margin(b) = 1.0 - frac }
+          else { alt(b) = c - 1; margin(b) = frac }
+        }
+        b += 1
+      }
+      def hashWithFlip(flip: Int): Long = {
+        var h = 1125899906842597L
+        var i = 0
+        while (i < nb) {
+          h = h * 31 + (if (i == flip) alt(i) else codes(i))
+          i += 1
+        }
+        h
+      }
+      out(t * (1 + np)) = hashWithFlip(-1)
+      if (np > 0) {
+        val order = (0 until nb).sortBy(margin)
+        var pi = 0
+        while (pi < np) {
+          out(t * (1 + np) + 1 + pi) = hashWithFlip(order(pi))
+          pi += 1
+        }
+      }
+      t += 1
+    }
+    out
   }
 }
