@@ -1068,10 +1068,126 @@ object QueriesPipeline {
       ORDER BY doc_id
     """))
 
+  // --------------------------------------------------------------- q_kmeans
+  /** one assignment round of the oracle: distances (dCte) + argmin (aCte)
+    * against centroid table cCte — the SQL replica of
+    * [[graft.prep.Clustering.assign]], rounded-argmin and all */
+  private def kmAssignSql(dCte: String, aCte: String, cCte: String): String =
+    s"""
+      $dCte AS (
+        SELECT e.vec_id, c.cid,
+               round(list_distance(e.v, c.cvec), 6) AS d
+        FROM emb e CROSS JOIN $cCte c),
+      $aCte AS (
+        SELECT vec_id, cid AS cluster, d AS dist FROM (
+          SELECT vec_id, cid, d,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d, cid) AS rn
+          FROM $dCte) WHERE rn = 1),"""
+
+  /** one Lloyd update of the oracle: per-(cluster, dim) means rebuilt into
+    * centroid arrays — the SQL replica of `Clustering.update` */
+  private def kmUpdateSql(aCte: String, cCte: String): String =
+    s"""
+      $cCte AS (
+        SELECT cid, list(m ORDER BY p) AS cvec FROM (
+          SELECT a.cluster AS cid, t.i AS p,
+                 avg(e.v[CAST(t.i AS INT)]) AS m
+          FROM $aCte a JOIN emb e USING (vec_id),
+               UNNEST(range(1, len(e.v) + 1)) AS t(i)
+          GROUP BY 1, 2)
+        GROUP BY cid),"""
+
+  /** Distributed Lloyd's k-means over the embedding store
+    * ([[graft.prep.Clustering]]): k = 8 seeded by the 8 smallest vec_ids,
+    * 2 full Lloyd rounds, then the final assignment — (vec_id, cluster,
+    * dist). This is the clustering primitive [[qSemdedup]] and
+    * [[qPrototypicality]] take as input (both currently stand in the
+    * `label` column for it); at 100 TB the cluster column comes from
+    * exactly this job.
+    *
+    * The DuckDB oracle replays the ENTIRE iteration — init, two
+    * assign/update rounds, final assign — via Scala-generated CTEs
+    * ([[kmAssignSql]]/[[kmUpdateSql]]), so centroid means, the
+    * rounded-argmin rule, and empty-cluster semantics are all pinned
+    * cross-engine, not just the final labels. Argmin at EVERY round is on
+    * the 6-decimal-ROUNDED distance with centroid-id tie-break (the
+    * rounded-both-sides rule): first-level distances are bitwise-equal
+    * across engines (same doubles, same index-order sum), and the ~1e-15
+    * summation-order wobble the centroid MEANS pick up cannot flip a
+    * rounded argmin except on an exact boundary hit.
+    *
+    * Scale shape per round: broadcast of the k-row centroid table against
+    * one store scan, struct-min argmin (no window in the Spark plan — the
+    * oracle's row_number is DuckDB-side only), posexplode → two hash aggs
+    * for the update. The store is never self-joined, never collected;
+    * 2 iterations = a fixed-depth DAG. */
+  val qKmeans = Q("q_kmeans",
+    (s, dir) => graft.prep.Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2)
+      .orderBy("vec_id"),
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cid, v AS cvec
+        FROM emb WHERE vec_id < 8),
+      ${kmAssignSql("d1", "a1", "c0")}
+      ${kmUpdateSql("a1", "c1")}
+      ${kmAssignSql("d2", "a2", "c1")}
+      ${kmUpdateSql("a2", "c2")}
+      ${kmAssignSql("d3", "a3", "c2").stripSuffix(",")}
+      SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id
+    """))
+
+  // ----------------------------------------------------- q_softdedup_weights
+  /** Soft dedup — reweighting instead of removal (He et al., ACL 2024,
+    * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    * Language Model Pre-training"): rather than dropping near-duplicates
+    * ([[graft.QueriesText.qNeardupSurvivors]] keeps one exemplar), every
+    * doc stays in the corpus with sampling weight 1/|near-dup cluster| —
+    * each duplicate GROUP contributes one doc's worth of expected mass, so
+    * the deduped distribution is preserved without discarding text. Cluster
+    * = the verified near-dup component ([[PrepCache.components]], the same
+    * labels q_dedup_clusters and q_leakage_safe_split use); singletons
+    * weigh 1.0.
+    *
+    * Scale shape: both joins attach PAIR-SET-sized frames (the component
+    * labels and their size table — only docs appearing in a verified pair),
+    * which AQE broadcasts; the corpus itself never shuffles and there is no
+    * window. Weights are rounded both engines. */
+  val qSoftdedupWeights = Q("q_softdedup_weights",
+    (s, dir) => {
+      val labels = PrepCache.components(s, dir)
+        .select(col("node").as("doc_id"), col("label").as("_grp"))
+      val sizes = labels.groupBy("_grp").agg(count(lit(1)).as("_sz"))
+      t(s, dir, "documents")
+        .join(labels, Seq("doc_id"), "left")
+        .join(sizes, Seq("_grp"), "left")
+        .select(col("doc_id"),
+          coalesce(col("_grp"), col("doc_id")).as("cluster_id"),
+          coalesce(col("_sz"), lit(1L)).cast("long").as("cluster_size"),
+          round(lit(1.0) / coalesce(col("_sz"), lit(1L)), 6).as("weight"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      $componentsSql
+      sized AS (SELECT comp, count(*) AS sz FROM labels GROUP BY 1)
+      SELECT d.doc_id,
+             coalesce(l.comp, d.doc_id) AS cluster_id,
+             CAST(coalesce(s.sz, 1) AS BIGINT) AS cluster_size,
+             round(1.0 / coalesce(s.sz, 1), 6) AS weight
+      FROM documents d
+        LEFT JOIN labels l USING (doc_id)
+        LEFT JOIN sized s ON s.comp = l.comp
+      ORDER BY d.doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
     qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
-    qPrototypicality, qTemperatureMix, qLeakageSafeSplit)
+    qPrototypicality, qTemperatureMix, qLeakageSafeSplit, qKmeans,
+    qSoftdedupWeights)
 }

@@ -540,6 +540,92 @@ object QueriesText {
       GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** bigram LM with stupid backoff (Brants et al. 2007, "Large Language
+    * Models in Machine Translation" — the web-scale LM scoring rule KenLM
+    * filtering pipelines approximate): a HELD-OUT split is scored against a
+    * model trained on the other split, so the backoff branch is real — the
+    * corpus-scores-itself shortcut [[qUnigramPpl]] takes would make every
+    * bigram "seen" and the backoff dead code. Train = even doc_ids, score =
+    * odd doc_ids. Score per token: S(w|w_prev) = c(w_prev,w)/c(w_prev) when
+    * the bigram was seen, else 0.4 · (c(w)+1)/(T+V+1) (stupid-backoff to an
+    * add-one unigram; also the doc-initial token's rule, where there is no
+    * context). Output per held-out doc: token count + avg negative log
+    * score — the cross-domain-perplexity quality signal.
+    *
+    * Scale shape: the bigram pairs are built ROW-LOCALLY (one
+    * transform-over-sequence per doc — no positional self-join), the
+    * unigram and bigram count tables both grow with the corpus (Heaps'
+    * law), so neither is broadcast-hinted — AQE decides each of the three
+    * scoring joins; only the 1-row (T, V) total is hinted. One explode +
+    * two hash-aggs to train, three equi-joins + one per-doc agg to score. */
+  val qBigramPpl = Q("q_bigram_ppl",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), TF.words(col("text")).as("w"))
+      val train = docs.where(col("doc_id") % 2 === 0)
+      val c1 = train.select(explode(col("w")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val c2 = train.select(explode(expr("""
+          CASE WHEN size(w) >= 2 THEN
+            transform(sequence(1, size(w) - 1),
+              i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))
+          ELSE array() END""")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val tot = c1.agg(sum("c1").as("t"), count(lit(1)).as("v"))
+      val sc = docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), explode(expr("""
+          transform(sequence(1, size(w)),
+            i -> struct(element_at(w, i) AS w,
+                        CASE WHEN i > 1 THEN element_at(w, i - 1) END AS wp))
+          """)).as("p"))
+        .select(col("doc_id"), col("p.w"), col("p.wp"))
+      sc.join(c1.select(col("w").as("wp"), col("c1").as("cctx")),
+          Seq("wp"), "left")
+        .join(c2.select(col("w1").as("wp"), col("w2").as("w"), col("c2")),
+          Seq("wp", "w"), "left")
+        .join(c1.select(col("w"), col("c1").as("ctgt")), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("p",
+          when(col("c2").isNotNull && col("cctx").isNotNull,
+            col("c2") / col("cctx"))
+          .otherwise(lit(0.4) * (coalesce(col("ctgt"), lit(0L)) + lit(1.0)) /
+            (col("t") + col("v") + lit(1L))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          round(avg(-log(col("p"))), 6).as("nll"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      tr AS (SELECT w FROM docs WHERE doc_id % 2 = 0),
+      c1 AS (SELECT w, count(*) AS c
+             FROM (SELECT unnest(w) AS w FROM tr) GROUP BY 1),
+      c2 AS (SELECT w1, w2, count(*) AS c FROM (
+               SELECT w[CAST(t.i AS INT)] AS w1,
+                      w[CAST(t.i AS INT) + 1] AS w2
+               FROM tr, UNNEST(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i))
+             GROUP BY 1, 2),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS t, count(*) AS v FROM c1),
+      sc AS (SELECT doc_id, w[CAST(t.i AS INT)] AS w,
+                    CASE WHEN t.i > 1
+                         THEN w[CAST(t.i AS INT) - 1] END AS wp
+             FROM docs, UNNEST(range(1, len(w) + 1)) AS t(i)
+             WHERE doc_id % 2 = 1)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(-ln(CASE
+               WHEN b.c IS NOT NULL AND ctx.c IS NOT NULL
+                 THEN b.c * 1.0 / ctx.c
+               ELSE 0.4 * (coalesce(u.c, 0) + 1.0) / (tot.t + tot.v + 1)
+             END)), 6) AS nll
+      FROM sc LEFT JOIN c1 ctx ON ctx.w = sc.wp
+              LEFT JOIN c2 b ON b.w1 = sc.wp AND b.w2 = sc.w
+              LEFT JOIN c1 u ON u.w = sc.w
+              CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id
+    """))
+
   /** domain mixture reweighting: per-source token shares vs a uniform
     * target mixture — emits each source's natural share, the downsampling
     * rate that hits the target without upsampling (min(1, target/natural)),
@@ -788,6 +874,7 @@ object QueriesText {
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qBinaryMeta, qFrameSample,
-    qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qDomainMix,
+    qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
+    qDomainMix,
     qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

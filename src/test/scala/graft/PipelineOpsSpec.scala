@@ -677,4 +677,89 @@ class PipelineOpsSpec extends SparkSpec {
     // split labels are the expected three
     assert(out.map(_.getString(2)).toSet.subsetOf(Set("train", "val", "test")))
   }
+
+  test("kmeansAssign: every point lands on its nearest final centroid") {
+    // brute-force cross-check: pull the final centroid table (the same one
+    // the query's last pass uses) and verify each point's output (cluster,
+    // dist) is the rounded-argmin over ALL centroids, smaller cid on ties
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val cents = graft.prep.Clustering.kmeansCentroids(
+        spark.read.parquet(s"$dir/embeddings.parquet"),
+        "vec_id", "embedding", k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val out = Queries.queryMap("q_kmeans")(spark, dir).collect()
+    assert(out.length == emb.size)
+    assert(cents.nonEmpty && cents.length <= 8)
+    def rdist(a: Array[Double], b: Array[Double]): Double = {
+      val s = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      BigDecimal(math.sqrt(s)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    out.foreach { r =>
+      val (id, cl, d) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val best = cents.map { case (cid, cv) => (rdist(emb(id), cv), cid) }
+        .minBy(identity)
+      assert((d, cl) == best, s"vec $id: got ($d,$cl) want $best")
+    }
+  }
+
+  test("kmeansAssign: assign() is the rounded-argmin against the centroid table") {
+    import spark.implicits._
+    // tiny deterministic store: 6 points on a line, 2 centroids at 0 and 10
+    val pts = Seq((0L, Array(0.0)), (1L, Array(1.0)), (2L, Array(4.0)),
+      (3L, Array(6.0)), (4L, Array(9.0)), (5L, Array(10.0)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.0)), (1L, Array(10.0))).toDF("cid", "cvec")
+    val got = graft.prep.Clustering.assign(pts, cents, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // point 2 (d=4 vs 6) -> c0; point 3 (d=6 vs 4) -> c1; midpoint would
+    // tie-break to the smaller cid
+    assert(got == Set((0L, 0L, 0.0), (1L, 0L, 1.0), (2L, 0L, 4.0),
+      (3L, 1L, 4.0), (4L, 1L, 1.0), (5L, 1L, 0.0)))
+    // exact tie: equidistant point picks the smaller centroid id
+    val tie = Seq((9L, Array(5.0))).toDF("vec_id", "embedding")
+    val t = graft.prep.Clustering.assign(tie, cents, "vec_id", "embedding")
+      .collect().head
+    assert(t.getLong(1) == 0L && t.getDouble(2) == 5.0)
+  }
+
+  test("q_softdedup_weights: cluster mass is 1, corpus mass = #clusters") {
+    val out = Queries.queryMap("q_softdedup_weights")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every doc present exactly once, weight = 1/cluster_size
+    assert(out.map(_._1).distinct.length == out.length)
+    out.foreach { case (_, _, sz, w) =>
+      assert(math.abs(w - 1.0 / sz) < 1e-6) }
+    // each cluster's weights sum to ~1.0 => total mass = #distinct clusters
+    val byCluster = out.groupBy(_._2)
+    byCluster.foreach { case (c, rows) =>
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4, s"cluster $c")
+      // and the stored size matches the actual member count
+      assert(rows.forall(_._3 == rows.length), s"cluster $c size")
+    }
+    // non-trivial fixture: at least one real dup cluster got down-weighted
+    assert(out.exists(_._4 < 1.0))
+  }
+
+  test("q_bigram_ppl: held-out docs only, counts match, backoff keeps nll finite") {
+    // value-level equality is the DuckDB oracle's job (it replays the whole
+    // train/score split); here assert the invariants the rule implies:
+    // only odd (held-out) docs appear, token counts match the raw word
+    // counts, and nll is finite-positive (backoff's add-one floor keeps
+    // every token scoreable: no -ln(0) possible even for unseen unigrams)
+    val out = Queries.queryMap("q_bigram_ppl")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (id, n, nll) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(id % 2 == 1, s"doc $id is a training doc")
+      assert(n == docs(id), s"doc $id token count")
+      assert(nll > 0.0 && !nll.isInfinite && !nll.isNaN, s"doc $id nll=$nll")
+    }
+    assert(out.length == docs.count(_._1 % 2 == 1))
+  }
 }
