@@ -22,9 +22,11 @@ object QueriesPipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** word-3-gram shingle CTE shared by the cluster oracle (identical text to
-    * the q_minhash_dedup / q_ngram_jaccard oracles) */
-  private val pairsSql = """
+  /** word-3-gram shingle + set-size CTEs (identical text to the
+    * q_minhash_dedup / q_ngram_jaccard oracles) — the shared head of every
+    * near-dup oracle here; [[pairsSql]] adds the all-pairs verified set,
+    * [[qFuzzyContamination]] adds its bench-gated variant instead */
+  private val gramsSizesSql = """
       WITH RECURSIVE grams AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
                  range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
@@ -32,7 +34,9 @@ object QueriesPipeline {
                       string_split(text, ' ')[i+1] || ' ' ||
                       string_split(text, ' ')[i+2]))) AS g
         FROM documents),
-      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),
+      sizes AS (SELECT doc_id, count(*) n FROM grams GROUP BY 1),"""
+
+  private val pairsSql = gramsSizesSql + """
       pairs AS (
         SELECT a.doc_id i, b.doc_id j, count(*) inter
         FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1183,11 +1187,100 @@ object QueriesPipeline {
       ORDER BY d.doc_id
     """))
 
+  // ---------------------------------------------------- q_fuzzy_contamination
+  /** Fuzzy benchmark decontamination — the near-dup sibling of
+    * [[qContamination]]: where that query counts EXACT shared 5-grams, this
+    * one finds corpus documents that are whole-document NEAR-duplicates
+    * (word-3-gram Jaccard >= 0.7) of a benchmark doc — the paraphrased/
+    * lightly-edited eval-set leak exact grams miss. Both industry modes over
+    * the same bench split (doc_id < 20).
+    *
+    * Scale shape: reuses [[graft.prep.Dedup.incrementalMinhashDedup]] with
+    * the BENCHMARK as the probe side — eval suites are thousands of docs
+    * against a corpus of billions, exactly the new-batch-vs-history
+    * asymmetry, so banded-bucket work is O(|bench ∩ bucket| · |bucket|)
+    * and the corpus is never paired against itself. At 100 TB the corpus
+    * side reads the persisted signature table
+    * ([[PrepCache.persistedHistorySignatures]] machinery) instead of
+    * re-signing. Oracle: brute-force bench×corpus gram pairs (same gram
+    * CTEs as every near-dup oracle), exact-verified at the same 0.7. */
+  val qFuzzyContamination = Q("q_fuzzy_contamination",
+    (s, dir) => PrepCache.fuzzyContaminationPairs(s, dir)
+      .select(col("i").as("bench_id"), col("j").as("doc_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("bench_id", "doc_id"),
+    Some(s"""
+      $gramsSizesSql
+      cross_pairs AS (
+        SELECT a.doc_id i, b.doc_id j, count(*) inter
+        FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 20 AND b.doc_id >= 20
+        GROUP BY 1, 2)
+      SELECT i AS bench_id, j AS doc_id,
+             round(inter * 1.0 / (si.n + sj.n - inter), 6) AS jaccard
+      FROM cross_pairs
+        JOIN sizes si ON si.doc_id = i
+        JOIN sizes sj ON sj.doc_id = j
+      WHERE inter * 1.0 / (si.n + sj.n - inter) >= 0.7
+      ORDER BY bench_id, doc_id
+    """))
+
+  // ------------------------------------------------------- q_semdedup_kmeans
+  /** [[qSemdedup]] driven by the REAL clustering primitive instead of the
+    * `label` stand-in: k-means assignments ([[qKmeans]], via the shared
+    * [[PrepCache.kmeansClusters]] artifact) partition the pair space, then
+    * the same min-id-survivor semantic dedup runs within each cluster —
+    * the full SemDeDup paper pipeline (cluster → within-cluster cosine
+    * dedup) end to end, with BOTH stages DuckDB-replayed: the oracle
+    * re-derives the entire Lloyd iteration and then the within-cluster
+    * pair logic on top of it.
+    *
+    * Scale shape: identical to q_semdedup (cluster equi-join bounds the
+    * pair space at Σ|cluster|²) with k sized so n/k stays executor-resident;
+    * the assignment frame is computed once and shared, mirroring how a
+    * production pipeline materializes the clustering job's output. */
+  val qSemdedupKmeans = Q("q_semdedup_kmeans",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("vector"))
+        .join(PrepCache.kmeansClusters(s, dir)
+          .select(col("vec_id"), col("cluster")), "vec_id")
+      Dedup.semDedup(emb, "vec_id", "cluster", "vector", 0.72)
+        .select(col("vec_id"), col("cluster"), col("n_dups"), col("kept"))
+        .orderBy("vec_id")
+    },
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cid, v AS cvec
+        FROM emb WHERE vec_id < 8),
+      ${kmAssignSql("d1", "a1", "c0")}
+      ${kmUpdateSql("a1", "c1")}
+      ${kmAssignSql("d2", "a2", "c1")}
+      ${kmUpdateSql("a2", "c2")}
+      ${kmAssignSql("d3", "a3", "c2")}
+      dups AS (
+        SELECT la.vec_id, count(*) AS nd
+        FROM a3 la JOIN a3 lb
+          ON la.cluster = lb.cluster AND lb.vec_id < la.vec_id
+        JOIN embeddings a ON a.vec_id = la.vec_id
+        JOIN embeddings b ON b.vec_id = lb.vec_id
+        WHERE round(greatest(coalesce(1 - list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 1.0), 0), 6) <= 0.72
+        GROUP BY 1)
+      SELECT l.vec_id, l.cluster, coalesce(d.nd, 0) AS n_dups,
+             CAST(coalesce(d.nd, 0) = 0 AS BIGINT) AS kept
+      FROM a3 l LEFT JOIN dups d USING (vec_id)
+      ORDER BY l.vec_id
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
     qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
     qPrototypicality, qTemperatureMix, qLeakageSafeSplit, qKmeans,
-    qSoftdedupWeights)
+    qSoftdedupWeights, qFuzzyContamination, qSemdedupKmeans)
 }

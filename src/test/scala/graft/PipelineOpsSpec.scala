@@ -743,6 +743,45 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_._4 < 1.0))
   }
 
+  test("q_fuzzy_contamination: banded probe equals the exact cross-pair join") {
+    // the banded+verified path (bench probes the corpus) must reproduce the
+    // brute-force exact Jaccard join restricted to (bench, corpus) pairs —
+    // the same guarantee q_minhash_dedup's oracle leans on, here pinned
+    // in-Spark against Dedup.ngramJaccardJoin's count-based inverted index
+    val got = Queries.queryMap("q_fuzzy_contamination")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.prep.Dedup.ngramJaccardJoin(
+        PrepCache.shingledDocs(spark, dir), "doc_id", "shingles", 0.7)
+      .where(col("i") < 20 && col("j") >= 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == exact)
+    assert(got.nonEmpty, "fixture has no bench-corpus near-dup to detect")
+    assert(got.forall { case (b, d) => b < 20 && d >= 20 })
+  }
+
+  test("q_semdedup_kmeans: dedup verdicts follow the kmeans partition") {
+    val asg = PrepCache.kmeansClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val out = Queries.queryMap("q_semdedup_kmeans")(spark, dir).collect()
+    assert(out.length == asg.size)
+    out.foreach { r =>
+      val (id, cl, nd, kept) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // cluster column is the shared kmeans assignment, verdict consistent
+      assert(cl == asg(id), s"vec $id cluster")
+      assert((kept == 1L) == (nd == 0L), s"vec $id verdict")
+      // a doc can only have smaller-id dups than its cluster population
+      val smaller = asg.count { case (i, c) => c == cl && i < id }
+      assert(nd <= smaller, s"vec $id n_dups=$nd > $smaller smaller ids")
+    }
+    // min-id member of every cluster survives by construction
+    asg.groupBy(_._2).foreach { case (c, m) =>
+      val minId = m.keys.min
+      val row = out.find(_.getLong(0) == minId).get
+      assert(row.getLong(3) == 1L, s"cluster $c min id $minId dropped")
+    }
+  }
+
   test("q_bigram_ppl: held-out docs only, counts match, backoff keeps nll finite") {
     // value-level equality is the DuckDB oracle's job (it replays the whole
     // train/score split); here assert the invariants the rule implies:
