@@ -61,17 +61,33 @@ object Clustering {
         s => s.getField("_m")).as("cvec"))
       .select(col("cluster").as("cid"), col("cvec"))
 
+  /** Pin a centroid frame to the driver and re-emit it as a local
+    * relation: k×dim doubles — bounded by construction (the same class of
+    * pull as `IvfStrategy`'s trained-centroid collect, NOT a store-sized
+    * action). This is what makes each Lloyd round exactly ONE store scan:
+    * without it the round-N assignment's lineage nests every earlier
+    * round's scans (2 extra scans per round), and at 100 TB the planner
+    * would re-execute them all under the final broadcast. */
+  private def pinned(centroids: DataFrame): DataFrame = {
+    val spark = centroids.sparkSession
+    import spark.implicits._
+    centroids.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+      .toDF("cid", "cvec")
+  }
+
   /** The centroid table after `iters` full Lloyd rounds from the
     * smallest-`k`-ids init: (cid: long, cvec: array<double>) — at most k
-    * rows (clusters that lose all members drop). */
+    * rows (clusters that lose all members drop), driver-pinned so
+    * downstream consumers broadcast a local relation. */
   def kmeansCentroids(emb0: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val emb = emb0.select(col(idCol), col(vecCol).cast("array<double>")
       .as(vecCol))
-    val init = emb.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec"))
+    val init = pinned(emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cvec")))
     (1 to iters).foldLeft(init)((c, _) =>
-      update(emb, assign(emb, c, idCol, vecCol), idCol, vecCol))
+      pinned(update(emb, assign(emb, c, idCol, vecCol), idCol, vecCol)))
   }
 
   /** `iters` full Lloyd rounds from the smallest-`k`-ids init, then a
