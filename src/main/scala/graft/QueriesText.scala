@@ -626,6 +626,85 @@ object QueriesText {
       GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** Token-budget selection — fill a training-token budget with the
+    * highest-quality documents, WITHOUT a global sort: the data-curation
+    * step that turns scored docs into the actual training subset ("take the
+    * best ~20k tokens"). Selection rule: keep every doc whose 6-decimal
+    * quality score >= s_t, where s_t is the highest exact score at which
+    * the cumulative token mass (descending by score) first reaches the
+    * budget; all ties at s_t are kept (deterministic, overshoot bounded by
+    * one score-value's tie mass). If the corpus totals under budget,
+    * everything is selected.
+    *
+    * Scale shape — the distributed weighted-quantile pattern: one row-local
+    * scoring pass, then a per-exact-score token-mass aggregate whose key
+    * cardinality is <= 10^6+1 BY CONSTRUCTION (6-decimal scores in [0,1] —
+    * bounded like DSIR's hash buckets, not corpus-sized), walked via two
+    * driver pulls each bounded at ~1001 rows (coarse milli-buckets, then
+    * exact scores inside the boundary bucket). The final selection is a
+    * row-local filter on a second scan. NO window anywhere, no global sort,
+    * no corpus-sized collect — at 100 TB this is one scan + one bounded
+    * two-phase agg + one filter scan, and the driver never holds more than
+    * ~2000 histogram rows. The oracle replays the same rule with a
+    * cumulative window DuckDB-side. */
+  val qTokenBudgetSelect = Q("q_token_budget_select",
+    (s, dir) => {
+      val budget = 20000L
+      val scored = t(s, dir, "documents").select(col("doc_id"),
+        round(TF.qualityScore(col("text")), 6).as("score"),
+        TF.tokenEstimate(col("text")).as("n_tokens"))
+      val per = scored.groupBy("score").agg(sum("n_tokens").as("_st"))
+      // level 1: coarse milli-bucket histogram, <= 1001 rows
+      val coarse = per
+        .groupBy(floor(col("score") * 1000).cast("long").as("_b"))
+        .agg(sum("_st").as("_bt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(-_._1)
+      var cum = 0L
+      var boundary = Option.empty[Long]
+      for ((b, bt) <- coarse if boundary.isEmpty)
+        if (cum + bt >= budget) boundary = Some(b) else cum += bt
+      val sT: Double = boundary match {
+        case None => Double.NegativeInfinity // total < budget: keep all
+        case Some(cb) =>
+          // level 2: exact scores inside the boundary bucket, <= 1000 rows
+          val fine = per
+            .where(floor(col("score") * 1000).cast("long") === cb)
+            .collect().map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+          var c2 = cum
+          var st = Option.empty[Double]
+          for ((sc, stok) <- fine if st.isEmpty)
+            if (c2 + stok >= budget) st = Some(sc) else c2 += stok
+          st.get // the boundary bucket crosses the budget by construction
+      }
+      scored.where(col("score") >= sT)
+        .orderBy(desc("score"), col("doc_id"))
+    },
+    Some(s"""
+      WITH scored AS (
+        SELECT doc_id,
+               round(0.4 * least(len(string_split(text, ' ')) / 100.0, 1.0) +
+                     0.3 * (1.0 - (length(text) -
+                            length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                            * 1.0 / greatest(length(text), 1)) +
+                     0.3 * (len(list_filter(string_split(text, ' '),
+                            w -> list_contains($stopwordsSql, w))) * 1.0 /
+                            greatest(len(string_split(text, ' ')), 1)), 6)
+                 AS score,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+        FROM documents),
+      per AS (SELECT score, sum(n_tokens) AS st FROM scored GROUP BY 1),
+      cums AS (SELECT score,
+                      sum(st) OVER (ORDER BY score DESC
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+               FROM per),
+      thr AS (SELECT coalesce(max(score) FILTER (WHERE cum >= 20000),
+                              (SELECT min(score) FROM scored)) AS s_t
+              FROM cums)
+      SELECT doc_id, score, n_tokens
+      FROM scored, thr WHERE score >= s_t
+      ORDER BY score DESC, doc_id
+    """))
+
   /** domain mixture reweighting: per-source token shares vs a uniform
     * target mixture — emits each source's natural share, the downsampling
     * rate that hits the target without upsampling (min(1, target/natural)),
@@ -875,6 +954,6 @@ object QueriesText {
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
-    qDomainMix,
+    qTokenBudgetSelect, qDomainMix,
     qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

@@ -782,6 +782,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("q_token_budget_select: equals the brute-force budget prefix with ties") {
+    val budget = 20000L
+    // brute force: order all docs by (score desc, doc_id), take the prefix
+    // until cumulative tokens reach the budget, then extend to ALL ties at
+    // the boundary score — the declared selection rule
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        round(graft.prep.TextFunctions.qualityScore(col("text")), 6)
+          .as("score"),
+        graft.prep.TextFunctions.tokenEstimate(col("text")).as("n_tokens"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    var sT = Double.NegativeInfinity
+    val it = all.iterator
+    var crossed = false
+    while (it.hasNext && !crossed) {
+      val (_, sc, n) = it.next()
+      cum += n
+      if (cum >= budget) { sT = sc; crossed = true }
+    }
+    val want = all.filter(t => !crossed || t._2 >= sT).map(_._1).toSet
+    val got = Queries.queryMap("q_token_budget_select")(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSet == want)
+    // budget semantics: dropping the boundary-score ties dips below budget,
+    // keeping them meets it (when the corpus exceeds the budget at all)
+    if (crossed) {
+      val selTok = got.map(_.getLong(2)).sum
+      val boundaryTok = got.filter(_.getDouble(1) == sT).map(_.getLong(2)).sum
+      assert(selTok >= budget, s"selected $selTok < $budget")
+      assert(selTok - boundaryTok < budget,
+        s"selection is not the minimal >= budget tie-closed prefix")
+    }
+    // output ordering: score desc, doc_id asc
+    val ord = got.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(ord == ord.sorted)
+  }
+
   test("q_bigram_ppl: held-out docs only, counts match, backoff keeps nll finite") {
     // value-level equality is the DuckDB oracle's job (it replays the whole
     // train/score split); here assert the invariants the rule implies:
