@@ -626,6 +626,106 @@ object QueriesText {
       GROUP BY doc_id ORDER BY doc_id
     """))
 
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016) — the first
+    * 3 greedy pair-merge rounds learned from the corpus, the step that
+    * turns raw text into the subword vocabulary every LLM run trains first.
+    * Round r: count adjacent symbol pairs over the frequency-weighted
+    * DISTINCT-WORD vocab, pick the most frequent pair (ties: lhs, rhs
+    * ascending), rewrite the vocab by merging that pair greedily
+    * left-to-right within each word (after a merge the new symbol is what
+    * the next position compares against — the classic sequential fold).
+    *
+    * Scale shape: the corpus is scanned EXACTLY ONCE (word extraction +
+    * count); every merge round operates on the cached distinct-word vocab,
+    * which grows by Heaps' law, not corpus size. Pair counting is one
+    * row-local zip_with explode + hash agg per round; the argmax is a
+    * TakeOrdered 1-row driver pull (3 total, each 1 row — bounded like
+    * token-budget's histogram pulls); the merge rewrite is a row-local
+    * aggregate() fold, no join, no window. Symbols travel as a
+    * US-separated string so the fold is a plain string accumulator
+    * (appending without the separator IS the merge). The oracle replays
+    * all 3 rounds via list_reduce with the identical fold. */
+  val qBpeMerges = Q("q_bpe_merges",
+    (s, dir) => {
+      val SEP = TF.bpeSep
+      val rounds = 3
+      val vocab0 = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .select(TF.bpeEncode(col("w")).as("enc"), col("n"))
+        .cache()
+      def pairCounts(v: DataFrame): DataFrame =
+        v.select(split(col("enc"), SEP).as("_syms"), col("n"))
+          .select(explode(expr(
+            """zip_with(slice(_syms, 1, size(_syms) - 1),
+                        slice(_syms, 2, size(_syms) - 1),
+                        (a, b) -> named_struct('lhs', a, 'rhs', b))""")).as("p"),
+            col("n"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("n").as("cnt"))
+      def applyMerge(v: DataFrame, a: String, b: String): DataFrame =
+        v.select(TF.bpeMergeFold(col("enc"), a, b).as("enc"), col("n"))
+      var vocab = vocab0
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val best = pairCounts(vocab)
+          .orderBy(desc("cnt"), col("lhs"), col("rhs")).limit(1)
+          .collect()(0)
+        merges += ((r.toLong, best.getString(0), best.getString(1),
+          best.getLong(2)))
+        if (r < rounds) vocab = applyMerge(vocab, best.getString(0),
+          best.getString(1))
+      }
+      vocab0.unpersist()
+      import s.implicits._
+      merges.result().toDF("merge_rank", "lhs", "rhs", "cnt")
+        .select(col("merge_rank"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("new_token"), col("cnt"))
+        .orderBy("merge_rank")
+    },
+    Some {
+      def roundCtes(r: Int): String = {
+        val prev = s"vocab${r - 1}"
+        s"""
+      paircnt$r AS (
+        SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt
+        FROM (SELECT unnest(list_transform(range(1, len(syms)),
+                       i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p,
+                     n
+              FROM (SELECT string_split(enc, chr(31)) AS syms, n FROM $prev))
+        GROUP BY 1, 2),
+      best$r AS (SELECT l, r, cnt FROM paircnt$r
+                 ORDER BY cnt DESC, l, r LIMIT 1),
+      vocab$r AS (
+        SELECT list_reduce(string_split(enc, chr(31)), (acc, x) ->
+                 CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+                           AND x = b.r
+                      THEN acc || x ELSE acc || chr(31) || x END) AS enc, n
+        FROM $prev, best$r b)"""
+      }
+      s"""
+      WITH words AS (
+        SELECT w FROM (SELECT unnest(string_split_regex(lower(text),
+                                '[^a-z]+')) AS w
+                       FROM documents) WHERE w <> ''),
+      vocab0 AS (
+        SELECT array_to_string(list_transform(range(1, length(w)+1),
+                 i -> w[i]), chr(31)) AS enc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM words GROUP BY 1),
+      ${(1 to 3).map(roundCtes).mkString(",")}
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
+               l || r AS new_token, cnt FROM best1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), l, r, l || r, cnt FROM best2
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM best3)
+      ORDER BY merge_rank
+    """
+    })
+
   /** Token-budget selection — fill a training-token budget with the
     * highest-quality documents, WITHOUT a global sort: the data-curation
     * step that turns scored docs into the actual training subset ("take the
@@ -954,6 +1054,6 @@ object QueriesText {
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
-    qTokenBudgetSelect, qDomainMix,
+    qBpeMerges, qTokenBudgetSelect, qDomainMix,
     qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

@@ -142,4 +142,33 @@ object TextFunctions {
     regexp_replace(
       regexp_replace(text, lit(emailRe), lit("<EMAIL>")),
       lit(ipv4Re), lit("<IP>"))
+
+  /** BPE symbol-sequence codec (q_bpe_merges): symbols travel as one
+    * US-separated string, so the greedy merge fold below is a plain string
+    * accumulator. US (0x1F) cannot occur inside `[a-z]+` symbols. */
+  val bpeSep = "\u001F"
+
+  /** word → its initial symbol encoding (one symbol per character) */
+  def bpeEncode(w: Column): Column =
+    concat_ws(bpeSep,
+      transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1))))
+
+  /** Greedy LEFT-TO-RIGHT merge of adjacent pair (a, b) within one encoded
+    * word — Sennrich et al. 2016's sequential rule: after a merge the new
+    * symbol `ab` is what the NEXT position compares against, so "aaaaaa"
+    * under (a,a) becomes [aa,aa,aa], never [aa,a,aa,a]. Implemented as a
+    * codegen'd aggregate() fold: the accumulator's last symbol equals `a`
+    * iff the accumulator IS `a` (first symbol) or ends with SEP+`a`
+    * (symbols never contain SEP), and merging appends `b` WITHOUT the
+    * separator — concatenation is the merge. Single-symbol words skip the
+    * fold (empty slice → the initial element). The DuckDB oracle replays
+    * the identical fold via list_reduce. */
+  def bpeMergeFold(enc: Column, a: String, b: String): Column = {
+    val syms = split(enc, bpeSep)
+    aggregate(
+      slice(syms, lit(2), size(syms) - 1), element_at(syms, lit(1)),
+      (acc, x) => when(((acc === lit(a)) || acc.endsWith(bpeSep + a)) &&
+          (x === lit(b)),
+        concat(acc, x)).otherwise(concat(acc, lit(bpeSep), x)))
+  }
 }

@@ -839,4 +839,69 @@ class PipelineOpsSpec extends SparkSpec {
     }
     assert(out.length == docs.count(_._1 % 2 == 1))
   }
+
+  test("bpeMergeFold is greedy left-to-right (chain semantics)") {
+    import spark.implicits._
+    import graft.prep.{TextFunctions => TF}
+    // the sequential rule: after a merge, the NEW symbol is what the next
+    // position compares against — "aaaaaa" under (a,a) must give
+    // [aa,aa,aa], never the [aa,a,aa,a] a replace-until-fixpoint produces
+    val cases = Seq(
+      ("aaaaaa", "a", "a", Seq("aa", "aa", "aa")),
+      ("aaa", "a", "a", Seq("aa", "a")),
+      ("ababab", "a", "b", Seq("ab", "ab", "ab")),
+      ("babab", "a", "b", Seq("b", "ab", "ab")),
+      ("x", "a", "b", Seq("x")),
+      ("ab", "b", "a", Seq("a", "b")))
+    for ((w, a, b, want) <- cases) {
+      val got = Seq(w).toDF("w")
+        .select(TF.bpeMergeFold(TF.bpeEncode(col("w")), a, b).as("enc"))
+        .collect()(0).getString(0).split(TF.bpeSep).toSeq
+      assert(got == want, s"fold($w, $a+$b): $got != $want")
+    }
+    // merged symbols are opaque: after (a,a) -> aa, a second (a,a) round
+    // must NOT merge into an existing "aa" (symbol identity, not suffix)
+    val twice = Seq("aaa").toDF("w")
+      .select(TF.bpeMergeFold(
+        TF.bpeMergeFold(TF.bpeEncode(col("w")), "a", "a"), "a", "a").as("enc"))
+      .collect()(0).getString(0).split(TF.bpeSep).toSeq
+    assert(twice == Seq("aa", "a"), s"double merge: $twice")
+  }
+
+  test("q_bpe_merges: equals a driver-side greedy BPE reference") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    var vocab = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for (t <- texts; w <- t.toLowerCase.split("[^a-z]+") if w.nonEmpty) {
+      val k = w.map(_.toString).toVector
+      vocab(k) = vocab.getOrElse(k, 0L) + 1L
+    }
+    val want = scala.collection.mutable.Buffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + n
+      }
+      val ((a, b), c) = pc.toSeq.minBy { case ((l, rr), cnt) => (-cnt, l, rr) }
+      want += ((r.toLong, a, b, c))
+      val nv = scala.collection.mutable.Map.empty[Vector[String], Long]
+      for ((syms, n) <- vocab) {
+        val out = scala.collection.mutable.Buffer(syms.head)
+        for (x <- syms.tail)
+          if (out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        val k = out.toVector
+        nv(k) = nv.getOrElse(k, 0L) + n
+      }
+      vocab = nv
+    }
+    val got = Queries.queryMap("q_bpe_merges")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+    // new_token is the concatenation, ranks are 1..3 in order
+    Queries.queryMap("q_bpe_merges")(spark, dir).collect().foreach { r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2))
+    }
+  }
 }
