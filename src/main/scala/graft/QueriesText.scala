@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -645,49 +645,57 @@ object QueriesText {
     * US-separated string so the fold is a plain string accumulator
     * (appending without the separator IS the merge). The oracle replays
     * all 3 rounds via list_reduce with the identical fold. */
-  val qBpeMerges = Q("q_bpe_merges",
-    (s, dir) => {
-      val SEP = TF.bpeSep
-      val rounds = 3
-      val vocab0 = t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .where(length(col("w")) > 0)
-        .groupBy("w").agg(count(lit(1)).as("n"))
-        .select(TF.bpeEncode(col("w")).as("enc"), col("n"))
-        .cache()
-      def pairCounts(v: DataFrame): DataFrame =
-        v.select(split(col("enc"), SEP).as("_syms"), col("n"))
-          .select(explode(expr(
-            """zip_with(slice(_syms, 1, size(_syms) - 1),
-                        slice(_syms, 2, size(_syms) - 1),
-                        (a, b) -> named_struct('lhs', a, 'rhs', b))""")).as("p"),
-            col("n"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum("n").as("cnt"))
-      def applyMerge(v: DataFrame, a: String, b: String): DataFrame =
-        v.select(TF.bpeMergeFold(col("enc"), a, b).as("enc"), col("n"))
-      var vocab = vocab0
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val best = pairCounts(vocab)
-          .orderBy(desc("cnt"), col("lhs"), col("rhs")).limit(1)
-          .collect()(0)
-        merges += ((r.toLong, best.getString(0), best.getString(1),
-          best.getLong(2)))
-        if (r < rounds) vocab = applyMerge(vocab, best.getString(0),
-          best.getString(1))
-      }
-      vocab0.unpersist()
-      import s.implicits._
-      merges.result().toDF("merge_rank", "lhs", "rhs", "cnt")
-        .select(col("merge_rank"), col("lhs"), col("rhs"),
-          concat(col("lhs"), col("rhs")).as("new_token"), col("cnt"))
-        .orderBy("merge_rank")
-    },
-    Some {
-      def roundCtes(r: Int): String = {
-        val prev = s"vocab${r - 1}"
-        s"""
+  /** Learn the first `rounds` BPE merges from the corpus — the driver loop
+    * shared by q_bpe_merges (reports them) and q_bpe_apply (tokenizes with
+    * them). Returns (rank, lhs, rhs, cnt) in merge order. The corpus is
+    * scanned EXACTLY ONCE (word extraction + count); every merge round
+    * operates on the cached distinct-word vocab, which grows by Heaps'
+    * law, not corpus size. Pair counting is one row-local zip_with explode
+    * + hash agg per round; the argmax is a TakeOrdered 1-row driver pull
+    * per round (bounded like token-budget's histogram pulls); the merge
+    * rewrite is a row-local [[TF.bpeMergeFold]], no join, no window. */
+  private def learnBpeMerges(s: SparkSession, dir: String, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val SEP = TF.bpeSep
+    val vocab0 = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .select(TF.bpeEncode(col("w")).as("enc"), col("n"))
+      .cache()
+    def pairCounts(v: DataFrame): DataFrame =
+      v.select(split(col("enc"), SEP).as("_syms"), col("n"))
+        .select(explode(expr(
+          """zip_with(slice(_syms, 1, size(_syms) - 1),
+                      slice(_syms, 2, size(_syms) - 1),
+                      (a, b) -> named_struct('lhs', a, 'rhs', b))""")).as("p"),
+          col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("n").as("cnt"))
+    var vocab = vocab0
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val best = pairCounts(vocab)
+        .orderBy(desc("cnt"), col("lhs"), col("rhs")).limit(1)
+        .collect()(0)
+      merges += ((r.toLong, best.getString(0), best.getString(1),
+        best.getLong(2)))
+      if (r < rounds)
+        vocab = vocab.select(
+          TF.bpeMergeFold(col("enc"), best.getString(0), best.getString(1))
+            .as("enc"), col("n"))
+    }
+    vocab0.unpersist()
+    merges.result()
+  }
+
+  /** DuckDB replay of [[learnBpeMerges]]: `words`/`vocab0` plus, per round
+    * r, `paircnt_r` / `best_r` (the learned merge, 1 row) / `vocab_r`.
+    * Spliced into both BPE oracles so training is derived identically. */
+  private def bpeTrainCtes(rounds: Int): String = {
+    def roundCtes(r: Int): String = {
+      val prev = s"vocab${r - 1}"
+      s"""
       paircnt$r AS (
         SELECT p.l AS l, p.r AS r, CAST(sum(n) AS BIGINT) AS cnt
         FROM (SELECT unnest(list_transform(range(1, len(syms)),
@@ -703,9 +711,8 @@ object QueriesText {
                            AND x = b.r
                       THEN acc || x ELSE acc || chr(31) || x END) AS enc, n
         FROM $prev, best$r b)"""
-      }
-      s"""
-      WITH words AS (
+    }
+    s"""words AS (
         SELECT w FROM (SELECT unnest(string_split_regex(lower(text),
                                 '[^a-z]+')) AS w
                        FROM documents) WHERE w <> ''),
@@ -714,7 +721,19 @@ object QueriesText {
                  i -> w[i]), chr(31)) AS enc,
                CAST(count(*) AS BIGINT) AS n
         FROM words GROUP BY 1),
-      ${(1 to 3).map(roundCtes).mkString(",")}
+      ${(1 to rounds).map(roundCtes).mkString(",")}"""
+  }
+
+  val qBpeMerges = Q("q_bpe_merges",
+    (s, dir) => {
+      import s.implicits._
+      learnBpeMerges(s, dir, 3).toDF("merge_rank", "lhs", "rhs", "cnt")
+        .select(col("merge_rank"), col("lhs"), col("rhs"),
+          concat(col("lhs"), col("rhs")).as("new_token"), col("cnt"))
+        .orderBy("merge_rank")
+    },
+    Some(s"""
+      WITH ${bpeTrainCtes(3)}
       SELECT * FROM (
         SELECT CAST(1 AS BIGINT) AS merge_rank, l AS lhs, r AS rhs,
                l || r AS new_token, cnt FROM best1
@@ -723,6 +742,74 @@ object QueriesText {
         UNION ALL
         SELECT CAST(3 AS BIGINT), l, r, l || r, cnt FROM best3)
       ORDER BY merge_rank
+    """))
+
+  /** Apply the learned BPE tokenizer to the corpus — the second half of
+    * the tokenizer story: [[qBpeMerges]] trains the merges, this query
+    * tokenizes every document with them and reports the numbers a
+    * tokenizer rollout is judged by (per-doc subword token counts and the
+    * chars-per-token compression ratio, the metric tokenizer papers
+    * headline).
+    *
+    * Scale shape: tokenization is embarrassingly parallel — ONE corpus
+    * scan, all merges applied row-locally by [[TF.bpeTokenCountUdf]]
+    * (one tight-loop call per doc; see its scaladoc for why the
+    * expression-fold version loses 25× here), no explode regroup, no
+    * join, no shuffle beyond the training rounds' Heaps-bounded aggs and
+    * the output sort. Repeated words are re-tokenized rather than
+    * dictionary-joined: the distinct-word table Heaps-grows so a
+    * broadcast is out, and a shuffle join + regroup costs three
+    * corpus-sized exchanges where the row-local loop costs zero. The
+    * oracle replays training via [[bpeTrainCtes]] and the application
+    * via the same list_reduce fold cross-joined with each 1-row
+    * best_r. */
+  val qBpeApply = Q("q_bpe_apply",
+    (s, dir) => {
+      val merges = learnBpeMerges(s, dir, 3)
+      val tokCount = TF.bpeTokenCountUdf(merges.map(m => (m._2, m._3)))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          filter(split(lower(col("text")), "[^a-z]+"),
+            w => length(w) > 0).as("_ws"))
+        .where(size(col("_ws")) > 0)
+        .select(col("doc_id"),
+          size(col("_ws")).cast("long").as("n_words"),
+          aggregate(col("_ws"), lit(0L),
+            (acc, w) => acc + length(w).cast("long")).as("n_chars"),
+          tokCount(col("_ws")).as("n_tokens"))
+        .withColumn("compression",
+          round(col("n_chars").cast("double") / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    },
+    Some {
+      val fold = (r: Int) =>
+        s"""SELECT doc_id, wlen,
+               list_reduce(string_split(enc, chr(31)), (acc, x) ->
+                 CASE WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l))
+                           AND x = b.r
+                      THEN acc || x ELSE acc || chr(31) || x END) AS enc
+             FROM e${r - 1}, best$r b"""
+      s"""
+      WITH ${bpeTrainCtes(3)},
+      wdocs AS (
+        SELECT doc_id, w FROM (
+          SELECT doc_id, unnest(string_split_regex(lower(text),
+                   '[^a-z]+')) AS w
+          FROM documents) WHERE w <> ''),
+      e0 AS (SELECT doc_id, length(w) AS wlen,
+               array_to_string(list_transform(range(1, length(w)+1),
+                 i -> w[i]), chr(31)) AS enc
+             FROM wdocs),
+      e1 AS (${fold(1)}),
+      e2 AS (${fold(2)}),
+      e3 AS (${fold(3)})
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(wlen) AS BIGINT) AS n_chars,
+             CAST(sum(len(string_split(enc, chr(31)))) AS BIGINT) AS n_tokens,
+             round(CAST(sum(wlen) AS DOUBLE)
+                   / sum(len(string_split(enc, chr(31)))), 6) AS compression
+      FROM e3 GROUP BY doc_id ORDER BY doc_id
     """
     })
 
@@ -1054,6 +1141,6 @@ object QueriesText {
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
-    qBpeMerges, qTokenBudgetSelect, qDomainMix,
+    qBpeMerges, qBpeApply, qTokenBudgetSelect, qDomainMix,
     qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

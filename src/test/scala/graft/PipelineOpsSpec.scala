@@ -904,4 +904,64 @@ class PipelineOpsSpec extends SparkSpec {
       assert(r.getString(3) == r.getString(1) + r.getString(2))
     }
   }
+
+  test("q_bpe_apply: per-doc token counts equal a driver-side tokenizer") {
+    // learn the merges with the same greedy reference as the merges spec,
+    // then tokenize each doc and compare counts + compression
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def wordsOf(t: String) = t.toLowerCase.split("[^a-z]+").filter(_.nonEmpty)
+    var vocab = scala.collection.mutable.Map.empty[Vector[String], Long]
+    for ((_, t) <- docs; w <- wordsOf(t)) {
+      val k = w.map(_.toString).toVector
+      vocab(k) = vocab.getOrElse(k, 0L) + 1L
+    }
+    def mergeWord(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = scala.collection.mutable.Buffer(syms.head)
+      for (x <- syms.tail)
+        if (out.last == a && x == b) out(out.length - 1) = a + b
+        else out += x
+      out.toVector
+    }
+    val merges = scala.collection.mutable.Buffer.empty[(String, String)]
+    for (_ <- 1 to 3) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1) {
+        val k = (syms(i), syms(i + 1))
+        pc(k) = pc.getOrElse(k, 0L) + n
+      }
+      val ((a, b), _) = pc.toSeq.minBy { case ((l, rr), cnt) => (-cnt, l, rr) }
+      merges += ((a, b))
+      vocab = vocab.foldLeft(
+        scala.collection.mutable.Map.empty[Vector[String], Long]) {
+        case (nv, (syms, n)) =>
+          val k = mergeWord(syms, a, b)
+          nv(k) = nv.getOrElse(k, 0L) + n; nv
+      }
+    }
+    def tokenize(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector) { case (syms, (a, b)) =>
+        mergeWord(syms, a, b)
+      }
+    val want = docs.flatMap { case (id, t) =>
+      val ws = wordsOf(t)
+      if (ws.isEmpty) None
+      else {
+        val chars = ws.map(_.length.toLong).sum
+        val toks = ws.map(w => tokenize(w).length.toLong).sum
+        Some((id, ws.length.toLong, chars, toks,
+          BigDecimal(chars.toDouble / toks)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }.sortBy(_._1).toSeq
+    val got = Queries.queryMap("q_bpe_apply")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == want)
+    // tokenization never expands: tokens <= chars, and >= words
+    got.foreach { case (_, nw, nc, nt, _) =>
+      assert(nt <= nc && nt >= nw)
+    }
+  }
 }
