@@ -252,6 +252,62 @@ object QueriesPipeline {
       ORDER BY lang, rnk
     """))
 
+  /** Priority sampling (Duffield, Lund & Thorup 2007): a weighted sample
+    * of K=100 docs, weight = estimated token count, that carries an
+    * UNBIASED subset-sum estimator — sum(est) over the sample estimates
+    * the corpus' total token mass, the "how many training tokens do I
+    * have" question answered from 100 rows instead of a full scan.
+    * Priority q_i = w_i / u_i with u_i uniform from md5(doc_id); sample =
+    * top-K priorities; tau = the (K+1)-th priority; est_i = max(w_i, tau).
+    *
+    * Deterministic AND cross-engine exact: u_i = (hex48(md5)+1)/2^48 is a
+    * dyadic rational (both divisions exact), the priority is ONE
+    * correctly-rounded IEEE division, and there are no transcendentals —
+    * unlike Efraimidis-Samuelides keys (u^(1/w), pow/log differ in last
+    * bits across engines). Scale shape: per-row hashing, a TakeOrdered
+    * bounded heap for the K+1 frontier (no global sort, no corpus
+    * shuffle), tau is a 1-row scalar agg broadcast. */
+  val qPrioritySample = Q("q_priority_sample",
+    (s, dir) => {
+      val K = 100
+      val pri = t(s, dir, "documents")
+        .select(col("doc_id"), TF.tokenEstimate(col("text")).as("w"),
+          (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 12), 16, 10).cast("long") + 1).as("h1"))
+        .withColumn("u", col("h1").cast("double") / lit(281474976710656.0))
+        .withColumn("priority", col("w").cast("double") / col("u"))
+      val frontier = pri.orderBy(desc("priority"), col("doc_id")).limit(K + 1)
+        .select("doc_id", "w", "priority").cache()
+      val tau = frontier.agg(min("priority").as("tau"))
+      frontier.orderBy(desc("priority"), col("doc_id")).limit(K)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"),
+          round(col("priority"), 6).as("priority"),
+          round(greatest(col("w").cast("double"), col("tau")), 6).as("est"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH pri AS (
+        SELECT doc_id, CAST(ceil(length(text) / 4.0) AS BIGINT) AS w,
+               CAST(w AS DOUBLE) /
+                 (CAST(list_reduce(list_transform(range(1, 13),
+                    i -> CAST(strpos('0123456789abcdef',
+                           (substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))[i])
+                         AS BIGINT) - 1),
+                    (a, x) -> a * 16 + x) + 1 AS DOUBLE)
+                  / 281474976710656.0) AS priority
+        FROM documents),
+      frontier AS (SELECT * FROM pri
+                   ORDER BY priority DESC, doc_id LIMIT 101),
+      tau AS (SELECT min(priority) AS tau FROM frontier),
+      samp AS (SELECT * FROM frontier
+               ORDER BY priority DESC, doc_id LIMIT 100)
+      SELECT doc_id, w, round(priority, 6) AS priority,
+             round(greatest(CAST(w AS DOUBLE), t.tau), 6) AS est
+      FROM samp, tau t
+      ORDER BY doc_id
+    """))
+
   /** CUBE over (lang, source) with grouping_id — all four grouping sets in
     * one pass (Catalyst expands to a single Expand + hash aggregate). */
   val qCube = Q("q_cube",
@@ -1277,7 +1333,8 @@ object QueriesPipeline {
     """))
 
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
-    qSampleStratified, qCube, qVocab, qNormalizeText, qPackChunks,
+    qSampleStratified, qPrioritySample, qCube, qVocab, qNormalizeText,
+    qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,
     qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,

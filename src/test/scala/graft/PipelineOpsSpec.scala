@@ -964,4 +964,41 @@ class PipelineOpsSpec extends SparkSpec {
       assert(nt <= nc && nt >= nw)
     }
   }
+
+  test("q_priority_sample: equals a driver-side priority-sampling reference") {
+    // exact replay: same md5-derived dyadic uniform, same single IEEE
+    // division, so doubles match bitwise (no tolerance needed)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def pri(id: Long, text: String): (Long, Double) = {
+      val w = math.ceil(text.length / 4.0).toLong
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      val u = (java.lang.Long.parseLong(h, 16) + 1).toDouble / 281474976710656.0
+      (w, w.toDouble / u)
+    }
+    val all = docs.map { case (id, t) =>
+      val (w, p) = pri(id, t); (id, w, p)
+    }.sortBy { case (id, _, p) => (-p, id) }
+    val tau = all(100)._3
+    val want = all.take(100).map { case (id, w, p) =>
+      (id, w,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.max(w.toDouble, tau))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(_._1).toSeq
+    val got = Queries.queryMap("q_priority_sample")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got == want)
+    // the frontier property: every excluded doc's priority <= tau
+    val sampled = want.map(_._1).toSet
+    all.filterNot(x => sampled(x._1)).foreach { case (_, _, p) =>
+      assert(p <= tau)
+    }
+    // est = max(w, tau) >= w: the estimator never shrinks a kept weight
+    got.foreach { case (_, w, _, est) => assert(est >= w.toDouble) }
+  }
 }
