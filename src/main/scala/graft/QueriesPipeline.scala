@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.prep.{Dedup, TextFunctions => TF}
+import graft.prep.{CountMin, Dedup, TextFunctions => TF}
 
 /** Training-data-pipeline operators beyond the round-1 surface: dedup
   * clustering (connected components), TF-IDF term scoring, Gopher-style
@@ -888,6 +888,56 @@ object QueriesPipeline {
       ORDER BY 1
     """))
 
+  /** Heavy-hitter 2-grams through a count-min sketch ([[prep.CountMin]];
+    * Cormode & Muthukrishnan 2005): top-20 word bigrams by SKETCH
+    * estimate, with the exact count alongside so the sketch's one-sided
+    * error (est >= exact, always) is visible in the output. At 100 TB the
+    * exact column disappears and the 16k-row sketch IS the running state
+    * — constant-size, snapshot-mergeable by cell-wise sum (spec-pinned) —
+    * where the exact gram table Heaps-grows without bound; here the exact
+    * counts both anchor the oracle and exhibit the error bound. Scale
+    * shape: one gram explode ×4 sketch rows into a ≤16k-cell hash agg
+    * (map-side combine collapses per task), estimates via an AQE
+    * broadcast of the bounded cell table, top-20 a TakeOrdered heap. */
+  val qCountminHh = Q("q_countmin_hh",
+    (s, dir) => {
+      val (depth, width) = (4, 4096)
+      val grams = t(s, dir, "documents")
+        .select(explode(TF.shinglesOfWordsAll(TF.words(col("text")), 2))
+          .as("g"))
+        .groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+        .cache()
+      val sketch = CountMin.build(grams, "g", "n", depth, width)
+      CountMin.estimate(sketch, grams, "g", depth, width)
+        .select(col("g").as("gram"), col("n").as("exact"), col("est"),
+          (col("est") - col("n")).as("overcount"))
+        .orderBy(desc("est"), col("gram")).limit(20)
+    },
+    Some("""
+      WITH g AS (
+        SELECT unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS g
+        FROM documents),
+      cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+      hashed AS (
+        SELECT g, n, d,
+               list_reduce(list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(g), 1 + 8 * d, 8))[i])
+                      AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) % 4096 AS cell
+        FROM (SELECT g, n, unnest([0, 1, 2, 3]) AS d FROM cnt)),
+      cells AS (SELECT d, cell, CAST(sum(n) AS BIGINT) AS cnt
+                FROM hashed GROUP BY 1, 2),
+      est AS (SELECT h.g, min(s.cnt) AS est
+              FROM hashed h JOIN cells s USING (d, cell) GROUP BY 1)
+      SELECT c.g AS gram, c.n AS exact, e.est, e.est - c.n AS overcount
+      FROM est e JOIN cnt c USING (g)
+      ORDER BY e.est DESC, gram LIMIT 20
+    """))
+
   // --------------------------------------------------------- q_dsir_weights
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
@@ -1333,7 +1383,8 @@ object QueriesPipeline {
     """))
 
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
-    qSampleStratified, qPrioritySample, qCube, qVocab, qNormalizeText,
+    qSampleStratified, qPrioritySample, qCountminHh, qCube, qVocab,
+    qNormalizeText,
     qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qSaltedAgg, qInterleave, qShardSplit, qSemdedup, qBm25,

@@ -1001,4 +1001,35 @@ class PipelineOpsSpec extends SparkSpec {
     // est = max(w, tau) >= w: the estimator never shrinks a kept weight
     got.foreach { case (_, w, _, est) => assert(est >= w.toDouble) }
   }
+
+  test("CountMin: one-sided error, bounded size, snapshot mergeability") {
+    import graft.prep.{CountMin, TextFunctions => TF}
+    val (depth, width) = (4, 512)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(TF.shinglesOfWordsAll(TF.words(col("text")), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).cast("long").as("n"))
+    val all = grams(docs).cache()
+    val sketch = CountMin.build(all, "g", "n", depth, width).cache()
+    // bounded by construction: never more than depth x width cells
+    assert(sketch.count() <= depth.toLong * width)
+    // the count-min guarantee: the estimate NEVER undercounts, for every
+    // gram (not just heavy hitters)
+    // (estimate carries the candidate frame's extra columns through)
+    val under = CountMin.estimate(sketch, all, "g", depth, width)
+      .where(col("est") < col("n")).count()
+    assert(under == 0)
+    // snapshot mergeability — the 100 TB property: the sketch of the full
+    // corpus equals the CELL-WISE SUM of the two half-corpus sketches
+    val even = CountMin.build(grams(docs.where(col("doc_id") % 2 === 0)),
+      "g", "n", depth, width)
+    val odd = CountMin.build(grams(docs.where(col("doc_id") % 2 === 1)),
+      "g", "n", depth, width)
+    val merged = even.union(odd).groupBy("d", "cell")
+      .agg(sum("cnt").cast("long").as("cnt"))
+    assert(merged.join(sketch, Seq("d", "cell"))
+      .where(merged("cnt") =!= sketch("cnt")).count() == 0)
+    assert(merged.count() == sketch.count())
+    all.unpersist(); sketch.unpersist()
+  }
 }
