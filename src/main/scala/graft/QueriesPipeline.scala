@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.prep.{CountMin, Dedup, TextFunctions => TF}
+import graft.prep.{CountMin, Dedup, HyperLogLog, TextFunctions => TF}
 
 /** Training-data-pipeline operators beyond the round-1 surface: dedup
   * clustering (connected components), TF-IDF term scoring, Gopher-style
@@ -938,6 +938,70 @@ object QueriesPipeline {
       ORDER BY e.est DESC, gram LIMIT 20
     """))
 
+  /** Distinct 2-gram cardinality through HyperLogLog
+    * ([[prep.HyperLogLog]]; Flajolet et al. 2007) — the other running
+    * sketch a 100 TB ingest keeps (CountMin: frequencies; HLL: distinct
+    * counts): 64 registers from ONE bounded hash agg over the RAW gram
+    * stream (no pre-distinct), snapshot-mergeable by register-wise max
+    * (spec-pinned). The exact distinct count alongside anchors the oracle
+    * and exhibits the ±1.04/√64 ≈ 13% error band; at 100 TB the exact
+    * column disappears and the 64-row register table IS the state. The
+    * estimate is oracle-replayed EXACTLY: the register sum is an exact
+    * BIGINT numerator (no order-dependent float summation) and the final
+    * value is one IEEE division — see the module scaladoc.
+    *
+    * Because this query publishes the exact anchor, it feeds the
+    * registers from the same cached distinct-gram table the anchor needs
+    * (one explode + one distinct shuffle total — the raw-stream variant
+    * scanned the corpus twice, measured 2.7 s vs 0.6 s at sf0.1). The
+    * estimate is IDENTICAL either way — HLL is repetition-blind
+    * (register = max over a bucket's hash set) — spec-pinned, and a
+    * 100 TB run with no exact column would feed the raw stream. */
+  val qHllDistinct = Q("q_hll_distinct",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(explode(TF.shinglesOfWordsAll(TF.words(col("text")), 2))
+          .as("g"))
+        .distinct().cache()
+      val est = HyperLogLog.estimate(HyperLogLog.registers(grams, "g"))
+      val exact = grams.agg(count(lit(1)).cast("long").as("exact"))
+      est.crossJoin(exact)
+        .select(lit(64L).as("m"), col("exact"),
+          round(col("est"), 2).as("est"),
+          round(abs(col("est") - col("exact").cast("double"))
+            / col("exact").cast("double"), 6).as("rel_err"))
+    },
+    Some("""
+      WITH g AS (
+        SELECT unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS g
+        FROM documents),
+      h AS (
+        SELECT list_reduce(list_transform(range(1, 13),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(g), 1, 12))[i]) AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) AS hv
+        FROM g),
+      b AS (SELECT hv // 4398046511104 AS bucket,
+                   hv % 4398046511104 AS w FROM h),
+      r AS (SELECT bucket,
+                   max(CASE WHEN w = 0 THEN CAST(43 AS BIGINT)
+                            ELSE 43 - length(bin(w)) END) AS r
+            FROM b GROUP BY 1),
+      s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << CAST(43 - r AS INTEGER))
+                     AS BIGINT)
+                   + (64 - count(*)) * 8796093022208 AS s FROM r),
+      e AS (SELECT (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   * 8796093022208.0 / CAST(s AS DOUBLE) AS est FROM s),
+      x AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS exact FROM g)
+      SELECT CAST(64 AS BIGINT) AS m, x.exact, round(e.est, 2) AS est,
+             round(abs(e.est - CAST(x.exact AS DOUBLE))
+                   / CAST(x.exact AS DOUBLE), 6) AS rel_err
+      FROM e, x
+    """))
+
   // --------------------------------------------------------- q_dsir_weights
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
@@ -1383,7 +1447,8 @@ object QueriesPipeline {
     """))
 
   val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
-    qSampleStratified, qPrioritySample, qCountminHh, qCube, qVocab,
+    qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct, qCube,
+    qVocab,
     qNormalizeText,
     qPackChunks,
     qChunkOverlap, qCentroids,

@@ -1032,4 +1032,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(merged.count() == sketch.count())
     all.unpersist(); sketch.unpersist()
   }
+
+  test("HyperLogLog: bounded registers, max-mergeability, error band") {
+    import spark.implicits._
+    import graft.prep.HyperLogLog
+    // synthetic stream with KNOWN cardinality, heavy repetition (HLL must
+    // be repetition-blind: registers from the raw stream, no pre-distinct)
+    val n = 5000
+    val stream = (1 to n).flatMap(i => Seq.fill(1 + i % 3)(s"item_$i"))
+      .toDF("g")
+    val regs = HyperLogLog.registers(stream, "g").cache()
+    assert(regs.count() <= HyperLogLog.m)
+    val est = HyperLogLog.estimate(regs).collect()(0).getDouble(0)
+    // fixed deterministic hash -> fixed estimate; 3 sigma = 3*1.04/8 = 39%
+    assert(math.abs(est - n) / n < 0.39, s"est $est vs $n")
+    // register-wise max merge of disjoint halves == full-stream registers
+    val a = HyperLogLog.registers(
+      stream.where(substring(col("g"), 6, 10).cast("int") <= n / 2), "g")
+    val b = HyperLogLog.registers(
+      stream.where(substring(col("g"), 6, 10).cast("int") > n / 2), "g")
+    val merged = HyperLogLog.merge(a, b)
+    assert(merged.join(regs, Seq("bucket"))
+      .where(merged("r") =!= regs("r")).count() == 0)
+    assert(merged.count() == regs.count())
+    // merging a stream with itself is a no-op (idempotent max)
+    val self = HyperLogLog.merge(regs, regs)
+    assert(HyperLogLog.estimate(self).collect()(0).getDouble(0) == est)
+    // repetition-blindness: the distinct stream gives the SAME estimate
+    // (what lets q_hll_distinct share the exact anchor's distinct table)
+    val distinctEst = HyperLogLog.estimate(
+      HyperLogLog.registers(stream.distinct(), "g")).collect()(0).getDouble(0)
+    assert(distinctEst == est)
+    regs.unpersist()
+  }
 }
