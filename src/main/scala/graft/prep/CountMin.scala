@@ -43,6 +43,28 @@ object CountMin {
         posexplode(cells(col(itemCol), depth, width)).as(Seq("d", "cell")))
       .groupBy("d", "cell").agg(sum(nCol).cast("long").as("cnt"))
 
+  /** Persist a sketch as one GENERATION of a snapshot directory
+    * (`_batch` partition, dynamic overwrite): re-writing the same tag
+    * REPLACES that generation and touches nothing else — the replay
+    * guard that keeps the NON-idempotent cell-sum merge exactly-once
+    * when a streaming micro-batch crashes between its state write and
+    * its checkpoint commit (same design as Dedup's signature snapshot).
+    * [[loadState]] re-sums across generations; a periodic compaction can
+    * fold them into one without changing any answer (cell-wise sum is
+    * associative — the mergeability spec). */
+  def saveGeneration(sketch: DataFrame, path: String, tag: String): Unit =
+    sketch.withColumn("_batch", lit(tag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(path)
+
+  /** the running sketch = cell-wise sum over every saved generation
+    * (requires at least one generation on disk). */
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy("d", "cell").agg(sum("cnt").cast("long").as("cnt"))
+
   /** point-query a candidate frame through the sketch: est(item) =
     * min over the depth rows of the item's cell counts. The join's right
     * side is the ≤ depth×width-row sketch — AQE broadcasts it at runtime

@@ -53,6 +53,23 @@ object HyperLogLog {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy("bucket").agg(max("r").as("r"))
 
+  /** Persist registers as one GENERATION of a snapshot directory —
+    * same layout and replay story as [[CountMin.saveGeneration]] (max
+    * merge is idempotent so HLL tolerates replay anyway; the uniform
+    * generation scheme keeps the two sketch snapshots interchangeable
+    * for the maintenance loop). */
+  def saveGeneration(regs: DataFrame, path: String, tag: String): Unit =
+    regs.withColumn("_batch", lit(tag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(path)
+
+  /** the running registers = bucket-wise max over every saved
+    * generation (requires at least one generation on disk). */
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).groupBy("bucket").agg(max("r").as("r"))
+
   /** 1-row estimate from a register table: alpha_m * m^2 * 2^43 / S with
     * S = sum 2^(43-r) exact in BIGINT (buckets absent from the table are
     * r = 0, contributing 2^43 each). Raw HLL estimate (no small-range

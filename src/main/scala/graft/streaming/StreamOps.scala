@@ -138,6 +138,46 @@ object StreamOps {
     * `vicinity.insert` (Q5). Returns the started query; the index dir can
     * be read back with `spark.read.parquet` + queried with [[Knn]].
     */
+  /** Streaming sketch maintenance — the ingest loop for the two running
+    * aggregates ([[graft.prep.CountMin]] frequencies, [[graft.prep.HyperLogLog]]
+    * distinct counts): each micro-batch's items are counted, sketched,
+    * and written as generation `stream-<batchId>` of the snapshot at
+    * `statePath`. Dynamic partition overwrite makes a REPLAYED batch
+    * replace its own generation, which keeps count-min's non-idempotent
+    * cell-sum merge exactly-once on at-least-once replay (same design as
+    * the near-dup signature snapshot above). Reading the running state
+    * (`CountMin.loadState`) re-aggregates across generations — bounded
+    * work: each generation is ≤ depth×width rows regardless of batch
+    * size. */
+  def countMinOnIngest(itemStream: DataFrame, itemCol: String,
+      statePath: String, checkpointDir: String, depth: Int = 4,
+      width: Int = 4096) =
+    itemStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counted = batch.groupBy(itemCol)
+          .agg(count(lit(1)).cast("long").as("n"))
+        graft.prep.CountMin.saveGeneration(
+          graft.prep.CountMin.build(counted, itemCol, "n", depth, width),
+          statePath, s"stream-$batchId")
+        ()
+      }
+      .start()
+
+  /** [[countMinOnIngest]] for HyperLogLog registers: ≤ 64 rows per
+    * generation, max-merged on read (`HyperLogLog.loadState`). */
+  def hllOnIngest(itemStream: DataFrame, itemCol: String,
+      statePath: String, checkpointDir: String) =
+    itemStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.prep.HyperLogLog.saveGeneration(
+          graft.prep.HyperLogLog.registers(batch, itemCol),
+          statePath, s"stream-$batchId")
+        ()
+      }
+      .start()
+
   def appendVectorsToIndex(vectorStream: DataFrame, indexDir: String,
       checkpointDir: String) =
     vectorStream.writeStream

@@ -276,4 +276,55 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(results.sorted.toSeq === Seq((100L, 1L), (101L, 0L)))
   }
+
+  test("streaming sketch maintenance: micro-batch generations equal the batch build") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.prep.{CountMin, HyperLogLog}
+    val (depth, width) = (4, 256)
+    val cmPath = java.nio.file.Files.createTempDirectory("graft_cm").toString
+    val cmCkpt = java.nio.file.Files.createTempDirectory("graft_cmc").toString
+    val hllPath = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    val hllCkpt = java.nio.file.Files.createTempDirectory("graft_hlc").toString
+    val batches = Seq(
+      Seq("a b", "b c", "a b", "c d"),
+      Seq("a b", "d e", "e f"),
+      Seq("b c", "f g"))
+    val input = MemoryStream[String]
+    val qc = StreamOps.countMinOnIngest(input.toDF().toDF("g"), "g",
+      cmPath, cmCkpt, depth, width)
+    val qh = StreamOps.hllOnIngest(input.toDF().toDF("g"), "g",
+      hllPath, hllCkpt)
+    for (b <- batches) {
+      input.addData(b: _*)
+      qc.processAllAvailable(); qh.processAllAvailable()
+    }
+    qc.stop(); qh.stop()
+    // the streamed state equals a one-shot batch build over ALL items —
+    // cell for cell (count-min) and register for register (HLL)
+    val allItems = batches.flatten.toDF("g")
+    val cmBatch = CountMin.build(
+      allItems.groupBy("g").agg(count(lit(1)).cast("long").as("n")),
+      "g", "n", depth, width)
+    val cmStream = CountMin.loadState(spark, cmPath)
+    assert(cmStream.count() == cmBatch.count())
+    assert(cmStream.join(cmBatch, Seq("d", "cell"))
+      .where(cmStream("cnt") =!= cmBatch("cnt")).count() == 0)
+    val hllBatch = HyperLogLog.registers(allItems, "g")
+    val hllStream = HyperLogLog.loadState(spark, hllPath)
+    assert(hllStream.count() == hllBatch.count())
+    assert(hllStream.join(hllBatch, Seq("bucket"))
+      .where(hllStream("r") =!= hllBatch("r")).count() == 0)
+    // replay guard: re-writing generation stream-1 (a crashed batch
+    // re-running) REPLACES it — the re-summed state is unchanged, even
+    // though count-min's merge is not idempotent under append
+    val b1 = batches(1).toDF("g")
+    CountMin.saveGeneration(CountMin.build(
+      b1.groupBy("g").agg(count(lit(1)).cast("long").as("n")),
+      "g", "n", depth, width), cmPath, "stream-1")
+    val replayed = CountMin.loadState(spark, cmPath)
+    assert(replayed.join(cmBatch, Seq("d", "cell"))
+      .where(replayed("cnt") =!= cmBatch("cnt")).count() == 0)
+    Seq(cmPath, cmCkpt, hllPath, hllCkpt)
+      .foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
+  }
 }
