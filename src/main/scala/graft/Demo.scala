@@ -77,9 +77,8 @@ object Demo {
           graft.prep.TextFunctions.shinglesOfWords(col("_words"), 3).as("sh"))
       val nearDups = graft.prep.Dedup.ngramJaccardJoin(docs, "doc_id", "sh", 0.5)
       println(s"ngram-jaccard>=0.5 pairs: ${nearDups.count()}")
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .select(col("event_id"), floor(col("ts") / 1000000000L).cast("long").as("ts_s"))
+      val ev = Queries.eventsTable(spark, "/root/testdata/sf0.001")
+        .select(col("event_id"), col("ts_s"))
       val withinMinute = graft.operators.RangeJoin.pointsInWindow(
         ev, ev.select(col("ts_s").as("ts2")), "ts_s", "ts2", 60)
       println(s"event pairs within trailing 60s: ${withinMinute.count()}")

@@ -25,6 +25,31 @@ object Queries {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table, normalized across testdata generations. `ts` has
+    * shipped both as parquet TIMESTAMP(NANOS) — which Spark's reader only
+    * accepts as a nano-epoch long under `nanosAsLong` — and as
+    * TIMESTAMP(MICROS). Detect which shape arrived from the schema and
+    * expose the same derived columns either way:
+    * `ts_s` = exact epoch seconds (long, floor semantics in both shapes,
+    * matching DuckDB's `floor(epoch(ts))`) and `ts_t` = second-truncated
+    * timestamp for the window/streaming operators. */
+  def eventsTable(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // micros-generation files carry naive timestamps; read them as TIMESTAMP
+    // (not TIMESTAMP_NTZ) so the epoch cast below is legal — sessions run
+    // with UTC session time, so the two types agree on the value
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsS = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        floor(col("ts") / 1000000000L).cast("long")
+      case _ => // timestamp → long is floorDiv(micros, 1e6): exact floor secs
+        col("ts").cast("long")
+    }
+    raw.withColumn("ts_s", tsS)
+      .withColumn("ts_t", timestamp_seconds(col("ts_s")))
+  }
+
   /** embeddings as an (id, vector) store */
   private def store(s: SparkSession, dir: String): DataFrame =
     table(s, dir, "embeddings")

@@ -16,11 +16,8 @@ object QueriesAnalytics {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_s", floor(col("ts") / 1000000000L).cast("long"))
-  }
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Queries.eventsTable(s, dir)
 
   /** backward as-of join: each event picks the user's most recent order at
     * or before the event time (union+window plan: one shuffle, no range

@@ -16,16 +16,11 @@ object QueriesRelational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read it with nanosAsLong and expose `ts_s` = exact epoch
-    * seconds (long) plus a microsecond-precision timestamp for windowing.
-    */
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_s", floor(col("ts") / 1000000000L).cast("long"))
-      .withColumn("ts_t", timestamp_seconds(col("ts_s")))
-  }
+  /** events with `ts_s` (exact epoch seconds) and `ts_t` (timestamp) —
+    * schema-adaptive across testdata generations, see
+    * [[Queries.eventsTable]]. */
+  private def events(s: SparkSession, dir: String): DataFrame =
+    Queries.eventsTable(s, dir)
 
   /** join + grouped revenue + top-n (TPC-H Q3 shape). Ranked by the rounded
     * revenue so FP summation order can't flip the cut. */

@@ -265,8 +265,9 @@ object QueriesText {
     * deterministic complement to q_minhash_dedup's probabilistic candidate
     * generation. 3-gram (not 2-gram) shingles matter for the plan: this
     * corpus's small vocabulary makes 2-gram document frequencies huge
-    * (max df 338 at sf0.1 → 8.6M candidate pairs even prefix-filtered),
-    * while 3-grams are cubically rarer (max df 25 → 512k candidates). */
+    * (tens of millions of candidate pairs even prefix-filtered), while
+    * 3-grams are cubically rarer (regenerated sf0.1 corpus: max df 25,
+    * Σ df² ≈ 2.8M candidate rows — measured, see BENCH_NOTES r11). */
   val qNgramJaccard = Q("q_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardJoin(PrepCache.shingledDocs(s, dir),
         "doc_id", "shingles", threshold = 0.5)

@@ -521,8 +521,8 @@ object Dedup {
     * bounded miss probability). The shuffle is keyed by gram and its volume
     * is Σ_g df(g)² — fine when gram document frequencies are modest (pick
     * the shingle width accordingly: on a small-vocabulary corpus 2-gram
-    * max-df was 338 → 10M candidate pairs at sf0.1, 3-gram max-df 25 →
-    * ~600k). Measured dead end worth recording: AllPairs/PPJoin prefix
+    * candidates run to tens of millions at sf0.1 while 3-gram max-df 25
+    * keeps Σ df² at ~2.8M). Measured dead end worth recording: AllPairs/PPJoin prefix
     * filtering (index only each doc's ⌊(1−t)·|d|⌋+1 rarest grams — still
     * exact) did NOT prune here — at t=0.5 prefixes keep half of every
     * document and this corpus's common grams stay inside them (8.6M

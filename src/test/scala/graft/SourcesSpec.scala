@@ -36,6 +36,31 @@ class SourcesSpec extends SparkSpec {
   test("json-lines roundtrip")(roundtrip("json"))
   test("csv roundtrip")(roundtrip("csv"))
 
+  test("eventsTable adapts to both ts generations (nano-long and timestamp)") {
+    // The driver has regenerated events.parquet across rounds with ts as
+    // TIMESTAMP(NANOS) (read as a nano-epoch long under nanosAsLong) and as
+    // TIMESTAMP(MICROS); round 10's bench lost 11 queries to the switch.
+    // Both generations must yield identical derived epoch-second columns.
+    import spark.implicits._
+    val base = Seq((1L, 1704067200L), (2L, 1704070861L), (3L, 1704074522L))
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ev_micros").toString
+    base.toDF("event_id", "secs")
+      .select(col("event_id"),
+        (col("secs") * 1000000000L + 179575000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$dirA/events.parquet")
+    base.toDF("event_id", "secs")
+      .select(col("event_id"),
+        timestamp_seconds(col("secs") + lit(0.179575)).as("ts"))
+      .write.mode("overwrite").parquet(s"$dirB/events.parquet")
+    def readTs(d: String): Seq[(Long, Long, java.sql.Timestamp)] =
+      Queries.eventsTable(spark, d)
+        .select("event_id", "ts_s", "ts_t").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSeq
+    assert(readTs(dirA) === readTs(dirB))
+    assert(readTs(dirB).map(t => (t._1, t._2)) === base)
+  }
+
   test("vector column JSON codec: to_json/from_json keeps embeddings") {
     val e = sf("embeddings").limit(20)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
