@@ -1065,4 +1065,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(distinctEst == est)
     regs.unpersist()
   }
+
+  test("bloom filter: zero false negatives, bounded size, merge = union") {
+    import spark.implicits._
+    import graft.prep.BloomFilter
+    val k = 3; val m = 1024
+    val members = (1 to 400).map(i => s"member-$i").toDF("g")
+    val filter = BloomFilter.build(members, "g", k, m).cache()
+    // bounded by construction: never more than m set bits
+    assert(filter.count() <= m)
+    // ZERO false negatives: every inserted item probes positive
+    assert(BloomFilter.mightContain(filter, members, "g", k, m)
+      .count() == 400)
+    // one-sided error is visible but small at this load factor
+    // (n=400, m=1024, k=3 -> fp ~ (1-e^{-kn/m})^3 ~ 0.33); the point
+    // asserted is one-sidedness, not the rate
+    val strangers = (1 to 400).map(i => s"stranger-$i").toDF("g")
+    val fp = BloomFilter.mightContain(filter, strangers, "g", k, m).count()
+    assert(fp < 400, "a bloom must reject at least some non-members here")
+    // merge of disjoint halves == filter of the union (bitwise OR ==
+    // distinct union of position tables)
+    val a = BloomFilter.build(members.where(substring(col("g"), 8, 10)
+      .cast("int") <= 200), "g", k, m)
+    val b = BloomFilter.build(members.where(substring(col("g"), 8, 10)
+      .cast("int") > 200), "g", k, m)
+    val merged = a.union(b).distinct()
+    assert(merged.except(filter).count() == 0)
+    assert(filter.except(merged).count() == 0)
+    filter.unpersist()
+  }
+
+  test("q_bloom_contamination: bloom-positive set contains every exact leak") {
+    // the query's own one-sidedness, end to end on real testdata: per doc
+    // n_bloom_grams >= n_exact_grams, and the exact-leak docs from
+    // q_contamination all appear with at least their exact count
+    val bloomRows = QueriesPipeline.qBloomContamination.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    bloomRows.foreach { case (d, (nb, ne)) =>
+      assert(nb >= ne, s"doc $d: bloom $nb < exact $ne")
+    }
+    val exact = QueriesPipeline.qContamination.fn(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (d, n) =>
+      assert(bloomRows.contains(d), s"exact-leak doc $d missing from bloom")
+      assert(bloomRows(d)._2 == n,
+        s"doc $d: exact count through the bloom path ${bloomRows(d)._2} != $n")
+    }
+  }
 }
