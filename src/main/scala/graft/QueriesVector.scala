@@ -1019,6 +1019,74 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5, " AND s.label % 2 = 0")))
 
+  private val diskIndexCaches = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** write the prepared IVF index to its cell-partitioned disk layout ONCE
+    * per (session, dir, key); returns the path (the production shape writes
+    * the index in the build job and serves every later query from disk) */
+  private def diskIvfPath(s: SparkSession, dir: String, key: String,
+      strat: graft.index.IndexStrategy, prepared: DataFrame): String =
+    mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/$key", {
+      val path = java.nio.file.Files.createTempDirectory(s"graft_$key")
+        .resolve("index").toString
+      strat.writeIndex(prepared, path)
+      path
+    })
+
+  /** The disk-resident IVF serving path ([[IvfStrategy.queryFromDisk]]):
+    * top-k answered from the cell-partitioned parquet index with the probe
+    * set applied as a PARTITION filter — the scan reads only probed cell
+    * directories (plan-asserted in ScaleDesignSpec). At nprobe = nlist
+    * every cell is probed, making this run provably exact and
+    * oracle-checkable end to end THROUGH the disk layout: partitioned
+    * write, partition-column recovery on read, normalized-vector
+    * round-trip, probe join, kernel, rank. The nprobe < nlist pruning
+    * behavior of the same code path is spec-pinned against the in-memory
+    * index. */
+  private val qIvfPartitionedKnn = Q("q_ivf_partitioned_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivf16x16")(
+        IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 16))
+      val path = diskIvfPath(s, dir, "ivf16x16", strat, prepared)
+      strat.asInstanceOf[IvfStrategy].queryFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
+  /** Hard-negative mining — the contrastive-training data op (e.g. DPR,
+    * Karpukhin et al. 2020: the strongest negatives are the nearest
+    * vectors that are NOT positives): for each query, the top-10 nearest
+    * store vectors with a DIFFERENT label. Unlike [[qKnnFiltered]]'s
+    * store-side predicate, the label gate here depends on the QUERY row,
+    * so it lands between scoring and selection: the kernel's
+    * broadcast-queries/codegen-distance plan with the pair predicate
+    * fused into the same stage (the store still never shuffles, the
+    * bounded heap still sees only surviving pairs — no rank-then-filter
+    * window that would score and sort discarded same-label pairs). */
+  private val qHardNegatives = Q("q_hard_negatives",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val st = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label"))
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qvector"), col("label").as("qlabel"))
+      val d = cosine_distance(col("vector"), col("qvector"))
+      val pairs = st.crossJoin(broadcast(q))
+        .where(col("label") =!= col("qlabel"))
+        .select(col("query_id"), col("id"),
+          greatest(d, lit(0.0)).as("dist"))
+      graft.functions.TopK.topKPerGroup(pairs, Seq("query_id"), "id",
+          "dist", 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5, " AND s.label <> q.label")))
+
   /** NN-descent's walk in its provably-exhaustive mode
     * ([[NnDescentStrategy.queryExhaustive]]: beam seeded with every node) —
     * the second graph-family oracle anchor, pinning the PYNNDESCENT-family
@@ -1044,5 +1112,6 @@ object QueriesVector {
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
+    qHardNegatives, qIvfPartitionedKnn,
     qEvaluate)
 }

@@ -141,6 +141,26 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     prepared.write.mode("overwrite").partitionBy("_centroid").parquet(path)
 
+  /** Disk-resident serving: answer top-k from the cell-partitioned parquet
+    * layout [[writeIndex]] wrote, scanning ONLY the probed cells. The
+    * distinct union of the batch's probe cells becomes a `_centroid IN`
+    * predicate the scan resolves at the DIRECTORY level (Parquet partition
+    * pruning — spec-asserted on the physical plan), so a query batch reads
+    * ~nprobe/nlist of the index from storage: FAISS's inverted-list
+    * pruning, served by the storage layer with NO resident index and no
+    * warm-up scan. This is the 100 TB serving shape — the index lives as a
+    * partitioned table, executors read only probed cells, and per-query
+    * cell matching happens in the same broadcast equi-join as the
+    * in-memory path, so results are identical to [[query]] on the
+    * prepared frame (spec-pinned). */
+  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    val pruned = spark.read.parquet(path)
+      .where(col("_centroid").isInCollection(probeCells(queries)))
+    query(pruned, queries, k)
+  }
+
   /** distinct union of every query's nprobe nearest cells — the static
     * pruning predicate for strategies that compose over IVF cells */
   def probeCells(queries: DataFrame): Seq[Int] = {

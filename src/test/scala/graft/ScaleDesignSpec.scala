@@ -140,4 +140,47 @@ class ScaleDesignSpec extends SparkSpec {
       assert(math.abs(s - direct(k)._1) < 1e-6)
     }
   }
+
+  test("disk-resident IVF serving prunes unprobed cell partitions") {
+    import graft.index.IvfStrategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 4)
+    val prepared = strat.prepare(store).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfdisk")
+      .resolve("index").toString
+    strat.writeIndex(prepared, path)
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val fromDisk = strat.queryFromDisk(spark, path, queries, 10)
+    // identical to the in-memory path at the same nprobe
+    val mem = strat.query(prepared, queries, 10).collect().toSet
+    assert(fromDisk.collect().toSet === mem)
+    // and the scan only touched the probed cell DIRECTORIES: the probe
+    // set arrives as a partition filter, so the partitioned scan's
+    // selected partitions are the probed cells, not all nlist of them
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      // AQE materializes stages as LEAF nodes (children = Nil): the real
+      // subtree hangs off .plan
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val indexScans = fileScans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("_centroid"))
+    assert(indexScans.nonEmpty, "no partitioned scan of the disk index found")
+    val probed = strat.probeCells(queries).toSet
+    assert(probed.size < 16, s"3 queries x 4 probes should not cover all 16 cells")
+    val scanned = indexScans.map(_.selectedPartitions.partitionCount).sum
+    assert(scanned <= probed.size,
+      s"scan read $scanned cell partitions, probe set is ${probed.size}")
+    assert(indexScans.exists(_.toString.contains("PartitionFilters")),
+      "probe predicate did not reach the scan as a partition filter")
+    prepared.unpersist()
+  }
 }
