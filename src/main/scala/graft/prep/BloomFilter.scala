@@ -49,6 +49,27 @@ object BloomFilter {
   def build(items: DataFrame, itemCol: String, k: Int, m: Int): DataFrame =
     items.select(explode(positions(col(itemCol), k, m)).as("pos")).distinct()
 
+  /** Persist a filter as one GENERATION of a snapshot directory
+    * (`_batch` partition, dynamic overwrite) — the same snapshot design
+    * as [[CountMin.saveGeneration]]. Bloom's merge (distinct union ==
+    * bitwise OR) is IDEMPOTENT, so unlike count-min a replayed append
+    * could never corrupt the state — the generation scheme is kept
+    * anyway for a uniform ingest loop, bounded re-writes (a replayed
+    * batch re-writes <= m rows, not the union), and one-sweep
+    * compaction. */
+  def saveGeneration(filter: DataFrame, path: String, tag: String): Unit =
+    filter.withColumn("_batch", lit(tag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(path)
+
+  /** the running filter = distinct union over every saved generation
+    * (requires at least one generation on disk); <= m rows by
+    * construction regardless of how many generations accumulated. */
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    spark.read.parquet(path).select("pos").distinct()
+
   /** Probe a candidate stream: keeps the rows whose item has ALL k bit
     * positions set (the bloom-positive subset — a superset of the true
     * members, never missing one). Plan shape: candidates explode to k

@@ -178,6 +178,26 @@ object StreamOps {
       }
       .start()
 
+  /** [[countMinOnIngest]] for the bloom membership filter: each
+    * micro-batch folds its items' bit positions into the snapshot as its
+    * own generation (<= m rows). The running filter
+    * ([[graft.prep.BloomFilter.loadState]]) is the distinct union —
+    * the live decontamination gate grows with ingest, and because bloom
+    * never false-negatives, every item of every committed batch probes
+    * positive the moment its batch commits (spec-pinned). */
+  def bloomOnIngest(itemStream: DataFrame, itemCol: String,
+      statePath: String, checkpointDir: String, k: Int = 3,
+      m: Int = 8192) =
+    itemStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.prep.BloomFilter.saveGeneration(
+          graft.prep.BloomFilter.build(batch, itemCol, k, m),
+          statePath, s"stream-$batchId")
+        ()
+      }
+      .start()
+
   def appendVectorsToIndex(vectorStream: DataFrame, indexDir: String,
       checkpointDir: String) =
     vectorStream.writeStream

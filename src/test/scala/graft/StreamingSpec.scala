@@ -327,4 +327,38 @@ class StreamingSpec extends SparkSpec {
     Seq(cmPath, cmCkpt, hllPath, hllCkpt)
       .foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
   }
+
+  test("streaming bloom maintenance: the decontamination gate grows with ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.prep.BloomFilter
+    val (k, m) = (3, 1024)
+    val path = java.nio.file.Files.createTempDirectory("graft_bf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bfc").toString
+    val batches = Seq(
+      Seq("alpha beta", "beta gamma", "gamma delta"),
+      Seq("delta epsilon", "zeta eta"),
+      Seq("alpha beta", "theta iota")) // batch 2 repeats batch 0 content
+    val input = MemoryStream[String]
+    val q = StreamOps.bloomOnIngest(input.toDF().toDF("g"), "g",
+      path, ckpt, k, m)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (b <- batches) {
+      input.addData(b: _*)
+      q.processAllAvailable()
+      seen ++= b
+      // mid-stream freshness: every item committed SO FAR probes positive
+      // against the running filter (bloom = zero false negatives)
+      val state = BloomFilter.loadState(spark, path)
+      val probe = seen.distinct.toSeq.toDF("g")
+      assert(BloomFilter.mightContain(state, probe, "g", k, m).count()
+        == seen.distinct.size)
+    }
+    q.stop()
+    // final streamed state == one-shot batch build over all items
+    val batchBuild = BloomFilter.build(batches.flatten.toDF("g"), "g", k, m)
+    val streamed = BloomFilter.loadState(spark, path)
+    assert(streamed.except(batchBuild).count() == 0)
+    assert(batchBuild.except(streamed).count() == 0)
+    Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
+  }
 }
