@@ -988,6 +988,44 @@ object QueriesText {
       ORDER BY doc_id
     """))
 
+  /** Verbatim-span decontamination ([[Dedup.spanContamination]]): which
+    * PASSAGES of each corpus doc appear word-for-word in the benchmark
+    * (doc_id < 20) — the span-level decontamination rule, complementing
+    * gram counts (q_contamination), the bloom gate
+    * (q_bloom_contamination), and whole-doc near-dup
+    * (q_fuzzy_contamination). */
+  val qSpanContamination = Q("q_span_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.spanContamination(
+        docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
+        "doc_id", col("text"), col("text"), n = 5)
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      grams AS (
+        SELECT doc_id, i AS pos,
+               w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+               w[i+3] || ' ' || w[i+4] AS g
+        FROM w, UNNEST(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+      benchg AS (SELECT DISTINCT g FROM grams WHERE doc_id < 20),
+      spans AS (SELECT doc_id, pos FROM grams JOIN benchg USING (g)
+                WHERE doc_id >= 20),
+      cnt AS (SELECT doc_id, count(*) AS n_leak_spans
+              FROM spans GROUP BY doc_id),
+      cov AS (SELECT doc_id, count(DISTINCT p) AS n_cov
+              FROM spans, UNNEST(range(pos, pos + 5)) AS u(p)
+              GROUP BY doc_id)
+      SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_words,
+             CAST(coalesce(cnt.n_leak_spans, 0) AS BIGINT) AS n_leak_spans,
+             round(coalesce(cov.n_cov, 0) * 1.0 / greatest(len(w.w), 1), 6)
+               AS leak_frac
+      FROM w LEFT JOIN cnt USING (doc_id) LEFT JOIN cov USING (doc_id)
+      WHERE w.doc_id >= 20
+      ORDER BY doc_id
+    """))
+
   /** Model-based quality filter: logistic score over the oracle-proven
     * heuristic signals (the fastText-classifier shape of CCNet/LLaMA data
     * prep, with FIXED published-style weights — this offline env ships no
@@ -1167,5 +1205,5 @@ object QueriesText {
     qSimhashPairs, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
     qBpeMerges, qBpeApply, qTokenBudgetSelect, qDomainMix,
-    qSpanDedup, qQualityLogreg, qPiiScrub, qPplBuckets)
+    qSpanDedup, qSpanContamination, qQualityLogreg, qPiiScrub, qPplBuckets)
 }

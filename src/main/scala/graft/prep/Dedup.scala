@@ -695,6 +695,47 @@ object Dedup {
           greatest(col("_nw"), lit(1)), 6).as("dup_frac"))
   }
 
+  /** Verbatim-span decontamination — [[spanCoverage]]'s bench-gated
+    * sibling, and the SPAN-level member of the decontamination family
+    * (exact gram counts: q_contamination; near-dup documents:
+    * q_fuzzy_contamination; bloom gate: q_bloom_contamination): per
+    * corpus doc, the n-gram spans that occur VERBATIM in any benchmark
+    * document, with position coverage — the GPT-3-appendix-style "remove
+    * documents overlapping an eval set by a verbatim n-gram window" rule,
+    * localized to the leaking passages rather than scored per document.
+    *
+    * Scale shape: the corpus explodes ONCE to its positional grams; the
+    * benchmark gram set is eval-sized (tiny next to the corpus), so the
+    * gate join broadcasts under AQE (deliberately unhinted — benchmarks
+    * accumulate), and only leaking spans reach the per-doc aggregate,
+    * whose collect_list is bounded by the doc's own leak count. The
+    * corpus is never self-joined.
+    */
+  def spanContamination(corpus: DataFrame, bench: DataFrame, idCol: String,
+      text: Column, benchText: Column, n: Int = 5): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    val w = corpus.select(col(idCol), TextFunctions.words(text).as("_w"))
+      .select(col(idCol), col("_w"), size(col("_w")).as("_nw"))
+    val grams = w.select(col(idCol),
+      posexplode(TextFunctions.shinglesOfWordsAll(col("_w"), n))
+        .as(Seq("pos", "g")))
+    val benchGrams = bench
+      .select(explode(TextFunctions.shinglesOfWordsAll(
+        TextFunctions.words(benchText), n)).as("g"))
+      .distinct()
+    val leakSpans = grams.join(benchGrams, "g")
+    val perDoc = leakSpans.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_nspans"),
+        size(array_distinct(flatten(collect_list(
+          sequence(col("pos"), col("pos") + (n - 1)))))).as("_ncov"))
+    w.select(col(idCol), col("_nw"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("_nw").cast("long").as("n_words"),
+        coalesce(col("_nspans"), lit(0L)).cast("long").as("n_leak_spans"),
+        round(coalesce(col("_ncov"), lit(0)) /
+          greatest(col("_nw"), lit(1)), 6).as("leak_frac"))
+  }
+
   // ----------------------------------------------- semantic dedup (SemDeDup)
 
   /** Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning

@@ -1095,6 +1095,17 @@ class PipelineOpsSpec extends SparkSpec {
     filter.unpersist()
   }
 
+  test("span contamination agrees with gram contamination on WHICH docs leak") {
+    // a doc has a leaking 5-gram SPAN iff it shares a 5-gram with the
+    // benchmark — the two decontamination views must flag the same docs
+    val spanDocs = QueriesText.qSpanContamination.fn(spark, dir)
+      .where(col("n_leak_spans") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val gramDocs = QueriesPipeline.qContamination.fn(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(spanDocs === gramDocs)
+  }
+
   test("q_bloom_contamination: bloom-positive set contains every exact leak") {
     // the query's own one-sidedness, end to end on real testdata: per doc
     // n_bloom_grams >= n_exact_grams, and the exact-leak docs from
