@@ -1087,6 +1087,76 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5, " AND s.label <> q.label")))
 
+  /** Contrastive TRAINING TRIPLES — the data-assembly op downstream of
+    * [[qHardNegatives]]: for each anchor, its positive (nearest same-label
+    * non-self vector — the retrieval target a bi-encoder should pull
+    * close) paired with its top-3 hard negatives (nearest different-label
+    * — the ones it must push away). One scored pass over the store
+    * (broadcast anchors, codegen distance, store never shuffles) feeds
+    * BOTH selections: the positive is a bounded heap at k=1 over
+    * same-label pairs, the negatives a k=3 heap over different-label
+    * pairs, joined on the anchor — output is 3 rows per anchor, the
+    * (anchor, positive, negative) triple file a contrastive trainer
+    * consumes. */
+  private val qTrainingTriples = Q("q_training_triples",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val st = emb.select(col("vec_id").as("id"),
+        col("embedding").as("vector"), col("label"))
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("qvector"), col("label").as("qlabel"))
+      val d = cosine_distance(col("vector"), col("qvector"))
+      val pairs = st.crossJoin(broadcast(q))
+        .where(col("id") =!= col("query_id"))
+        .select(col("query_id"), col("id"), col("label"), col("qlabel"),
+          greatest(d, lit(0.0)).as("dist"))
+      val pos = graft.functions.TopK.topKPerGroup(
+          pairs.where(col("label") === col("qlabel"))
+            .select("query_id", "id", "dist"),
+          Seq("query_id"), "id", "dist", 1)
+        .select(col("query_id"), col("id").as("pos_id"),
+          round(col("dist"), 6).as("pos_dist"))
+      val neg = graft.functions.TopK.topKPerGroup(
+          pairs.where(col("label") =!= col("qlabel"))
+            .select("query_id", "id", "dist"),
+          Seq("query_id"), "id", "dist", 3)
+        .select(col("query_id"), col("id").as("neg_id"),
+          round(col("dist"), 6).as("neg_dist"),
+          col("rank").as("neg_rank"))
+      pos.join(neg, "query_id")
+        .select(col("query_id"), col("pos_id"), col("pos_dist"),
+          col("neg_id"), col("neg_dist"), col("neg_rank"))
+        .orderBy("query_id", "neg_rank")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS id, s.label,
+               q.label AS qlabel,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5 AND s.vec_id <> q.vec_id),
+      pos AS (
+        SELECT query_id, id AS pos_id, round(d, 6) AS pos_dist
+        FROM (SELECT query_id, id, d,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, id) AS r
+              FROM pairs WHERE label = qlabel)
+        WHERE r = 1),
+      neg AS (
+        SELECT query_id, id AS neg_id, round(d, 6) AS neg_dist,
+               r AS neg_rank
+        FROM (SELECT query_id, id, d,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY d, id) AS r
+              FROM pairs WHERE label <> qlabel)
+        WHERE r <= 3)
+      SELECT query_id, pos_id, pos_dist, neg_id, neg_dist, neg_rank
+      FROM pos JOIN neg USING (query_id)
+      ORDER BY query_id, neg_rank
+    """))
+
   /** NN-descent's walk in its provably-exhaustive mode
     * ([[NnDescentStrategy.queryExhaustive]]: beam seeded with every node) —
     * the second graph-family oracle anchor, pinning the PYNNDESCENT-family
@@ -1112,6 +1182,6 @@ object QueriesVector {
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
-    qHardNegatives, qIvfPartitionedKnn,
+    qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
     qEvaluate)
 }
