@@ -141,6 +141,53 @@ class ScaleDesignSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the runtime half of the skew story (salting above is the static
+    // half): a join keyed 90% to one value lands that key's rows in one
+    // shuffle partition; with AQE skew handling the oversized partition
+    // is split into multiple reader tasks WITHOUT changing results —
+    // the knob a 100 TB job relies on when the hot key isn't known ahead
+    // of time. Thresholds are lowered so the ~MB-scale test fixture
+    // crosses them; production defaults (256 MB) scale the same way.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> scala.util.Try(Option(conf.get(k))).toOption.flatten)
+      .toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val fact = spark.range(120000)
+        .select(when($"id" % 10 === 0, lit(0L)).otherwise($"id" % 97).as("k"),
+          concat(lit("v"), $"id".cast("string"),
+            lit("x" * 64)).as("payload"))
+      val dim = spark.range(97).select($"id".as("k"),
+        concat(lit("d"), $"id".cast("string")).as("name"))
+      val joined = fact.join(dim, "k")
+        // aggregate READS payload so column pruning cannot strip the wide
+        // column whose bytes make the hot partition skewed
+        .agg(count(lit(1)).as("n"), sum(length($"payload")).as("bytes"))
+      // execute THIS dataframe so its adaptive plan is final — a separate
+      // .count() action would plan (and skew-split) its own query instead
+      val n = joined.collect()(0).getLong(0)
+      assert(n == 120000L, s"skew-split join changed the row count: $n")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") ||
+        plan.toLowerCase.contains("skewed"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("disk-resident IVF serving prunes unprobed cell partitions") {
     import graft.index.IvfStrategy
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
