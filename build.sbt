@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g sized for the 117-query surface at local[32]/sf0.1 (the host has
+  // 128 GiB): at 8g the bench JVM GC-churned through the cached stores +
+  // registry indexes and the most job-dense query (q_evaluate) absorbed
+  // 1-2 s of collector pressure per run; 8g -> 16g -> 24g measured
+  // 55.5 -> 51.6 -> 49.1 s totals on the same binary (BENCH_NOTES r11)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
