@@ -1057,6 +1057,35 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** The disk path's RANGE-SEARCH sibling ([[qIvfPartitionedKnn]] pins
+    * top-k): q_ivf_radius_exact's euclidean radius-1.2 search served from
+    * the cell-partitioned parquet layout at nprobe = nlist — exact, so the
+    * same oracle pins the FAISS strict-`<` threshold plumbing THROUGH the
+    * partitioned write/read round trip. One disk layout serves both query
+    * shapes. */
+  private val qIvfPartitionedRadius = Q("q_ivf_partitioned_radius",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivf16x16-euclidean")(
+        IvfStrategy(Metric.Euclidean, nlist = 16, nprobe = 16))
+      val path = diskIvfPath(s, dir, "ivf16x16-euclidean", strat, prepared)
+      strat.asInstanceOf[IvfStrategy].queryThresholdFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some("""
+      SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+             round(list_distance(CAST(s.embedding AS DOUBLE[]),
+                                 CAST(q.embedding AS DOUBLE[])), 6) AS dist
+      FROM embeddings s, embeddings q
+      WHERE q.vec_id < 5
+        AND list_distance(CAST(s.embedding AS DOUBLE[]),
+                          CAST(q.embedding AS DOUBLE[])) < 1.2
+      ORDER BY query_id, neighbor_id
+    """))
+
   /** Hard-negative mining — the contrastive-training data op (e.g. DPR,
     * Karpukhin et al. 2020: the strongest negatives are the nearest
     * vectors that are NOT positives): for each query, the top-10 nearest
@@ -1183,5 +1212,6 @@ object QueriesVector {
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
+    qIvfPartitionedRadius,
     qEvaluate)
 }

@@ -161,6 +161,19 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     query(pruned, queries, k)
   }
 
+  /** [[queryFromDisk]] for the range-search entry point: same
+    * partition-pruned scan, same FAISS strict-`<` threshold semantics as
+    * [[queryThreshold]] — the disk-resident index serves BOTH query
+    * shapes through one layout. */
+  def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    val pruned = spark.read.parquet(path)
+      .where(col("_centroid").isInCollection(probeCells(queries)))
+    queryThreshold(pruned, queries, threshold, maxK)
+  }
+
   /** distinct union of every query's nprobe nearest cells — the static
     * pruning predicate for strategies that compose over IVF cells */
   def probeCells(queries: DataFrame): Seq[Int] = {
