@@ -36,6 +36,45 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq === Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
   }
 
+  test("late data beyond the watermark is DROPPED, not silently merged") {
+    // the watermark's other half: the windowed-counts test shows it
+    // CLOSES windows; this shows it also discards events arriving after
+    // their window's watermark passed — the bounded-state guarantee a
+    // 100 TB stream relies on (state cannot grow to hold every window
+    // forever just in case a straggler shows up)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.windowedEventCounts(input.toDF(), "1 hour", "2 hours")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_drop").start()
+    input.addData(Ev(ts(0), "click", 1.0, 1), Ev(ts(10), "click", 2.0, 2))
+    q.processAllAvailable()
+    // advance the watermark past the 10:00 window (event time 14:00,
+    // watermark delay 2h -> watermark 12:00 > window end 11:00)
+    input.addData(Ev(java.sql.Timestamp.valueOf("2026-01-01 14:00:00"),
+      "view", 5.0, 3))
+    q.processAllAvailable()
+    val closed = spark.table("late_drop")
+      .where($"event_type" === "click").collect()
+    assert(closed.length == 1, "the 10:00 click window should have closed")
+    // a straggler for the long-closed 10:00 window: must NOT re-open it,
+    // must NOT appear in any later emission
+    input.addData(Ev(ts(30), "click", 100.0, 4))
+    q.processAllAvailable()
+    // close the remaining window so every retained row has been emitted
+    input.addData(Ev(java.sql.Timestamp.valueOf("2026-01-01 20:00:00"),
+      "view", 0.0, 5))
+    q.processAllAvailable()
+    val clicks = spark.table("late_drop")
+      .where($"event_type" === "click")
+      .select("n", "sum_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    q.stop()
+    // still exactly the pre-straggler aggregate: 2 clicks summing 3.0
+    assert(clicks.toSeq === Seq((2L, 3.0)),
+      s"late click leaked into the closed window: ${clicks.toSeq}")
+  }
+
   test("streaming sessionization: gap splits sessions, watermark closes them") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
