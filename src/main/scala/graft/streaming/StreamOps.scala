@@ -198,6 +198,27 @@ object StreamOps {
       }
       .start()
 
+  /** [[bloomOnIngest]] for the bottom-k order sketch
+    * ([[graft.prep.BottomK]]): each micro-batch writes ITS OWN bottom-k
+    * (<= k rows) as a generation; the running sketch
+    * ([[graft.prep.BottomK.loadState]]) is the bottom-k over all
+    * generations. Replay-safe twice over: a replayed batch overwrites
+    * only its own `_batch` partition, and the merge dedups on the key
+    * hash — so the live quantile estimate is exactly-once without any
+    * transactional machinery (spec-pinned). */
+  def sampleOnIngest(itemStream: DataFrame, keyCol: String,
+      valueCol: String, statePath: String, checkpointDir: String,
+      k: Int = 200) =
+    itemStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.prep.BottomK.saveGeneration(
+          graft.prep.BottomK.sketch(batch, keyCol, valueCol, k),
+          statePath, s"stream-$batchId")
+        ()
+      }
+      .start()
+
   def appendVectorsToIndex(vectorStream: DataFrame, indexDir: String,
       checkpointDir: String) =
     vectorStream.writeStream

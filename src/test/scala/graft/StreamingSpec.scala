@@ -400,4 +400,35 @@ class StreamingSpec extends SparkSpec {
     assert(batchBuild.except(streamed).count() == 0)
     Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
   }
+
+  test("streaming bottom-k maintenance: the live quantile sample tracks ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.prep.BottomK
+    val k = 16
+    val path = java.nio.file.Files.createTempDirectory("graft_bk").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bkc").toString
+    val batches = Seq(
+      (1L to 40L).map(i => (i, i * 3)),
+      (41L to 80L).map(i => (i, i * 3)),
+      (1L to 10L).map(i => (i, i * 3))) // batch 2 REPLAYS batch-0 keys
+    val input = MemoryStream[(Long, Long)]
+    val q = StreamOps.sampleOnIngest(
+      input.toDF().toDF("id", "v"), "id", "v", path, ckpt, k)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (b <- batches) {
+      input.addData(b: _*)
+      q.processAllAvailable()
+      seen ++= b
+      // mid-stream: the running sketch == one-shot batch sketch over
+      // everything committed so far (replayed keys change nothing —
+      // same key, same hash, deduped in the merge)
+      val state = BottomK.loadState(spark, path, k)
+      val batchMode = BottomK.sketch(
+        seen.distinct.toSeq.toDF("id", "v"), "id", "v", k)
+      assert(state.except(batchMode).count() == 0
+        && batchMode.except(state).count() == 0)
+    }
+    q.stop()
+    Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
+  }
 }
