@@ -632,6 +632,29 @@ object QueriesVector {
     },
     Some(sq8QuantRadiusOracle(5, 1.2)))
 
+  /** The QUANTIZED disk-serving anchor: q_ivfsq8_radius's scan served
+    * from the cell-partitioned parquet layout
+    * ([[IvfSq8Strategy.queryFromDisk]] family) at nprobe = nlist — the
+    * prune drops nothing, so the same quantized-replica oracle pins the
+    * full write/read round trip of the CODES (byte-array parquet
+    * round-trip, partition-column recovery, range sidecars) — the layout
+    * where disk serving's I/O arithmetic lands: partition-pruned rows ×
+    * column-pruned bytes (the scan reads `(id, _codes)`, never the raw
+    * vectors — spec-asserted on ReadSchema in ScaleDesignSpec). */
+  val qIvfSq8PartitionedRadius = Q("q_ivfsq8_partitioned_radius",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfsq8x16-euclidean")(
+        mkIvfSq8(s, dir, Metric.Euclidean, nprobe = 16))
+      val path = diskIvfPath(s, dir, "ivfsq8x16-euclidean", strat, prepared)
+      strat.asInstanceOf[IvfSq8Strategy].queryThresholdFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(sq8QuantRadiusOracle(5, 1.2)))
+
   /** ANN top-k via the NN-descent graph index (B4, the genuine graph-based
     * family member — `NnDescentStrategy`): kNN graph built as an iterative
     * DataFrame job, queried with a batched beam walk. Approximate by
@@ -1207,6 +1230,7 @@ object QueriesVector {
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
+    qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn,
     qNndescentKnn,

@@ -68,6 +68,33 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     ivf.writeIndex(prepared, path)
 
+  /** Disk-resident serving for the QUANTIZED index — the layout where the
+    * 100 TB I/O arithmetic actually lands: the scan is partition-pruned
+    * to the probed cells (like [[IvfStrategy.queryFromDisk]]) AND
+    * column-pruned to `(id, _codes)` by the quantized kernel's
+    * projection, so a probe reads ~nprobe/nlist of the rows at ~1 byte
+    * per dimension instead of 8 (spec asserts the scan's ReadSchema
+    * carries no raw `vector` column on the no-rerank paths). The rerank
+    * variant reads the raw vectors of the probed cells in a SECOND,
+    * survivor-joined pass — the refine step pays full-precision I/O only
+    * for candidates. */
+  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(ivf.isTrained && sq.isTrained,
+      "IvfSq8Strategy.prepare must run before query")
+    query(spark.read.parquet(path), queries, k)
+  }
+
+  /** [[queryFromDisk]] for the range-search entry point: same pruned
+    * quantized scan, same FAISS strict-`<` masked-distance semantics. */
+  def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    require(ivf.isTrained && sq.isTrained,
+      "IvfSq8Strategy.prepare must run before query")
+    queryThreshold(spark.read.parquet(path), queries, threshold, maxK)
+  }
+
   /** rows actually scored = rows in the probed cells (same cells as the
     * inner IVF — quantization changes bytes per row, not rows) */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =

@@ -174,6 +174,54 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     queryThreshold(pruned, queries, threshold, maxK)
   }
 
+  /** Partition-scoped DELETE on the disk-resident layout — the maintenance
+    * op completing the serving story (append: `StreamOps.appendVectorsToIndex`,
+    * compact: `StreamOps.compactIndex`, query/range: [[queryFromDisk]] /
+    * [[queryThresholdFromDisk]]): remove rows by id, rewriting ONLY the
+    * cells that contain them. Deletes arrive as `(id, vector)` — codebook
+    * assignment is deterministic, so each delete's cell is COMPUTED from
+    * its vector, never searched: no full-index scan, the read is
+    * partition-pruned to the affected cells exactly like a query. At
+    * 100 TB a delete batch touching c cells rewrites c/nlist of the index
+    * and reads nothing else. Survivors land in a temp layout and swap in
+    * per cell directory (the `compactIndex` idiom — never an in-place
+    * overwrite of a path being read), which also handles the edge dynamic
+    * partition overwrite silently skips: a cell emptied by the delete is
+    * removed outright. Returns the number of rows removed. */
+  def deleteFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      deletes: DataFrame): Long = {
+    require(centroids != null, "IvfStrategy.prepare must run before delete")
+    val del = maybeNormalize(deletes, "vector")
+      .select(col("id"),
+        nearestCentroidsUdf(centroids, 1)(col("vector")).getItem(0)
+          .as("_cell"))
+    val cells = del.select("_cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (cells.isEmpty) 0L
+    else {
+      val affected = spark.read.parquet(path)
+        .where(col("_centroid").isInCollection(cells)).cache()
+      val before = affected.count()
+      val survivors = affected.join(del.select("id"), Seq("id"), "left_anti")
+        .cache()
+      // count BEFORE the swap (affected is cached, survivors too — and an
+      // all-deleted cell leaves tmp with no data files to read back)
+      val after = survivors.count()
+      val tmp = path + ".delete.tmp"
+      survivors.write.mode("overwrite").partitionBy("_centroid").parquet(tmp)
+      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
+        spark.sparkContext.hadoopConfiguration)
+      cells.foreach { c =>
+        val dst = new org.apache.hadoop.fs.Path(s"$path/_centroid=$c")
+        fs.delete(dst, true)
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/_centroid=$c")
+        if (fs.exists(src)) fs.rename(src, dst)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      affected.unpersist(); survivors.unpersist()
+      before - after
+    }
+  }
+
   /** distinct union of every query's nprobe nearest cells — the static
     * pruning predicate for strategies that compose over IVF cells */
   def probeCells(queries: DataFrame): Seq[Int] = {

@@ -230,4 +230,106 @@ class ScaleDesignSpec extends SparkSpec {
       "probe predicate did not reach the scan as a partition filter")
     prepared.unpersist()
   }
+
+  test("disk-resident IVF delete rewrites only the affected cell partitions") {
+    import graft.index.IvfStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 16)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfdel")
+    val path = root.resolve("index").toString
+    strat.writeIndex(prepared, path)
+
+    def cellFiles(): Map[String, Set[String]] = {
+      val d = new java.io.File(path)
+      d.listFiles().filter(f => f.isDirectory && f.getName.startsWith("_centroid="))
+        .map(f => f.getName -> f.listFiles().map(_.getName)
+          .filterNot(_.startsWith("_")).toSet).toMap
+    }
+    val filesBefore = cellFiles()
+
+    // delete a 10-row batch by (id, vector) — cells are COMPUTED from the
+    // vectors, and only those cell dirs may change
+    val delRows = store.where($"id" >= 10 && $"id" < 20)
+    val delCells = prepared.where($"id" >= 10 && $"id" < 20)
+      .select("_centroid").distinct().collect().map(_.getInt(0))
+      .map(c => s"_centroid=$c").toSet
+    val removed = strat.deleteFromDisk(spark, path, delRows)
+    assert(removed == 10L, s"expected 10 rows removed, got $removed")
+
+    val filesAfter = cellFiles()
+    // untouched cells keep their exact file sets (no full-index rewrite)
+    filesBefore.keys.filterNot(delCells).foreach { cell =>
+      assert(filesAfter(cell) == filesBefore(cell),
+        s"unaffected $cell was rewritten")
+    }
+    // nprobe = nlist: serving the layout is now provably exact over the
+    // surviving store
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val fromDisk = strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+    val survivors = strat.prepare(
+      store.where($"id" < 10 || $"id" >= 20)).cache()
+    val expected = strat.query(survivors, queries, 10).collect().toSet
+    assert(fromDisk === expected)
+
+    // emptied-cell edge: delete EVERY remaining row of one cell — dynamic
+    // overwrite would silently skip an empty partition; the swap must
+    // remove the directory outright
+    val someCell = survivors.select($"_centroid").head.getInt(0)
+    val cellRows = store.join(
+      survivors.where($"_centroid" === someCell).select("id"), Seq("id"))
+    val emptied = strat.deleteFromDisk(spark, path, cellRows)
+    assert(emptied > 0)
+    assert(!cellFiles().keySet.contains(s"_centroid=$someCell"),
+      s"emptied cell _centroid=$someCell still has a directory")
+    prepared.unpersist(); survivors.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("quantized disk serving scans probed cells only, and never the raw vectors") {
+    import graft.index.IvfSq8Strategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfSq8Strategy(graft.core.Metric.Euclidean, nlist = 16,
+      nprobe = 4, rerank = false)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfsq8disk")
+    val path = root.resolve("index").toString
+    strat.writeIndex(prepared, path)
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    // identical to the in-memory quantized path at the same nprobe
+    val fromDisk = strat.queryFromDisk(spark, path, queries, 10)
+    val mem = strat.query(prepared, queries, 10).collect().toSet
+    assert(fromDisk.collect().toSet === mem)
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val indexScans = fileScans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("_centroid"))
+    assert(indexScans.nonEmpty, "no partitioned scan of the disk index found")
+    // partition-pruned: rows read ~ nprobe/nlist of the cells
+    val scanned = indexScans.map(_.selectedPartitions.partitionCount).sum
+    assert(scanned < 16, s"quantized disk scan read all $scanned cells")
+    // column-pruned: the quantized kernel projects (id, _codes); the raw
+    // 8-byte-per-dim vector column must never be read from storage —
+    // THIS is the 4x I/O claim of SQ8 serving, visible in ReadSchema
+    indexScans.foreach { sc =>
+      val readCols = sc.requiredSchema.fieldNames.toSet
+      assert(readCols.contains("_codes"), s"scan missing codes: $readCols")
+      assert(!readCols.contains("vector"),
+        s"quantized disk scan reads raw vectors: $readCols")
+    }
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
