@@ -4,7 +4,13 @@ import org.apache.spark.sql.SparkSession
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (local dev
+    // loop — run ONE query + its oracle instead of the full surface;
+    // the driver always passes exactly two args)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, c) => (a, b, Some(c.split(",").toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -14,7 +20,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter(kv => names(kv._1)))
+    selected.foreach { case (name, fn) =>
       // remove any stale dump first: a failed query must not leave a
       // previous run's output behind for the comparer to pick up
       val dest = new java.io.File(s"$outDir/$name")
@@ -25,7 +33,9 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    VerifyIO.writeOracleJson(outDir, SparkEntry.oracleSql)
+    VerifyIO.writeOracleJson(outDir,
+      only.fold(SparkEntry.oracleSql)(names =>
+        SparkEntry.oracleSql.filter(kv => names(kv._1))))
     spark.stop()
   }
 }
