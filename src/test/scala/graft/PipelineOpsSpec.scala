@@ -1095,6 +1095,103 @@ class PipelineOpsSpec extends SparkSpec {
     filter.unpersist()
   }
 
+  test("bottom-k sketch: bounded, mergeable, replay-idempotent, plan is bounded selection") {
+    import spark.implicits._
+    import graft.prep.BottomK
+    val k = 64
+    val rows = (1L to 1000L).map(i => (i, i % 97)).toDF("id", "v")
+    val sk = BottomK.sketch(rows, "id", "v", k).cache()
+    // bounded by construction
+    assert(sk.count() == k)
+    // the sketch IS the k smallest hashes (brute-force cross-check)
+    val brute = rows.select(BottomK.hashOf(col("id")).as("hv"),
+        col("v").cast("long").as("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(identity).take(k).toSet
+    assert(sk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == brute)
+    // mergeability: bottom-k(A ∪ B) == merge(bottom-k(A), bottom-k(B))
+    val a = BottomK.sketch(rows.where(col("id") <= 500), "id", "v", k)
+    val b = BottomK.sketch(rows.where(col("id") > 500), "id", "v", k)
+    val merged = BottomK.merge(a, b, k)
+    assert(merged.except(sk).count() == 0 && sk.except(merged).count() == 0)
+    // replay idempotence: re-observing the same sketch changes nothing
+    val replayed = BottomK.merge(sk, sk, k)
+    assert(replayed.except(sk).count() == 0
+      && sk.except(replayed).count() == 0)
+    // plan: the k-smallest selection is TakeOrderedAndProject (bounded
+    // per-partition heap + k-row merge), never a global Sort
+    val plan = BottomK.sketch(rows, "id", "v", k)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // quantile estimates land within the sample's resolution: with v
+    // uniform over 0..96, every estimated quantile must itself be a
+    // value that occurs (type-1 selection) and be ordered in p
+    val qs = BottomK.quantiles(sk, Seq(0.1, 0.5, 0.9))
+      .orderBy("p").collect().map(_.getLong(1))
+    assert(qs.sorted.sameElements(qs), "quantile estimates must be monotone in p")
+    sk.unpersist()
+  }
+
+  test("incremental clusters == batch clustering, history edges never re-walked") {
+    import spark.implicits._
+    import graft.prep.Dedup
+    // history: two clusters {1,2,3} (label 1) and {10,11} (label 10), and
+    // an untouched cluster {20,21} that the batch never reaches
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("i", "j")
+    val assignments = Dedup.connectedComponents(oldEdges)
+    // new batch: node 30 bridges BOTH old clusters (the adversarial merge
+    // case — two persisted labels must collapse to the global min), plus
+    // a brand-new pair (40,41)
+    val newEdges = Seq((3L, 30L), (30L, 10L), (40L, 41L)).toDF("i", "j")
+    val inc = Dedup.incrementalClusters(assignments, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val batch = Dedup.connectedComponents(oldEdges.union(newEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc === batch)
+    // the merged component's label is the global min across BOTH old
+    // clusters and the bridge node
+    assert(inc(30L) == 1L && inc(11L) == 1L && inc(3L) == 1L)
+    // untouched clusters keep their labels; the new pair labels itself
+    assert(inc(20L) == 20L && inc(21L) == 20L && inc(41L) == 40L)
+    // replay idempotence: folding the same batch in again changes nothing
+    val replayed = Dedup.incrementalClusters(
+      Dedup.incrementalClusters(assignments, newEdges), newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replayed === batch)
+  }
+
+  test("hash-embed knn: 16-dim count vectors, self at rank 1, permutation-stable") {
+    val res = QueriesPipeline.qHashEmbedKnn.fn(spark, dir).collect()
+    // each of the 3 query docs retrieves itself first at distance 0
+    // (cosine of a vector with itself), the basic sanity of any embedder
+    val self = res.filter(r => r.getLong(0) == r.getLong(1))
+    assert(self.length == 3)
+    assert(self.forall(r => r.getLong(3) == 1L && r.getDouble(2) == 0.0))
+    // hashed-count vectors: 16 dims, entries sum to the doc's word count
+    // (the hashing trick loses WHICH word, never HOW MANY)
+    import graft.prep.{TextFunctions => TF}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val d = 16
+    val vecs = docs
+      .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+      .withColumn("b",
+        pmod(conv(substring(md5(col("w").cast("binary")), 1, 6), 16, 10)
+          .cast("long"), lit(d.toLong)))
+      .groupBy("doc_id")
+      .agg(array((0 until d).map(b =>
+        sum(when(col("b") === b, lit(1L)).otherwise(lit(0L)))
+          .cast("double")): _*).as("vec"))
+    val checked = vecs.join(
+        docs.select(col("doc_id"), TF.wordCount(col("text")).as("n")),
+        "doc_id")
+      .where(size(col("vec")) =!= d ||
+        aggregate(col("vec"), lit(0.0), (acc, x) => acc + x) =!=
+          col("n").cast("double"))
+    assert(checked.count() == 0)
+  }
+
   test("span contamination agrees with gram contamination on WHICH docs leak") {
     // a doc has a leaking 5-gram SPAN iff it shares a 5-gram with the
     // benchmark — the two decontamination views must flag the same docs
