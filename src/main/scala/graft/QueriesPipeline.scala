@@ -1318,6 +1318,97 @@ object QueriesPipeline {
       ORDER BY query_id, rank
     """))
 
+  /** Per-GROUP quantiles through the bottom-k sketch — the curation
+    * dashboard op ("p50/p90 token count per language") built by reusing
+    * the kNN TopK bounded heap as a PER-GROUP SAMPLER: bottom-64 by key
+    * hash within each lang is `TopK.topKPerGroup` ordered by (hv, id) —
+    * one partial-aggregated heap pass, k·|groups| rows out, never a
+    * per-group sort — then the sampled members fetch their values by a
+    * sample-sized join and pack into per-group sorted arrays. The exact
+    * anchor uses the lang-PARTITIONED rank window (allowed by the
+    * surface net — it is the global window that kills at scale). One
+    * primitive (the bounded heap) now serves knn top-k, per-group
+    * sampling, and the global sketch's TakeOrderedAndProject is its
+    * degenerate single-group case. */
+  val qGroupQuantileSketch = Q("q_group_quantile_sketch",
+    (s, dir) => {
+      import graft.functions.TopK
+      val ps = Seq(0.5, 0.9)
+      val vals = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TF.wordCount(col("text")).cast("long").as("value"))
+        .cache()
+      val sampled = TopK.topKPerGroup(
+        vals.select(col("lang"), col("doc_id"),
+          BottomK.hashOf(col("doc_id")).cast("double").as("hv")),
+        Seq("lang"), "doc_id", "hv", 64)
+      val approx = sampled.join(vals.select("doc_id", "value"), "doc_id")
+        .groupBy("lang").agg(sort_array(collect_list(col("value"))).as("_s"))
+        .select(col("lang"), explode(array(ps.map(lit(_)): _*)).as("p"),
+          col("_s"))
+        .select(col("lang"), col("p"),
+          element_at(col("_s"),
+            (floor(col("p") * (size(col("_s")) - 1)) + 1).cast("int"))
+            .as("approx"),
+          size(col("_s")).cast("long").as("ns"))
+      val byVal = Window.partitionBy("lang").orderBy("value", "doc_id")
+      val whole = Window.partitionBy("lang")
+      val exact = vals
+        .withColumn("rn", row_number().over(byVal).cast("long"))
+        .withColumn("n", count(lit(1)).over(whole))
+        .select(col("lang"), col("n"), col("rn"), col("value"),
+          explode(array(ps.map(lit(_)): _*)).as("p"))
+        .where(col("rn") ===
+          (floor(col("p") * (col("n") - 1)) + 1).cast("long"))
+        .select(col("lang"), col("p"), col("value").as("exact"), col("n"))
+      approx.join(exact, Seq("lang", "p"))
+        .select(col("lang"), col("p"), col("approx"), col("exact"),
+          abs(col("approx") - col("exact")).as("abs_err"),
+          col("ns"), col("n"))
+        .orderBy("lang", "p")
+    },
+    Some("""
+      WITH v AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS value
+        FROM documents),
+      h AS (
+        SELECT doc_id, lang, value,
+               list_reduce(list_transform(range(1, 13),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))[i])
+                      AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) AS hv
+        FROM v),
+      sampled AS (
+        SELECT lang, value FROM (
+          SELECT lang, value,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY hv, doc_id) AS srn
+          FROM h) WHERE srn <= 64),
+      sarr AS (SELECT lang, list_sort(list(value)) AS s, count(*) AS ns
+               FROM sampled GROUP BY 1),
+      ps(p) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+      approx AS (
+        SELECT lang, p, s[CAST(floor(p * (ns - 1)) AS BIGINT) + 1] AS approx,
+               CAST(ns AS BIGINT) AS ns
+        FROM sarr, ps),
+      r AS (
+        SELECT lang, value,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY value, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM v),
+      exact AS (
+        SELECT lang, p, value AS exact, CAST(n AS BIGINT) AS n
+        FROM r, ps
+        WHERE rn = CAST(floor(p * (n - 1)) AS BIGINT) + 1)
+      SELECT a.lang, a.p, a.approx, e.exact,
+             abs(a.approx - e.exact) AS abs_err, a.ns, e.n
+      FROM approx a JOIN exact e USING (lang, p)
+      ORDER BY lang, p
+    """))
+
   // --------------------------------------------------------- q_dsir_weights
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw document
@@ -1765,7 +1856,7 @@ object QueriesPipeline {
   val all: Seq[Q] = Seq(qDedupClusters, qIncrementalClusters, qSnapshotDiff,
     qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct,
-    qQuantileSketch, qHashEmbedKnn, qCube,
+    qQuantileSketch, qGroupQuantileSketch, qHashEmbedKnn, qCube,
     qVocab,
     qNormalizeText,
     qPackChunks,
