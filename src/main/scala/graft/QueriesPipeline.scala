@@ -1157,6 +1157,68 @@ object QueriesPipeline {
       FROM e, x
     """))
 
+  /** [[qHllDistinct]] per GROUP ([[prep.HyperLogLog.registersBy]]):
+    * distinct 2-gram cardinality PER SOURCE from one bounded hash
+    * aggregate keyed on (source, bucket) — m·|sources| register rows
+    * total, the constant-size answer to "how diverse is each feed"
+    * that q_vocab answers exactly. Exact anchors and the per-group
+    * error band ride alongside (same stance as the global sketch: at
+    * 100 TB the exact column disappears). Registers are fed from the
+    * same cached distinct table the anchor needs — HLL is
+    * repetition-blind, so the estimate is identical either way. */
+  val qHllBySource = Q("q_hll_by_source",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TF.shinglesOfWordsAll(TF.words(col("text")), 2)).as("g"))
+        .distinct().cache()
+      val est = HyperLogLog.estimateBy(
+        HyperLogLog.registersBy(grams, "g", "source"), "source")
+      val exact = grams.groupBy("source")
+        .agg(count(lit(1)).cast("long").as("exact"))
+      est.join(exact, "source")
+        .select(col("source"), col("exact"), round(col("est"), 2).as("est"),
+          round(abs(col("est") - col("exact").cast("double"))
+            / col("exact").cast("double"), 6).as("rel_err"))
+        .orderBy("source")
+    },
+    Some("""
+      WITH g0 AS (
+        SELECT source, unnest(list_transform(
+                 range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1])) AS g
+        FROM documents),
+      g AS (SELECT DISTINCT source, g FROM g0),
+      h AS (
+        SELECT source,
+               list_reduce(list_transform(range(1, 13),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(g), 1, 12))[i]) AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) AS hv
+        FROM g),
+      b AS (SELECT source, hv // 4398046511104 AS bucket,
+                   hv % 4398046511104 AS w FROM h),
+      r AS (SELECT source, bucket,
+                   max(CASE WHEN w = 0 THEN CAST(43 AS BIGINT)
+                            ELSE 43 - length(bin(w)) END) AS r
+            FROM b GROUP BY 1, 2),
+      s AS (SELECT source,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(43 - r AS INTEGER))
+                     AS BIGINT)
+                   + (64 - count(*)) * 8796093022208 AS s
+            FROM r GROUP BY 1),
+      e AS (SELECT source, (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   * 8796093022208.0 / CAST(s AS DOUBLE) AS est FROM s),
+      x AS (SELECT source, CAST(count(*) AS BIGINT) AS exact
+            FROM g GROUP BY 1)
+      SELECT e.source, x.exact, round(e.est, 2) AS est,
+             round(abs(e.est - CAST(x.exact AS DOUBLE))
+                   / CAST(x.exact AS DOUBLE), 6) AS rel_err
+      FROM e JOIN x USING (source)
+      ORDER BY source
+    """))
+
   /** Token-count quantiles through the bottom-k order sketch
     * ([[prep.BottomK]]; Cohen & Kaplan 2007) — the ORDER-STATISTICS
     * member completing the running-sketch family (count-min:
@@ -1855,7 +1917,7 @@ object QueriesPipeline {
 
   val all: Seq[Q] = Seq(qDedupClusters, qIncrementalClusters, qSnapshotDiff,
     qTfidf, qRepetition, qSampleHash,
-    qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct,
+    qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct, qHllBySource,
     qQuantileSketch, qGroupQuantileSketch, qHashEmbedKnn, qCube,
     qVocab,
     qNormalizeText,

@@ -53,6 +53,37 @@ object HyperLogLog {
   def merge(a: DataFrame, b: DataFrame): DataFrame =
     a.union(b).groupBy("bucket").agg(max("r").as("r"))
 
+  /** [[registers]] per GROUP: one bounded hash aggregate keyed on
+    * (group, bucket) — at most m rows per group, so the whole register
+    * table is m·|groups| no matter the stream size. The per-group
+    * composition of the sketch family (the grouped sibling of the
+    * bottom-k group sampler). */
+  def registersBy(items: DataFrame, itemCol: String,
+      groupCol: String): DataFrame = {
+    val hv = conv(substring(md5(col(itemCol).cast("binary")), 1, 12),
+      16, 10).cast("long")
+    items.select(col(groupCol), hv.as("hv"))
+      .select(col(groupCol), expr(s"hv div $low42").as("bucket"),
+        (col("hv") % low42).as("w"))
+      .select(col(groupCol), col("bucket"),
+        when(col("w") === 0, lit(43L))
+          .otherwise(lit(43L) - length(bin(col("w")))).as("r"))
+      .groupBy(col(groupCol), col("bucket")).agg(max("r").as("r"))
+  }
+
+  /** [[estimate]] per group over a [[registersBy]] table — same exact
+    * BIGINT register sum and single IEEE division per group. */
+  def estimateBy(regs: DataFrame, groupCol: String): DataFrame =
+    regs.groupBy(col(groupCol)).agg(
+        sum(expr("shiftleft(cast(1 as bigint), cast(43 - r as int))"))
+          .cast("long").as("sp"),
+        count(lit(1)).cast("long").as("nb"))
+      .select(col(groupCol),
+        (col("sp") + (lit(64L) - col("nb")) * lit(8796093022208L)).as("s"))
+      .select(col(groupCol),
+        (lit(0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+          * 8796093022208.0 / col("s").cast("double")).as("est"))
+
   /** Persist registers as one GENERATION of a snapshot directory —
     * same layout and replay story as [[CountMin.saveGeneration]] (max
     * merge is idempotent so HLL tolerates replay anyway; the uniform

@@ -1095,6 +1095,28 @@ class PipelineOpsSpec extends SparkSpec {
     filter.unpersist()
   }
 
+  test("grouped HLL: per-group registers bounded, each group == its own global sketch") {
+    import spark.implicits._
+    import graft.prep.HyperLogLog
+    val rows = (1 to 3000).map(i => (s"src-${i % 3}", s"item-${i % 700}"))
+      .toDF("source", "g")
+    val regs = HyperLogLog.registersBy(rows, "g", "source").cache()
+    // bounded: <= m registers per group
+    val oversized = regs.groupBy("source").count()
+      .where(col("count") > HyperLogLog.m)
+    assert(oversized.isEmpty)
+    // slicing commutes with sketching: the grouped estimate for one group
+    // equals the GLOBAL sketch of that group's slice
+    val grouped = HyperLogLog.estimateBy(regs, "source")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    Seq("src-0", "src-1", "src-2").foreach { src =>
+      val solo = HyperLogLog.estimate(HyperLogLog.registers(
+        rows.where(col("source") === src), "g")).collect()(0).getDouble(0)
+      assert(grouped(src) == solo, s"$src grouped != global-of-slice")
+    }
+    regs.unpersist()
+  }
+
   test("bottom-k sketch: bounded, mergeable, replay-idempotent, plan is bounded selection") {
     import spark.implicits._
     import graft.prep.BottomK
