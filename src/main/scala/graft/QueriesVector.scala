@@ -632,6 +632,28 @@ object QueriesVector {
     },
     Some(sq8QuantRadiusOracle(5, 1.2)))
 
+  /** The recall-vs-cost TUNING CURVE ([[IvfStrategy.nprobeCurve]]) —
+    * what a deployment actually reads before picking nprobe: recall@10
+    * and scanned-store fraction at nprobe ∈ {1,2,4,8,16} over the
+    * shared 16-cell build, from ONE scored kernel pass (the probe
+    * explode carries its probe rank; each smaller nprobe is a rank
+    * filter on the cached frame). Deterministic (seeded KMeans,
+    * canonical tie-breaks) but graded against in-engine exact truth,
+    * so rows-only like the other intrinsically-approximate surfaces;
+    * the curve's endpoints are spec-pinned instead (recall monotone,
+    * exactly 1.0 and scan_frac exactly 1.0 at nprobe = nlist). */
+  private val qIvfNprobeCurve = Q("q_ivf_nprobe_curve",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivf16x16")(
+        IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 16))
+      strat.asInstanceOf[IvfStrategy].nprobeCurve(prepared,
+        queriesDf(s, dir, 20)
+          .withColumn("qvector", col("qvector").cast("array<double>")),
+        10, Seq(1, 2, 4, 8, 16))
+        .orderBy("nprobe")
+    },
+    None)
+
   /** The QUANTIZED disk-serving anchor: q_ivfsq8_radius's scan served
     * from the cell-partitioned parquet layout
     * ([[IvfSq8Strategy.queryFromDisk]] family) at nprobe = nlist — the
@@ -1236,6 +1258,6 @@ object QueriesVector {
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
-    qIvfPartitionedRadius,
+    qIvfPartitionedRadius, qIvfNprobeCurve,
     qEvaluate)
 }

@@ -272,6 +272,71 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     if (total == null) 0L else total.asInstanceOf[Long]
   }
 
+  /** Recall-vs-cost tuning curve — the number a 100 TB deployment
+    * actually tunes: for each nprobe in `probes`, recall@k against the
+    * exact top-k and the fraction of the store scanned. ONE scored
+    * kernel pass at max(probes) serves every point: the probe explode
+    * carries its PROBE RANK (position in the query's nearest-cell
+    * list), so the candidate set at a smaller nprobe is a rank filter
+    * on the same cached frame — the sweep costs one scan plus
+    * per-point bounded selections, not |probes| scans. Deterministic
+    * end to end (seeded KMeans, canonical tie-breaks), so the curve is
+    * a stable artifact: recall is nondecreasing in nprobe and reaches
+    * exactly 1.0 at nprobe = nlist (spec-pinned), where scanned
+    * fraction reaches exactly 1. */
+  def nprobeCurve(prepared: DataFrame, queries: DataFrame, k: Int,
+      probes: Seq[Int]): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    require(probes.nonEmpty && k >= 1)
+    val ps = probes.distinct.sorted.map(p => math.min(p, centroids.length))
+    val q = maybeNormalize(queries, "qvector")
+    val qProbes = q.select(col("query_id"), col("qvector"),
+        posexplode(nearestCentroidsUdf(centroids, ps.max)(col("qvector"))))
+      .toDF("query_id", "qvector", "_rank", "_probe")
+    val d = metric match {
+      case Metric.Cosine =>
+        VectorFunctions.inner_product_distance(col("vector"), col("qvector"))
+      case m => VectorFunctions.distance(m)(col("vector"), col("qvector"))
+    }
+    val scored = prepared.join(broadcast(qProbes),
+        prepared("_centroid") === qProbes("_probe"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"),
+        col("_rank"))
+      .cache()
+    // ground truth needs the full store in the scored frame: demand the
+    // exact point in the sweep rather than silently grading against a
+    // pruned "truth"
+    require(ps.max == centroids.length,
+      s"probes must include nlist=${centroids.length} for exact ground truth")
+    val exact = TopK.topKPerGroup(
+        scored.select("query_id", "id", "dist"),
+        Seq("query_id"), "id", "dist", k)
+      .select(col("query_id"), col("id")).cache()
+    val nQ = q.select("query_id").distinct().count()
+    val nRows = prepared.count()
+    val cellSizes = prepared.groupBy("_centroid").count().cache()
+    // the sweep points are tiny (1 number each); materialize them eagerly
+    // on the cached scored frame, then free it
+    val points = ps.map { p =>
+      val hits = TopK.topKPerGroup(
+          scored.where(col("_rank") < p).select("query_id", "id", "dist"),
+          Seq("query_id"), "id", "dist", k)
+        .join(exact, Seq("query_id", "id"), "left_semi")
+        .count()
+      val scanned = qProbes.where(col("_rank") < p)
+        .join(cellSizes, qProbes("_probe") === cellSizes("_centroid"))
+        .agg(coalesce(sum("count"), lit(0L)))
+        .head.getLong(0)
+      (p.toLong, hits.toDouble / (nQ * k), scanned.toDouble / (nQ * nRows))
+    }
+    scored.unpersist(); exact.unpersist(); cellSizes.unpersist()
+    val spark = prepared.sparkSession
+    import spark.implicits._
+    points.toDF("nprobe", "recall", "scan_frac")
+      .select(col("nprobe"), round(col("recall"), 4).as("recall"),
+        round(col("scan_frac"), 6).as("scan_frac"))
+  }
+
   /** UNCAPPED within the probed cells — FAISS IVF is a range-search index,
     * so its threshold path ignores `max_k` entirely and returns every
     * candidate with `dist < threshold` (`faiss.py:18-23`, `175-183`). */

@@ -288,6 +288,34 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("nprobe tuning curve: recall monotone, exact endpoint, scan fraction reaches 1") {
+    import graft.index.IvfStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 16)
+    val prepared = strat.prepare(store).cache()
+    val queries = store.where($"id" < 10)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val curve = strat.nprobeCurve(prepared, queries, 10, Seq(1, 2, 4, 8, 16))
+      .orderBy("nprobe").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(curve.map(_._1).sameElements(Seq(1L, 2L, 4L, 8L, 16L)))
+    // recall and scanned fraction are nondecreasing in nprobe
+    assert(curve.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 && b._3 >= a._3 })
+    // the exact endpoint: probing every cell IS brute force
+    assert(curve.last._2 == 1.0, s"recall at nprobe=nlist: ${curve.last._2}")
+    assert(curve.last._3 == 1.0, s"scan_frac at nprobe=nlist: ${curve.last._3}")
+    // pruning is real: the smallest probe reads a small store fraction
+    assert(curve.head._3 < 0.5,
+      s"nprobe=1 scanned ${curve.head._3} of the store")
+    // demanding a sweep without the exact point is refused, not mis-graded
+    intercept[IllegalArgumentException] {
+      strat.nprobeCurve(prepared, queries, 10, Seq(1, 2))
+    }
+    prepared.unpersist()
+  }
+
   test("quantized disk serving scans probed cells only, and never the raw vectors") {
     import graft.index.IvfSq8Strategy
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
