@@ -311,30 +311,35 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     val exact = TopK.topKPerGroup(
         scored.select("query_id", "id", "dist"),
         Seq("query_id"), "id", "dist", k)
-      .select(col("query_id"), col("id")).cache()
-    val nQ = q.select("query_id").distinct().count()
-    val nRows = prepared.count()
-    val cellSizes = prepared.groupBy("_centroid").count().cache()
-    // the sweep points are tiny (1 number each); materialize them eagerly
-    // on the cached scored frame, then free it
-    val points = ps.map { p =>
-      val hits = TopK.topKPerGroup(
-          scored.where(col("_rank") < p).select("query_id", "id", "dist"),
-          Seq("query_id"), "id", "dist", k)
-        .join(exact, Seq("query_id", "id"), "left_semi")
-        .count()
-      val scanned = qProbes.where(col("_rank") < p)
-        .join(cellSizes, qProbes("_probe") === cellSizes("_centroid"))
-        .agg(coalesce(sum("count"), lit(0L)))
-        .head.getLong(0)
-      (p.toLong, hits.toDouble / (nQ * k), scanned.toDouble / (nQ * nRows))
-    }
-    scored.unpersist(); exact.unpersist(); cellSizes.unpersist()
-    val spark = prepared.sparkSession
-    import spark.implicits._
-    points.toDF("nprobe", "recall", "scan_frac")
-      .select(col("nprobe"), round(col("recall"), 4).as("recall"),
-        round(col("scan_frac"), 6).as("scan_frac"))
+      .select(col("query_id"), col("id"))
+    // ONE sweep job: every (pair, sweep point) with the pair's probe rank
+    // under the point's nprobe feeds a single bounded-heap pass grouped by
+    // (query, nprobe); hits and scan volumes aggregate per point
+    val pArr = array(ps.map(p => lit(p.toLong)): _*)
+    val swept = scored.withColumn("nprobe", explode(pArr))
+      .where(col("_rank") < col("nprobe"))
+    val hits = TopK.topKPerGroup(
+        swept.select("query_id", "nprobe", "id", "dist"),
+        Seq("query_id", "nprobe"), "id", "dist", k)
+      .join(exact, Seq("query_id", "id"), "left_semi")
+      .groupBy("nprobe").agg(count(lit(1)).as("_hits"))
+    val cellSizes = prepared.groupBy("_centroid").count()
+    val scanned = qProbes.withColumn("nprobe", explode(pArr))
+      .where(col("_rank") < col("nprobe"))
+      .join(cellSizes, qProbes("_probe") === cellSizes("_centroid"))
+      .groupBy("nprobe").agg(sum("count").as("_scanned"))
+    val nQ = q.agg(count(lit(1)).as("_nq"))
+    val nRows = prepared.agg(count(lit(1)).as("_nrows"))
+    // scanned has every sweep point (rank 0 < p always); a zero-hit point
+    // must still emit its row
+    scanned.join(hits, Seq("nprobe"), "left")
+      .withColumn("_hits", coalesce(col("_hits"), lit(0L)))
+      .crossJoin(nQ).crossJoin(nRows)
+      .select(col("nprobe"),
+        round(col("_hits").cast("double")
+          / (col("_nq") * k).cast("double"), 4).as("recall"),
+        round(col("_scanned").cast("double")
+          / (col("_nq") * col("_nrows")).cast("double"), 6).as("scan_frac"))
   }
 
   /** UNCAPPED within the probed cells — FAISS IVF is a range-search index,
