@@ -58,6 +58,40 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("multimodal near-dup: decoded features feed the embedding dedup kernel") {
+    // the multimodal -> dedup bridge: decode produces the same
+    // array<float> contract as the embeddings table, so media dedup IS
+    // embedding dedup over the decoded features — the threshold
+    // self-join kernel consumes them unchanged. What the STUB features
+    // guarantee (8 coarse byte-histogram buckets — deliberately
+    // non-discriminative between same-language texts; a real decoder's
+    // features would separate): an exact payload copy decodes to the
+    // identical vector (distance exactly 0), and a small payload
+    // perturbation moves the vector only slightly. The pinned claims
+    // are the PLUMBING and exact-copy detection, not stub selectivity.
+    import graft.operators.Knn
+    val base = sf("documents").limit(30)
+    val copy = base.where(col("doc_id") === 0)
+      .select(lit(1000L).as("doc_id"), col("text"))
+    val nearDup = base.where(col("doc_id") === 0)
+      .select(lit(1001L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    val media = Multimodal.asMedia(
+      base.select("doc_id", "text").union(copy).union(nearDup),
+      "doc_id", "text", "image")
+    val vecs = Multimodal.decodeStub(media)
+      .select(col("media_id").as("id"),
+        col("features").cast("array<double>").as("vector"))
+    val pairs = Knn.thresholdSelfJoin(vecs, 1e-4, graft.core.Metric.Cosine)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // exact copy: distance exactly 0 to its source, found by the kernel
+    assert(pairs.get((0L, 1000L)).contains(0.0), "exact copy not at dist 0")
+    // perturbed payload: drifts, but stays within the tight threshold of
+    // its source (payload edit of 3 bytes over ~1000)
+    val nd = pairs.get((0L, 1001L))
+    assert(nd.exists(d => d > 0.0 && d < 1e-4), s"near-dup dist: $nd")
+  }
+
   test("featureBuckets: decoded features flow into bucketed grouping") {
     val decoded = Multimodal.decodeStub(media)
     val buckets = Multimodal.featureBuckets(decoded, nBuckets = 4)
