@@ -519,6 +519,26 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** The PQ-coded disk-serving anchor, completing the three deployment
+    * families off one layout pattern (flat: q_ivf_partitioned_knn,
+    * scalar: q_ivfsq8_partitioned_radius, pq: this): q_ivfpqr_knn's
+    * provably-exact configuration (nprobe = nlist, rerank pool covers
+    * the store) served from the cell-partitioned parquet index — the
+    * oracle pins the PQ code byte-array round trip, per-cell ADC
+    * offsets, partition-column recovery, and the refine join, THROUGH
+    * the disk layout. */
+  val qIvfpqrPartitionedKnn = Q("q_ivfpqr_partitioned_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfpqr16x8")(
+        mkIvfpq(s, dir, nprobe = 16, rerankFactor = 200))
+      val path = diskIvfPath(s, dir, "ivfpqr16x8", strat, prepared)
+      strat.asInstanceOf[IvfPqStrategy].queryFromDisk(s, path,
+        queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
   /** True range search through the IVF family in its provably-exact mode
     * (nprobe = nlist scans every cell) — the reference exposes genuine
     * range search on flat/ivf/scalar FAISS indexes
@@ -1254,7 +1274,7 @@ object QueriesVector {
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qPqKnn,
-    qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn,
+    qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,

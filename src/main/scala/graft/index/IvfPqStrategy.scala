@@ -258,6 +258,23 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     ivf.writeIndex(prepared, path)
 
+  /** Disk-resident serving for the PQ-coded layout — the third
+    * deployment family served straight from the cell-partitioned
+    * parquet index (flat IVF: `IvfStrategy.queryFromDisk`, scalar:
+    * `IvfSq8Strategy.queryFromDisk`): the ADC scan's probe filter
+    * becomes a partition filter and its projection is
+    * `(id, _centroid, _pq)` — m code bytes per row off storage, the
+    * most compressed serving shape of the three. The rerank variant
+    * reads raw vectors only through the candidate refine join. Results
+    * identical to [[query]] on the in-memory prepared frame
+    * (spec-pinned at pruned nprobe; oracle-checked exact through the
+    * rerank path at nprobe = nlist). */
+  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, kTop: Int): DataFrame = {
+    require(codebooks != null, "IvfPqStrategy.prepare must run before query")
+    query(spark.read.parquet(path), queries, kTop)
+  }
+
   /** ADC scans exactly the probed IVF cells */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
     ivf.scanVolume(prepared, queries)

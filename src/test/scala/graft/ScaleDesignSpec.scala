@@ -288,6 +288,26 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("PQ disk serving equals the in-memory path at pruned nprobe") {
+    import graft.index.IvfPqStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfPqStrategy(graft.core.Metric.Cosine, nlist = 16,
+      nprobe = 4, m = 8)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpqdisk")
+    val path = root.resolve("index").toString
+    strat.writeIndex(prepared, path)
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val fromDisk = strat.queryFromDisk(spark, path, queries, 10)
+      .collect().toSet
+    val mem = strat.query(prepared, queries, 10).collect().toSet
+    assert(fromDisk === mem)
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("nprobe tuning curve: recall monotone, exact endpoint, scan fraction reaches 1") {
     import graft.index.IvfStrategy
     val store = sf("embeddings")
