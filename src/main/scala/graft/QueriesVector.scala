@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{HnswStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{BqStrategy, HnswStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -823,6 +823,112 @@ object QueriesVector {
     },
     Some(exactCosineOracle(8)))
 
+  // ------------------------------------------------------------- BQ family
+  /** Binary-quantization coarse pass: Hamming distance between sign-bit
+    * signatures (1 bit/dim, packed into longs — `index/BqStrategy.scala`).
+    * The one quantized index family whose COARSE kernel is oracle-checkable:
+    * Hamming is integer-valued, so the full scan+rank is hash-exact against
+    * the relational oracle — no exact-mode sibling needed. Completes the
+    * quantization spectrum next to SQ8 (8-bit scalar) and PQ (subspace
+    * codebooks), ≙ taking the reference's FAISS `scalar` index
+    * (`faiss.py:93-100`) to its 1-bit limit. */
+  val qBqKnn = Q("q_bq_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "bq")(
+        BqStrategy(Metric.Cosine, rerank = false))
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          col("dist").cast("long").as("hamming"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               len(list_filter(range(1, len(s.embedding) + 1),
+                   i -> (s.embedding[i] > 0) <> (q.embedding[i] > 0))) AS h
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, h,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+        FROM pairs
+      )
+      SELECT query_id, neighbor_id, h AS hamming, rank
+      FROM ranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  /** BQ at its production operating point — Hamming top-(k·4) candidates,
+    * exact cosine re-rank — checked by a TWO-STAGE oracle that replicates
+    * the coarse candidate cut (integer Hamming, id tie-break) and then the
+    * float re-rank. Unlike the `_exact`-anchor pattern the other quantized
+    * families need, this pins the APPROXIMATE path itself: a candidate
+    * swapped at the pool boundary, a tie broken differently, or a re-rank
+    * off by an ulp all hash-mismatch. */
+  val qBqRerankKnn = Q("q_bq_rerank_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "bq_rerank")(
+        BqStrategy(Metric.Cosine, rerank = true, rerankFactor = 4))
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               len(list_filter(range(1, len(s.embedding) + 1),
+                   i -> (s.embedding[i] > 0) <> (q.embedding[i] > 0))) AS h,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), coarse AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS crank
+        FROM pairs
+      ), reranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM coarse WHERE crank <= 40
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM reranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
+  /** Multi-index-hashing Hamming radius (Norouzi et al., CVPR 2012):
+    * pigeonhole chunking turns exact radius search into an EQUI-JOIN on
+    * 8-bit chunk keys — candidate generation is a broadcast hash join
+    * against exploded chunk rows, no crossJoin anywhere in the plan. The
+    * oracle is the brute-force Hamming scan: MIH must return the identical
+    * row set (it is exact by construction — a missed candidate means the
+    * pigeonhole enumeration is wrong). */
+  val qBqMihRadius = Q("q_bq_mih_radius",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "bq")(
+        BqStrategy(Metric.Cosine, rerank = false))
+      strat.asInstanceOf[BqStrategy]
+        .mihRadius(prepared, queriesDf(s, dir, 5), bits = 23, maxK = 20,
+          chunkBits = 8)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          col("dist").cast("long").as("hamming"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               len(list_filter(range(1, len(s.embedding) + 1),
+                   i -> (s.embedding[i] > 0) <> (q.embedding[i] > 0))) AS h
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, h,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+        FROM pairs WHERE h <= 23
+      )
+      SELECT query_id, neighbor_id, h AS hamming, rank
+      FROM ranked WHERE rank <= 20
+      ORDER BY query_id, rank
+    """))
+
   /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
     * deterministic recall of each ANN strategy vs the exact ground truth
     * (QPS is wall-clock-dependent, so only recall is emitted). */
@@ -1273,7 +1379,7 @@ object QueriesVector {
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
-    qSq8Knn, qSq8RerankKnn, qPqKnn,
+    qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius, qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,

@@ -24,6 +24,8 @@ object VectorFunctions {
   def tanimoto_distance(a: Column, b: Column): Column = col(TanimotoDistance(ex(a), ex(b)))
   def l2_normalize(a: Column): Column = col(L2Normalize(ex(a)))
   def winnow_md5(a: Column, window: Int): Column = col(WinnowMd5(ex(a), window))
+  def pack_sign_bits(a: Column): Column = col(PackSignBits(ex(a)))
+  def hamming_packed(a: Column, b: Column): Column = col(HammingPacked(ex(a), ex(b)))
 
   /** Metric-dispatched distance, mirroring the reference's `_dist` hook
     * (`/root/reference/vicinity/backends/basic.py:112-115`). */
@@ -52,7 +54,9 @@ object VectorFunctions {
     reg2("l2sq_distance", L2SquaredDistance)
     reg2("hamming_distance", HammingDistance)
     reg2("tanimoto_distance", TanimotoDistance)
+    reg2("hamming_packed", HammingPacked)
     GraftShims.registerFunction(spark, "l2_normalize", es => L2Normalize(es.head))
+    GraftShims.registerFunction(spark, "pack_sign_bits", es => PackSignBits(es.head))
     GraftShims.registerFunction(spark, "winnow_md5", winnowBuilder)
   }
 
