@@ -857,13 +857,15 @@ object QueriesVector {
       ORDER BY query_id, rank
     """))
 
-  /** BQ at its production operating point — Hamming top-(k·4) candidates,
-    * exact cosine re-rank — checked by a TWO-STAGE oracle that replicates
-    * the coarse candidate cut (integer Hamming, id tie-break) and then the
-    * float re-rank. Unlike the `_exact`-anchor pattern the other quantized
-    * families need, this pins the APPROXIMATE path itself: a candidate
-    * swapped at the pool boundary, a tie broken differently, or a re-rank
-    * off by an ulp all hash-mismatch. */
+  /** BQ at its production operating point — tie-inclusive Hamming
+    * candidate pool (every row at or below the 40th-smallest distance;
+    * integer Hamming ties heavily, and a strict id tie-break could drop an
+    * exact duplicate of the query), exact cosine re-rank — checked by a
+    * TWO-STAGE oracle that replicates the boundary computation and then
+    * the float re-rank. Unlike the `_exact`-anchor pattern the other
+    * quantized families need, this pins the APPROXIMATE path itself: a
+    * wrong pool boundary, a dropped tied candidate, or a re-rank off by an
+    * ulp all hash-mismatch. */
   val qBqRerankKnn = Q("q_bq_rerank_knn",
     (s, dir) => {
       val (strat, prepared) = preparedIndex(s, dir, "bq_rerank")(
@@ -882,13 +884,16 @@ object QueriesVector {
         FROM embeddings s, embeddings q
         WHERE q.vec_id < 5
       ), coarse AS (
-        SELECT query_id, neighbor_id, d,
+        SELECT query_id, neighbor_id, h, d,
                row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS crank
         FROM pairs
+      ), bound AS (
+        SELECT query_id, max(h) FILTER (crank <= 40) AS b
+        FROM coarse GROUP BY query_id
       ), reranked AS (
-        SELECT query_id, neighbor_id, d,
-               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
-        FROM coarse WHERE crank <= 40
+        SELECT c.query_id, c.neighbor_id, c.d,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY c.d, c.neighbor_id) AS rank
+        FROM coarse c JOIN bound USING (query_id) WHERE c.h <= bound.b
       )
       SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
       FROM reranked WHERE rank <= 10

@@ -59,13 +59,35 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", k)
   }
 
+  /** Tie-INCLUSIVE candidate pool: every store row whose Hamming distance
+    * is ≤ the pool-boundary value (the `pool`-th smallest). Hamming over
+    * few dimensions ties heavily — a strict (dist, id) cut would tie-break
+    * an exact duplicate of the query out of the pool purely by id (observed:
+    * an inserted copy of a stored vector at dim 8, where 501 signatures
+    * share 256 possible values). The boundary frame is one row per query,
+    * so the re-scan filter join is a broadcast.
+    */
+  private def coarseCandidates(prepared: DataFrame, queries: DataFrame,
+      pool: Int): DataFrame = {
+    val q = packedQueries(queries)
+    def pairs = prepared.select(col("id"), col("_sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("_qsig"))))
+      .select(col("query_id"), col("id"),
+        VectorFunctions.hamming_packed(col("_sig"), col("_qsig"))
+          .cast("double").as("dist"))
+    val boundary = TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", pool)
+      .groupBy("query_id").agg(max(col("dist")).as("_bound"))
+    pairs.join(broadcast(boundary), Seq("query_id"))
+      .where(col("dist") <= col("_bound"))
+      .select("query_id", "id")
+  }
+
   def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     if (!rerank) coarseTopK(prepared, queries, k)
     else {
       val q = maybeNormalize(queries, "qvector")
-      val cands = coarseTopK(prepared, queries, k * rerankFactor)
-        .select("query_id", "id")
+      val cands = coarseCandidates(prepared, queries, k * rerankFactor)
       val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
       val exact = cands
         .join(prepared.select(col("id"), col("vector")), Seq("id"))
@@ -83,8 +105,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       threshold: Double, maxK: Int): DataFrame = {
     if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
     val q = maybeNormalize(queries, "qvector")
-    val cands = coarseTopK(prepared, queries, maxK * rerankFactor)
-      .select("query_id", "id")
+    val cands = coarseCandidates(prepared, queries, maxK * rerankFactor)
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
     val exact = cands
       .join(prepared.select(col("id"), col("vector")), Seq("id"))

@@ -20,7 +20,9 @@ class BackendMatrixSpec extends SparkSpec {
   private lazy val items: Seq[String] = (0 until n).map(i => s"item$i")
 
   private val faissTypes =
-    Seq("flat", "ivf", "hnsw", "lsh", "scalar", "pq", "ivf_scalar", "ivfpq", "ivfpqr")
+    Seq("flat", "ivf", "hnsw", "lsh", "scalar", "pq", "ivf_scalar", "ivfpq",
+      "ivfpqr",
+      "binary") // engine extension: FAISS binary family (sign-bit BQ)
   private val configs: Seq[(String, Backend, Option[BackendArgs])] =
     faissTypes.map(t => (s"faiss-$t", Backend.Faiss,
       Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = t, nlist = 4)
