@@ -934,6 +934,41 @@ object QueriesVector {
       ORDER BY query_id, rank
     """))
 
+  /** Matryoshka truncated-dimension rerank (Kusupati et al., NeurIPS 2022):
+    * coarse cosine over the first 16 of 64 dims (4× less scan I/O; with the
+    * prefix materialized as its own column, column pruning makes that real
+    * at the parquet scan), exact full-dim re-rank of the 40-candidate pool.
+    * Two-stage oracle replicates the truncated coarse ranking and the
+    * re-rank — the approximate path itself is hash-checked, like
+    * q_bq_rerank_knn. */
+  val qMatryoshkaRerank = Q("q_matryoshka_rerank",
+    (s, dir) => Knn.matryoshkaRerank(store(s, dir), queriesDf(s, dir, 5),
+        coarseDims = 16, pool = 40, k = 10)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(col("dist"), 6).as("dist"), col("rank")),
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding[1:16] AS DOUBLE[]),
+                                                   CAST(q.embedding[1:16] AS DOUBLE[])), 0) AS cd,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), coarse AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY cd, neighbor_id) AS crank
+        FROM pairs
+      ), reranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM coarse WHERE crank <= 40
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM reranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
   /** recall/QPS evaluation harness (Q11, vicinity.py:328-393) as a query:
     * deterministic recall of each ANN strategy vs the exact ground truth
     * (QPS is wall-clock-dependent, so only recall is emitted). */
@@ -1384,7 +1419,8 @@ object QueriesVector {
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
-    qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius, qPqKnn,
+    qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
+    qMatryoshkaRerank, qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,

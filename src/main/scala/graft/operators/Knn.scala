@@ -82,6 +82,44 @@ object Knn {
     }
   }
 
+  /** Matryoshka-style truncated-dimension search: coarse-rank every store
+    * row by distance over the first `coarseDims` dimensions only, keep the
+    * `pool` nearest per query, and re-rank the survivors with the full
+    * vector. Matryoshka-trained embeddings (Kusupati et al., NeurIPS 2022)
+    * front-load information so a short prefix preserves neighborhood
+    * structure; the coarse pass then reads `coarseDims/dim` of the bytes a
+    * full scan would.
+    *
+    * Scale story: materialize the prefix as its own parquet column and the
+    * coarse scan's column pruning never touches the full vectors —
+    * `dim/coarseDims`× less scan I/O — while the re-rank fetches full rows
+    * for only `pool` candidates per query via an equi-join on id.
+    */
+  def matryoshkaRerank(store: DataFrame, queries: DataFrame, coarseDims: Int,
+      pool: Int, k: Int, metric: Metric = Metric.Cosine,
+      vecCol: String = "vector", qvecCol: String = "qvector"): DataFrame = {
+    require(coarseDims >= 1, s"coarseDims must be >= 1, got $coarseDims")
+    require(pool >= k, s"pool ($pool) must be >= k ($k)")
+    val coarseStore = store.select(col("id"),
+      slice(col(vecCol), 1, coarseDims).as("_cvec"))
+    val coarseQ = queries.select(col("query_id"),
+      slice(col(qvecCol), 1, coarseDims).as("_cq"))
+    val coarsePairs = coarseStore.crossJoin(broadcast(coarseQ))
+      .select(col("query_id"), col("id"),
+        greatest(VectorFunctions.distance(metric)(col("_cvec"), col("_cq")),
+          lit(0.0)).as("dist"))
+    val cands = TopK.topKPerGroup(coarsePairs, Seq("query_id"), "id", "dist",
+      pool).select("query_id", "id")
+    val exact = cands
+      .join(store.select(col("id"), col(vecCol)), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col(qvecCol))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        greatest(VectorFunctions.distance(metric)(col(vecCol), col(qvecCol)),
+          lit(0.0)).as("dist"))
+    TopK.topKPerGroup(exact, Seq("query_id"), "id", "dist", k)
+  }
+
   /** ONE driver action for the byte-size gate: (row count, dim). */
   private def countAndDim(df: DataFrame, vecCol: String): (Long, Int) = {
     val r = df.agg(count(lit(1)), max(size(col(vecCol)))).head

@@ -114,6 +114,31 @@ class BinaryQuantSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("matryoshka rerank with pool covering the store equals exact knn") {
+    val got = Knn.matryoshkaRerank(store, queries, coarseDims = 16,
+      pool = n, k = 10)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val want = Knn.query(store, queries, 10, Metric.Cosine)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got === want)
+  }
+
+  test("matryoshka coarse pass at full width degenerates to exact ranking") {
+    // coarseDims = dim makes the coarse ranking THE exact ranking, so even
+    // a pool of exactly k must reproduce exact knn — any off-by-one in the
+    // slice bounds or pool cut shows up here
+    val got = Knn.matryoshkaRerank(store, queries, coarseDims = dim,
+      pool = 10, k = 10)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val want = Knn.query(store, queries, 10, Metric.Cosine)
+      .select("query_id", "id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(got === want)
+  }
+
   test("mihRadius plan has no cartesian product — candidates come from an equi-join") {
     val strat = BqStrategy(Metric.Cosine, rerank = false)
     val prepared = strat.prepare(store)
