@@ -120,6 +120,45 @@ object Knn {
     TopK.topKPerGroup(exact, Seq("query_id"), "id", "dist", k)
   }
 
+  /** Disk layout for [[matryoshkaRerank]]: the prefix materialized as its
+    * own parquet column, so the coarse pass's 4× scan saving is REAL I/O —
+    * the coarse scan's ReadSchema is (id, _prefix) and never touches the
+    * full vectors (plan-asserted in ScaleDesignSpec); the re-rank reads
+    * (id, vector) for candidate rows only. */
+  def writeMatryoshkaIndex(store: DataFrame, path: String, coarseDims: Int,
+      vecCol: String = "vector"): Unit =
+    store.select(col("id"),
+        slice(col(vecCol), 1, coarseDims).as("_prefix"), col(vecCol))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[matryoshkaRerank]] served from the [[writeMatryoshkaIndex]] layout —
+    * identical results (both stages are deterministic), but the coarse scan
+    * is column-pruned to the prefix at the parquet reader. */
+  def matryoshkaFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, coarseDims: Int, pool: Int, k: Int,
+      metric: Metric = Metric.Cosine,
+      qvecCol: String = "qvector"): DataFrame = {
+    require(pool >= k, s"pool ($pool) must be >= k ($k)")
+    val idx = spark.read.parquet(path)
+    val coarseQ = queries.select(col("query_id"),
+      slice(col(qvecCol), 1, coarseDims).as("_cq"))
+    val coarsePairs = idx.select(col("id"), col("_prefix"))
+      .crossJoin(broadcast(coarseQ))
+      .select(col("query_id"), col("id"),
+        greatest(VectorFunctions.distance(metric)(col("_prefix"), col("_cq")),
+          lit(0.0)).as("dist"))
+    val cands = TopK.topKPerGroup(coarsePairs, Seq("query_id"), "id", "dist",
+      pool).select("query_id", "id")
+    val exact = cands
+      .join(idx.select(col("id"), col("vector")), Seq("id"))
+      .join(broadcast(queries.select(col("query_id"), col(qvecCol))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"),
+        greatest(VectorFunctions.distance(metric)(col("vector"), col(qvecCol)),
+          lit(0.0)).as("dist"))
+    TopK.topKPerGroup(exact, Seq("query_id"), "id", "dist", k)
+  }
+
   /** ONE driver action for the byte-size gate: (row count, dim). */
   private def countAndDim(df: DataFrame, vecCol: String): (Long, Int) = {
     val r = df.agg(count(lit(1)), max(size(col(vecCol)))).head

@@ -380,4 +380,45 @@ class ScaleDesignSpec extends SparkSpec {
     prepared.unpersist()
     VerifyIO.deleteRec(root.toFile)
   }
+
+  test("matryoshka disk serving: coarse scan never reads the full vectors") {
+    import graft.operators.Knn
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_mrldisk")
+    val path = root.resolve("index").toString
+    Knn.writeMatryoshkaIndex(store, path, coarseDims = 16)
+    val fromDisk = Knn.matryoshkaFromDisk(spark, path, queries,
+      coarseDims = 16, pool = 40, k = 10)
+    // identical to the in-memory operator
+    val mem = Knn.matryoshkaRerank(store, queries, 16, 40, 10)
+      .collect().toSet
+    assert(fromDisk.collect().toSet === mem)
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val idxScans = fileScans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("graft_mrldisk")))
+    assert(idxScans.nonEmpty, "no scan of the matryoshka layout found")
+    val coarseScans = idxScans.filter(
+      _.requiredSchema.fieldNames.contains("_prefix"))
+    assert(coarseScans.nonEmpty, "no prefix-column coarse scan found")
+    // THIS is the 4x coarse-I/O claim, visible in ReadSchema: the coarse
+    // scan reads (id, _prefix) only
+    coarseScans.foreach { sc =>
+      val readCols = sc.requiredSchema.fieldNames.toSet
+      assert(!readCols.contains("vector"),
+        s"coarse scan reads full vectors: $readCols")
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
