@@ -146,16 +146,41 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     */
   def mihRadius(prepared: DataFrame, queries: DataFrame, bits: Int,
       maxK: Int, chunkBits: Int = 16): DataFrame = {
-    require(chunkBits > 0 && 64 % chunkBits == 0,
-      s"mihRadius: chunkBits must divide 64, got $chunkBits")
     val dim = prepared.select(F.size(col("vector"))).limit(1)
       .collect()(0).getInt(0)
-    val perWord = 64 / chunkBits
     val numChunks = (dim + chunkBits - 1) / chunkBits
+    val q = packedQueries(queries).select(col("query_id"), col("_qsig"))
+    val verified = BqStrategy.mihMatchSigs(prepared.select(col("id"),
+      col("_sig")), q, bits, chunkBits, numChunks)
+    TopK.topKPerGroup(verified, Seq("query_id"), "id", "dist", maxK)
+  }
+
+  /** coarse scan volume: every (row, query) signature pair */
+  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
+    prepared.count() * queries.count()
+}
+
+object BqStrategy {
+
+  /** MIH candidate-generation + verify core over bare signature tables —
+    * `store` is (id, _sig), `queries` is (query_id, _qsig); returns every
+    * (query_id, id, dist) pair with Hamming ≤ bits. `numChunks` is the
+    * number of real-bit chunks (⌈dim/chunkBits⌉): chunks beyond it are
+    * zero-pad on both sides — always-equal keys that would degenerate
+    * candidate generation into a full scan — so they are never probed.
+    * Factored out of [[BqStrategy.mihRadius]] so streaming admission
+    * ([[graft.streaming.StreamOps]]) can run the same equi-join against a
+    * persisted signature snapshot without materializing vectors.
+    */
+  private[graft] def mihMatchSigs(store: DataFrame, queries: DataFrame,
+      bits: Int, chunkBits: Int, numChunks: Int): DataFrame = {
+    require(chunkBits > 0 && 64 % chunkBits == 0,
+      s"MIH: chunkBits must divide 64, got $chunkBits")
     val ballR = bits / numChunks
     require(ballR <= 2,
-      s"mihRadius: ball radius $ballR > 2 (bits=$bits over $numChunks chunks)" +
-        " — narrow chunks or use hammingRadius")
+      s"MIH: ball radius $ballR > 2 (bits=$bits over $numChunks chunks)" +
+        " — narrow chunks or use a brute Hamming scan")
+    val perWord = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
 
     def chunkExtract(sig: String) = array((0 until numChunks).map { c =>
@@ -166,13 +191,13 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     // store side: (id, _sig, chunk_idx, chunk_val), 1 row per chunk — a
     // narrow generate, no shuffle; at scale this layout is written once
     // and bucketed by (chunk_idx, chunk_val)
-    val storeChunks = prepared.select(col("id"), col("_sig"))
+    val storeChunks = store
       .withColumn("_chunks", chunkExtract("_sig"))
       .select(col("id"), col("_sig"),
         posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_val")))
 
     // query side: every chunk value within ballR bit-flips of the query's
-    // chunk
+    // chunk — 1 / 1+B / 1+B+B(B−1)/2 probes per chunk for ballR 0 / 1 / 2
     val ball = udf { (v: Long) =>
       val out = scala.collection.mutable.ArrayBuffer(v)
       if (ballR >= 1)
@@ -182,8 +207,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
           out += (v ^ (1L << i) ^ (1L << j))
       out.toSeq
     }
-    val q = packedQueries(queries)
-    val probeKeys = q.select(col("query_id"), col("_qsig"))
+    val probeKeys = queries
       .withColumn("_chunks", chunkExtract("_qsig"))
       .select(col("query_id"), col("_qsig"),
         posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_val")))
@@ -194,14 +218,50 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       .select(col("query_id"), col("id"), col("_sig"), col("_qsig"))
       .dropDuplicates("query_id", "id")
 
-    val verified = candidates.select(col("query_id"), col("id"),
+    candidates.select(col("query_id"), col("id"),
         VectorFunctions.hamming_packed(col("_sig"), col("_qsig"))
           .cast("double").as("dist"))
       .where(col("dist") <= bits)
-    TopK.topKPerGroup(verified, Seq("query_id"), "id", "dist", maxK)
   }
 
-  /** coarse scan volume: every (row, query) signature pair */
-  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
-    prepared.count() * queries.count()
+  /** Persist a (id, _sig) signature frame as generation `batchTag` of the
+    * snapshot at `path` — same dynamic-partition-overwrite discipline as
+    * the MinHash signature snapshots ([[graft.prep.Dedup]]): a REPLAYED
+    * micro-batch overwrites its own `_batch` partition instead of
+    * double-appending, so at-least-once replay stays exactly-once. */
+  def writeSignatures(sigs: DataFrame, path: String, batchTag: String): Unit = {
+    sigs.select(col("id"), col("_sig"))
+      .withColumn("_batch", lit(batchTag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("kind", "bq_signatures")
+    graft.core.FsIO.write(s"$path/_bq_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  /** Read the signature snapshot back; `excludeGeneration` is the replay
+    * guard (drop the in-flight batch's own generation). An absent or
+    * zero-file snapshot loads as an empty frame. */
+  def loadSignatures(spark: org.apache.spark.sql.SparkSession, path: String,
+      excludeGeneration: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", LongType),
+        StructField("_sig", ArrayType(LongType, containsNull = false)),
+        StructField("_batch", StringType))))
+    if (!graft.core.FsIO.exists(s"$path/_bq_meta.json")) empty
+    else {
+      val t =
+        try spark.read.parquet(path)
+        catch { // zero data files: schema inference fails
+          case _: org.apache.spark.sql.AnalysisException => empty
+        }
+      excludeGeneration.fold(t)(g => t.where(col("_batch") =!= g))
+        .select(col("id"), col("_sig"))
+    }
+  }
 }

@@ -259,4 +259,63 @@ object StreamOps {
       (batch: DataFrame, batchId: Long) =>
         sink(Knn.query(store, batch, k, metric), batchId)
     }
+
+  /** Streaming near-duplicate ADMISSION GATE over embeddings: each arriving
+    * (id, vector) row is admitted iff its sign-bit signature is more than
+    * `bits` Hamming away from (a) every previously admitted row and (b) any
+    * earlier row of its own batch (first-occurrence survivor, the
+    * [[graft.prep.Dedup]] convention). History matching is the
+    * multi-index-hashing equi-join ([[graft.index.BqStrategy.mihMatchSigs]])
+    * against the persisted signature snapshot — per batch the work is
+    * (batch chunk-ball probes) × (matching history chunk rows), never a
+    * history crossJoin, and the snapshot holds ONE long per admitted
+    * 64-dim row, so the state a 100 TB ingest accumulates is ~8 bytes per
+    * survivor. Within-batch pairs use the brute packed-Hamming kernel
+    * (micro-batches are small relative to history). Admitted signatures
+    * land as the batch's own `stream-<id>` generation via dynamic
+    * partition overwrite, and history loads exclude the in-flight tag —
+    * the same exactly-once-on-replay discipline as the MinHash/sketch
+    * snapshots. `onAdmitted` receives the admitted subset of each batch.
+    */
+  def bqAdmitOnIngest(vectorStream: DataFrame, idCol: String, vecCol: String,
+      sigPath: String, checkpointDir: String, bits: Int, dim: Int,
+      chunkBits: Int = 8)(onAdmitted: (DataFrame, Long) => Unit) = {
+    import graft.index.BqStrategy
+    import graft.functions.VectorFunctions
+    val numChunks = (dim + chunkBits - 1) / chunkBits
+    vectorStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val tag = s"stream-$batchId"
+        val packed = batch.select(col(idCol).as("id"),
+            VectorFunctions.pack_sign_bits(
+              col(vecCol).cast("array<double>")).as("_sig"))
+          .cache()
+        val hist = BqStrategy.loadSignatures(s, sigPath,
+          excludeGeneration = Some(tag))
+        val dupOfHist = BqStrategy.mihMatchSigs(hist,
+            packed.select(col("id").as("query_id"), col("_sig").as("_qsig")),
+            bits, chunkBits, numChunks)
+          .select(col("query_id").as("id")).distinct()
+        // within-batch: reject a row with ANY earlier (smaller-id) row
+        // within bits — batch × batch, broadcast, tiny next to history
+        val withinDup = packed.as("a")
+          .crossJoin(broadcast(packed.select(col("id").as("_eid"),
+            col("_sig").as("_esig")).as("b")))
+          .where(col("_eid") < col("id") &&
+            VectorFunctions.hamming_packed(col("_sig"), col("_esig")) <= bits)
+          .select("id").distinct()
+        val admitted = packed
+          .join(dupOfHist.unionByName(withinDup), Seq("id"), "left_anti")
+          .cache()
+        BqStrategy.writeSignatures(admitted, sigPath, tag)
+        onAdmitted(batch.join(admitted.select(col("id").as("_adm_id")),
+          batch(idCol) === col("_adm_id"), "left_semi"), batchId)
+        packed.unpersist()
+        admitted.unpersist()
+        ()
+      }
+      .start()
+  }
 }

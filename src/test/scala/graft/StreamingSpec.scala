@@ -269,6 +269,57 @@ class StreamingSpec extends SparkSpec {
     VerifyIO.deleteRec(new java.io.File(ckpt))
   }
 
+  test("streaming BQ admission gate: MIH against the snapshot + within-batch first-occurrence") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.index.BqStrategy
+    import graft.functions.VectorFunctions
+    // sign patterns with controlled Hamming distances (±1 values)
+    def vec(neg: Set[Int]): Seq[Double] =
+      Seq.tabulate(64)(i => if (neg(i)) -1.0 else 1.0)
+    val a = vec(Set.empty) // corpus pattern
+    val b = vec((0 until 64 by 2).toSet) // hamming(a,b) = 32
+    val c = vec((32 until 64).toSet) // hamming(a,c) = hamming(b,c) = 32... far from both
+    def flip(v: Seq[Double], dims: Set[Int]) =
+      v.zipWithIndex.map { case (x, i) => if (dims(i)) -x else x }
+    val sig = java.nio.file.Files.createTempDirectory("graft_bq_sig").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bq_ckpt").toString
+    // bootstrap: corpus doc 1 = pattern a, signed as its own generation
+    BqStrategy.writeSignatures(
+      Seq((1L, a)).toDF("id", "vector")
+        .select(col("id"), VectorFunctions.pack_sign_bits(col("vector"))
+          .as("_sig")),
+      sig, "corpus")
+    val admitted = scala.collection.mutable.Map[Long, Set[Long]]()
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = StreamOps.bqAdmitOnIngest(input.toDF().toDF("id", "vector"),
+      "id", "vector", sig, ckpt, bits = 5, dim = 64) { (adm, bid) =>
+      admitted.synchronized {
+        admitted(bid) = adm.select("id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    // batch 0: 10 = near-dup of corpus (3 flips, rejected by history),
+    // 11 = new pattern b (admitted), 12 = near-dup of 11 within the SAME
+    // batch (2 flips, rejected by first-occurrence)
+    input.addData((10L, flip(a, Set(1, 2, 3))), (11L, b),
+      (12L, flip(b, Set(5, 6))))
+    q.processAllAvailable()
+    assert(admitted(0L) === Set(11L))
+    // batch 1: 20 = near-dup of 11 (4 flips) — caught via the SNAPSHOT,
+    // proving batch 0's admitted signatures folded in before batch 1;
+    // 21 = new pattern c, admitted
+    input.addData((20L, flip(b, Set(7, 8, 9, 10))), (21L, c))
+    q.processAllAvailable()
+    q.stop()
+    assert(admitted(1L) === Set(21L))
+    // snapshot state: exactly the corpus + the admitted survivors, one
+    // generation each (no double-appends)
+    val ids = BqStrategy.loadSignatures(spark, sig)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(ids.sorted === Seq(1L, 11L, 21L))
+    VerifyIO.deleteRec(new java.io.File(sig))
+    VerifyIO.deleteRec(new java.io.File(ckpt))
+  }
+
   test("streaming PII scrub: row-local masking composes with a stream, no state") {
     // the ingest-time redaction pass: piiScrub/piiCount are pure row-local
     // expressions, so they run inside any streaming micro-batch with no
