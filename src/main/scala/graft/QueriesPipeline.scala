@@ -1915,7 +1915,220 @@ object QueriesPipeline {
       ORDER BY l.vec_id
     """))
 
+  /** Late-interaction (ColBERT-style maxsim; Khattab & Zaharia, SIGIR 2020)
+    * retrieval over MULTI-VECTOR documents: each doc is a bag of chunk
+    * vectors (16-word windows → 16-dim hashed count embeddings, the
+    * [[qHashEmbedKnn]] embedder per chunk), and score(q, d) =
+    * Σ_{q-chunk} max_{d-chunk} cos-sim — fine-grained term-level matching
+    * that single-vector cosine flattens away. Plan shape: posexplode to
+    * positioned words (chunk = pos/16), ONE hash agg to dense chunk
+    * vectors, chunk-pair scoring against the broadcast query chunks, then
+    * a two-level aggregate (max within doc-chunk, sum across q-chunks) —
+    * all partial-aggregated, no window. At 100 TB the chunk-pair scan is
+    * the part an index prunes: candidates from [[qHashEmbedKnn]]'s
+    * doc-level knn (or the BQ/MIH gate) first, maxsim re-scores the
+    * survivors — the standard two-stage late-interaction serving shape.
+    */
+  val qMaxsim = Q("q_maxsim",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val d = 16
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TF.words(col("text")))
+          .as(Seq("pos", "w")))
+        .withColumn("chunk", (col("pos") / 16).cast("long"))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("w").cast("binary")), 1, 6), 16, 10)
+            .cast("long"), lit(d.toLong)))
+        .groupBy("doc_id", "chunk")
+        .agg(array((0 until d).map(b =>
+          sum(when(col("b") === b, lit(1L)).otherwise(lit(0L)))
+            .cast("double")): _*).as("vec"))
+        .cache()
+      val qChunks = chunks.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("chunk").as("qchunk"),
+          col("vec").as("qvec"))
+      val sims = chunks.crossJoin(broadcast(qChunks))
+        .select(col("query_id"), col("qchunk"), col("doc_id"),
+          (lit(1d) - VectorFunctions.cosine_distance(col("vec"), col("qvec")))
+            .as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("score"), col("doc_id"))
+      sims.groupBy("query_id", "qchunk", "doc_id")
+        .agg(max(col("sim")).as("best"))
+        .groupBy("query_id", "doc_id").agg(sum(col("best")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long")
+            .as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, (i - 1) // 16 AS chunk,
+               string_split(text, ' ')[i] AS w
+        FROM documents,
+             LATERAL unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+      bk AS (
+        SELECT doc_id, chunk,
+               list_reduce(list_transform(range(1, 7),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(w), 1, 6))[i]) AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) % 16 AS b
+        FROM w),
+      c AS (SELECT doc_id, chunk, b, count(*) AS n FROM bk GROUP BY 1, 2, 3),
+      dense AS (
+        SELECT ck.doc_id, ck.chunk, r.range AS bb,
+               CAST(coalesce(c.n, 0) AS DOUBLE) AS v
+        FROM (SELECT DISTINCT doc_id, chunk FROM bk) ck
+        CROSS JOIN range(0, 16) r
+        LEFT JOIN c ON c.doc_id = ck.doc_id AND c.chunk = ck.chunk
+                   AND c.b = r.range),
+      vecs AS (SELECT doc_id, chunk, list(v ORDER BY bb) AS vec
+               FROM dense GROUP BY 1, 2),
+      sims AS (
+        SELECT q.doc_id AS query_id, q.chunk AS qchunk, s.doc_id,
+               list_cosine_similarity(s.vec, q.vec) AS sim
+        FROM vecs s, vecs q WHERE q.doc_id < 3),
+      best AS (SELECT query_id, qchunk, doc_id, max(sim) AS best
+               FROM sims GROUP BY 1, 2, 3),
+      scores AS (SELECT query_id, doc_id, sum(best) AS score
+                 FROM best GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scores)
+      SELECT query_id, doc_id, round(score, 6) AS score, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
+  /** [[qMaxsim]]'s SERVING shape: the chunk-pair scan pruned to a
+    * candidate set first — doc-level hashed-count knn (the
+    * [[qHashEmbedKnn]] retrieval) keeps the top-20 docs per query, and
+    * only their chunks are maxsim-re-scored. This is the standard
+    * two-stage late-interaction deployment (coarse single-vector retrieve
+    * → fine multi-vector re-rank): at 100 TB the chunk-pair work drops
+    * from |corpus chunks| × |q-chunks| to |candidate chunks| × |q-chunks|
+    * while the coarse stage stays a bandwidth-cheap single-vector scan
+    * (or an index probe). Both stages are deterministic, so the TWO-STAGE
+    * oracle hash-checks the approximate pipeline end to end — candidate
+    * cut included. */
+  val qMaxsimPruned = Q("q_maxsim_pruned",
+    (s, dir) => {
+      import graft.functions.{TopK, VectorFunctions}
+      val d = 16
+      val positioned = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(TF.words(col("text")))
+          .as(Seq("pos", "w")))
+        .withColumn("b",
+          pmod(conv(substring(md5(col("w").cast("binary")), 1, 6), 16, 10)
+            .cast("long"), lit(d.toLong)))
+      def dense(grouped: org.apache.spark.sql.RelationalGroupedDataset) =
+        grouped.agg(array((0 until d).map(b =>
+          sum(when(col("b") === b, lit(1L)).otherwise(lit(0L)))
+            .cast("double")): _*).as("vec"))
+      val docVecs = dense(positioned.groupBy("doc_id")).cache()
+      val chunks = dense(positioned
+        .withColumn("chunk", (col("pos") / 16).cast("long"))
+        .groupBy("doc_id", "chunk")).cache()
+      // stage 1: single-vector coarse retrieval, top-20 docs per query
+      val qDocs = docVecs.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("vec").as("qvec"))
+      val coarse = docVecs.select(col("doc_id").as("id"), col("vec"))
+        .crossJoin(broadcast(qDocs))
+        .select(col("query_id"), col("id"),
+          greatest(VectorFunctions.cosine_distance(col("vec"), col("qvec")),
+            lit(0d)).as("dist"))
+      val cands = TopK.topKPerGroup(coarse, Seq("query_id"), "id", "dist", 20)
+        .select(col("query_id"), col("id").as("doc_id"))
+      // stage 2: maxsim over candidate chunks only
+      val qChunks = chunks.where(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("chunk").as("qchunk"),
+          col("vec").as("qvec"))
+      val candChunks = chunks.join(cands, Seq("doc_id"))
+      val sims = candChunks
+        .join(broadcast(qChunks), Seq("query_id"))
+        .select(col("query_id"), col("qchunk"), col("doc_id"),
+          (lit(1d) - VectorFunctions.cosine_distance(col("vec"), col("qvec")))
+            .as("sim"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc("score"), col("doc_id"))
+      sims.groupBy("query_id", "qchunk", "doc_id")
+        .agg(max(col("sim")).as("best"))
+        .groupBy("query_id", "doc_id").agg(sum(col("best")).as("score"))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 5)
+        .select(col("query_id"), col("doc_id"),
+          round(col("score"), 6).as("score"), col("rank").cast("long")
+            .as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""
+      WITH w AS (
+        SELECT doc_id, (i - 1) // 16 AS chunk,
+               string_split(text, ' ')[i] AS w
+        FROM documents,
+             LATERAL unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)),
+      bk AS (
+        SELECT doc_id, chunk,
+               list_reduce(list_transform(range(1, 7),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(w), 1, 6))[i]) AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) % 16 AS b
+        FROM w),
+      cd AS (SELECT doc_id, b, count(*) AS n FROM bk GROUP BY 1, 2),
+      densed AS (
+        SELECT dk.doc_id, r.range AS bb, CAST(coalesce(cd.n, 0) AS DOUBLE) AS v
+        FROM (SELECT DISTINCT doc_id FROM bk) dk
+        CROSS JOIN range(0, 16) r
+        LEFT JOIN cd ON cd.doc_id = dk.doc_id AND cd.b = r.range),
+      docvecs AS (SELECT doc_id, list(v ORDER BY bb) AS vec
+                  FROM densed GROUP BY 1),
+      coarse AS (
+        SELECT q.doc_id AS query_id, s.doc_id,
+               greatest(1 - list_cosine_similarity(s.vec, q.vec), 0) AS dist
+        FROM docvecs s, docvecs q WHERE q.doc_id < 3),
+      cands AS (
+        SELECT query_id, doc_id FROM (
+          SELECT query_id, doc_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, doc_id) AS crank
+          FROM coarse) WHERE crank <= 20),
+      cc AS (SELECT doc_id, chunk, b, count(*) AS n FROM bk GROUP BY 1, 2, 3),
+      densec AS (
+        SELECT ck.doc_id, ck.chunk, r.range AS bb,
+               CAST(coalesce(cc.n, 0) AS DOUBLE) AS v
+        FROM (SELECT DISTINCT doc_id, chunk FROM bk) ck
+        CROSS JOIN range(0, 16) r
+        LEFT JOIN cc ON cc.doc_id = ck.doc_id AND cc.chunk = ck.chunk
+                    AND cc.b = r.range),
+      chunkvecs AS (SELECT doc_id, chunk, list(v ORDER BY bb) AS vec
+                    FROM densec GROUP BY 1, 2),
+      sims AS (
+        SELECT ca.query_id, q.chunk AS qchunk, s.doc_id,
+               list_cosine_similarity(s.vec, q.vec) AS sim
+        FROM cands ca
+        JOIN chunkvecs s ON s.doc_id = ca.doc_id
+        JOIN chunkvecs q ON q.doc_id = ca.query_id),
+      best AS (SELECT query_id, qchunk, doc_id, max(sim) AS best
+               FROM sims GROUP BY 1, 2, 3),
+      scores AS (SELECT query_id, doc_id, sum(best) AS score
+                 FROM best GROUP BY 1, 2),
+      ranked AS (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scores)
+      SELECT query_id, doc_id, round(score, 6) AS score, rank
+      FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank
+    """))
+
   val all: Seq[Q] = Seq(qDedupClusters, qIncrementalClusters, qSnapshotDiff,
+    qMaxsim, qMaxsimPruned,
     qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct, qHllBySource,
     qQuantileSketch, qGroupQuantileSketch, qHashEmbedKnn, qCube,

@@ -215,6 +215,28 @@ class PipelineOpsSpec extends SparkSpec {
       "shingles", "is_new").isEmpty)
   }
 
+  test("maxsim: self-retrieval ranks first with score = number of query chunks") {
+    import org.apache.spark.sql.functions._
+    // score(q, q) = Σ_qchunk max_dchunk sim = #qchunks (each chunk's best
+    // match is itself at sim 1; count-vector cosine never exceeds 1) — and
+    // no other doc can beat it, so rank 1 is the query doc itself
+    val out = Queries.queryMap("q_maxsim")(spark, dir)
+      .where(col("rank") === 1).collect()
+    val nChunks = sf("documents", dir)
+      .select(col("doc_id"), explode(
+        graft.prep.TextFunctions.words(col("text"))).as("w"))
+      .groupBy("doc_id").count()
+      .withColumn("chunks", ceil(col("count") / 16.0).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (qid, docId, score) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      assert(docId === qid, s"query $qid: rank-1 is $docId, not itself")
+      assert(math.abs(score - nChunks(qid)) < 1e-6,
+        s"query $qid: self-score $score != #chunks ${nChunks(qid)}")
+    }
+  }
+
   test("q_chunk_overlap window arithmetic: widths, strides, clamped last chunk") {
     // mirror the query's constants (W=64, S=48) on synthetic word counts
     // where the start/clamp arithmetic has edge cases the corpus may miss
