@@ -1043,6 +1043,10 @@ object QueriesVector {
         Sq8Strategy(metric, rerankFactor = 8)))
       val fPq = Future(preparedIndex(s, dir, s"pq8x8$sfx")(
         PqStrategy(metric, m = 8, nbits = 8)))
+      // the 1-bit quantizer joins the grid (round 11): same registry key
+      // as q_bq_rerank_knn on the cosine pass, so the instance is shared
+      val fBq = Future(preparedIndex(s, dir, s"bq_rerank$sfx")(
+        BqStrategy(metric, rerank = true, rerankFactor = 4)))
       // the graph families complete the Q11 grid (round 6): registry-shared
       // with q_hnsw_knn / q_nndescent_knn, driver-walk-served at this scale
       val fHnsw = Future(preparedIndex(s, dir, s"hnsw16$sfx")(
@@ -1064,6 +1068,7 @@ object QueriesVector {
       // over SQ codes at the ivf family's nlist/nprobe
       val (ivfsq8, ivfsq8Prep) = Await.result(fIvfSq8, Duration.Inf)
       val (pq, pqPrep) = Await.result(fPq, Duration.Inf)
+      val (bq, bqPrep) = Await.result(fBq, Duration.Inf)
       val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)
       val (nnd, nndPrep) = Await.result(fNnd, Duration.Inf)
       // ground truth = the SAME cached exact top-k frame q_knn_cosine
@@ -1072,7 +1077,7 @@ object QueriesVector {
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
       val names = Seq("lsh", "lsh_mp", "ivf", "ivfpq", "ivf_scalar", "sq8",
-        "pq", "hnsw", "nndescent")
+        "pq", "bq", "hnsw", "nndescent")
       // LSH's bucket-collision candidate set is the one scan set that costs
       // a real job to derive — persist it so the recall pass and the
       // rows_scanned count share ONE materialization (verdict r3: the r3
@@ -1102,6 +1107,7 @@ object QueriesVector {
           .withColumn("strategy", lit("ivf_scalar")),
         sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
         pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")),
+        bq.query(bqPrep, q, k).withColumn("strategy", lit("bq")),
         hnsw.query(hnswPrep, q, k).withColumn("strategy", lit("hnsw")),
         nnd.query(nndPrep, q, k).withColumn("strategy", lit("nndescent")))
         .map(_.select("strategy", "query_id", "dist"))
@@ -1138,7 +1144,10 @@ object QueriesVector {
       // result — reuse it rather than re-running the cell-size job
       val scans = Map("lsh" -> lshScan, "lsh_mp" -> mpScan, "ivf" -> ivfScan,
         "ivfpq" -> ivfScan, "ivf_scalar" -> ivfScan,
-        "sq8" -> fullScan, "pq" -> fullScan,
+        // bq's coarse pass visits every (row, query) SIGNATURE pair — the
+        // same row volume as the full scans (its win is 32× fewer bytes
+        // per row, which a row-count proxy deliberately does not flatter)
+        "sq8" -> fullScan, "pq" -> fullScan, "bq" -> fullScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),
         "nndescent" -> nnd.scanVolume(nndPrep, q))
       // HALF_UP, matching Spark's round() semantics repo-wide (math.rint is
