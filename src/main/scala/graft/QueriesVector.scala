@@ -934,6 +934,81 @@ object QueriesVector {
       ORDER BY query_id, rank
     """))
 
+  /** BQ rerank-factor tuning curve — recall@10 against the exact ground
+    * truth for candidate pools of 10·{1,2,4,8}, all from ONE coarse
+    * Hamming pass (the [[qIvfNprobeCurve]] pattern for the quantized
+    * family). Because a true neighbor inside the pool always survives the
+    * exact re-rank, recall at factor f is exactly
+    * |GT ∩ {coarse rank ≤ 10f}| / 10 — so the whole curve is computed
+    * window-free: each GT member's coarse rank = 1 + count of
+    * strictly-smaller (hamming, id) pairs for its query, a broadcast join
+    * of the 10·|q|-row GT frame onto the signature scan. And because
+    * Hamming is integer-exact, this tuning curve gets what the IVF curve
+    * cannot have: a full DuckDB oracle. (The curve measures the strict
+    * (h, id) cut; the production pool is tie-inclusive, which can only
+    * raise recall.) */
+  val qBqFactorCurve = Q("q_bq_factor_curve",
+    (s, dir) => {
+      import graft.functions.VectorFunctions
+      val nq = 20
+      val k = 10
+      val sigs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"),
+          VectorFunctions.pack_sign_bits(col("embedding")).as("_sig"))
+      val qsigs = t(s, dir, "embeddings").where(col("vec_id") < nq)
+        .select(col("vec_id").as("query_id"),
+          VectorFunctions.pack_sign_bits(col("embedding")).as("_qsig"))
+      val gt = exactCosineTopK(s, dir, nq, k)
+        .select(col("query_id"), col("id"))
+      // each GT member's signature Hamming to its query
+      val pairs = sigs.crossJoin(broadcast(qsigs))
+        .select(col("query_id"), col("id"),
+          VectorFunctions.hamming_packed(col("_sig"), col("_qsig")).as("h"))
+      val gtH = pairs.join(broadcast(gt), Seq("query_id", "id"))
+        .select(col("query_id"), col("id").as("gid"), col("h").as("gh"))
+      val cranks = pairs.join(broadcast(gtH), Seq("query_id"))
+        .where(col("h") < col("gh") ||
+          (col("h") === col("gh") && col("id") < col("gid")))
+        .groupBy("query_id", "gid").agg(count(lit(1)).as("smaller"))
+      // GT members with NO smaller pair (coarse rank 1) drop out of the
+      // count join — restore them via a left join from the GT frame
+      val gtRanks = gtH.join(cranks, Seq("query_id", "gid"), "left")
+        .select(col("query_id"), col("gid"),
+          (coalesce(col("smaller"), lit(0L)) + 1L).as("crank"))
+      import s.implicits._
+      val factors = Seq(1, 2, 4, 8).toDF("factor")
+      factors.crossJoin(gtRanks)
+        .groupBy("factor")
+        .agg(round(sum(when(col("crank") <= col("factor") * k, 1L)
+          .otherwise(0L)) / (nq * k).toDouble, 6).as("recall"))
+        .select(col("factor").cast("long").as("factor"),
+          (col("factor") * k).cast("long").as("pool"), col("recall"))
+        .orderBy("factor")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS id,
+               len(list_filter(range(1, len(s.embedding) + 1),
+                   i -> (s.embedding[i] > 0) <> (q.embedding[i] > 0))) AS h,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 20
+      ), ranked AS (
+        SELECT query_id, id, h,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, id) AS erank,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, id) AS crank
+        FROM pairs
+      ), gt AS (SELECT query_id, id, crank FROM ranked WHERE erank <= 10)
+      SELECT CAST(f.factor AS BIGINT) AS factor,
+             CAST(f.factor * 10 AS BIGINT) AS pool,
+             round(sum(CASE WHEN gt.crank <= f.factor * 10 THEN 1 ELSE 0 END)
+                   / 200.0, 6) AS recall
+      FROM gt CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS factor) f
+      GROUP BY 1, 2
+      ORDER BY factor
+    """))
+
   /** Matryoshka truncated-dimension rerank (Kusupati et al., NeurIPS 2022):
     * coarse cosine over the first 16 of 64 dims (4× less scan I/O; with the
     * prefix materialized as its own column, column pruning makes that real
@@ -1429,7 +1504,7 @@ object QueriesVector {
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
-    qMatryoshkaRerank, qPqKnn,
+    qBqFactorCurve, qMatryoshkaRerank, qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,

@@ -139,6 +139,17 @@ class BinaryQuantSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("factor curve: recall monotone in the pool size, bounded in [0,1]") {
+    val rows = Queries.queryMap("q_bq_factor_curve")(
+      spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 4L, 8L))
+    val recalls = rows.map(_._2).toSeq
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    assert(recalls === recalls.sorted,
+      s"recall must be monotone in the candidate pool: $recalls")
+  }
+
   test("mihRadius plan has no cartesian product — candidates come from an equi-join") {
     val strat = BqStrategy(Metric.Cosine, rerank = false)
     val prepared = strat.prepare(store)
