@@ -32,10 +32,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 24g sized for the 117-query surface at local[32]/sf0.1 (the host has
-  // 128 GiB): at 8g the bench JVM GC-churned through the cached stores +
-  // registry indexes and the most job-dense query (q_evaluate) absorbed
-  // 1-2 s of collector pressure per run; 8g -> 16g -> 24g measured
-  // 55.5 -> 51.6 -> 49.1 s totals on the same binary (BENCH_NOTES r11)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // heap tracks the query surface (the host has 128 GiB; one forked JVM
+  // runs at a time): at 8g the bench JVM GC-churned through the cached
+  // stores + registry indexes and the most job-dense queries (q_evaluate,
+  // q_gopher_rules) absorbed the collector pressure — 8g -> 16g -> 24g
+  // measured 55.5 -> 51.6 -> 49.1 s at 117 queries (BENCH_NOTES r11);
+  // at 135 queries the same cliff reappeared at 24g (evaluate 14.9 s,
+  // gopher 7.0 s, total 99.4 s) and 48g restores shape (4.9 / 0.6 / 70.8)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -934,6 +934,48 @@ object QueriesVector {
       ORDER BY query_id, rank
     """))
 
+  /** MIH served from DISK — the binary family joins the disk-serving set
+    * (flat: q_ivf_partitioned_knn, scalar: q_ivfsq8_partitioned_radius,
+    * pq: q_ivfpqr_partitioned_knn, binary: this): the chunk-exploded
+    * signature table is laid out partitioned by (chunk_idx, value-bucket)
+    * and value-sorted within files, and the query batch's probe keys prune
+    * it twice — probe buckets as a directory-level partition filter, probe
+    * values as a pushed `IN` filter skipping row groups — before the exact
+    * pair equi-join and full-signature verify. Same brute-scan oracle as
+    * q_bq_mih_radius: the layout, the pruning, and the join must
+    * reproduce the exact radius answer bit for bit. */
+  val qBqMihPartitioned = Q("q_bq_mih_partitioned",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "bq")(
+        BqStrategy(Metric.Cosine, rerank = false))
+      val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/bq_mih8", {
+        val p = java.nio.file.Files.createTempDirectory("graft_bq_mih8")
+          .resolve("index").toString
+        graft.index.BqStrategy.writeMihIndex(prepared, p, chunkBits = 8)
+        p
+      })
+      graft.index.BqStrategy.mihRadiusFromDisk(s, path,
+        queriesDf(s, dir, 5), bits = 23, maxK = 20)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          col("dist").cast("long").as("hamming"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               len(list_filter(range(1, len(s.embedding) + 1),
+                   i -> (s.embedding[i] > 0) <> (q.embedding[i] > 0))) AS h
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), ranked AS (
+        SELECT query_id, neighbor_id, h,
+               row_number() OVER (PARTITION BY query_id ORDER BY h, neighbor_id) AS rank
+        FROM pairs WHERE h <= 23
+      )
+      SELECT query_id, neighbor_id, h AS hamming, rank
+      FROM ranked WHERE rank <= 20
+      ORDER BY query_id, rank
+    """))
+
   /** BQ rerank-factor tuning curve — recall@10 against the exact ground
     * truth for candidate pools of 10·{1,2,4,8}, all from ONE coarse
     * Hamming pass (the [[qIvfNprobeCurve]] pattern for the quantized
@@ -1504,7 +1546,7 @@ object QueriesVector {
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
-    qBqFactorCurve, qMatryoshkaRerank, qPqKnn,
+    qBqMihPartitioned, qBqFactorCurve, qMatryoshkaRerank, qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,

@@ -224,6 +224,117 @@ object BqStrategy {
       .where(col("dist") <= bits)
   }
 
+  /** Disk layout for MIH serving: the chunk-exploded signature table,
+    * PARTITIONED by `_pk = chunk_idx·16 + value-bucket` (bucket = the
+    * chunk value's top 4 bits) — ONE combined partition key, so a query
+    * batch's (chunk, bucket) probe PAIRS prune directories exactly (two
+    * separate partition columns would prune on the cross product of the
+    * per-column IN-lists, which covers nearly everything) — and sorted by
+    * chunk_val within files, so the pushed-down `chunk_val IN (...)`
+    * filter skips row groups via parquet min/max stats. One layout serves
+    * any radius whose ball fits the chunk width. */
+  def writeMihIndex(prepared: DataFrame, path: String,
+      chunkBits: Int = 8): Unit = {
+    require(chunkBits > 4 && 64 % chunkBits == 0,
+      s"writeMihIndex: chunkBits must divide 64 and exceed 4, got $chunkBits")
+    val dim = prepared.select(F.size(col("vector"))).limit(1)
+      .collect()(0).getInt(0)
+    val numChunks = (dim + chunkBits - 1) / chunkBits
+    val perWord = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val chunks = array((0 until numChunks).map { c =>
+      shiftrightunsigned(element_at(col("_sig"), c / perWord + 1),
+        (c % perWord) * chunkBits).bitwiseAND(mask)
+    }: _*)
+    prepared.select(col("id"), col("_sig"))
+      .withColumn("_chunks", chunks)
+      .select(col("id"), col("_sig"),
+        posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("_pk", col("chunk_idx") * 16 +
+        shiftrightunsigned(col("chunk_val"), chunkBits - 4))
+      .repartition(col("_pk"))
+      .sortWithinPartitions(col("chunk_val"))
+      .write.mode("overwrite")
+      .partitionBy("_pk").parquet(path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("chunk_bits", chunkBits)
+    root.put("num_chunks", numChunks)
+    graft.core.FsIO.write(s"$path/_mih_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  /** [[BqStrategy.mihRadius]] served from the [[writeMihIndex]] layout —
+    * identical results (spec-pinned against the in-memory path and the
+    * brute scan). The query batch's probe keys are enumerated driver-side
+    * (bounded by |queries| × chunks × ball, never by the store) and pushed
+    * into the scan twice over: the probe BUCKETS become a partition filter
+    * the reader resolves at the directory level, and the probe VALUES
+    * become a `chunk_val IN (...)` pushed filter that skips row groups
+    * inside surviving partitions. The exact pair equi-join then runs on
+    * the pruned remainder only. */
+  def mihRadiusFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, bits: Int, maxK: Int): DataFrame = {
+    require(graft.core.FsIO.exists(s"$path/_mih_meta.json"),
+      s"no MIH index at $path (missing _mih_meta.json)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_mih_meta.json"))
+    val chunkBits = meta.get("chunk_bits").asInt()
+    val numChunks = meta.get("num_chunks").asInt()
+    val ballR = bits / numChunks
+    require(ballR <= 2,
+      s"MIH: ball radius $ballR > 2 (bits=$bits over $numChunks chunks)")
+    val perWord = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+
+    val q = queries.select(col("query_id"),
+      graft.functions.VectorFunctions.pack_sign_bits(
+        col("qvector").cast("array<double>")).as("_qsig"))
+    val qChunks = array((0 until numChunks).map { c =>
+      shiftrightunsigned(element_at(col("_qsig"), c / perWord + 1),
+        (c % perWord) * chunkBits).bitwiseAND(mask)
+    }: _*)
+    val ball = udf { (v: Long) =>
+      val out = scala.collection.mutable.ArrayBuffer(v)
+      if (ballR >= 1)
+        for (i <- 0 until chunkBits) out += (v ^ (1L << i))
+      if (ballR >= 2)
+        for (i <- 0 until chunkBits; j <- (i + 1) until chunkBits)
+          out += (v ^ (1L << i) ^ (1L << j))
+      out.toSeq
+    }
+    val probeKeys = q
+      .withColumn("_chunks", qChunks)
+      .select(col("query_id"), col("_qsig"),
+        posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("chunk_val", explode(ball(col("chunk_val"))))
+      .cache()
+    // driver-side probe enumeration: bounded by the QUERY batch
+    // (|q| × chunks × ball ≤ a few thousand keys), never by the store
+    val probes = probeKeys.select(col("chunk_idx"), col("chunk_val"))
+      .distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val probeVals = probes.map(_._2).distinct.toSeq
+    val probePks = probes
+      .map { case (ci, v) => ci * 16L + (v >> (chunkBits - 4)) }
+      .distinct.toSeq
+
+    val idx = spark.read.parquet(path)
+      .where(col("_pk").isin(probePks: _*) &&
+        col("chunk_val").isin(probeVals: _*))
+    val candidates = idx
+      .join(broadcast(probeKeys), Seq("chunk_idx", "chunk_val"))
+      .select(col("query_id"), col("id"), col("_sig"), col("_qsig"))
+      .dropDuplicates("query_id", "id")
+    val verified = candidates.select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.hamming_packed(
+          col("_sig"), col("_qsig")).cast("double").as("dist"))
+      .where(col("dist") <= bits)
+    val out = TopK.topKPerGroup(verified, Seq("query_id"), "id", "dist", maxK)
+    probeKeys.unpersist()
+    out
+  }
+
   /** Persist a (id, _sig) signature frame as generation `batchTag` of the
     * snapshot at `path` — same dynamic-partition-overwrite discipline as
     * the MinHash signature snapshots ([[graft.prep.Dedup]]): a REPLAYED

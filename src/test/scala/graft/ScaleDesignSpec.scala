@@ -381,6 +381,55 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("MIH disk serving: probe buckets prune partitions, values push into the scan") {
+    import graft.core.Metric
+    import graft.index.BqStrategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = BqStrategy(Metric.Cosine, rerank = false)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_mihdisk")
+    val path = root.resolve("index").toString
+    BqStrategy.writeMihIndex(prepared, path, chunkBits = 8)
+    // a single query keeps the probe-bucket set well under the layout's
+    // partition count, so directory-level pruning is observable
+    val queries = store.where($"id" === 7)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val fromDisk = BqStrategy.mihRadiusFromDisk(spark, path, queries,
+      bits = 23, maxK = 50)
+    val mem = strat.mihRadius(prepared, queries, 23, 50, chunkBits = 8)
+      .collect().toSet
+    assert(fromDisk.collect().toSet === mem.map(r => r))
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val idxScans = fileScans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft_mihdisk")))
+    assert(idxScans.nonEmpty, "no scan of the MIH layout found")
+    val total = spark.read.parquet(path)
+      .select("_pk").distinct().count()
+    idxScans.foreach { sc =>
+      val scanned = sc.selectedPartitions.partitionCount
+      assert(scanned < total,
+        s"MIH disk scan read all $scanned/$total (chunk, bucket) partitions")
+      // the probe-value IN filter reaches the parquet reader: row-group
+      // skipping inside surviving partitions comes from THIS plus the
+      // value-sorted file layout
+      assert(sc.metadata.get("PushedFilters").exists(_.contains("In(chunk_val")),
+        s"chunk_val IN filter not pushed: ${sc.metadata.get("PushedFilters")}")
+    }
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("matryoshka disk serving: coarse scan never reads the full vectors") {
     import graft.operators.Knn
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
