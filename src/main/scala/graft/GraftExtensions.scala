@@ -33,5 +33,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("tanimoto_distance", es => TanimotoDistance(es(0), es(1)))
     inject("l2_normalize", es => L2Normalize(es.head))
     inject("winnow_md5", VectorFunctions.winnowBuilder)
+    inject("pack_sign_bits", es => PackSignBits(es.head))
+    inject("hamming_packed", es => HammingPacked(es(0), es(1)))
   }
 }
