@@ -976,6 +976,54 @@ object QueriesVector {
       ORDER BY query_id, rank
     """))
 
+  /** Matryoshka rerank served from the prefix-column DISK layout
+    * ([[graft.operators.Knn.writeMatryoshkaIndex]]): same two-stage
+    * semantics as [[qMatryoshkaRerank]] — and the same two-stage oracle —
+    * but the coarse scan reads the materialized 16-dim `_prefix` column
+    * off parquet (ReadSchema never includes the full vectors,
+    * plan-asserted in ScaleDesignSpec) and the re-rank fetches full rows
+    * for candidates only. The oracle pins the prefix round trip, the
+    * column-pruned coarse cut, and the candidate fetch THROUGH the
+    * layout. */
+  val qMatryoshkaDisk = Q("q_matryoshka_disk",
+    (s, dir) => {
+      val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/mrl16", {
+        val p = java.nio.file.Files.createTempDirectory("graft_mrl16")
+          .resolve("index").toString
+        Knn.writeMatryoshkaIndex(
+          store(s, dir).withColumn("vector",
+            col("vector").cast("array<double>")), p, coarseDims = 16)
+        p
+      })
+      Knn.matryoshkaFromDisk(s, path, queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")),
+        coarseDims = 16, pool = 40, k = 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding[1:16] AS DOUBLE[]),
+                                                   CAST(q.embedding[1:16] AS DOUBLE[])), 0) AS cd,
+               greatest(1 - list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                   CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), coarse AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY cd, neighbor_id) AS crank
+        FROM pairs
+      ), reranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS rank
+        FROM coarse WHERE crank <= 40
+      )
+      SELECT query_id, neighbor_id, round(d, 6) AS dist, rank
+      FROM reranked WHERE rank <= 10
+      ORDER BY query_id, rank
+    """))
+
   /** BQ rerank-factor tuning curve — recall@10 against the exact ground
     * truth for candidate pools of 10·{1,2,4,8}, all from ONE coarse
     * Hamming pass (the [[qIvfNprobeCurve]] pattern for the quantized
@@ -1546,7 +1594,8 @@ object QueriesVector {
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
-    qBqMihPartitioned, qBqFactorCurve, qMatryoshkaRerank, qPqKnn,
+    qBqMihPartitioned, qBqFactorCurve, qMatryoshkaRerank, qMatryoshkaDisk,
+    qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
