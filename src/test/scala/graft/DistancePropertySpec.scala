@@ -135,6 +135,41 @@ class DistancePropertySpec extends SparkSpec {
     }
   }
 
+  test("packed Hamming: metric axioms + agreement with the per-dim kernel") {
+    def evalPacked(a: Seq[Double], b: Seq[Double]): Double =
+      Seq(1).toDF("x").select(
+        hamming_packed(pack_sign_bits(typedLit(a)),
+          pack_sign_bits(typedLit(b))).cast("double").as("v"))
+        .head.getDouble(0)
+    // longer vectors than the shared generator: exercise multi-word packing
+    val wideGen: Gen[List[Double]] =
+      Gen.chooseNum(60, 80).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)))
+    val wide = (0 until 30).flatMap(i =>
+      wideGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    wide.grouped(2).foreach { case Seq(a0, b0) =>
+      val n = math.min(a0.length, b0.length)
+      val a = a0.take(n); val b = b0.take(n)
+      val h = evalPacked(a, b)
+      // identity, symmetry, bounds
+      assert(evalPacked(a, a) === 0.0)
+      assert(evalPacked(b, a) === h)
+      assert(h >= 0.0 && h <= n)
+      // agreement with the per-dimension kernel applied to sign vectors
+      val sa = a.map(x => if (x > 0) 1.0 else 0.0)
+      val sb = b.map(x => if (x > 0) 1.0 else 0.0)
+      assert(eval2(hamming_distance, sa, sb) === h)
+      // scale invariance of the signature (positive scaling)
+      assert(evalPacked(a.map(_ * 3.7), b) === h)
+    }
+    // triangle inequality over sign space
+    wide.grouped(3).foreach { case Seq(a0, b0, c0) =>
+      val n = Seq(a0.length, b0.length, c0.length).min
+      val (a, b, c) = (a0.take(n), b0.take(n), c0.take(n))
+      assert(evalPacked(a, c) <= evalPacked(a, b) + evalPacked(b, c))
+    }
+  }
+
   test("l2_normalize produces unit vectors (or zero) and is idempotent") {
     (samples(15) :+ List(0.0, 0.0, 0.0)).foreach { v =>
       val once = Seq(1).toDF("x")
