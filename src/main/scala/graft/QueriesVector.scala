@@ -430,6 +430,18 @@ object QueriesVector {
   /** like [[mkIvfpq]]: reuse any registry-trained nlist=16 IVF's centroids
     * for the composed IVF+SQ build (KMeans depends on nlist/seed/store, not
     * nprobe, so either the x8 or x16 probe config is an identical donor) */
+  private def mkIvfBq(s: SparkSession, dir: String, metric: Metric,
+      nprobe: Int = 8, rerankFactor: Int = 4): graft.index.IvfBqStrategy = {
+    val st = graft.index.IvfBqStrategy(metric, nlist = 16, nprobe = nprobe,
+      rerankFactor = rerankFactor)
+    val m = mapOf(indexCaches, s)
+    Seq(s"ivf16x8${metricSfx(metric)}", s"ivf16x16${metricSfx(metric)}")
+      .flatMap(k => m.get(s"$dir/$k")).map(_._1)
+      .collectFirst { case i: IvfStrategy if i.isTrained => i }
+      .foreach(i => st.adoptCentroids(i.centroidArray))
+    st
+  }
+
   private def mkIvfSq8(s: SparkSession, dir: String, metric: Metric,
       nprobe: Int = 8): IvfSq8Strategy = {
     val st = IvfSq8Strategy(metric, nlist = 16, nprobe = nprobe)
@@ -934,6 +946,40 @@ object QueriesVector {
       ORDER BY query_id, rank
     """))
 
+  /** Composed IVF cells over sign signatures at a production operating
+    * point (nprobe 8/16, rerank factor 4) — approximate by design
+    * (probing can miss a true neighbor's cell), so rows-only; the
+    * exact-mode anchor below pins the plumbing. Completes the composition
+    * matrix: IVF cells now compose with every quantizer width (flat /
+    * 8-bit / PQ / 1-bit). */
+  val qIvfBqKnn = Q("q_ivfbq_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfbq16x8")(
+        mkIvfBq(s, dir, Metric.Cosine))
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
+  /** [[qIvfBqKnn]] in its provably-exact mode — nprobe = nlist probes
+    * every cell and the 2000-candidate pool covers the store, so the
+    * exact re-rank provably returns the exact top-k — pinning the
+    * composed cell-assignment + signature + tie-inclusive-pool + refine
+    * plumbing to the shared oracle, the same anchor pattern as
+    * `q_ivfpqr_knn` / `q_sq8_rerank_knn`. The composed index's one
+    * persisted artifact is the centroids (the 1-bit quantizer is
+    * train-free). */
+  val qIvfBqKnnExact = Q("q_ivfbq_knn_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfbq16x16r")(
+        mkIvfBq(s, dir, Metric.Cosine, nprobe = 16, rerankFactor = 200))
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
   /** MIH served from DISK — the binary family joins the disk-serving set
     * (flat: q_ivf_partitioned_knn, scalar: q_ivfsq8_partitioned_radius,
     * pq: q_ivfpqr_partitioned_knn, binary: this): the chunk-exploded
@@ -1225,6 +1271,11 @@ object QueriesVector {
         mkIvfpq(s, dir, metric)))
       val fIvfSq8 = Future(preparedIndex(s, dir, s"ivfsq8x16x8$sfx")(
         mkIvfSq8(s, dir, metric)))
+      // the 1-bit composition adopts the same centroids, launched after
+      // the ivf await like its siblings so adoption stays deterministic;
+      // registry key shared with q_ivfbq_knn on the cosine pass
+      val fIvfBq = Future(preparedIndex(s, dir, s"ivfbq16x8$sfx")(
+        mkIvfBq(s, dir, metric)))
       val (ivfpq, ivfpqPrep) = Await.result(fIvfpq, Duration.Inf)
       val (lshS, lshPrep) = Await.result(fLsh, Duration.Inf)
       val lsh = lshS.asInstanceOf[LshStrategy]
@@ -1234,6 +1285,7 @@ object QueriesVector {
       val (ivfsq8, ivfsq8Prep) = Await.result(fIvfSq8, Duration.Inf)
       val (pq, pqPrep) = Await.result(fPq, Duration.Inf)
       val (bq, bqPrep) = Await.result(fBq, Duration.Inf)
+      val (ivfbq, ivfbqPrep) = Await.result(fIvfBq, Duration.Inf)
       val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)
       val (nnd, nndPrep) = Await.result(fNnd, Duration.Inf)
       // ground truth = the SAME cached exact top-k frame q_knn_cosine
@@ -1242,7 +1294,7 @@ object QueriesVector {
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
       val names = Seq("lsh", "lsh_mp", "ivf", "ivfpq", "ivf_scalar", "sq8",
-        "pq", "bq", "hnsw", "nndescent")
+        "pq", "bq", "ivf_binary", "hnsw", "nndescent")
       // LSH's bucket-collision candidate set is the one scan set that costs
       // a real job to derive — persist it so the recall pass and the
       // rows_scanned count share ONE materialization (verdict r3: the r3
@@ -1273,6 +1325,8 @@ object QueriesVector {
         sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
         pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")),
         bq.query(bqPrep, q, k).withColumn("strategy", lit("bq")),
+        ivfbq.query(ivfbqPrep, q, k)
+          .withColumn("strategy", lit("ivf_binary")),
         hnsw.query(hnswPrep, q, k).withColumn("strategy", lit("hnsw")),
         nnd.query(nndPrep, q, k).withColumn("strategy", lit("nndescent")))
         .map(_.select("strategy", "query_id", "dist"))
@@ -1313,6 +1367,8 @@ object QueriesVector {
         // same row volume as the full scans (its win is 32× fewer bytes
         // per row, which a row-count proxy deliberately does not flatter)
         "sq8" -> fullScan, "pq" -> fullScan, "bq" -> fullScan,
+        // same probed cells as the identically-trained ivf16x8 family
+        "ivf_binary" -> ivfScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),
         "nndescent" -> nnd.scanVolume(nndPrep, q))
       // HALF_UP, matching Spark's round() semantics repo-wide (math.rint is
@@ -1594,7 +1650,8 @@ object QueriesVector {
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
-    qBqMihPartitioned, qBqFactorCurve, qMatryoshkaRerank, qMatryoshkaDisk,
+    qBqMihPartitioned, qBqFactorCurve, qIvfBqKnn, qIvfBqKnnExact,
+    qMatryoshkaRerank, qMatryoshkaDisk,
     qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{BqStrategy, ExactStrategy, HnswStrategy, IndexStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{BqStrategy, ExactStrategy, HnswStrategy, IndexStrategy, IvfBqStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -356,11 +356,14 @@ object Vicinity {
           case "ivf_scalar" => IvfSq8Strategy(fa.metric, fa.nlist, nprobe)
           case "lsh" => LshStrategy(fa.metric)
           case "hnsw" => HnswStrategy(fa.metric) // IndexHNSWFlat, faiss.py:102
-          // ENGINE EXTENSION beyond the reference's 9 types (faiss.py:87-114):
-          // FAISS's own binary family (IndexBinaryFlat) exposed as sign-bit
-          // quantization + Hamming coarse scan + exact re-rank; train-free,
-          // so it inherits insert/save/load with no aux state
+          // ENGINE EXTENSIONS beyond the reference's 9 types (faiss.py:87-114):
+          // FAISS's own binary family (IndexBinaryFlat / IndexBinaryIVF)
+          // exposed as sign-bit quantization + Hamming coarse scan + exact
+          // re-rank; the quantizer is train-free, so `binary` inherits
+          // insert/save/load with no aux state and `ivf_binary` persists
+          // only its centroids
           case "binary" => BqStrategy(fa.metric)
+          case "ivf_binary" => IvfBqStrategy(fa.metric, fa.nlist, nprobe)
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")
         }

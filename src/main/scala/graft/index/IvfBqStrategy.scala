@@ -1,0 +1,90 @@
+package graft.index
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.Metric
+
+/** Composed IVF + binary quantization — the engine's extension of FAISS's
+  * composed-index pattern (≙ `IndexIVFScalarQuantizer`,
+  * `/root/reference/vicinity/backends/faiss.py:105-110`, taken to the
+  * 1-bit quantizer): KMeans cells over sign-bit signatures. A query scans
+  * only the `nprobe` probed cells, ranks their signatures by packed
+  * Hamming, and exact-reranks the tie-inclusive candidate pool.
+  *
+  * Completes the composition matrix — IVF cells now compose with every
+  * quantizer width the engine has (flat: [[IvfStrategy]], 8-bit:
+  * [[IvfSq8Strategy]], PQ codebooks: [[IvfPqStrategy]], 1-bit: this).
+  * Distinctive property inherited from [[BqStrategy]]: the quantizer is
+  * train-free, so the composed index persists ONLY the IVF centroids —
+  * save/load has one artifact, and inserts re-use the trained cells while
+  * the signatures quantize statelessly.
+  *
+  * Scale story: probed-cell partition pruning × 8-bytes-per-row signature
+  * scan — the coarse pass reads ~nprobe/nlist of the rows at 1/32 of the
+  * flat bytes; full-precision I/O is paid only for the rerank candidates.
+  */
+case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
+    rerankFactor: Int = 4, seed: Long = 42L) extends IndexStrategy {
+  require(metric == Metric.Cosine || metric == Metric.Euclidean,
+    s"Metric '${metric.name}' is not supported by the IVF-binary backend.")
+  val name = "ivf_binary"
+
+  private val ivf = IvfStrategy(metric, nlist, nprobe, seed)
+  private val bq = BqStrategy(metric, rerank = true, rerankFactor)
+
+  def prepare(store: DataFrame): DataFrame =
+    bq.prepare(ivf.prepare(store)) // cell assignment + sign signatures
+
+  override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
+      fullStore: DataFrame): DataFrame =
+    if (!ivf.isTrained) prepare(fullStore)
+    // assign with the trained centroids; signatures are train-free
+    else prevPrepared.unionByName(bq.prepare(ivf.prepare(newRows)))
+
+  /** probed-cell partition pruning, identical to the other compositions */
+  private def pruned(prepared: DataFrame, queries: DataFrame): DataFrame = {
+    val probeCells = ivf.probeCells(queries)
+    prepared.where(col("_centroid").isin(probeCells: _*))
+  }
+
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    bq.query(pruned(prepared, queries), queries, k)
+  }
+
+  /** ANN threshold through the composed path: prune cells, Hamming-coarse
+    * candidates, exact re-rank, strict `<` + max_k (the BQ family's
+    * threshold shape — Hamming is not in the metric's units, so the mask
+    * applies after refinement). */
+  def queryThreshold(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, maxK: Int): DataFrame =
+    bq.queryThreshold(pruned(prepared, queries), queries, threshold, maxK)
+
+  /** ONLY the centroids persist — the 1-bit quantizer has no learned
+    * state (compare [[IvfSq8Strategy.saveAux]], which must also round-trip
+    * the SQ ranges). */
+  override def saveAux(dir: String): Unit = ivf.saveAux(dir)
+  override def loadAux(dir: String): Unit = ivf.loadAux(dir)
+
+  override def writeIndex(prepared: DataFrame, path: String): Unit =
+    ivf.writeIndex(prepared, path)
+
+  /** Disk serving off the cell-partitioned layout: the probe set prunes
+    * partitions, the coarse pass projects `(id, _sig)` — 8 bytes of
+    * payload per row — and the rerank joins raw vectors for candidates
+    * only. */
+  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
+    query(spark.read.parquet(path), queries, k)
+  }
+
+  /** rows scored = rows in the probed cells, as for the other quantized
+    * compositions (bytes per row change, rows do not) */
+  override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
+    ivf.scanVolume(prepared, queries)
+
+  private[graft] def adoptCentroids(c: Array[Array[Double]]): Unit =
+    ivf.adoptCentroids(c)
+}

@@ -22,7 +22,8 @@ class BackendMatrixSpec extends SparkSpec {
   private val faissTypes =
     Seq("flat", "ivf", "hnsw", "lsh", "scalar", "pq", "ivf_scalar", "ivfpq",
       "ivfpqr",
-      "binary") // engine extension: FAISS binary family (sign-bit BQ)
+      // engine extensions: FAISS binary family (sign-bit BQ, flat + IVF)
+      "binary", "ivf_binary")
   private val configs: Seq[(String, Backend, Option[BackendArgs])] =
     faissTypes.map(t => (s"faiss-$t", Backend.Faiss,
       Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = t, nlist = 4)
