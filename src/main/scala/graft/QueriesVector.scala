@@ -980,6 +980,25 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** The composed IVF×BQ index served from its cell-partitioned DISK
+    * layout in exact mode — the fifth disk-serving anchor off the same
+    * layout pattern (flat / scalar / pq / MIH-binary / ivf-binary): the
+    * oracle pins the signature array's parquet round trip, partition-
+    * column recovery, probe join, tie-inclusive pool, and refine THROUGH
+    * the layout. The nprobe < nlist pruning behavior of the same code
+    * path is what q_ivfbq_knn exercises in memory. */
+  val qIvfBqPartitionedKnn = Q("q_ivfbq_partitioned_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfbq16x16r")(
+        mkIvfBq(s, dir, Metric.Cosine, nprobe = 16, rerankFactor = 200))
+      val path = diskIvfPath(s, dir, "ivfbq16x16r", strat, prepared)
+      strat.asInstanceOf[graft.index.IvfBqStrategy].queryFromDisk(s, path,
+        queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
   /** MIH served from DISK — the binary family joins the disk-serving set
     * (flat: q_ivf_partitioned_knn, scalar: q_ivfsq8_partitioned_radius,
     * pq: q_ivfpqr_partitioned_knn, binary: this): the chunk-exploded
@@ -1651,6 +1670,7 @@ object QueriesVector {
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
     qBqMihPartitioned, qBqFactorCurve, qIvfBqKnn, qIvfBqKnnExact,
+    qIvfBqPartitionedKnn,
     qMatryoshkaRerank, qMatryoshkaDisk,
     qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
