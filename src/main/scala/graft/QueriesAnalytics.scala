@@ -139,6 +139,36 @@ object QueriesAnalytics {
       ORDER BY user_bucket
     """))
 
+  /** unpivot/melt — the inverse reshape completing the pivot pair
+    * (§2.4): the wide per-bucket frame back to long (bucket, event_type,
+    * total) rows via `stack` (a Generator, so it widens rows inside the
+    * same stage — no shuffle beyond the pivot's own aggregation). */
+  val qUnpivot = Q("q_unpivot",
+    (s, dir) => events(s, dir)
+      .withColumn("user_bucket", pmod(col("user_id"), lit(10)).cast("long"))
+      .groupBy("user_bucket")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(round(sum("value"), 2))
+      .na.fill(0.0)
+      .select(col("user_bucket"), expr(
+        """stack(5, 'click', click, 'view', view, 'purchase', purchase,
+          |'signup', signup, 'error', error) AS (event_type, total)"""
+          .stripMargin))
+      .orderBy("user_bucket", "event_type"),
+    Some("""
+      WITH w AS (
+        SELECT user_id % 10 AS user_bucket,
+               coalesce(round(sum(value) FILTER (event_type = 'click'), 2), 0) AS click,
+               coalesce(round(sum(value) FILTER (event_type = 'view'), 2), 0) AS view,
+               coalesce(round(sum(value) FILTER (event_type = 'purchase'), 2), 0) AS purchase,
+               coalesce(round(sum(value) FILTER (event_type = 'signup'), 2), 0) AS signup,
+               coalesce(round(sum(value) FILTER (event_type = 'error'), 2), 0) AS error
+        FROM events GROUP BY 1)
+      SELECT user_bucket, event_type, total
+      FROM w UNPIVOT (total FOR event_type IN (click, view, purchase, signup, error))
+      ORDER BY user_bucket, event_type
+    """))
+
   /** Exact interpolated percentiles per group — computed by SORT, not by
     * the `percentile()` aggregate: that aggregate collects every group
     * value into one in-memory buffer (a per-group OOM hazard once groups
@@ -303,6 +333,7 @@ object QueriesAnalytics {
     """))
 
   val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qRangeJoin, qPivot,
+    qUnpivot,
     qPercentiles, qHistogram, qRollup, qWindowFuncs, qJsonExtract,
     qCollectValues)
 }
