@@ -1227,7 +1227,7 @@ object QueriesVector {
     },
     None)
 
-  /** one metric's evaluate pass — the Q11 grid over all nine ANN
+  /** one metric's evaluate pass — the Q11 grid over all eleven ANN
     * families, returning (strategy, metric, k, recall, rows_scanned).
     * NOTE: the driver's embeddings are unit-normalized, so euclidean is a
     * monotonic transform of cosine (‖a−b‖ = √(2−2cos)) and the two
@@ -1239,7 +1239,7 @@ object QueriesVector {
       metric: Metric): Seq[(String, String, Long, Double, Long)] = {
       import s.implicits._
       val sfx = metricSfx(metric)
-      // nine strategies scan the same store: materialize once (shared
+      // eleven strategies scan the same store: materialize once (shared
       // with the registry's index builds)
       val st = cachedStore(s, dir)
       // n = 10 queries, the reference harness width (advice r3: the r3 trim
@@ -1249,7 +1249,7 @@ object QueriesVector {
       val q = queriesDf(s, dir, nq)
         .withColumn("qvector", col("qvector").cast("array<double>"))
       val k = 10
-      // the five builds + the ground-truth pass are independent one-time
+      // the index builds + the ground-truth pass are independent one-time
       // jobs over the SAME cached store — run them as concurrent futures
       // (Spark schedules concurrent driver jobs fine on local[*] and on a
       // cluster; every build is seeded, so results are bit-identical to the
