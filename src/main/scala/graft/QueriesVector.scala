@@ -124,6 +124,36 @@ object QueriesVector {
       ORDER BY vec_id
     """))
 
+  /** kNN-distance outlier scoring (Ramaswamy et al., SIGMOD 2000) — the
+    * embedding-space curation gate that drops isolated points: every
+    * store row's distance to its 10th nearest neighbor, top-20 most
+    * isolated reported. One pass of the blocked self-join kernel (the
+    * same primitive as q_knn_selfjoin — at scale the IVF/grid variants
+    * swap in), rank-10 row per id, then TakeOrderedAndProject for the
+    * global top — never an unpartitioned window. Exact, so the oracle
+    * replays it verbatim. */
+  val qKnnOutliers = Q("q_knn_outliers",
+    (s, dir) => Knn.selfJoin(store(s, dir), 10, Metric.Cosine)
+      .where(col("rank") === 10)
+      .orderBy(desc("dist"), col("query_id"))
+      .limit(20)
+      .select(col("query_id").as("vec_id"),
+        round(col("dist"), 6).as("knn10_dist")),
+    Some("""
+      WITH pairs AS (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                                   CAST(a.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+      ), ranked AS (
+        SELECT vec_id, d,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, neighbor_id) AS rn
+        FROM pairs)
+      SELECT vec_id, round(d, 6) AS knn10_dist
+      FROM ranked WHERE rn = 10
+      ORDER BY d DESC, vec_id LIMIT 20
+    """))
+
   /** The SAME self-join through the over-budget GRID kernel (round 4's
     * driver-free exact path): a 64 KB broadcast budget forces the id-block
     * grid shuffle even at sf0.01, so the driver's oracle gate checks the
@@ -1663,7 +1693,8 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
-  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnSelfjoinGrid, qKnnSelfjoinIvf,
+  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnOutliers, qKnnSelfjoinGrid,
+    qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
     qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
