@@ -1199,7 +1199,44 @@ object QueriesText {
       ORDER BY doc_id
     """))
 
+  /** Repeated-line boilerplate scrub ([[Dedup.lineDedup]]): rewrite every
+    * doc dropping 10-word segments whose verbatim text appears in >= 3
+    * distinct documents — the C4/RefinedWeb line-dedup rule as a corpus
+    * REWRITE (the report-only siblings are q_span_dedup / q_contamination).
+    * The oracle replays segmentation, the df gate, and the re-assembled
+    * text md5 end to end. */
+  val qLineDedup = Q("q_line_dedup",
+    (s, dir) => Dedup.lineDedup(
+        t(s, dir, "documents"), "doc_id", col("text"), segWords = 10, minDf = 3)
+      .orderBy("doc_id"),
+    Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS nw
+        FROM documents WHERE len(string_split(text, ' ')) > 0),
+      segs AS (
+        SELECT doc_id, CAST(u.s AS BIGINT) AS start,
+               array_to_string(list_slice(w, u.s, least(u.s + 9, nw)), ' ') AS seg
+        FROM d, unnest(range(1, nw + 1, 10)) AS u(s)),
+      boiler AS (
+        SELECT md5(seg) AS sm FROM segs
+        GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3),
+      flagged AS (
+        SELECT s.doc_id, s.start, s.seg, (b.sm IS NOT NULL) AS bp
+        FROM segs s LEFT JOIN boiler b ON md5(s.seg) = b.sm)
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(coalesce(sum(CASE WHEN NOT bp
+               THEN len(string_split(seg, ' ')) ELSE 0 END), 0) AS BIGINT)
+               AS n_words_kept,
+             md5(coalesce(string_agg(seg, ' ' ORDER BY start)
+               FILTER (WHERE NOT bp), '')) AS clean_md5
+      FROM flagged GROUP BY doc_id ORDER BY doc_id
+    """))
+
   val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
+    qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qBinaryMeta, qFrameSample,

@@ -789,6 +789,71 @@ object Dedup {
 
   // ----------------------------------------------- semantic dedup (SemDeDup)
 
+  // ------------------------------------------- repeated-line (segment) scrub
+
+  /** Repeated-line boilerplate removal — the corpus-rewrite member of the
+    * dedup family (C4 drops any ≥3-sentence span seen before; RefinedWeb /
+    * CCNet drop individual lines duplicated across documents — nav bars,
+    * cookie banners, boilerplate headers). Unlike [[spanCoverage]] (which
+    * REPORTS duplicated passages) this op REWRITES each document: every
+    * "line" whose verbatim text occurs in >= `minDf` distinct documents is
+    * removed, and the surviving text is re-assembled in original order.
+    * The driver's corpus carries no newlines, so a "line" here is a
+    * consecutive `segWords`-word segment (fixed segmentation, same
+    * machinery as the production `split('\n')` — the unit is a parameter,
+    * not the algorithm).
+    *
+    * Output: one row per non-empty document — (idCol, n_segments,
+    * n_removed, n_words_kept, clean_md5 of the rewritten text; md5("")
+    * when everything was boilerplate).
+    *
+    * Scale shape: one corpus scan explodes to ~n_words/segWords segment
+    * rows feeding (a) the segment document-frequency hash-agg (map-side
+    * partial combine) and (b) the gate join — the boilerplate key set is
+    * only the segments with df >= minDf (2,800 : 15 at sf0.01), so AQE
+    * broadcasts it unhinted and the corpus side never shuffles for the
+    * gate. The rewrite itself is the one unavoidable shuffle (regroup by
+    * doc to reorder survivors); its collect_list is bounded by the doc's
+    * own segment count. History-vs-batch variants compose exactly like
+    * [[incrementalMinhashDedup]]: the df table is a running aggregate
+    * (count-mergeable), so daily ingest unions per-batch partial counts
+    * instead of rescanning the archive. */
+  def lineDedup(df: DataFrame, idCol: String, text: Column,
+      segWords: Int = 10, minDf: Int = 3): DataFrame = {
+    require(segWords >= 1, s"segWords must be >= 1, got $segWords")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val w = df.select(col(idCol), TextFunctions.words(text).as("_w"))
+      .withColumn("_nw", size(col("_w")))
+      .where(col("_nw") > 0)
+    val segs = w
+      .select(col(idCol),
+        explode(sequence(lit(1), col("_nw"), lit(segWords))).as("_start"),
+        col("_w"))
+      .select(col(idCol), col("_start"),
+        concat_ws(" ", slice(col("_w"), col("_start"), lit(segWords)))
+          .as("_seg"))
+    val boiler = segs.groupBy(md5(col("_seg")).as("_sm"))
+      .agg(countDistinct(col(idCol)).as("_nd"))
+      .where(col("_nd") >= minDf)
+      .select("_sm")
+    val flagged = segs
+      .join(boiler, md5(col("_seg")) === col("_sm"), "left")
+      .select(col(idCol), col("_start"), col("_seg"),
+        col("_sm").isNotNull.as("_bp"))
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum(when(col("_bp"), 1L).otherwise(0L)).cast("long").as("n_removed"),
+        sum(when(!col("_bp"), size(split(col("_seg"), " ")).cast("long"))
+          .otherwise(0L)).cast("long").as("n_words_kept"),
+        // survivors back in document order: collect_list skips the nulls
+        // the when() leaves for boilerplate rows; array_sort orders the
+        // (start, seg) structs by the unique start position
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(!col("_bp"), struct(col("_start"), col("_seg"))))),
+          x => x.getField("_seg")))).as("clean_md5"))
+  }
+
   /** Semantic dedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
     * at web-scale through semantic deduplication", arXiv:2303.09540):
     * embeddings are first clustered, then near-duplicates are detected ONLY

@@ -1264,4 +1264,29 @@ class PipelineOpsSpec extends SparkSpec {
         s"doc $d: exact count through the bloom path ${bloomRows(d)._2} != $n")
     }
   }
+
+  test("lineDedup: repeated segments removed, unique docs untouched, order kept") {
+    import spark.implicits._
+    val boiler = "b1 b2 b3" // 3-word "line" shared by three docs
+    val docs = Seq(
+      (1L, s"$boiler u11 u12 u13 u14 u15 u16"), // boiler at segment 1
+      (2L, s"u21 u22 u23 $boiler u24 u25 u26"), // boiler at segment 2
+      (3L, s"u31 u32 u33 u34 u35 u36 $boiler"), // boiler at segment 3
+      (4L, "v1 v2 v3 v4 v5 v6 v7 v8"),          // no repeats anywhere
+      (5L, boiler)                               // nothing BUT boiler
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", col("text"),
+        segWords = 3, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // doc 4: untouched — rewrite is the identity, md5(original text)
+    assert(out(4L) == ((3L, 0L, 8L, m("v1 v2 v3 v4 v5 v6 v7 v8"))))
+    // docs 1-3: exactly the boiler segment removed, survivors in order
+    assert(out(1L) == ((3L, 1L, 6L, m("u11 u12 u13 u14 u15 u16"))))
+    assert(out(2L) == ((3L, 1L, 6L, m("u21 u22 u23 u24 u25 u26"))))
+    assert(out(3L) == ((3L, 1L, 6L, m("u31 u32 u33 u34 u35 u36"))))
+    // doc 5: everything was boilerplate — empty rewrite, md5("")
+    assert(out(5L) == ((1L, 1L, 0L, m(""))))
+  }
 }
