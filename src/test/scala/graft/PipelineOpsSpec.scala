@@ -1265,6 +1265,47 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("Pca: recovers a planted dominant direction; unit-norm orthogonal comps") {
+    import spark.implicits._
+    // planted anisotropy: dim 0 carries ±5, the rest carry deterministic
+    // small wiggles — the top eigendirection is e0 with a huge gap, so the
+    // fixed-budget power iterate must converge onto it
+    val d = 8
+    val vecs = (0 until 200).map { i =>
+      val s = if (i % 2 == 0) 5.0 else -5.0
+      (i.toLong, Array.tabulate(d)(j =>
+        if (j == 0) s else 0.1 * math.sin(i * (j + 1)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val (_, _, c0) = graft.prep.Pca.covariance(vecs, "embedding")
+    val fit = graft.prep.Pca.fit(c0, k = 3, iters = 30)
+    val byEig = fit.comps.sortBy(-_.eigenvalue)
+    // top component is e0 (up to sign, which the sum rule fixed)
+    assert(math.abs(byEig.head.loadings(0)) > 0.99,
+      s"top loading on dim0 = ${byEig.head.loadings(0)}")
+    assert(byEig.head.eigenvalue / fit.trace > 0.9,
+      s"planted direction should dominate: ${byEig.head.eigenvalue} / ${fit.trace}")
+    // components are unit-norm and pairwise orthogonal once converged
+    byEig.foreach { cc =>
+      val n2 = cc.loadings.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-3, s"norm² $n2")
+    }
+    for (a <- byEig.indices; b <- a + 1 until byEig.size) {
+      val dot = byEig(a).loadings.zip(byEig(b).loadings).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 0.02, s"comps $a,$b dot $dot")
+    }
+    // eigenvalues come out descending when the spectrum has real gaps
+    assert(byEig.map(_.eigenvalue) == fit.comps.map(_.eigenvalue).sorted.reverse)
+
+    // the real store is the opposite story: near-isotropic — top var_ratio
+    // sits just above the 1/64 uniform floor (the op's measured finding)
+    val emb = sf("embeddings")
+    val out = graft.prep.Pca.spectrum(spark, emb, "embedding", k = 2, iters = 10)
+      .where(col("component") === 1 && col("dim") === 1)
+      .select("var_ratio").collect()
+    assert(out.length == 1 && out(0).getDouble(0) < 0.1,
+      s"expected a flat spectrum on the synthetic store, got ${out.toSeq}")
+  }
+
   test("lineDedup: repeated segments removed, unique docs untouched, order kept") {
     import spark.implicits._
     val boiler = "b1 b2 b3" // 3-word "line" shared by three docs
