@@ -50,6 +50,90 @@ object QueriesAnalytics {
       ORDER BY event_id
     """))
 
+  /** forward as-of: for each click, the user's next purchase at-or-after
+    * it — click-to-purchase attribution (merge_asof direction='forward');
+    * same single-exchange union-window plan as backward. The right side
+    * dedupes ties to one row per (user, second): max event_id. */
+  val qAsofForward = Q("q_asof_forward",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts_s").as("p_ts"))
+        .agg(max("event_id").as("purchase_id"))
+      AsofJoin.asof(clicks, purchases, "user_id", "p_user", "ts_s", "p_ts",
+        Seq("purchase_id", "p_ts"), direction = "forward")
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (col("p_ts") - col("ts_s")).cast("long").as("secs_to_purchase"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      clicks AS (
+        SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'click'),
+      purch AS (
+        SELECT user_id AS p_user, ts_s AS p_ts, max(event_id) AS purchase_id
+        FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2)
+      SELECT c.event_id, c.user_id, p.purchase_id,
+             p.p_ts - c.ts_s AS secs_to_purchase
+      FROM clicks c ASOF JOIN purch p
+        ON c.user_id = p.p_user AND c.ts_s <= p.p_ts
+      ORDER BY c.event_id
+    """))
+
+  /** nearest as-of: for each error, the user's closest view either side
+    * (error-context correlation); exact tie → backward. Both window frames
+    * run over ONE exchange — only the in-partition sort differs. */
+  val qAsofNearest = Q("q_asof_nearest",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts_s").as("v_ts"))
+        .agg(max("event_id").as("view_id"))
+      AsofJoin.asof(errors, views, "user_id", "v_user", "ts_s", "v_ts",
+        Seq("view_id", "v_ts"), direction = "nearest")
+        .select(col("event_id"), col("user_id"), col("view_id"),
+          abs(col("v_ts") - col("ts_s")).cast("long").as("secs_apart"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      err AS (
+        SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'error'),
+      vw AS (
+        SELECT user_id AS v_user, ts_s AS v_ts, max(event_id) AS view_id
+        FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      b AS (
+        SELECT e.event_id, e.user_id, e.ts_s, v.view_id AS bk, v.v_ts AS bt
+        FROM err e ASOF LEFT JOIN vw v
+          ON e.user_id = v.v_user AND e.ts_s >= v.v_ts),
+      f AS (
+        SELECT e.event_id, v.view_id AS fk, v.v_ts AS ft
+        FROM err e ASOF LEFT JOIN vw v
+          ON e.user_id = v.v_user AND e.ts_s <= v.v_ts)
+      SELECT b.event_id, b.user_id,
+             CASE WHEN ft IS NULL THEN bk
+                  WHEN bt IS NULL THEN fk
+                  WHEN b.ts_s - bt <= ft - b.ts_s THEN bk
+                  ELSE fk END AS view_id,
+             CASE WHEN ft IS NULL THEN b.ts_s - bt
+                  WHEN bt IS NULL THEN ft - b.ts_s
+                  WHEN b.ts_s - bt <= ft - b.ts_s THEN b.ts_s - bt
+                  ELSE ft - b.ts_s END AS secs_apart
+      FROM b JOIN f USING (event_id)
+      WHERE bk IS NOT NULL OR fk IS NOT NULL
+      ORDER BY event_id
+    """))
+
   /** sessionization: a 30-minute inactivity gap starts a new session */
   val qSessionize = Q("q_sessionize",
     (s, dir) => {
@@ -332,7 +416,8 @@ object QueriesAnalytics {
       FROM events GROUP BY event_type ORDER BY event_type
     """))
 
-  val all: Seq[Q] = Seq(qAsofJoin, qSessionize, qRangeJoin, qPivot,
+  val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest,
+    qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qHistogram, qRollup, qWindowFuncs, qJsonExtract,
     qCollectValues)

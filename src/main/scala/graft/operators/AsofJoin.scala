@@ -1,21 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, NumericType, TimestampType}
 
-/** Backward as-of join: for each left row, the most recent right row with
-  * the same key and `rightTime <= leftTime` — the time-series operator Spark
-  * lacks natively (SURVEY §2.4 mapped it as a custom-operator candidate).
+/** As-of join in all three directions (the `merge_asof` surface): for each
+  * left row, the right row with the same key and
+  *  - `backward`: the most recent right time `<=` left time (default);
+  *  - `forward`: the earliest right time `>=` left time;
+  *  - `nearest`: whichever of the two is closer in time (exact tie →
+  *    backward, the deterministic canonical choice).
+  * The time-series operator Spark lacks natively (SURVEY §2.4 mapped it as
+  * a custom-operator candidate).
   *
   * Physical shape: the union trick — tag both sides, union, one shuffle by
   * key, one window sort by (time, side-tag), and `last(..., ignoreNulls)`
-  * carries the latest right payload forward onto left rows. This is
-  * O(n log n) per key with a single exchange for BOTH inputs, instead of the
-  * range-join explosion (`left.t >= right.t` theta join) that a naive plan
-  * produces — the difference between a merge pass and an O(n·m) blowup at
-  * 100 TB.
+  * (resp. `first` over the following frame) carries the right payload onto
+  * left rows. This is O(n log n) per key with a single exchange for BOTH
+  * inputs, instead of the range-join explosion (`left.t >= right.t` theta
+  * join) that a naive plan produces — the difference between a merge pass
+  * and an O(n·m) blowup at 100 TB. `nearest` runs both window frames over
+  * the SAME exchange (only the sort differs), so it still shuffles each
+  * input exactly once.
   */
 object AsofJoin {
 
@@ -29,21 +36,26 @@ object AsofJoin {
 
   /** `rightCols` are carried onto each left row; right must be unique per
     * (key, time) — pre-aggregate it otherwise (ties on time are ambiguous in
-    * every as-of engine). Inner semantics: left rows with no prior right row
-    * are dropped. The right payload moves as ONE struct, so a matched left
-    * row gets a consistent snapshot of a single right row even when payload
-    * columns contain nulls.
+    * every as-of engine). Inner semantics: left rows with no matching right
+    * row in the chosen direction are dropped. The right payload moves as ONE
+    * struct, so a matched left row gets a consistent snapshot of a single
+    * right row even when payload columns contain nulls.
     */
   def asof(left: DataFrame, right: DataFrame, leftKey: String,
       rightKey: String, leftTime: String, rightTime: String,
-      rightCols: Seq[String]): DataFrame = {
+      rightCols: Seq[String], direction: String = "backward"): DataFrame = {
+    require(Seq("backward", "forward", "nearest").contains(direction),
+      s"asof direction must be backward|forward|nearest, got '$direction'")
     requireSortable(left, leftKey, "left key")
     requireSortable(right, rightKey, "right key")
     requireSortable(left, leftTime, "left time")
     requireSortable(right, rightTime, "right time")
     val leftCols = left.columns.toSeq
+    // the matched right TIME rides inside the payload struct so `nearest`
+    // can compare distances without a second lookup
     val payloadType = org.apache.spark.sql.types.StructType(
-      rightCols.map(c => right.schema(c)))
+      org.apache.spark.sql.types.StructField("_rt",
+        org.apache.spark.sql.types.LongType) +: rightCols.map(c => right.schema(c)))
     val lTagged = left
       .withColumn("_t", col(leftTime).cast("long"))
       .withColumn("_src", lit(1))
@@ -54,15 +66,36 @@ object AsofJoin {
       .withColumn("_t", col(rightTime).cast("long"))
       .withColumn("_src", lit(0))
       .select((leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
-        struct(rightCols.map(col): _*).as("_payload"),
+        struct(col(rightTime).cast("long").as("_rt") +: rightCols.map(col): _*)
+          .as("_payload"),
         col(rightKey).cast("long").as("_k"), col("_t"), col("_src"))): _*)
-    // right rows sort before left rows at equal time => "<=" semantics
-    val w = Window.partitionBy("_k").orderBy(col("_t"), col("_src"))
+    // backward frame: right rows sort BEFORE left at equal time => "<=";
+    // forward frame: right rows sort AFTER left at equal time => ">="
+    val wB = Window.partitionBy("_k").orderBy(col("_t"), col("_src"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lTagged.unionByName(rTagged)
-      .withColumn("_payload", last(col("_payload"), ignoreNulls = true).over(w))
-      .where(col("_src") === 1 && col("_payload").isNotNull)
+    val wF = Window.partitionBy("_k").orderBy(col("_t"), col("_src").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val unioned = lTagged.unionByName(rTagged)
+    val withPick: DataFrame = direction match {
+      case "backward" =>
+        unioned.withColumn("_pick", last(col("_payload"), ignoreNulls = true).over(wB))
+      case "forward" =>
+        unioned.withColumn("_pick", first(col("_payload"), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        val pb = last(col("_payload"), ignoreNulls = true).over(wB)
+        val pf = first(col("_payload"), ignoreNulls = true).over(wF)
+        unioned
+          .withColumn("_pb", pb).withColumn("_pf", pf)
+          .withColumn("_pick",
+            when(col("_pf").isNull, col("_pb"))
+              .when(col("_pb").isNull, col("_pf"))
+              .when(col("_t") - col("_pb._rt") <= col("_pf._rt") - col("_t"),
+                col("_pb"))
+              .otherwise(col("_pf")))
+    }
+    withPick
+      .where(col("_src") === 1 && col("_pick").isNotNull)
       .select(leftCols.map(col) ++
-        rightCols.map(c => col(s"_payload.$c").as(c)): _*)
+        rightCols.map(c => col(s"_pick.$c").as(c)): _*)
   }
 }

@@ -1265,6 +1265,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("AsofJoin directions: backward/forward/nearest semantics + tie rule") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L),
+      (4L, 20L, 50L)).toDF("lid", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 200L), (13L, 10L, 210L),
+      (14L, 20L, 60L)).toDF("rid", "k", "rt")
+    def run(d: String) = AsofJoin.asof(left, right, "k", "k", "t", "rt",
+      Seq("rid"), direction = d).select("lid", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // backward: latest rt <= t; left 4 (t=50) has no prior right → dropped
+    assert(run("backward") == Map(1L -> 11L, 2L -> 12L, 3L -> 13L))
+    // forward: earliest rt >= t; left 3 (t=300) has no later right → dropped
+    assert(run("forward") == Map(1L -> 12L, 2L -> 13L, 4L -> 14L))
+    // nearest: 100→90 (d10) not 200 (d100); 205→200/210 BOTH d5 → tie →
+    // backward (200); 300→210; 50→60 (forward only)
+    assert(run("nearest") ==
+      Map(1L -> 11L, 2L -> 12L, 3L -> 13L, 4L -> 14L))
+    // equality counts in both directions: t == rt matches itself
+    val eq = Seq((9L, 10L, 200L)).toDF("lid", "k", "t")
+    assert(AsofJoin.asof(eq, right, "k", "k", "t", "rt", Seq("rid"),
+      direction = "forward").select("rid").collect().head.getLong(0) == 12L)
+  }
+
   test("Pca: recovers a planted dominant direction; unit-norm orthogonal comps") {
     import spark.implicits._
     // planted anisotropy: dim 0 carries ±5, the rest carry deterministic
