@@ -673,6 +673,97 @@ object QueriesPipeline {
       GROUP BY 1 ORDER BY 1
     """))
 
+  /** One key's skew summary (helper for [[qSkewStats]]): per-key counts →
+    * count-of-counts histogram; max/avg/skew ratio from scalar aggregates;
+    * p50/p99 of the per-key count distribution from a histogram self-join
+    * (bounded by distinct COUNT VALUES², tiny by construction) — never an
+    * unpartitioned window, never a global sort. The two 1-row scalar
+    * frames are the only broadcast hints (the accepted bounded shape). */
+  private[graft] def skewOf(df: DataFrame, label: String, key: Column): DataFrame = {
+    val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_c"))
+    val hist = counts.groupBy("_c").agg(count(lit(1)).as("_nk"))
+    val tot = counts.agg(count(lit(1)).as("_keys"), sum("_c").as("_rows"),
+      max("_c").as("_maxc"))
+    val cum = hist.as("a")
+      .join(hist.as("b"), col("b._c") <= col("a._c"))
+      .groupBy(col("a._c").as("_c2")).agg(sum(col("b._nk")).as("_cum"))
+    val pct = cum.join(broadcast(tot))
+      .agg(
+        min(when(col("_cum") >= ceil(col("_keys") * 0.5), col("_c2")))
+          .as("p50_cnt"),
+        min(when(col("_cum") >= ceil(col("_keys") * 0.99), col("_c2")))
+          .as("p99_cnt"))
+    val top = counts.join(broadcast(tot))
+      .where(col("_c") === col("_maxc"))
+      .agg(min("_k").as("top_key"))
+    tot.join(broadcast(pct)).join(broadcast(top))
+      .select(lit(label).as("key_name"),
+        col("_rows").cast("long").as("n_rows"),
+        col("_keys").cast("long").as("n_keys"),
+        col("_maxc").cast("long").as("max_cnt"),
+        round(col("_rows") / col("_keys"), 6).as("avg_cnt"),
+        round(col("_maxc") * col("_keys") / col("_rows"), 6).as("skew_ratio"),
+        col("p50_cnt").cast("long").as("p50_cnt"),
+        col("p99_cnt").cast("long").as("p99_cnt"),
+        col("top_key").cast("long").as("top_key"))
+  }
+
+  private def skewOracleBlock(label: String, table: String, key: String,
+      sfx: String): String = s"""
+      k$sfx AS (SELECT $key AS k FROM $table),
+      c$sfx AS (SELECT k, count(*) AS c FROM k$sfx GROUP BY k),
+      h$sfx AS (SELECT c, count(*) AS nk FROM c$sfx GROUP BY c),
+      t$sfx AS (SELECT count(*) AS keys, CAST(sum(c) AS BIGINT) AS rows,
+                       max(c) AS maxc FROM c$sfx),
+      cum$sfx AS (SELECT a.c, CAST(sum(b.nk) AS BIGINT) AS cum
+                  FROM h$sfx a JOIN h$sfx b ON b.c <= a.c GROUP BY a.c),
+      p$sfx AS (SELECT
+          min(CASE WHEN cum >= ceil((SELECT keys FROM t$sfx) * 0.5)
+              THEN c END) AS p50,
+          min(CASE WHEN cum >= ceil((SELECT keys FROM t$sfx) * 0.99)
+              THEN c END) AS p99 FROM cum$sfx),
+      r$sfx AS (SELECT '$label' AS key_name, rows AS n_rows, keys AS n_keys,
+                       maxc AS max_cnt,
+                       round(rows * 1.0 / keys, 6) AS avg_cnt,
+                       round(maxc * keys * 1.0 / rows, 6) AS skew_ratio,
+                       (SELECT p50 FROM p$sfx) AS p50_cnt,
+                       (SELECT p99 FROM p$sfx) AS p99_cnt,
+                       (SELECT min(k) FROM c$sfx
+                        WHERE c = (SELECT maxc FROM t$sfx)) AS top_key
+                FROM t$sfx)"""
+
+  /** Join-key skew pre-flight — the artifact a 100 TB deployment reads
+    * BEFORE picking a shuffle strategy (plain hash join vs salting factor
+    * vs AQE skew split): per-key count distribution summaries (rows, keys,
+    * max, avg, max/avg skew ratio, p50/p99, heaviest key) for the three
+    * join keys the surface actually shuffles on. The q_salted_agg op is
+    * the treatment; this op is the diagnosis that sizes it. */
+  val qSkewStats = Q("q_skew_stats",
+    (s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = graft.Queries.eventsTable(s, dir)
+      skewOf(ev, "events.user_id", col("user_id"))
+        .unionByName(skewOf(t(s, dir, "lineitem"), "lineitem.l_orderkey",
+          col("l_orderkey")))
+        .unionByName(skewOf(t(s, dir, "orders"), "orders.o_custkey",
+          col("o_custkey")))
+        .orderBy("key_name")
+    },
+    Some(s"""
+      WITH ${skewOracleBlock("events.user_id", "events", "user_id", "1")},
+      ${skewOracleBlock("lineitem.l_orderkey", "lineitem", "l_orderkey", "2")},
+      ${skewOracleBlock("orders.o_custkey", "orders", "o_custkey", "3")}
+      SELECT key_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_keys AS BIGINT) AS n_keys,
+             CAST(max_cnt AS BIGINT) AS max_cnt, avg_cnt, skew_ratio,
+             CAST(p50_cnt AS BIGINT) AS p50_cnt,
+             CAST(p99_cnt AS BIGINT) AS p99_cnt,
+             CAST(top_key AS BIGINT) AS top_key
+      FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+            UNION ALL SELECT * FROM r3)
+      ORDER BY key_name
+    """))
+
   /** Skew-safe aggregation made judge-visible: salt the grouping key into 16
     * shards (bounding any single reducer's share of a hot key), partially
     * aggregate per (key, salt), then merge the shards. Output is provably
@@ -2127,7 +2218,7 @@ object QueriesPipeline {
       ORDER BY query_id, rank
     """))
 
-  val all: Seq[Q] = Seq(qDedupClusters, qIncrementalClusters, qSnapshotDiff,
+  val all: Seq[Q] = Seq(qSkewStats, qDedupClusters, qIncrementalClusters, qSnapshotDiff,
     qMaxsim, qMaxsimPruned,
     qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct, qHllBySource,

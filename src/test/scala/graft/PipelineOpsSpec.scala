@@ -1265,6 +1265,22 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("skewOf: planted hot key shows up in ratio, percentiles, top_key") {
+    import spark.implicits._
+    // 96 singleton keys + one key with 100 rows: rows=196, keys=97,
+    // avg=196/97, max=100, p50=1 (96 of 97 keys are singletons), p99=100
+    val df = ((1 to 96).map(k => k.toLong) ++ Seq.fill(100)(999L))
+      .toDF("k")
+    val r = QueriesPipeline.skewOf(df, "planted", col("k")).collect().head
+    assert(r.getAs[Long]("n_rows") == 196L)
+    assert(r.getAs[Long]("n_keys") == 97L)
+    assert(r.getAs[Long]("max_cnt") == 100L)
+    assert(r.getAs[Long]("p50_cnt") == 1L)
+    assert(r.getAs[Long]("p99_cnt") == 100L)
+    assert(r.getAs[Long]("top_key") == 999L)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 100.0 * 97 / 196) < 1e-6)
+  }
+
   test("AsofJoin directions: backward/forward/nearest semantics + tie rule") {
     import spark.implicits._
     import graft.operators.AsofJoin
