@@ -260,6 +260,40 @@ object QueriesAnalytics {
     * filter that keeps only the two boundary rows per quantile. Same
     * linear-interpolation definition as DuckDB's quantile_cont:
     * h = q·(n−1); result = v[⌊h⌋]·(1−frac) + v[⌈h⌉]·frac. */
+  /** Modern aggregate-function breadth in one pass: filtered counts,
+    * median, boolean aggregates, sample stddev, correlation, regression
+    * slope — each the codegen'd builtin (no UDAF), grouped on the 3-value
+    * return flag so every aggregate partial-combines map-side. Floats are
+    * computed in double and rounded both engines (corr/slope divide two
+    * large sums — absolute error ~1e-10 against a 1e-6 rounding grid). */
+  val qAggExtras = Q("q_agg_extras",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("long").as("n"),
+        count_if(col("l_quantity") > 25).cast("long").as("n_big"),
+        round(median(col("l_quantity")), 6).as("med_qty"),
+        bool_and(col("l_quantity") > 0).as("all_pos_qty"),
+        bool_or(col("l_discount") > 0.09).as("any_deep_discount"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("qty_price_corr"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("price_per_qty"))
+      .orderBy("l_returnflag"),
+    Some("""
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+             round(median(CAST(l_quantity AS DOUBLE)), 6) AS med_qty,
+             bool_and(l_quantity > 0) AS all_pos_qty,
+             bool_or(l_discount > 0.09) AS any_deep_discount,
+             round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS price_per_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """))
+
   val qPercentiles = Q("q_percentiles",
     (s, dir) => {
       val byVal = Window.partitionBy("event_type").orderBy("value")
@@ -419,6 +453,6 @@ object QueriesAnalytics {
   val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest,
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
-    qPercentiles, qHistogram, qRollup, qWindowFuncs, qJsonExtract,
+    qPercentiles, qAggExtras, qHistogram, qRollup, qWindowFuncs, qJsonExtract,
     qCollectValues)
 }

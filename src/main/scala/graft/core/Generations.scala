@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the `_batch`-generation snapshot stores (count-min /
+  * HLL / bloom / bottom-k sketches, the MinHash and BQ signature tables,
+  * the segment-df table): streaming ingest appends one generation per
+  * micro-batch, so generations accumulate without bound — reads stay
+  * CORRECT (every loadState re-aggregates across generations) but pay a
+  * growing listing/footer cost. Compaction folds them back to one.
+  *
+  * Protocol (the classic compact-and-swap): the merged state is written to
+  * a staging dir as a single `_batch=<tag>` generation, then swapped in
+  * with two directory renames. The staging write is re-runnable (crash
+  * before the swap leaves the live store untouched); the swap window is
+  * two metadata operations, not a data rewrite. On an object store without
+  * atomic rename the swap step becomes the store's commit primitive —
+  * the staging-write discipline is the part that carries.
+  *
+  * Streaming compatibility: the compacted generation's tag is outside the
+  * `stream-<id>` namespace, so a later replayed micro-batch still targets
+  * (and REPLACES) its own generation id — replaying a batch whose rows
+  * were already folded into the compact generation double-counts it, so
+  * compact a stream's snapshot only past the checkpoint's committed
+  * offset (operational rule, same as any log-compaction system).
+  */
+object Generations {
+
+  /** Replace every generation at `path` with `state` as the single
+    * `_batch=<tag>` generation. `state` must be the fully merged state
+    * READ FROM `path` (the family's loadState); `partitionCols` are any
+    * extra partition columns below `_batch` (e.g. the signature table's
+    * `_band`). */
+  def compact(spark: SparkSession, path: String, state: DataFrame,
+      tag: String = "compact", partitionCols: Seq[String] = Nil): Unit = {
+    val staging = path.stripSuffix("/") + "__compacting"
+    state.withColumn("_batch", lit(tag))
+      .write.mode("overwrite")
+      .partitionBy(("_batch" +: partitionCols): _*).parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path)
+    val st = new Path(staging)
+    val fs = live.getFileSystem(conf)
+    val old = new Path(path.stripSuffix("/") + "__old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot retire $live")
+    if (!fs.rename(st, live)) {
+      // roll back: put the live store back before failing
+      fs.rename(old, live)
+      throw new java.io.IOException(s"compact: cannot promote $st")
+    }
+    fs.delete(old, true)
+  }
+}

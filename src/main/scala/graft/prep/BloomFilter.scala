@@ -70,6 +70,11 @@ object BloomFilter {
       path: String): DataFrame =
     spark.read.parquet(path).select("pos").distinct()
 
+  /** Fold every generation into one — the OR-merge (distinct union)
+    * materialized once ([[graft.core.Generations]] swap protocol). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.core.Generations.compact(spark, path, loadState(spark, path))
+
   /** Probe a candidate stream: keeps the rows whose item has ALL k bit
     * positions set (the bloom-positive subset — a superset of the true
     * members, never missing one). Plan shape: candidates explode to k

@@ -74,6 +74,11 @@ object BottomK {
     spark.read.parquet(path).select("hv", "value")
       .dropDuplicates("hv").orderBy("hv", "value").limit(k)
 
+  /** Fold every generation into one — the bottom-k re-selection
+    * materialized once ([[graft.core.Generations]] swap protocol). */
+  def compact(spark: SparkSession, path: String, k: Int): Unit =
+    graft.core.Generations.compact(spark, path, loadState(spark, path, k))
+
   /** Approximate quantiles from a sketch: one scalar aggregate packs the
     * <= k sample values into a sorted array, then each requested fraction
     * p selects the element at 1-based rank ⌊p·(ns−1)⌋+1 (lower /

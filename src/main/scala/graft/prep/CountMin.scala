@@ -65,6 +65,12 @@ object CountMin {
     spark.read.parquet(path)
       .groupBy("d", "cell").agg(sum("cnt").cast("long").as("cnt"))
 
+  /** Fold every generation into one (`graft.core.Generations` swap
+    * protocol) — the cell-sum merge materialized once instead of on every
+    * read. */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.core.Generations.compact(spark, path, loadState(spark, path))
+
   /** point-query a candidate frame through the sketch: est(item) =
     * min over the depth rows of the item's cell counts. The join's right
     * side is the ≤ depth×width-row sketch — AQE broadcasts it at runtime

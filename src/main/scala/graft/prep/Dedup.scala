@@ -822,7 +822,76 @@ object Dedup {
       segWords: Int = 10, minDf: Int = 3): DataFrame = {
     require(segWords >= 1, s"segWords must be >= 1, got $segWords")
     require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    lineDedupAgainst(df, segmentDf(df, idCol, text, segWords),
+      idCol, text, segWords, minDf)
+  }
+
+  /** One batch's segment document-frequency generation — the running state
+    * behind streaming [[lineDedup]]: (segment md5, count of distinct docs
+    * in THIS batch containing it). Document ids arrive once, so summing
+    * `_df` across generations is exact (count-distinct is mergeable across
+    * disjoint id sets), which is what makes the df table a per-batch
+    * generation store like the count-min/HLL/bloom snapshots. */
+  def segmentDf(df: DataFrame, idCol: String, text: Column,
+      segWords: Int = 10): DataFrame = {
     val w = df.select(col(idCol), TextFunctions.words(text).as("_w"))
+      .withColumn("_nw", size(col("_w")))
+      .where(col("_nw") > 0)
+    w.select(col(idCol),
+        explode(sequence(lit(1), col("_nw"), lit(segWords))).as("_start"),
+        col("_w"))
+      .select(col(idCol),
+        md5(concat_ws(" ", slice(col("_w"), col("_start"), lit(segWords))))
+          .as("_sm"))
+      .groupBy("_sm").agg(countDistinct(col(idCol)).cast("long").as("_df"))
+  }
+
+  /** Write one batch's [[segmentDf]] as its own `_batch` generation —
+    * dynamic partition overwrite, so a replayed batch REPLACES its
+    * generation (the non-idempotent `_df` sum stays exactly-once on
+    * at-least-once replay; same discipline as the sketch snapshots). */
+  def saveSegmentDf(gen: DataFrame, path: String, tag: String): Unit =
+    gen.withColumn("_batch", lit(tag))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch").parquet(path)
+
+  /** The running segment-df state = `_df` summed across generations,
+    * optionally excluding an in-flight batch's own tag (replay guard). */
+  def loadSegmentDfState(spark: org.apache.spark.sql.SparkSession,
+      path: String, excludeGeneration: Option[String] = None): DataFrame = {
+    val all = spark.read.parquet(path)
+    val kept = excludeGeneration.fold(all)(t => all.where(col("_batch") =!= t))
+    kept.groupBy("_sm").agg(sum("_df").cast("long").as("_df"))
+  }
+
+  /** Fold every segment-df generation into one — the `_df` sum
+    * materialized once ([[graft.core.Generations]] swap protocol). */
+  def compactSegmentDf(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    graft.core.Generations.compact(spark, path, loadSegmentDfState(spark, path))
+
+  /** Fold every signature-table generation into one. Signature rows are
+    * per-doc with disjoint ids across generations, so the merged state is
+    * the plain union; the `_band` sub-partitioning and the `_sig_meta.json`
+    * sidecar (which lives at the store root and would vanish in the dir
+    * swap) are preserved. */
+  def compactSignatureTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val meta = graft.core.FsIO.read(s"$path/_sig_meta.json")
+    val state = spark.read.parquet(path).drop("_batch")
+    graft.core.Generations.compact(spark, path, state,
+      partitionCols = Seq("_band"))
+    graft.core.FsIO.write(s"$path/_sig_meta.json", meta)
+  }
+
+  /** Rewrite `batch` docs against a combined history+batch df table —
+    * the streaming-prefix form of [[lineDedup]] (history segments count
+    * toward minDf, but history docs are NOT rewritten retroactively).
+    * `dfTable` must be (_sm, _df) covering history AND this batch. */
+  def lineDedupAgainst(batch: DataFrame, dfTable: DataFrame, idCol: String,
+      text: Column, segWords: Int = 10, minDf: Int = 3): DataFrame = {
+    val w = batch.select(col(idCol), TextFunctions.words(text).as("_w"))
       .withColumn("_nw", size(col("_w")))
       .where(col("_nw") > 0)
     val segs = w
@@ -832,10 +901,7 @@ object Dedup {
       .select(col(idCol), col("_start"),
         concat_ws(" ", slice(col("_w"), col("_start"), lit(segWords)))
           .as("_seg"))
-    val boiler = segs.groupBy(md5(col("_seg")).as("_sm"))
-      .agg(countDistinct(col(idCol)).as("_nd"))
-      .where(col("_nd") >= minDf)
-      .select("_sm")
+    val boiler = dfTable.where(col("_df") >= minDf).select("_sm")
     val flagged = segs
       .join(boiler, md5(col("_seg")) === col("_sm"), "left")
       .select(col(idCol), col("_start"), col("_seg"),
@@ -845,9 +911,6 @@ object Dedup {
         sum(when(col("_bp"), 1L).otherwise(0L)).cast("long").as("n_removed"),
         sum(when(!col("_bp"), size(split(col("_seg"), " ")).cast("long"))
           .otherwise(0L)).cast("long").as("n_words_kept"),
-        // survivors back in document order: collect_list skips the nulls
-        // the when() leaves for boilerplate rows; array_sort orders the
-        // (start, seg) structs by the unique start position
         md5(concat_ws(" ", transform(
           array_sort(collect_list(
             when(!col("_bp"), struct(col("_start"), col("_seg"))))),

@@ -101,6 +101,11 @@ object HyperLogLog {
       path: String): DataFrame =
     spark.read.parquet(path).groupBy("bucket").agg(max("r").as("r"))
 
+  /** Fold every generation into one — register-wise max materialized
+    * once ([[graft.core.Generations]] swap protocol). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.core.Generations.compact(spark, path, loadState(spark, path))
+
   /** 1-row estimate from a register table: alpha_m * m^2 * 2^43 / S with
     * S = sum 2^(43-r) exact in BIGINT (buckets absent from the table are
     * r = 0, contributing 2^43 each). Raw HLL estimate (no small-range

@@ -219,6 +219,47 @@ object StreamOps {
       }
       .start()
 
+  /** Streaming repeated-line scrub — [[graft.prep.Dedup.lineDedup]] at
+    * micro-batch cadence, closing the incremental story for the REWRITE
+    * member of the dedup family: each batch's segments are counted into
+    * their own `_batch` generation of the running segment-df snapshot
+    * (count-distinct over disjoint doc-id sets sums exactly across
+    * generations), and the batch is rewritten against history-plus-itself
+    * BEFORE its generation lands — streaming-prefix semantics (a segment
+    * reaching minDf in batch N scrubs batch N's docs onward; earlier docs
+    * are not rewritten retroactively — re-run batch mode for a full
+    * re-scrub). Replay guard mirrors [[nearDupOnIngest]]: the in-flight
+    * tag is excluded on load so a crashed-after-write batch replays with
+    * identical counts, and the generation write REPLACES its partition.
+    * Per batch, the only history-sized work is the df-snapshot read
+    * (one row per distinct segment above, bounded ≪ corpus text). */
+  def lineDedupOnIngest(docStream: DataFrame, idCol: String, textCol: String,
+      dfPath: String, onClean: DataFrame => Unit, checkpointDir: String,
+      segWords: Int = 10, minDf: Int = 3) = {
+    import graft.prep.Dedup
+    docStream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val tag = s"stream-$batchId"
+        val gen = Dedup.segmentDf(batch, idCol, col(textCol), segWords).cache()
+        // first batch: the snapshot dir may be missing or empty (no
+        // generations yet) — either way there is no history df
+        val hist =
+          try Dedup.loadSegmentDfState(s, dfPath, excludeGeneration = Some(tag))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            s.emptyDataFrame.select(lit("").as("_sm"), lit(0L).as("_df")) }
+        val combined = hist.unionByName(gen)
+          .groupBy("_sm").agg(sum("_df").cast("long").as("_df"))
+        onClean(Dedup.lineDedupAgainst(batch, combined, idCol, col(textCol),
+          segWords, minDf))
+        Dedup.saveSegmentDf(gen, dfPath, tag)
+        gen.unpersist()
+        ()
+      }
+      .start()
+  }
+
   def appendVectorsToIndex(vectorStream: DataFrame, indexDir: String,
       checkpointDir: String) =
     vectorStream.writeStream

@@ -482,4 +482,115 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
   }
+
+  test("generation compaction: one generation after, state identical, ingest continues") {
+    import graft.prep.{BottomK, CountMin}
+    import graft.core.Generations
+    // count-min: the NON-idempotent cell-sum family — the state must be
+    // bit-identical across the swap, and a post-compact generation must
+    // keep merging
+    val cmPath = java.nio.file.Files.createTempDirectory("graft_cm_cp").toString
+    def cmGen(lo: Long, hi: Long) = CountMin.build(
+      (lo to hi).map(i => (s"item${i % 7}", 1L)).toDF("g", "n"), "g", "n", 4, 64)
+    CountMin.saveGeneration(cmGen(1, 40), cmPath, "stream-0")
+    CountMin.saveGeneration(cmGen(41, 90), cmPath, "stream-1")
+    CountMin.saveGeneration(cmGen(91, 100), cmPath, "stream-2")
+    val before = CountMin.loadState(spark, cmPath).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    CountMin.compact(spark, cmPath)
+    val gens = spark.read.parquet(cmPath).select("_batch").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gens == Set("compact"), s"generations after compact: $gens")
+    val after = CountMin.loadState(spark, cmPath).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(after == before)
+    // ingest continues: a new generation lands next to the compacted one
+    CountMin.saveGeneration(cmGen(101, 110), cmPath, "stream-3")
+    val grown = CountMin.loadState(spark, cmPath).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    before.foreach { case (d, c, n) =>
+      assert(grown((d, c)) >= n, s"cell ($d,$c) shrank after post-compact append") }
+    // bottom-k: the bounded-selection family through the same swap
+    val bkPath = java.nio.file.Files.createTempDirectory("graft_bk_cp").toString
+    BottomK.saveGeneration(BottomK.sketch(
+      (1L to 50L).map(i => (i, i)).toDF("id", "v"), "id", "v", 16), bkPath, "stream-0")
+    BottomK.saveGeneration(BottomK.sketch(
+      (51L to 99L).map(i => (i, i)).toDF("id", "v"), "id", "v", 16), bkPath, "stream-1")
+    val bkBefore = BottomK.loadState(spark, bkPath, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    BottomK.compact(spark, bkPath, 16)
+    val bkAfter = BottomK.loadState(spark, bkPath, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bkAfter == bkBefore)
+    // staging dir is gone after a successful swap
+    assert(!new java.io.File(cmPath + "__compacting").exists())
+    assert(!new java.io.File(cmPath + "__old").exists())
+    Seq(cmPath, bkPath).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
+  }
+
+  test("signature-table compaction keeps the sidecar and the band layout") {
+    import graft.prep.Dedup
+    val sig = java.nio.file.Files.createTempDirectory("graft_sig_cp").toString
+    val d1 = Seq((1L, Seq("a b c", "b c d"))).toDF("doc_id", "shingles")
+    val d2 = Seq((2L, Seq("x y z", "y z w"))).toDF("doc_id", "shingles")
+    Dedup.saveSignatureTable(d1, "doc_id", "shingles", sig)
+    Dedup.writeBandedSignatures(
+      Dedup.signatureTable(d2, "doc_id", "shingles", 24, 4, 42L),
+      sig, "stream-1", 24, 4, 42L)
+    val before = Dedup.loadSignatureTable(spark, sig).collect()
+      .map(_.toString).toSet
+    Dedup.compactSignatureTable(spark, sig)
+    val gens = spark.read.parquet(sig).select("_batch").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(gens == Set("compact"))
+    // loadSignatureTable still validates params via the preserved sidecar
+    val after = Dedup.loadSignatureTable(spark, sig).collect()
+      .map(_.toString).toSet
+    assert(after == before)
+    VerifyIO.deleteRec(new java.io.File(sig))
+  }
+
+  test("streaming line scrub: segment df accumulates, minDf fires mid-stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.prep.Dedup
+    val boiler = "b1 b2 b3"
+    val path = java.nio.file.Files.createTempDirectory("graft_segdf").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_segdfc").toString
+    val input = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.Map[Long, (Long, String)]()
+    val q = StreamOps.lineDedupOnIngest(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", path,
+      c => out.synchronized {
+        out ++= c.collect().map(r =>
+          r.getLong(0) -> (r.getLong(2), r.getString(4))) // n_removed, md5
+      },
+      ckpt, segWords = 3, minDf = 3)
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    // batch 0: boiler seen in 2 docs — df=2 < 3, nothing scrubbed
+    input.addData((1L, s"$boiler u11 u12 u13"), (2L, s"u21 u22 u23 $boiler"))
+    q.processAllAvailable()
+    assert(out(1L) == ((0L, m(s"$boiler u11 u12 u13"))))
+    assert(out(2L) == ((0L, m(s"u21 u22 u23 $boiler"))))
+    // batch 1: third occurrence arrives — history(2) + batch(1) = 3 ≥ minDf,
+    // so THIS doc is scrubbed (prefix semantics: docs 1-2 stay as emitted)
+    input.addData((3L, s"$boiler u31 u32 u33"))
+    q.processAllAvailable()
+    assert(out(3L) == ((1L, m("u31 u32 u33"))))
+    // batch 2: all-boilerplate doc → rewritten to empty
+    input.addData((4L, boiler))
+    q.processAllAvailable()
+    q.stop()
+    assert(out(4L) == ((1L, m(""))))
+    // the running df state equals the one-shot batch build over all docs,
+    // and each batch holds exactly one generation (replay discipline)
+    val docs = Seq((1L, s"$boiler u11 u12 u13"), (2L, s"u21 u22 u23 $boiler"),
+      (3L, s"$boiler u31 u32 u33"), (4L, boiler)).toDF("doc_id", "text")
+    val state = Dedup.loadSegmentDfState(spark, path)
+    val batchMode = Dedup.segmentDf(docs, "doc_id", col("text"), 3)
+    assert(state.except(batchMode).count() == 0
+      && batchMode.except(state).count() == 0)
+    val gens = spark.read.parquet(path).select("_batch").distinct().count()
+    assert(gens == 3L)
+    Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
+  }
 }
