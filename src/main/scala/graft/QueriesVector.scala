@@ -792,6 +792,60 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** The hierarchical walk served from the DiskANN-style layout
+    * ([[HnswStrategy.writeGraphIndex]]/[[HnswStrategy.queryFromDisk]]):
+    * per hop, only the frontier's node-bucket directories are read (the
+    * pushed `src IN`/`id IN` lists skip row groups within them) — the
+    * graph family completes the disk-serving set with the per-hop
+    * random-access pattern the cell-scan families don't exercise.
+    * Approximate (the walk), so rows-only; disk ≡ memory walk equality
+    * and real partition pruning are spec-asserted (ScaleDesignSpec), and
+    * the exact sibling below oracle-pins the layout. Reuses the
+    * registry's hnsw16 build; the layout is written once per session. */
+  val qHnswDiskKnn = Q("q_hnsw_disk_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      val h = strat.asInstanceOf[HnswStrategy]
+      val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16disk", {
+        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_disk")
+          .resolve("index").toString
+        h.writeGraphIndex(prepared, p)
+        p
+      })
+      h.queryFromDisk(s, path, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    None)
+
+  /** [[qHnswDiskKnn]]'s oracle anchor: the exhaustive exact mode reading
+    * vectors THROUGH the serving layout
+    * ([[HnswStrategy.queryExhaustiveFromDisk]]) — pins the partitioned
+    * write / partition-recovery / normalized-vector round trip and the
+    * kernel/rank plumbing to the same DuckDB ground truth as
+    * q_hnsw_knn_exact; the adjacency round trip is pinned by the
+    * disk ≡ memory walk-equality spec (a diverted edge would divert the
+    * walk). */
+  val qHnswDiskKnnExact = Q("q_hnsw_disk_knn_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      val h = strat.asInstanceOf[HnswStrategy]
+      val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16disk", {
+        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_disk")
+          .resolve("index").toString
+        h.writeGraphIndex(prepared, p)
+        p
+      })
+      h.queryExhaustiveFromDisk(s, path, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
   /** Distributed ANN self-join via IVF cells — the similarity self-join
     * scale path (no broadcast of the store, no driver collect; see
     * `IvfStrategy.selfJoin`). Approximate by probe coverage, so rows-only;
@@ -1721,7 +1775,8 @@ object QueriesVector {
     qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
-    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qKnnClassify, qKnnFiltered,
+    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswDiskKnn,
+    qHnswDiskKnnExact, qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
     qIvfPartitionedRadius, qIvfNprobeCurve,
     qEvaluate)

@@ -320,6 +320,149 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     kn.beamFrom(layers(0), vecs, q, allSeeds, k, 0, k)
   }
 
+  // ---------------------------------------------------------- disk serving
+
+  /** DiskANN-style serving layout — the graph family joins the
+    * disk-serving set (flat / scalar / pq / binary / ivf×bq all serve off
+    * partition-pruned parquet; the graph's read pattern is different in
+    * kind: per-HOP random access, not per-cell scans). Vectors and each
+    * layer's adjacency land as parquet partitioned by node bucket
+    * (`_nb = id mod buckets`), and the hash-capped entry set (bounded by
+    * max(efSearch, 2m)) rides in a sidecar. A walk then touches, per hop,
+    * only the directories holding its frontier's buckets and only the row
+    * groups passing the pushed `src IN` / `id IN` filters — I/O
+    * proportional to the frontier (the SSD-DiskANN cost model), never to
+    * the store. */
+  def writeGraphIndex(prepared: DataFrame, path: String,
+      buckets: Int = 16): Unit = {
+    require(layers != null,
+      "HnswStrategy.prepare must run before writeGraphIndex")
+    // id-sorted within each bucket's files: row-group min/max stats on the
+    // node id become tight ranges, so the pushed `id IN` / `src IN` lists
+    // skip row groups — the page-level random-access half of the DiskANN
+    // cost model (directory pruning is the other half, and only bites when
+    // a hop's frontier covers fewer buckets than exist)
+    prepared.select(col("id"), col("vector"))
+      .withColumn("_nb", pmod(col("id"), lit(buckets)).cast("int"))
+      .repartition(col("_nb")).sortWithinPartitions("_nb", "id")
+      .write.mode("overwrite").partitionBy("_nb").parquet(s"$path/vectors")
+    layers.zipWithIndex.foreach { case (g, l) =>
+      g.select("src", "dst")
+        .withColumn("_nb", pmod(col("src"), lit(buckets)).cast("int"))
+        .repartition(col("_nb")).sortWithinPartitions("_nb", "src")
+        .write.mode("overwrite").partitionBy("_nb").parquet(s"$path/layer_$l")
+    }
+    val entries = entryIds.collect().map(_.getLong(0))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("buckets", buckets)
+    root.put("n_layers", layers.length)
+    root.put("metric", metric.name)
+    val arr = root.putArray("entries")
+    entries.foreach(arr.add)
+    graft.core.FsIO.write(s"$path/_graph_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  /** The hierarchical walk served DIRECTLY from a [[writeGraphIndex]]
+    * layout, with no resident graph: stage for stage the plan [[query]]
+    * declares (entry scoring → one expansion per upper layer → layer-0
+    * beam), except every adjacency/vector access is a partition-pruned,
+    * filter-pushed read of exactly the frontier's rows. The frontier ids
+    * are driver-enumerated per hop — bounded by the query batch
+    * (≤ beam width × batch × layer degree), the same bounded-driver-pull
+    * convention as the MIH probe keys — so the `IN`-list prune is known
+    * before each scan starts. Candidates, scores, and tie-breaks are
+    * identical to the in-memory walk (spec-asserted equality). */
+  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+    require(meta.get("metric").asText() == metric.name,
+      s"index at $path was built for metric ${meta.get("metric").asText()}")
+    val buckets = meta.get("buckets").asInt()
+    val nLayers = meta.get("n_layers").asInt()
+    val eIt = meta.get("entries").elements()
+    val entries = Iterator.continually(eIt)
+      .takeWhile(_.hasNext).map(_.next().asLong()).toArray
+    val kn = scoringKernel
+    val q = kn.walkQueries(queries)
+    def pruned(sub: String, idCol: String, ids: Array[Long],
+        cols: Seq[String]): DataFrame =
+      prunedRead(spark, path, sub, idCol, ids, buckets, cols)
+    def expandFrom(beam: DataFrame, layerSub: String): DataFrame = {
+      val srcIds = beam.select("id").distinct().collect().map(_.getLong(0))
+      val adj = pruned(layerSub, "src", srcIds, Seq("src", "dst"))
+        .withColumnRenamed("src", "id")
+      val frontier = beam.select("query_id", "id").join(adj, Seq("id"))
+        .select(col("query_id"), col("dst").as("id")).distinct()
+        .localCheckpoint()
+      val candIds = frontier.select("id").distinct().collect()
+        .map(_.getLong(0))
+      beam.unionByName(kn.scoreCandidates(
+          pruned("vectors", "id", candIds, Seq("id", "vector")), q, frontier))
+        .groupBy("query_id", "id").agg(min("dist").as("dist"))
+    }
+    import spark.implicits._
+    val entryPairs = entries.toSeq.toDF("id")
+      .crossJoin(q.select("query_id"))
+    var ep = TopK.topKPerGroup(
+        kn.scoreCandidates(pruned("vectors", "id", entries,
+          Seq("id", "vector")), q, entryPairs),
+        Seq("query_id"), "id", "dist", descentWidth)
+      .select("query_id", "id", "dist").localCheckpoint()
+    for (l <- (nLayers - 1) to 1 by -1) {
+      ep = TopK.topKPerGroup(expandFrom(ep, s"layer_$l"),
+          Seq("query_id"), "id", "dist", descentWidth)
+        .select("query_id", "id", "dist").localCheckpoint()
+    }
+    var beam = TopK.topKPerGroup(ep, Seq("query_id"), "id", "dist", efSearch)
+      .select("query_id", "id", "dist").localCheckpoint()
+    for (_ <- 1 to hops) {
+      beam = TopK.topKPerGroup(expandFrom(beam, "layer_0"),
+          Seq("query_id"), "id", "dist", efSearch)
+        .select("query_id", "id", "dist").localCheckpoint()
+    }
+    TopK.topKPerGroup(beam, Seq("query_id"), "id", "dist", k)
+  }
+
+  /** The one disk accessor every hop goes through: bucket IN-list as a
+    * PARTITION filter + node-id IN-list pushed into the scan (row-group
+    * skipping against the id-sorted files). Package-visible so the spec
+    * can walk its plan. */
+  private[graft] def prunedRead(spark: org.apache.spark.sql.SparkSession,
+      path: String, sub: String, idCol: String, ids: Array[Long],
+      buckets: Int, cols: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(s"$path/$sub")
+    if (ids.isEmpty) base.where(lit(false)).select(cols.map(col): _*)
+    else {
+      val nbs = ids.map(i => (((i % buckets) + buckets) % buckets).toInt)
+        .distinct.map(Integer.valueOf).toSeq
+      base.where(col("_nb").isin(nbs: _*) &&
+          col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+        .select(cols.map(col): _*)
+    }
+  }
+
+  /** Exhaustive exact mode over the SAME disk layout ([[queryExhaustive]]'s
+    * full-seed identity, reading vectors through the serving files): scores
+    * every stored vector via the identical kernel/tie-break/rank plumbing —
+    * the graph family's oracle anchor THROUGH the layout (the layout's
+    * other half, the adjacency round trip, is pinned by the disk ≡ memory
+    * walk-equality spec, since any divergence in edges would divert the
+    * walk). */
+  def queryExhaustiveFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kn = scoringKernel
+    val q = kn.walkQueries(queries)
+    val vecs = spark.read.parquet(s"$path/vectors").select("id", "vector")
+    val pairs = vecs.select("id").crossJoin(q.select("query_id"))
+    TopK.topKPerGroup(kn.scoreCandidates(vecs, q, pairs),
+      Seq("query_id"), "id", "dist", k)
+  }
+
   /** ANN threshold semantics: top-max_k then strict `<` (hnsw.py:107-114) */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame =

@@ -470,4 +470,60 @@ class ScaleDesignSpec extends SparkSpec {
     }
     VerifyIO.deleteRec(root.toFile)
   }
+
+  test("HNSW disk serving: disk walk == memory walk; hop reads prune and push") {
+    import graft.index.HnswStrategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val strat = HnswStrategy(graft.core.Metric.Cosine)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_hnswdisk")
+    val path = root.resolve("index").toString
+    strat.writeGraphIndex(prepared, path)
+    // 1. the disk walk is the in-memory walk, decision for decision —
+    //    any divergence in the adjacency/vector round trip would divert it
+    val mem = strat.query(prepared, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dsk = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(dsk === mem, "disk walk diverged from the in-memory walk")
+    // 2. exhaustive-from-disk equals exhaustive-in-memory (the oracle
+    //    anchor's identity, pinned here at spec level too)
+    val memX = strat.queryExhaustive(prepared, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dskX = strat.queryExhaustiveFromDisk(spark, path, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dskX === memX)
+    // 3. the per-hop accessor (every hop goes through prunedRead): a
+    //    frontier narrower than the bucket count prunes directories, and
+    //    the id list reaches the scan as a pushed filter for row-group
+    //    skipping against the id-sorted files
+    val narrow = strat.prunedRead(spark, path, "vectors", "id",
+      Array(1L, 17L), 16, Seq("id", "vector"))
+    assert(narrow.count() == 2)
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val scans = fileScans(narrow.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft_hnswdisk")))
+    assert(scans.nonEmpty, "no scan of the graph layout found")
+    // ids 1 and 17 both land in bucket 1 of 16 — exactly one directory read
+    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+      "bucket IN-list did not prune the vector directories")
+    assert(scans.exists(s => s.toString.contains("PushedFilters: [In(id")
+        || s.toString.contains("PushedFilters: [In(`id`")),
+      "id IN-list did not reach the scan as a pushed filter")
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
