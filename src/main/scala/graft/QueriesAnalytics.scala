@@ -376,6 +376,37 @@ object QueriesAnalytics {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """))
 
+  /** GROUPING SETS with an asymmetric set list — the general multi-grain
+    * aggregate that ROLLUP/CUBE are special cases of: one pass produces the
+    * (flag, status) grain, the status-only grain, and the grand total, but
+    * NOT the flag-only grain a rollup would force. `grouping()` flags
+    * disambiguate aggregated-away dims from genuine nulls, composed into
+    * the explicit bitmask gid = 2·g(flag) + g(status) so both engines spell
+    * the same arithmetic (Spark's zero-arg grouping_id() and DuckDB's
+    * GROUPING_ID have engine-specific argument conventions). Plan shape:
+    * Spark expands to one Expand + hash-agg — rows × |sets| map-side, the
+    * same two-phase partial agg as a plain groupBy, no extra shuffle per
+    * grain. */
+  val qGroupingSets = Q("q_grouping_sets",
+    (s, dir) => t(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg((grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first),
+    Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+    """))
+
   /** analytic-window function family beyond rank/lag: ntile quartiles,
     * percent_rank, cume_dist, first_value — one window definition, four
     * functions, deterministic tie-break on event_id */
@@ -453,6 +484,6 @@ object QueriesAnalytics {
   val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest,
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
-    qPercentiles, qAggExtras, qHistogram, qRollup, qWindowFuncs, qJsonExtract,
-    qCollectValues)
+    qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qWindowFuncs,
+    qJsonExtract, qCollectValues)
 }

@@ -851,6 +851,61 @@ object QueriesPipeline {
       ORDER BY split, shard
     """))
 
+  // -------------------------------------------------------- q_epoch_shuffle
+  /** Deterministic per-epoch global shuffle — the data-ordering op a
+    * training run needs between sharding and consumption: every epoch
+    * visits each document exactly once in a different seeded pseudo-random
+    * order, and the order is a pure function of (epoch, doc_id), so any
+    * worker can recompute its slice without coordination and a resumed job
+    * sees the same order.
+    *
+    * The shuffled position is a GLOBAL rank over md5(epoch:doc_id) — but
+    * computed without a global sort or an unpartitioned window (both banned
+    * by PlanAuditSpec): two-phase rank. Phase 1 buckets rows by the first
+    * hex byte of the key (256 buckets, uniform by construction) and
+    * aggregates per-(epoch, bucket) counts — a 512-row frame whose running
+    * sum (window partitioned by epoch over 256 ordered buckets) yields each
+    * bucket's global offset. Phase 2 broadcasts the offsets back and ranks
+    * within (epoch, bucket) only. At 100 TB the per-bucket window sees
+    * corpus/256 rows per epoch and the offset frame stays 512 rows at any
+    * scale; shard assignment (position mod nShards) then needs no further
+    * shuffle. The oracle replays the rank as one window — correct, but the
+    * very plan shape that would not scale. */
+  val qEpochShuffle = Q("q_epoch_shuffle",
+    (s, dir) => {
+      import s.implicits._
+      val nShards = 4
+      val epochs = Seq(0L, 1L).toDF("epoch")
+      val keyed = t(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("_k", md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")).cast("binary")))
+        .withColumn("_b", conv(substring(col("_k"), 1, 2), 16, 10).cast("long"))
+      val offsets = keyed.groupBy("epoch", "_b")
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_off",
+          sum("_c").over(Window.partitionBy("epoch").orderBy("_b")) - col("_c"))
+        .select("epoch", "_b", "_off")
+      val w = Window.partitionBy("epoch", "_b").orderBy("_k", "doc_id")
+      keyed.join(broadcast(offsets), Seq("epoch", "_b"))
+        .withColumn("position", col("_off") + row_number().over(w) - 1L)
+        .select(col("epoch"), col("doc_id"), col("position"),
+          pmod(col("position"), lit(nShards.toLong)).as("shard"))
+        .orderBy("epoch", "position")
+    },
+    Some("""
+      WITH keyed AS (
+        SELECT e.epoch, doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+        FROM documents
+        CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch) e)
+      SELECT epoch, doc_id,
+             row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1 AS position,
+             (row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) - 1) % 4 AS shard
+      FROM keyed
+      ORDER BY epoch, position
+    """))
+
   // ------------------------------------------------------------- q_semdedup
   /** SemDeDup semantic dedup (Abbas et al. 2023): within-cluster embedding
     * near-dup with a deterministic min-id survivor — see
@@ -2228,6 +2283,7 @@ object QueriesPipeline {
     qPackChunks,
     qChunkOverlap, qCentroids,
     qContamination, qBloomContamination, qSaltedAgg, qInterleave, qShardSplit,
+    qEpochShuffle,
     qSemdedup, qBm25,
     qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
     qPrototypicality, qTemperatureMix, qLeakageSafeSplit, qKmeans,

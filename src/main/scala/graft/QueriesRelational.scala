@@ -221,6 +221,60 @@ object QueriesRelational {
       ORDER BY event_type
     """))
 
+  /** Hourly gap-fill + last-observation-carried-forward — the time-series
+    * regularization op: event streams have empty hours, and downstream
+    * models want a dense per-(event_type, hour) grid with counts 0-filled
+    * and the hourly mean value carried forward across the gaps (null before
+    * the first observation).
+    *
+    * Scale shape: the dense hour axis comes from ONE 1-row min/max
+    * aggregate exploded into the hour range — calendar-sized (a decade is
+    * ~90k rows), never data-sized — cross-joined with the distinct-type
+    * frame (both broadcast). The observed aggregate is a plain hash-agg on
+    * (type, hour); the LOCF window partitions by event_type over the
+    * calendar-bounded axis, so no partition exceeds the hour count
+    * regardless of corpus size. DuckDB replays the fill with
+    * `last_value(... IGNORE NULLS)`. */
+  val qGapfill = Q("q_gapfill",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), floor(col("ts_s") / 3600).cast("long").as("hr"),
+          col("value"))
+      val agg = ev.groupBy("event_type", "hr")
+        .agg(count(lit(1)).as("_n"), round(avg("value"), 4).as("_avg"))
+      val hours = ev.agg(min("hr").as("_mn"), max("hr").as("_mx"))
+        .select(explode(sequence(col("_mn"), col("_mx"))).as("hr"))
+      val types = ev.select("event_type").distinct()
+      val w = Window.partitionBy("event_type").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      broadcast(types).crossJoin(hours)
+        .join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("_n"), lit(0L)).as("n_events"),
+          last(col("_avg"), ignoreNulls = true).over(w).as("avg_value"))
+        .orderBy("event_type", "hr")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, value
+        FROM events),
+      agg AS (
+        SELECT event_type, hr, count(*) AS n, round(avg(value), 4) AS avg_v
+        FROM ev GROUP BY 1, 2),
+      hours AS (
+        SELECT unnest(range(min(hr), max(hr) + 1)) AS hr FROM ev),
+      grid AS (
+        SELECT t.event_type, h.hr
+        FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours h)
+      SELECT g.event_type, g.hr,
+             CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+             last_value(a.avg_v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+      FROM grid g LEFT JOIN agg a USING (event_type, hr)
+      ORDER BY event_type, hr
+    """))
+
   /** tumbling-window aggregation via the streaming `window()` operator run
     * in batch mode — the exact code path StreamOps uses under readStream
     * (SURVEY §2.4 streaming). Output = epoch seconds of window start/end. */
@@ -242,5 +296,5 @@ object QueriesRelational {
 
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
-    qStreamHourly)
+    qGapfill, qStreamHourly)
 }

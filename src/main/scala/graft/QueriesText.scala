@@ -294,6 +294,39 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** PassJoin blocked edit-distance near-dup (see
+    * [[graft.prep.Dedup.editDistanceJoin]]) — the character-edit member of
+    * the near-dup family, R-S shaped like the contamination checks: a
+    * query batch (doc_id < 500) probed against the full corpus on a
+    * 32-char normalized prefix key, tau = 2. The oracle brute-forces the
+    * same pair set with DuckDB's `levenshtein` under the length-band
+    * prefilter (|Δlen| <= tau, implied by ed <= tau), so the blocked
+    * candidate generation is verified EXACT, not just plausible. */
+  val qEditNeardup = Q("q_edit_neardup",
+    (s, dir) => {
+      val keyed = t(s, dir, "documents").select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), 1, 32)
+          .as("k"))
+        .where(length(col("k")) >= 8)
+      val probe = keyed.where(col("doc_id") < 500)
+      Dedup.editDistanceJoin(probe, keyed, "doc_id", "k", tau = 2)
+        .orderBy("query_id", "match_id")
+    },
+    Some("""
+      WITH k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 1, 32) AS k
+        FROM documents),
+      kk AS (SELECT * FROM k WHERE length(k) >= 8)
+      SELECT q.doc_id AS query_id, s.doc_id AS match_id,
+             CAST(levenshtein(q.k, s.k) AS BIGINT) AS dist
+      FROM kk q JOIN kk s
+        ON q.doc_id < 500 AND s.doc_id <> q.doc_id
+       AND abs(length(q.k) - length(s.k)) <= 2
+      WHERE levenshtein(q.k, s.k) <= 2
+      ORDER BY query_id, match_id
+    """))
+
   /** SimHash near-dup pairs: banding is exact by pigeonhole (hamming <= 3
     * over 4 bands of 8 bits forces one identical band), so the output
     * equals the brute-force all-pairs hamming computation in the oracle. */
@@ -1239,7 +1272,7 @@ object QueriesText {
     qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
     qNeardupSurvivors, qNgramJaccard,
-    qSimhashPairs, qBinaryMeta, qFrameSample,
+    qSimhashPairs, qEditNeardup, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
     qBpeMerges, qBpeApply, qTokenBudgetSelect, qDomainMix,
     qSpanDedup, qSpanContamination, qQualityLogreg, qPiiScrub, qPplBuckets)

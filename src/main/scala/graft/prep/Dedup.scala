@@ -562,6 +562,89 @@ object Dedup {
       .select(col("i"), col("j"), col("jaccard"))
   }
 
+  /** PassJoin-style blocked edit-distance similarity join (Li, Deng, Feng
+    * & Wang, "PASS-JOIN: a partition-based method for similarity joins",
+    * PVLDB 5(1), 2011): find every (probe, index) key pair within
+    * Levenshtein distance `tau` WITHOUT the all-pairs product.
+    *
+    * Pigeonhole blocking: the index key of length L is split into
+    * `tau + 1` contiguous segments (shorter segments first; segment
+    * boundaries a pure function of (L, i)). If ed(q, s) <= tau then at
+    * most tau of s's tau+1 segments are touched by an edit, so at least
+    * one appears in q VERBATIM — and since each edit shifts later
+    * characters by at most one position, that untouched segment starts in
+    * q within ±tau of its position in s. The probe side therefore
+    * enumerates, for each candidate index length l in [|q|−tau, |q|+tau]
+    * and each segment slot i, the substrings of q of the slot's length
+    * starting within the ±tau window — O(tau·(2·tau+1)) short substrings
+    * per probe key, joined to the index segments on (l, i, substring).
+    * Candidates are distinct (probe, index) pairs; exact `levenshtein`
+    * verifies each once, so the output equals the brute-force pair set.
+    *
+    * Scale shape: both sides are row-local explodes of bounded fan-out
+    * (index: tau+1 rows/key; probe: ≤ 5·3·5 = 75 short rows/key at
+    * tau = 2), the join is an equi-join on segment text that AQE can
+    * broadcast when the probe set is query-sized, and verification touches
+    * candidates only — never |probe|·|index|. This is the edit-distance
+    * member of the near-dup family (MinHash ≈ set overlap, SimHash ≈
+    * Hamming, PassJoin ≈ character edits).
+    *
+    * Inputs are (idCol, keyCol) frames; keys shorter than tau + 1 chars
+    * cannot be segmented and are dropped from both sides. Output:
+    * (query_id, match_id, dist) for every cross-id pair with
+    * ed <= tau. */
+  def editDistanceJoin(probe: DataFrame, index: DataFrame, idCol: String,
+      keyCol: String, tau: Int = 2): DataFrame = {
+    require(tau >= 1 && tau <= 4, s"tau must be in [1, 4], got $tau")
+    val p = tau + 1 // segment count
+    val minLen = p // every segment non-empty
+    val idx = index.select(col(idCol).as("match_id"), col(keyCol).as("_sk"))
+      .where(length(col("_sk")) >= minLen)
+    val prb = probe.select(col(idCol).as("query_id"), col(keyCol).as("_qk"))
+      .where(length(col("_qk")) >= minLen)
+    // index side: (l, i, seg) per key — seg i of a length-l key has
+    // len(l,i) = q + [i >= p-r], start(l,i) = i·q + max(0, i-(p-r)) with
+    // q = l div p, r = l mod p (shorter segments first)
+    def segLen(l: Column, i: Column): Column =
+      (l / p).cast("int") + when(i >= lit(p) - pmod(l, lit(p)), 1).otherwise(0)
+    def segStart(l: Column, i: Column): Column =
+      i * (l / p).cast("int") +
+        greatest(lit(0), i - (lit(p) - pmod(l, lit(p)).cast("int")))
+    val idxSegs = idx
+      .select(col("match_id"), col("_sk"), length(col("_sk")).as("_l"),
+        explode(sequence(lit(0), lit(p - 1))).as("_i"))
+      .select(col("match_id"), col("_l"), col("_i"),
+        col("_sk").substr(segStart(col("_l"), col("_i")) + 1,
+          segLen(col("_l"), col("_i"))).as("_seg"))
+    // probe side: for each candidate index length l within ±tau and each
+    // slot i, substrings of the slot's length starting within ±tau of the
+    // slot's start (clamped to the probe key's bounds)
+    val prbSubs = prb
+      .select(col("query_id"), col("_qk"), length(col("_qk")).as("_ql"),
+        explode(sequence(length(col("_qk")) - tau,
+          length(col("_qk")) + tau)).as("_l"))
+      .where(col("_l") >= minLen)
+      .select(col("query_id"), col("_qk"), col("_ql"), col("_l"),
+        explode(sequence(lit(0), lit(p - 1))).as("_i"))
+      .select(col("query_id"), col("_qk"), col("_ql"), col("_l"), col("_i"),
+        explode(sequence(lit(-tau), lit(tau))).as("_d"))
+      .select(col("query_id"), col("_qk"), col("_ql"), col("_l"), col("_i"),
+        (segStart(col("_l"), col("_i")) + col("_d")).as("_pos"),
+        segLen(col("_l"), col("_i")).as("_slen"))
+      .where(col("_pos") >= 0 && col("_pos") + col("_slen") <= col("_ql"))
+      .select(col("query_id"), col("_l"), col("_i"),
+        col("_qk").substr(col("_pos") + 1, col("_slen")).as("_seg"))
+    val cands = prbSubs.join(idxSegs, Seq("_l", "_i", "_seg"))
+      .where(col("query_id") =!= col("match_id"))
+      .select("query_id", "match_id").distinct()
+    cands
+      .join(prb, "query_id")
+      .join(idx, "match_id")
+      .where(levenshtein(col("_qk"), col("_sk")) <= tau)
+      .select(col("query_id"), col("match_id"),
+        levenshtein(col("_qk"), col("_sk")).cast("long").as("dist"))
+  }
+
   // ------------------------------------------- dedup cluster formation
 
   /** Connected components over an undirected edge list — turns near-dup

@@ -1370,4 +1370,63 @@ class PipelineOpsSpec extends SparkSpec {
     // doc 5: everything was boilerplate — empty rewrite, md5("")
     assert(out(5L) == ((1L, 1L, 0L, m(""))))
   }
+
+  test("editDistanceJoin equals brute-force levenshtein across edit shapes") {
+    import spark.implicits._
+    // the corpus oracle only surfaces ed = 0 pairs, so the tolerance
+    // machinery (length bands, ±tau start shift, shorter-first segment
+    // scheme) is exercised here: substitutions, an INITIAL insertion (the
+    // worst case — every later segment shifts), deletions, mixed 2-edit
+    // pairs, and just-over-threshold 3-edit pairs that must NOT appear
+    val base = "the quick brown fox jumps"
+    val keys = Seq(
+      1L -> base,
+      2L -> base,                          // ed 0
+      3L -> "the quick brawn fox jumps",   // ed 1 substitution
+      4L -> "xthe quick brown fox jumps",  // ed 1 head insertion (full shift)
+      5L -> "the quick brown fox jump",    // ed 1 tail deletion
+      6L -> "th quick brawn fox jumps",    // ed 2: deletion + substitution
+      7L -> "ze quick brown fox jumpsyy",  // ed 3+: must be excluded
+      8L -> "completely different string",
+      9L -> "ab"                           // under minLen: dropped
+    ).toDF("id", "k")
+    val tau = 2
+    val got = Dedup.editDistanceJoin(keys, keys, "id", "k", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val kept = keys.where(length(col("k")) >= tau + 1)
+    val want = kept.as("a").join(kept.as("b"),
+        col("a.id") =!= col("b.id") &&
+          levenshtein(col("a.k"), col("b.k")) <= tau)
+      .select(col("a.id"), col("b.id"),
+        levenshtein(col("a.k"), col("b.k")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // sanity on the shapes the test exists for: the head-insertion pair
+    // and both 2-edit directions are present; the 3-edit pair is not
+    assert(got.contains((1L, 4L, 1L)) && got.contains((4L, 1L, 1L)))
+    assert(got.contains((1L, 6L, 2L)))
+    assert(!got.exists(p => p._1 == 7L || p._2 == 7L))
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L))
+  }
+
+  test("epoch shuffle positions are a permutation and match the one-window rank") {
+    import spark.implicits._
+    val out = Queries.queryMap("q_epoch_shuffle")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L))
+    val n = byEpoch(0L).length
+    for ((_, rows) <- byEpoch) {
+      // two-phase bucket-offset rank yields each position exactly once
+      assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq)
+      // strided shard assignment is position mod 4
+      assert(rows.forall(r => r._4 == ((r._3 % 4) + 4) % 4))
+    }
+    // the two epochs order the same docs differently (seeded, not identity)
+    val ord0 = byEpoch(0L).sortBy(_._3).map(_._2).toSeq
+    val ord1 = byEpoch(1L).sortBy(_._3).map(_._2).toSeq
+    assert(ord0.toSet == ord1.toSet && ord0 != ord1)
+    // and neither epoch is doc_id order (it IS a shuffle)
+    assert(ord0 != ord0.sorted && ord1 != ord1.sorted)
+  }
 }
