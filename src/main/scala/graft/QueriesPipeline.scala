@@ -886,6 +886,10 @@ object QueriesPipeline {
         .withColumn("_off",
           sum("_c").over(Window.partitionBy("epoch").orderBy("_b")) - col("_c"))
         .select("epoch", "_b", "_off")
+        // provably <= 2 epochs × 256 buckets rows BY CONSTRUCTION (_b is one
+        // hex byte); the no-op cap makes that bound visible in the plan, so
+        // the broadcast hint below is auditable as row-limited
+        .limit(512)
       val w = Window.partitionBy("epoch", "_b").orderBy("_k", "doc_id")
       keyed.join(broadcast(offsets), Seq("epoch", "_b"))
         .withColumn("position", col("_off") + row_number().over(w) - 1L)

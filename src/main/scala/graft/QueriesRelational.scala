@@ -247,7 +247,11 @@ object QueriesRelational {
       val types = ev.select("event_type").distinct()
       val w = Window.partitionBy("event_type").orderBy("hr")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      broadcast(types).crossJoin(hours)
+      // hint the HOURS side: it descends from a 1-row scalar aggregate
+      // (provably bounded at any corpus size); the distinct-types frame is
+      // a data-derived aggregate — small here, but exactly the shape the
+      // repo's broadcast discipline leaves to AQE
+      types.crossJoin(broadcast(hours))
         .join(agg, Seq("event_type", "hr"), "left")
         .select(col("event_type"), col("hr"),
           coalesce(col("_n"), lit(0L)).as("n_events"),
