@@ -124,6 +124,57 @@ object QueriesVector {
       ORDER BY vec_id
     """))
 
+  /** MMR diversified re-rank (see [[Knn.mmrRerank]]): top-40 cosine pool →
+    * greedy λ = 0.5 selection of 10 per query. Because every greedy input
+    * (rel, pairwise sims) is rounded to 6 decimals before the loop, the
+    * trajectory is engine-reproducible and the oracle replays the ENTIRE
+    * diversified ranking with a recursive CTE (lateral argmax per step) —
+    * the full MMR output is hash-checked, not just an exact-mode anchor. */
+  val qMmrRerank = Q("q_mmr_rerank",
+    (s, dir) => Knn.mmrRerank(store(s, dir), queriesDf(s, dir, 5),
+      pool = 40, k = 10, lambda = 0.5),
+    Some("""
+      WITH RECURSIVE
+      pool AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS id,
+               round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                            CAST(q.embedding AS DOUBLE[])), 6) AS rel,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])) DESC,
+                          s.vec_id) AS crank
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5 AND s.vec_id <> q.vec_id),
+      qp AS (SELECT query_id, id, rel FROM pool WHERE crank <= 40),
+      psim AS (
+        SELECT a.query_id, a.id AS a, b.id AS b,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        FROM qp a JOIN qp b ON a.query_id = b.query_id AND a.id <> b.id
+        JOIN embeddings ea ON ea.vec_id = a.id
+        JOIN embeddings eb ON eb.vec_id = b.id),
+      sel AS (
+        SELECT query_id, 1 AS step, [id] AS sel_ids, id AS pick, rel AS score
+        FROM qp QUALIFY row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rel DESC, id) = 1
+        UNION ALL
+        SELECT s.query_id, s.step + 1, list_append(s.sel_ids, p.pick),
+               p.pick, p.score
+        FROM sel s, LATERAL (
+          SELECT c.id AS pick,
+                 0.5 * c.rel - 0.5 * (SELECT max(ps.sim) FROM psim ps
+                                      WHERE ps.query_id = s.query_id
+                                        AND ps.a = c.id
+                                        AND list_contains(s.sel_ids, ps.b)) AS score
+          FROM qp c
+          WHERE c.query_id = s.query_id AND NOT list_contains(s.sel_ids, c.id)
+          ORDER BY score DESC, c.id LIMIT 1) p
+        WHERE s.step < 10)
+      SELECT query_id, CAST(step AS BIGINT) AS rank, pick AS id,
+             round(score, 6) AS score
+      FROM sel ORDER BY query_id, rank
+    """))
+
   /** kNN-distance outlier scoring (Ramaswamy et al., SIGMOD 2000) — the
     * embedding-space curation gate that drops isolated points: every
     * store row's distance to its 10th nearest neighbor, top-20 most
@@ -1761,7 +1812,7 @@ object QueriesVector {
     Some(graft.prep.Pca.spectrumOracleSql("embeddings", "embedding",
       k = 4, iters = 30)))
 
-  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnOutliers, qKnnSelfjoinGrid,
+  val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnOutliers, qMmrRerank, qKnnSelfjoinGrid,
     qPcaSpectrum,
     qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -157,6 +157,95 @@ object Knn {
         greatest(VectorFunctions.distance(metric)(col("vector"), col(qvecCol)),
           lit(0.0)).as("dist"))
     TopK.topKPerGroup(exact, Seq("query_id"), "id", "dist", k)
+  }
+
+  /** Maximal Marginal Relevance diversified re-rank (Carbonell & Goldstein,
+    * SIGIR 1998): after the exact top-`pool` cosine pass, greedily select k
+    * results maximizing `lambda·rel(c) − (1−lambda)·max_{s∈selected}
+    * sim(c, s)` — the retrieval post-processing step that keeps a result
+    * page from filling with near-duplicates of the best hit. The query
+    * vector is excluded from its own pool (rel = 1 makes step 2 degenerate
+    * otherwise).
+    *
+    * Determinism: rel and every candidate-pair sim are rounded to 6
+    * decimals (HALF_UP) BEFORE the greedy loop; with identical rounded
+    * inputs the λ-arithmetic is bit-identical across engines, ties break on
+    * id, and the whole greedy trajectory replays exactly — which is what
+    * lets a DuckDB recursive CTE oracle check the full diversified ranking,
+    * not just an anchor.
+    *
+    * Scale shape: the pool cut is the bounded-heap top-k (never a window);
+    * the greedy loop runs inside ONE hash-aggregated group per query over
+    * pool-sized state (≤ `pool` rows, pool² sims computed in a tight
+    * primitive loop) — per-query work is O(pool²·dim + k·pool), independent
+    * of store size, and queries parallelize across partitions. */
+  def mmrRerank(store: DataFrame, queries: DataFrame, pool: Int, k: Int,
+      lambda: Double = 0.5, vecCol: String = "vector",
+      qvecCol: String = "qvector"): DataFrame = {
+    require(pool >= k && k >= 1, s"need pool >= k >= 1, got ($pool, $k)")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mmrUdf = udf { (rows: Seq[Row]) =>
+      // pool members sorted by id for deterministic iteration
+      val cand = rows.map { r =>
+        (r.getLong(0), r.getDouble(1),
+          r.getSeq[Number](2).map(_.doubleValue()).toArray)
+      }.sortBy(_._1).toArray
+      val n = cand.length
+      // rounded pairwise sims (sim = 1 − cosine distance, zero-safe)
+      val sim = Array.ofDim[Double](n, n)
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) {
+          val s = r6(1.0 - scoreVec(Metric.Cosine, cand(i)._3, cand(j)._3))
+          sim(i)(j) = s; sim(j)(i) = s
+          j += 1
+        }
+        i += 1
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val taken = Array.fill(n)(false)
+      var step = 1
+      while (step <= math.min(k, n)) {
+        var best = -1
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < n) {
+          if (!taken(c)) {
+            val score =
+              if (selected.isEmpty) cand(c)._2
+              else {
+                var mx = Double.NegativeInfinity
+                selected.foreach { s => if (sim(c)(s) > mx) mx = sim(c)(s) }
+                lambda * cand(c)._2 - (1.0 - lambda) * mx
+              }
+            // strict > : ties keep the smaller id (ids ascend with c)
+            if (score > bestScore) { bestScore = score; best = c }
+          }
+          c += 1
+        }
+        taken(best) = true
+        selected += best
+        out += ((step.toLong, cand(best)._1, r6(bestScore)))
+        step += 1
+      }
+      out.toSeq
+    }
+    val pairs = pairDistances(store, queries, Metric.Cosine, vecCol, qvecCol)
+      .where(col("id") =!= col("query_id"))
+    val cands = TopK.topKPerGroup(pairs, Seq("query_id"), "id", "dist", pool)
+      .select(col("query_id"), col("id"), round(lit(1.0) - col("dist"), 6).as("rel"))
+    cands
+      .join(store.select(col("id"), col(vecCol)), Seq("id"))
+      .groupBy("query_id")
+      .agg(collect_list(struct(col("id"), col("rel"), col(vecCol))).as("_pool"))
+      .select(col("query_id"), explode(mmrUdf(col("_pool"))).as("_m"))
+      .select(col("query_id"), col("_m._1").as("rank"), col("_m._2").as("id"),
+        col("_m._3").as("score"))
+      .orderBy("query_id", "rank")
   }
 
   /** ONE driver action for the byte-size gate: (row count, dim). */
