@@ -820,6 +820,24 @@ object QueriesVector {
     },
     None)
 
+  /** The graph family's deployment-tuning artifact ([[HnswStrategy
+    * .efCurve]]): recall@10 at layer-0 beam widths {4, 8, 16, 64} from the
+    * ONE registry hnsw16 build, each point the real walk graded against the
+    * exhaustive-mode exact truth. Completes the tuning trio (IVF nprobe
+    * cells, BQ rerank pools, HNSW beam). Deterministic but in-engine
+    * graded, so rows-only like the nprobe curve; HnswSpec pins the
+    * monotone-recall and wide-beam-recall bars. */
+  private val qHnswEfCurve = Q("q_hnsw_ef_curve",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      strat.asInstanceOf[HnswStrategy].efCurve(prepared,
+        queriesDf(s, dir, 20)
+          .withColumn("qvector", col("qvector").cast("array<double>")),
+        10, Seq(4, 8, 16, 64))
+    },
+    None)
+
   /** The HNSW machinery in its provably-exhaustive mode
     * ([[HnswStrategy.queryExhaustive]]: layer-0 beam seeded with every
     * node — the `ef_search >= n` limit), where the walk's output IS the
@@ -1826,7 +1844,7 @@ object QueriesVector {
     qPqKnn,
     qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
-    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswDiskKnn,
+    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
     qHnswDiskKnnExact, qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
     qIvfPartitionedRadius, qIvfNprobeCurve,

@@ -217,14 +217,26 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
   /** top layer's node set, hash-capped for a bounded entry stage (when the
     * store is single-layer this degenerates to NN-descent-style hash-seeded
     * entries over the whole node set — small stores only) */
-  private def entryIds: DataFrame =
+  private def entryIds: DataFrame = entryIdsAt(efSearch)
+
+  private def entryIdsAt(ef: Int): DataFrame =
     layers.last.select(col("src").as("id")).distinct()
       .withColumn("_h", hashRank(col("id")))
-      .orderBy(col("_h"), col("id")).limit(math.max(efSearch, deg0))
+      .orderBy(col("_h"), col("id")).limit(math.max(ef, deg0))
       .drop("_h")
 
-  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    queryWithEf(prepared, queries, k, efSearch)
+
+  /** [[query]] with the beam width as an argument — the strategy's
+    * configured `efSearch` is just the default; the tuning curve sweeps
+    * this without rebuilding (the graph depends on m/efConstruction only).
+    * The entry-set cap rides with ef, exactly as a re-configured strategy
+    * would have it. */
+  private[graft] def queryWithEf(prepared: DataFrame, queries: DataFrame,
+      k: Int, ef: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(ef >= 1, s"efSearch must be >= 1, got $ef")
     require(layers != null, "HnswStrategy.prepare must run before query")
     val kn = scoringKernel
     val q = kn.walkQueries(queries)
@@ -236,13 +248,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     val batch = if (localIds == null) None
       else NnDescentStrategy.driverBatch(q)
     if (batch.isDefined) {
-      val entries = localEntryIds
+      val entries = localEntryIdsAt(ef)
       return kn.walkResultFrame(prepared.sparkSession, batch.get,
-        qv => localWalkOne(kn, entries, qv, k))
+        qv => localWalkOne(kn, entries, qv, k, ef))
     }
     val vecs = prepared.select(col("id"), col("vector"))
     // 1. entry layer: score the (few) top-layer nodes against every query
-    val entryPairs = entryIds.crossJoin(q.select("query_id"))
+    val entryPairs = entryIdsAt(ef).crossJoin(q.select("query_id"))
     // the descent references each round's arrivals twice (frontier + merge);
     // eager localCheckpoints keep the plan linear in the layer count — same
     // rationale as beamFrom's per-hop pin (the arrivals are ≤ descentWidth
@@ -262,23 +274,25 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     }
     // 3. layer-0 beam walk seeded by the descent's arrivals
     kn.beamFrom(layers(0), vecs, q, ep.select("query_id", "id"),
-      efSearch, hops, k)
+      ef, hops, k)
   }
 
   /** the top layer's hash-capped entry set over driver arrays — the same
-    * ranking [[entryIds]] declares ((mix(id, EPT), id) ascending, capped) */
-  private def localEntryIds: Array[Long] = {
+    * ranking [[entryIdsAt]] declares ((mix(id, EPT), id) ascending, capped) */
+  private def localEntryIds: Array[Long] = localEntryIdsAt(efSearch)
+
+  private def localEntryIdsAt(ef: Int): Array[Long] = {
     val sd = seed
     localLayers.last._1
       .sortBy(id => (NnDescentStrategy.mix(id, 0x455054L, sd), id))
-      .take(math.max(efSearch, deg0))
+      .take(math.max(ef, deg0))
   }
 
   /** one query's descent + beam over the retained arrays — stage for stage
     * the plan [[query]] declares: entry scoring capped at descentWidth, one
     * neighbor-expansion merge per upper layer, then the layer-0 beam */
   private def localWalkOne(kn: NnDescentStrategy, entries: Array[Long],
-      qv: Array[Double], k: Int): Array[graft.functions.Neighbor] = {
+      qv: Array[Double], k: Int, ef: Int): Array[graft.functions.Neighbor] = {
     var ep = kn.selectLocal(qv, localIds, localVs, entries.clone(),
       entries.length, descentWidth)
     for (l <- (localLayers.length - 1) to 1 by -1) {
@@ -287,7 +301,40 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       ep = kn.selectLocal(qv, localIds, localVs, buf, len, descentWidth)
     }
     kn.beamLocalOne(qv, ep.map(_.id), localIds, localVs,
-      localLayers(0)._1, localLayers(0)._2, efSearch, hops, k)
+      localLayers(0)._1, localLayers(0)._2, ef, hops, k)
+  }
+
+  /** recall-vs-beam-width tuning curve — the graph family's member of the
+    * deployment-tuning trio (IVF sweeps cells via [[IvfStrategy.nprobeCurve]],
+    * the quantized family sweeps rerank pools via the factor curve, the
+    * graph family sweeps the layer-0 beam width). One graph build serves
+    * every point (the hierarchy depends on m/efConstruction only); each ef
+    * runs the REAL walk — beam pruning is stateful, so unlike the IVF
+    * sweep the points cannot share one scored pass — and is graded against
+    * [[queryExhaustive]]'s full-seed exact truth through the identical
+    * scoring kernel. No exact endpoint is claimed: a beam cannot guarantee
+    * recall 1 at any finite ef on a disconnected layer-0 graph, which is
+    * exactly why [[queryExhaustive]] exists. Deterministic end to end
+    * (seeded build, canonical tie-breaks), so the curve is a stable,
+    * regression-comparable artifact. */
+  def efCurve(prepared: DataFrame, queries: DataFrame, k: Int,
+      efs: Seq[Int]): DataFrame = {
+    require(efs.nonEmpty && k >= 1)
+    val gt = queryExhaustive(prepared, queries, k)
+      .select(col("query_id"), col("id"))
+    val nq = queries.select("query_id").distinct().count()
+    val walks = efs.distinct.sorted.map { ef =>
+      queryWithEf(prepared, queries, k, ef)
+        .select(col("query_id"), col("id"))
+        .withColumn("ef", lit(ef.toLong))
+    }.reduce(_ unionByName _)
+    // left join + indicator (not left_semi): a hypothetical zero-hit ef
+    // must still emit its curve point
+    walks.join(gt.withColumn("_hit", lit(1L)), Seq("query_id", "id"), "left")
+      .groupBy("ef").agg(sum(coalesce(col("_hit"), lit(0L))).as("_hits"))
+      .select(col("ef"),
+        round(col("_hits") / (nq * k).toDouble, 6).as("recall"))
+      .orderBy("ef")
   }
 
   /** EXACT mode (the oracle anchor for the graph family, verdict r7 #7):

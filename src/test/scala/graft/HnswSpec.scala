@@ -181,4 +181,29 @@ class HnswSpec extends SparkSpec {
         2L * 64 * 32)
     assert(vol === perQuery * 5)
   }
+
+  test("efCurve: recall nondecreasing in ef, wide beam >= 0.8, one build") {
+    val df = store.cache()
+    val strat = HnswStrategy(Metric.Cosine)
+    val prepared = strat.prepare(df).cache()
+    val q = queriesOf(df, 10)
+    val curve = strat.efCurve(prepared, q, 10, Seq(4, 16, 64))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(curve.map(_._1) == Seq(4L, 16L, 64L))
+    // nondecreasing recall across beam widths (deterministic seeded build)
+    assert(curve.sliding(2).forall(p => p(0)._2 <= p(1)._2),
+      s"recall not monotone: $curve")
+    // the configured-default-width point clears the family's recall bar
+    assert(curve.last._2 >= 0.8, s"recall@ef=64 ${curve.last._2}")
+    // ef = k is a real walk, not garbage: better than random at n ~ 5000
+    assert(curve.head._2 > 0.1, s"recall@ef=4 ${curve.head._2}")
+    // and the sweep point at the strategy's own efSearch equals query()
+    val viaQuery = strat.query(prepared, q, 10)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaSweep = strat.queryWithEf(prepared, q, 10, 64)
+      .select("query_id", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaQuery == viaSweep)
+  }
 }
