@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Queries.Q
 import graft.core.Metric
 import graft.functions.VectorFunctions._
-import graft.index.{BqStrategy, HnswStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{BqStrategy, HnswStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, OpqStrategy, PqStrategy, Sq8Strategy}
 import graft.operators.Knn
 
 /** Vector-engine operators over the embeddings table: k-NN variants, radius
@@ -589,6 +589,30 @@ object QueriesVector {
     (s, dir) => {
       val (strat, prepared) = preparedIndex(s, dir, "pq8x8r")(
         PqStrategy(Metric.Cosine, m = 8, nbits = 8, rerank = true,
+          rerankFactor = 200))
+      strat.query(prepared, queriesDf(s, dir, 5), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
+  /** The PCA-rotated quantizer ([[OpqStrategy]]: eigenbasis rotation with
+    * Ge et al.'s eigenvalue allocation before the PQ coder) in its
+    * provably-exact mode: the 2000-candidate pool covers the store, so the
+    * exact re-rank is the exact top-k — and because a rotation about the
+    * origin preserves distances, the SAME q_knn_cosine oracle pins the
+    * whole chain: covariance pass, Jacobi eigenbasis, allocation
+    * permutation, row-local rotation, rotated-space codebooks, ADC scan,
+    * rerank. A bug in any stage (a non-orthogonal rotation, a mis-permuted
+    * basis, a rotated/unrotated mismatch between store and queries)
+    * surfaces as a distance DuckDB refutes. OpqSpec carries the gain
+    * claim — rotation measurably beats plain PQ on a planted anisotropic
+    * store — since the near-isotropic corpus (q_pca_spectrum's finding)
+    * cannot show it. */
+  val qOpqRerankKnn = Q("q_opq_rerank_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "opq8x8r")(
+        OpqStrategy(Metric.Cosine, m = 8, nbits = 8, rerank = true,
           rerankFactor = 200))
       strat.query(prepared, queriesDf(s, dir, 5), 10)
         .select(col("query_id"), col("id").as("neighbor_id"),
@@ -1842,7 +1866,7 @@ object QueriesVector {
     qIvfBqPartitionedKnn,
     qMatryoshkaRerank, qMatryoshkaDisk,
     qPqKnn,
-    qPqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
+    qPqRerankKnn, qOpqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
     qHnswDiskKnnExact, qKnnClassify, qKnnFiltered,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.core.{Backend, BackendArgs, FsIO, Metric}
-import graft.index.{BqStrategy, ExactStrategy, HnswStrategy, IndexStrategy, IvfBqStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, PqStrategy, Sq8Strategy}
+import graft.index.{BqStrategy, ExactStrategy, HnswStrategy, IndexStrategy, IvfBqStrategy, IvfPqStrategy, IvfSq8Strategy, IvfStrategy, LshStrategy, NnDescentStrategy, OpqStrategy, PqStrategy, Sq8Strategy}
 
 /** The user-facing vector store facade — the Spark-native `Vicinity[T]`
   * (`/root/reference/vicinity/vicinity.py:23-393`).
@@ -364,6 +364,9 @@ object Vicinity {
           // only its centroids
           case "binary" => BqStrategy(fa.metric)
           case "ivf_binary" => IvfBqStrategy(fa.metric, fa.nlist, nprobe)
+          // FAISS's PCAR,PQ transform chain (parametric OPQ): PCA rotation
+          // with eigenvalue allocation before the PQ coder
+          case "opq" => OpqStrategy(fa.metric, fa.m, fa.nbits)
           case other => throw new IllegalArgumentException(
             s"Unknown FAISS index type: $other")
         }

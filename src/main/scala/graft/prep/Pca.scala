@@ -115,6 +115,64 @@ object Pca {
     Spectrum(trace, comps)
   }
 
+  /** Full symmetric eigendecomposition via cyclic Jacobi — the driver-side
+    * d×d step behind the PCA-rotated quantizer ([[graft.index.OpqStrategy]]):
+    * the power-iteration path ([[fit]]) extracts a few components for the
+    * SPECTRUM report, but a rotation needs the complete orthogonal basis,
+    * and for d = 64 the whole problem fits in microseconds on the driver —
+    * the same "pull d² cells, solve small, broadcast back" shape as the PQ
+    * codebook training. Deterministic: fixed cyclic sweep order, fixed
+    * convergence threshold, eigenpairs sorted (eigenvalue desc, index asc),
+    * sign fixed by Σ components ≥ 0 (the [[fit]] convention).
+    *
+    * Returns (eigenvalues, eigenvectors) with `vectors(i)` the unit
+    * eigenvector of `values(i)`. */
+  def jacobiEigen(c0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val d = c0.length
+    val a = c0.map(_.clone())
+    // v starts as identity; accumulates the product of Jacobi rotations
+    val v = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
+    def off(): Double = {
+      var s = 0.0
+      for (i <- 0 until d; j <- 0 until d if i != j) s += a(i)(j) * a(i)(j)
+      s
+    }
+    var sweep = 0
+    while (off() > 1e-18 && sweep < 100) {
+      for (p <- 0 until d - 1; q <- p + 1 until d if math.abs(a(p)(q)) > 1e-15) {
+        val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+        val t = math.signum(theta) match {
+          case 0.0 => 1.0
+          case sg => sg / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+        }
+        val c = 1.0 / math.sqrt(t * t + 1.0)
+        val s = t * c
+        for (i <- 0 until d) {
+          val aip = a(i)(p); val aiq = a(i)(q)
+          a(i)(p) = c * aip - s * aiq
+          a(i)(q) = s * aip + c * aiq
+        }
+        for (j <- 0 until d) {
+          val apj = a(p)(j); val aqj = a(q)(j)
+          a(p)(j) = c * apj - s * aqj
+          a(q)(j) = s * apj + c * aqj
+        }
+        for (i <- 0 until d) {
+          val vip = v(i)(p); val viq = v(i)(q)
+          v(i)(p) = c * vip - s * viq
+          v(i)(q) = s * vip + c * viq
+        }
+      }
+      sweep += 1
+    }
+    val pairs = (0 until d).map { j =>
+      val vec = Array.tabulate(d)(i => v(i)(j))
+      val flip = if (vec.sum < 0) -1.0 else 1.0
+      (a(j)(j), vec.map(_ * flip))
+    }.sortBy { case (lam, _) => -lam }
+    (pairs.map(_._1).toArray, pairs.map(_._2).toArray)
+  }
+
   /** The judge-visible artifact: one row per (component rank, dimension). */
   def spectrum(s: SparkSession, df: DataFrame, vecCol: String,
       k: Int = 4, iters: Int = 30): DataFrame = {

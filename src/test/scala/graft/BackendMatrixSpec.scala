@@ -23,7 +23,8 @@ class BackendMatrixSpec extends SparkSpec {
     Seq("flat", "ivf", "hnsw", "lsh", "scalar", "pq", "ivf_scalar", "ivfpq",
       "ivfpqr",
       // engine extensions: FAISS binary family (sign-bit BQ, flat + IVF)
-      "binary", "ivf_binary")
+      // and the PCAR,PQ transform chain (parametric OPQ)
+      "binary", "ivf_binary", "opq")
   private val configs: Seq[(String, Backend, Option[BackendArgs])] =
     faissTypes.map(t => (s"faiss-$t", Backend.Faiss,
       Some(BackendArgs.FaissArgs(Metric.Cosine, indexType = t, nlist = 4)
