@@ -294,6 +294,82 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** Dataset-card manifest — the one-stop statistics artifact a managed
+    * corpus publishes (rows, token/char/word totals, exact-dup rate via
+    * full-text hash, median length, language and source mixes) as a long
+    * (section, stat, value) frame. ONE row-local projection feeds every
+    * section: a 1-row overall aggregate exploded to stat rows, two
+    * small-cardinality group-bys, and an exact distinct on the text hash —
+    * the same hash-groupBy shape as q_dedup_exact, which at 100 TB is the
+    * honest cost of an exact dup-rate (swap in the HLL sketch for the
+    * approximate card). All plain aggregates, so the oracle replays the
+    * whole card. */
+  val qDatasetCard = Q("q_dataset_card",
+    (s, dir) => {
+      val base = t(s, dir, "documents").select(
+        col("lang"), col("source"),
+        length(col("text")).cast("long").as("_chars"),
+        TF.wordCount(col("text")).cast("long").as("_words"),
+        TF.tokenEstimate(col("text")).as("_tok"),
+        md5(col("text").cast("binary")).as("_h"))
+      val overall = base.agg(
+        count(lit(1)).as("rows"),
+        sum("_chars").as("total_chars"),
+        sum("_words").as("total_words"),
+        sum("_tok").as("total_tokens_est"),
+        countDistinct("_h").as("distinct_texts"),
+        median(col("_chars").cast("double")).as("median_chars"))
+        .withColumn("dup_rate",
+          (col("rows") - col("distinct_texts")) / col("rows"))
+      val statCols = Seq(
+        "rows" -> col("rows"), "total_chars" -> col("total_chars"),
+        "total_words" -> col("total_words"),
+        "total_tokens_est" -> col("total_tokens_est"),
+        "distinct_texts" -> col("distinct_texts"),
+        "median_chars" -> col("median_chars"), "dup_rate" -> col("dup_rate"))
+      val overallLong = overall.select(explode(array(statCols.map {
+        case (n, c) => struct(lit(n).as("stat"),
+          round(c.cast("double"), 6).as("value"))
+      }: _*)).as("kv"))
+        .select(lit("overall").as("section"), col("kv.stat"), col("kv.value"))
+      val langs = base.groupBy(col("lang").as("stat"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("lang").as("section"), col("stat"), col("value"))
+      val sources = base.groupBy(col("source").as("stat"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("source").as("section"), col("stat"), col("value"))
+      overallLong.unionByName(langs).unionByName(sources)
+        .orderBy("section", "stat")
+    },
+    Some("""
+      WITH base AS (
+        SELECT lang, source, CAST(length(text) AS BIGINT) AS chars,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+               CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+               md5(text) AS h
+        FROM documents),
+      overall AS (
+        SELECT count(*) AS n, sum(chars) AS tc, sum(words) AS tw,
+               sum(tok) AS tt, count(DISTINCT h) AS dt,
+               median(CAST(chars AS DOUBLE)) AS med
+        FROM base)
+      SELECT * FROM (
+        SELECT 'overall' AS section, 'rows' AS stat,
+               round(CAST(n AS DOUBLE), 6) AS value FROM overall
+        UNION ALL SELECT 'overall', 'total_chars', round(CAST(tc AS DOUBLE), 6) FROM overall
+        UNION ALL SELECT 'overall', 'total_words', round(CAST(tw AS DOUBLE), 6) FROM overall
+        UNION ALL SELECT 'overall', 'total_tokens_est', round(CAST(tt AS DOUBLE), 6) FROM overall
+        UNION ALL SELECT 'overall', 'distinct_texts', round(CAST(dt AS DOUBLE), 6) FROM overall
+        UNION ALL SELECT 'overall', 'median_chars', round(med, 6) FROM overall
+        UNION ALL SELECT 'overall', 'dup_rate',
+               round(CAST(n - dt AS DOUBLE) / n, 6) FROM overall
+        UNION ALL SELECT 'lang', lang, CAST(count(*) AS DOUBLE)
+               FROM base GROUP BY lang
+        UNION ALL SELECT 'source', source, CAST(count(*) AS DOUBLE)
+               FROM base GROUP BY source)
+      ORDER BY section, stat
+    """))
+
   /** PassJoin blocked edit-distance near-dup (see
     * [[graft.prep.Dedup.editDistanceJoin]]) — the character-edit member of
     * the near-dup family, R-S shaped like the contamination checks: a
@@ -1268,7 +1344,7 @@ object QueriesText {
       FROM flagged GROUP BY doc_id ORDER BY doc_id
     """))
 
-  val all: Seq[Q] = Seq(qDocStats, qLangid, qFingerprint, qDedupExact,
+  val all: Seq[Q] = Seq(qDocStats, qDatasetCard, qLangid, qFingerprint, qDedupExact,
     qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
     qNeardupSurvivors, qNgramJaccard,

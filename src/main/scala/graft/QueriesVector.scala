@@ -1404,7 +1404,7 @@ object QueriesVector {
     },
     None)
 
-  /** one metric's evaluate pass — the Q11 grid over all eleven ANN
+  /** one metric's evaluate pass — the Q11 grid over all twelve ANN
     * families, returning (strategy, metric, k, recall, rows_scanned).
     * NOTE: the driver's embeddings are unit-normalized, so euclidean is a
     * monotonic transform of cosine (‖a−b‖ = √(2−2cos)) and the two
@@ -1416,7 +1416,7 @@ object QueriesVector {
       metric: Metric): Seq[(String, String, Long, Double, Long)] = {
       import s.implicits._
       val sfx = metricSfx(metric)
-      // eleven strategies scan the same store: materialize once (shared
+      // twelve strategies scan the same store: materialize once (shared
       // with the registry's index builds)
       val st = cachedStore(s, dir)
       // n = 10 queries, the reference harness width (advice r3: the r3 trim
@@ -1460,6 +1460,9 @@ object QueriesVector {
         HnswStrategy(metric)))
       val fNnd = Future(preparedIndex(s, dir, s"nnd15$sfx")(
         NnDescentStrategy(metric)))
+      // the rotated coder (PCAR,PQ): own covariance + Jacobi + encode pass
+      val fOpq = Future(preparedIndex(s, dir, s"opq8x8$sfx")(
+        OpqStrategy(metric)))
       val (ivf, ivfPrep) = Await.result(fIvf, Duration.Inf)
       // both composed-IVF builds adopt ivf16x8's centroids (trained one
       // line up) and run as futures so they overlap the remaining awaits
@@ -1480,6 +1483,7 @@ object QueriesVector {
       // over SQ codes at the ivf family's nlist/nprobe
       val (ivfsq8, ivfsq8Prep) = Await.result(fIvfSq8, Duration.Inf)
       val (pq, pqPrep) = Await.result(fPq, Duration.Inf)
+      val (opq, opqPrep) = Await.result(fOpq, Duration.Inf)
       val (bq, bqPrep) = Await.result(fBq, Duration.Inf)
       val (ivfbq, ivfbqPrep) = Await.result(fIvfBq, Duration.Inf)
       val (hnsw, hnswPrep) = Await.result(fHnsw, Duration.Inf)
@@ -1490,7 +1494,7 @@ object QueriesVector {
       val gt = Await.result(fGt, Duration.Inf)
         .groupBy("query_id").agg(max("dist").as("gt_kth"))
       val names = Seq("lsh", "lsh_mp", "ivf", "ivfpq", "ivf_scalar", "sq8",
-        "pq", "bq", "ivf_binary", "hnsw", "nndescent")
+        "pq", "opq", "bq", "ivf_binary", "hnsw", "nndescent")
       // LSH's bucket-collision candidate set is the one scan set that costs
       // a real job to derive — persist it so the recall pass and the
       // rows_scanned count share ONE materialization (verdict r3: the r3
@@ -1520,6 +1524,7 @@ object QueriesVector {
           .withColumn("strategy", lit("ivf_scalar")),
         sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
         pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")),
+        opq.query(opqPrep, q, k).withColumn("strategy", lit("opq")),
         bq.query(bqPrep, q, k).withColumn("strategy", lit("bq")),
         ivfbq.query(ivfbqPrep, q, k)
           .withColumn("strategy", lit("ivf_binary")),
@@ -1562,7 +1567,8 @@ object QueriesVector {
         // bq's coarse pass visits every (row, query) SIGNATURE pair — the
         // same row volume as the full scans (its win is 32× fewer bytes
         // per row, which a row-count proxy deliberately does not flatter)
-        "sq8" -> fullScan, "pq" -> fullScan, "bq" -> fullScan,
+        "sq8" -> fullScan, "pq" -> fullScan, "opq" -> fullScan,
+        "bq" -> fullScan,
         // same probed cells as the identically-trained ivf16x8 family
         "ivf_binary" -> ivfScan,
         "hnsw" -> hnsw.scanVolume(hnswPrep, q),

@@ -397,13 +397,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stages.contains("4_kept"), "a sane corpus keeps something")
   }
 
-  test("q_evaluate reports a recall in [0,1] for all eleven ANN strategies x both metrics") {
+  test("q_evaluate reports a recall in [0,1] for all twelve ANN strategies x both metrics") {
     val rows = Queries.queryMap("q_evaluate")(spark, dir)
       .collect().map(r => (r.getString(0), r.getString(1)) ->
         (r.getDouble(3), r.getLong(4))).toMap
     val out = rows.view.mapValues(_._1).toMap
     val fams = Set("lsh", "lsh_mp", "ivf", "ivfpq", "ivf_scalar", "sq8", "pq",
-      "bq", "ivf_binary", "hnsw", "nndescent")
+      "opq", "bq", "ivf_binary", "hnsw", "nndescent")
     assert(out.keySet ===
       (for (f <- fams; m <- Set("cosine", "euclidean")) yield (f, m)))
     assert(out.values.forall(r => r >= 0.0 && r <= 1.0))
