@@ -1700,6 +1700,43 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** Filtered ANN served from disk ([[IvfStrategy.queryFilteredFromDisk]]):
+    * q_knn_filtered's label predicate answered through the cell-partitioned
+    * layout, with the metadata column RIDING IN THE INDEX (prepare and the
+    * partitioned write pass extra store columns through), so the filter
+    * needs no side join — the probe IN-list prunes directories and the
+    * label comparison pushes into the scan. nprobe = nlist makes this run
+    * provably exact, so the SAME filtered oracle as q_knn_filtered pins
+    * the whole path: labeled layout round trip, pre-filter placement,
+    * probe join, kernel, rank. The nprobe < nlist pruning + pushdown
+    * behavior of the same code path is plan-asserted in ScaleDesignSpec.
+    * Builds its own labeled registry entry, adopting the registry IVF's
+    * centroids (training depends on nlist/seed/store, not columns). */
+  private val qIvfFilteredKnn = Q("q_ivf_filtered_knn",
+    (s, dir) => {
+      val key = s"$dir/ivf16x16lbl"
+      val (strat, prepared) = mapOf(indexCaches, s).getOrElseUpdate(key, {
+        val st = IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 16)
+        mapOf(indexCaches, s).get(s"$dir/ivf16x16")
+          .map(_._1.asInstanceOf[IvfStrategy]).filter(_.isTrained)
+          .foreach(i => st.adoptCentroids(i.centroidArray))
+        val labeled = t(s, dir, "embeddings").select(
+          col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("vector"), col("label"))
+        val prep = st.prepare(labeled).cache()
+        prep.count()
+        (st, prep)
+      })
+      val path = diskIvfPath(s, dir, "ivf16x16lbl", strat, prepared)
+      strat.asInstanceOf[IvfStrategy].queryFilteredFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")),
+        10, col("label") % 2 === 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5, " AND s.label % 2 = 0")))
+
   /** The disk path's RANGE-SEARCH sibling ([[qIvfPartitionedKnn]] pins
     * top-k): q_ivf_radius_exact's euclidean radius-1.2 search served from
     * the cell-partitioned parquet layout at nprobe = nlist — exact, so the
@@ -1877,6 +1914,6 @@ object QueriesVector {
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
     qHnswDiskKnnExact, qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
-    qIvfPartitionedRadius, qIvfNprobeCurve,
+    qIvfPartitionedRadius, qIvfFilteredKnn, qIvfNprobeCurve,
     qEvaluate)
 }

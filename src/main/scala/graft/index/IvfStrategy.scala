@@ -161,6 +161,28 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     query(pruned, queries, k)
   }
 
+  /** Filtered ANN off the disk layout — the "filtered vector search"
+    * shape: a metadata predicate composed with the probe pruning, with
+    * PRE-filter semantics (the q_knn_filtered convention: the predicate
+    * lands before the kernel, so k results survive arbitrarily selective
+    * filters — post-filtering a top-k can return fewer). Both reductions
+    * reach the parquet reader: the probe IN-list prunes cell DIRECTORIES
+    * and a simple-comparison predicate lands in PushedFilters to skip row
+    * groups — at 100 TB a filtered query batch reads
+    * ~nprobe/nlist × selectivity of the index and scores only survivors.
+    * The metadata column rides in the index layout (prepare/writeIndex
+    * pass extra store columns through untouched), so no side join is
+    * needed at query time. */
+  def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before query")
+    val pruned = spark.read.parquet(path)
+      .where(col("_centroid").isInCollection(probeCells(queries)))
+      .where(predicate)
+    query(pruned, queries, k)
+  }
+
   /** [[queryFromDisk]] for the range-search entry point: same
     * partition-pruned scan, same FAISS strict-`<` threshold semantics as
     * [[queryThreshold]] — the disk-resident index serves BOTH query

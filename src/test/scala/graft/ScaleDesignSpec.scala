@@ -231,6 +231,50 @@ class ScaleDesignSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("filtered IVF disk serving: predicate pushed to the scan, cells pruned, pre-filter exact") {
+    import graft.index.IvfStrategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"), $"label")
+    val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 4)
+    val prepared = strat.prepare(store).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_ivffilt")
+      .resolve("index").toString
+    strat.writeIndex(prepared, path)
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    // use a simple comparison so the predicate is pushdown-eligible
+    val pred = $"label" >= 1
+    val fromDisk = strat.queryFilteredFromDisk(spark, path, queries, 10, pred)
+    // pre-filter semantics: identical to filtering the in-memory prepared
+    // frame BEFORE the kernel at the same nprobe
+    val mem = strat.query(prepared.where(pred), queries, 10).collect().toSet
+    assert(fromDisk.collect().toSet === mem)
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val indexScans = fileScans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("_centroid"))
+    assert(indexScans.nonEmpty, "no partitioned scan of the disk index found")
+    // both reductions reach the reader: probed cells as a partition
+    // filter, the label comparison in PushedFilters
+    val probed = strat.probeCells(queries).toSet
+    val scanned = indexScans.map(_.selectedPartitions.partitionCount).sum
+    assert(scanned <= probed.size && probed.size < 16,
+      s"scan read $scanned partitions, probe set ${probed.size}")
+    assert(indexScans.exists(s =>
+        s.metadata.get("PushedFilters").exists(_.contains("label"))),
+      "label predicate did not reach PushedFilters")
+    prepared.unpersist()
+  }
+
   test("disk-resident IVF delete rewrites only the affected cell partitions") {
     import graft.index.IvfStrategy
     val store = sf("embeddings")
