@@ -1115,6 +1115,106 @@ object QueriesPipeline {
       ORDER BY rank
     """))
 
+  // -------------------------------------------------------- q_hybrid_fusion
+  /** Hybrid retrieval via weighted min-max score fusion — the OTHER
+    * standard hybrid combiner (RRF fuses ranks and ignores score gaps;
+    * this normalizes each list's scores to [0, 1] over its own top-100 and
+    * takes the convex combination w·bm25 + (1−w)·cosine, w = 0.5 — the
+    * "alpha" knob of production hybrid search). Same deterministic inputs
+    * as [[qRrfFusion]]; scores are rounded to 6 decimals BEFORE the heap
+    * cut and the normalization, so list membership, min/max, the division,
+    * and the final ranking replay identically in DuckDB.
+    *
+    * Plan shape: identical to RRF — both rankings run through the bounded
+    * heap under a constant group key (never a global window); the min/max
+    * frames are 1-row aggregates of 100-row lists; the fusion join is
+    * list-sized. Docs outside a list contribute 0 from that side
+    * (convex-combination convention). */
+  val qHybridFusion = Q("q_hybrid_fusion",
+    (s, dir) => {
+      val bm = graft.functions.TopK.topKPerGroup(
+          bm25Scores(s, dir).where(col("doc_id") =!= 0)
+            .select(lit(1).as("_g"), col("doc_id"),
+              (-round(col("bm25"), 6)).as("_neg")),
+          Seq("_g"), "doc_id", "_neg", 100)
+        .select(col("doc_id"), (-col("_neg")).as("s_bm"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val ve = graft.functions.TopK.topKPerGroup(
+          emb.where(col("vec_id") =!= 0)
+            .select(col("vec_id").as("doc_id"),
+              col("embedding").cast("array<double>").as("v"))
+            .crossJoin(broadcast(qv))
+            .select(lit(1).as("_g"), col("doc_id"),
+              round(greatest(graft.functions.VectorFunctions.cosine_distance(
+                col("v"), col("qv")), lit(0.0)), 6).as("_d")),
+          Seq("_g"), "doc_id", "_d", 100)
+        .select(col("doc_id"), (lit(1.0) - col("_d")).as("s_vec"))
+      def minMax(df: DataFrame, c: String, out: String): DataFrame =
+        df.crossJoin(broadcast(
+            df.agg(min(col(c)).as("_mn"), max(col(c)).as("_mx"))))
+          .withColumn(out, when(col("_mx") === col("_mn"), lit(1.0))
+            .otherwise((col(c) - col("_mn")) / (col("_mx") - col("_mn"))))
+          .select(col("doc_id"), col(out))
+      val fused = minMax(bm, "s_bm", "nb")
+        .join(minMax(ve, "s_vec", "nv"), Seq("doc_id"), "full_outer")
+        .withColumn("score", round(lit(0.5) * coalesce(col("nb"), lit(0.0)) +
+          lit(0.5) * coalesce(col("nv"), lit(0.0)), 6))
+      val top = graft.functions.TopK.topKPerGroup(
+          fused.select(lit(1).as("_g"), col("doc_id"),
+            (-col("score")).as("_neg")),
+          Seq("_g"), "doc_id", "_neg", 10)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"))
+      fused.join(broadcast(top), "doc_id")
+        .select(col("doc_id"), round(coalesce(col("nb"), lit(0.0)), 6).as("nb"),
+          round(coalesce(col("nv"), lit(0.0)), 6).as("nv"), col("score"),
+          col("rank"))
+        .orderBy("rank")
+    },
+    Some(s"""
+      WITH $bm25Sql,
+      bm AS (
+        SELECT doc_id, s_bm FROM (
+          SELECT doc_id, round(bm25, 6) AS s_bm,
+                 row_number() OVER (ORDER BY round(bm25, 6) DESC, doc_id) AS r
+          FROM perdoc WHERE doc_id <> 0)
+        WHERE r <= 100),
+      ve AS (
+        SELECT doc_id, 1 - d AS s_vec FROM (
+          SELECT s.vec_id AS doc_id,
+                 round(greatest(1 - list_cosine_similarity(
+                   CAST(s.embedding AS DOUBLE[]),
+                   CAST(q.embedding AS DOUBLE[])), 0), 6) AS d,
+                 row_number() OVER (ORDER BY
+                   round(greatest(1 - list_cosine_similarity(
+                     CAST(s.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 0), 6), s.vec_id) AS r
+          FROM embeddings s
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE s.vec_id <> 0)
+        WHERE r <= 100),
+      bmx AS (SELECT min(s_bm) AS mn, max(s_bm) AS mx FROM bm),
+      vex AS (SELECT min(s_vec) AS mn, max(s_vec) AS mx FROM ve),
+      bmn AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+                ELSE (s_bm - mn) / (mx - mn) END AS nb FROM bm, bmx),
+      ven AS (SELECT doc_id, CASE WHEN mx = mn THEN 1.0
+                ELSE (s_vec - mn) / (mx - mn) END AS nv FROM ve, vex),
+      fused AS (
+        SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+               round(coalesce(b.nb, 0), 6) AS nb,
+               round(coalesce(v.nv, 0), 6) AS nv,
+               round(0.5 * coalesce(b.nb, 0) + 0.5 * coalesce(v.nv, 0), 6)
+                 AS score
+        FROM bmn b FULL OUTER JOIN ven v ON b.doc_id = v.doc_id),
+      ranked AS (
+        SELECT doc_id, nb, nv, score,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM fused)
+      SELECT doc_id, nb, nv, score, rank FROM ranked WHERE rank <= 10
+      ORDER BY rank
+    """))
+
   // ---------------------------------------------------- q_cross_source_dups
   /** Cross-source duplication leakage matrix: for every near-dup pair
     * (the SAME exact-verified MinHash pair set q_minhash_dedup and
@@ -2289,7 +2389,7 @@ object QueriesPipeline {
     qContamination, qBloomContamination, qSaltedAgg, qInterleave, qShardSplit,
     qEpochShuffle,
     qSemdedup, qBm25,
-    qRrfFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
+    qRrfFusion, qHybridFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
     qPrototypicality, qTemperatureMix, qLeakageSafeSplit, qKmeans,
     qSoftdedupWeights, qFuzzyContamination, qSemdedupKmeans)
 }
