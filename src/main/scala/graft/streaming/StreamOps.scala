@@ -42,6 +42,44 @@ object StreamOps {
         col("session_window.end").as("sess_end"), col("user_id"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment — the dimension-join every event pipeline
+    * runs before anything else: the unbounded stream equi-joined to a
+    * bounded dimension table. The static side is marked broadcast, so
+    * every micro-batch is a map-side hash join with NO stream-side shuffle
+    * and no state: Spark replans the static side per batch, which also
+    * means a refreshed dimension snapshot is picked up without restarting
+    * the query. At 100 TB/day this is the only join shape that keeps up —
+    * a shuffled dimension join would re-shuffle every batch. */
+  def enrichWithDimension(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Watermarked stream-STREAM interval join — the attribution shape
+    * (purchase matched to the click that preceded it within the window)
+    * as a true two-stream join, not a batch as-of: both sides carry
+    * watermarks and the join condition bounds purchase time to
+    * [click time, click time + window], so Spark can expire click state
+    * once the purchase-side watermark passes click_ts + window and
+    * purchase state symmetrically — per-key state is bounded by rate ×
+    * window at any corpus size (the unbounded-state join the planner
+    * would otherwise refuse in append mode). Inner join: unmatched rows
+    * age out silently; the batch as-of family covers outer semantics. */
+  def streamStreamAttribution(clicks: DataFrame, purchases: DataFrame,
+      window_ : String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("ts_t").as("c_ts"), col("value").as("c_value"))
+      .withWatermark("c_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"),
+        col("ts_t").as("p_ts"), col("value").as("p_value"))
+      .withWatermark("p_ts", watermark)
+    c.join(p, expr(
+      s"""c_user = p_user AND
+          p_ts >= c_ts AND p_ts <= c_ts + interval $window_"""))
+      .select(col("c_user").as("user_id"), col("c_ts"), col("p_ts"),
+        col("c_value"), col("p_value"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n: Long, total: Double)
 

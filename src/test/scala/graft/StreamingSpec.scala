@@ -593,4 +593,47 @@ class StreamingSpec extends SparkSpec {
     assert(gens == 3L)
     Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
   }
+
+  test("stream-static enrichment: broadcast dimension join, no stream shuffle") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val dim = Seq(("click", "engagement"), ("view", "impression"))
+      .toDF("event_type", "category")
+    val q = StreamOps.enrichWithDimension(input.toDF(), dim, "event_type")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    input.addData(Ev(ts(0), "click", 1.0, 1), Ev(ts(1), "view", 2.0, 2),
+      Ev(ts(2), "purchase", 9.0, 3)) // no dim row: left join keeps it
+    q.processAllAvailable()
+    val rows = spark.table("enriched")
+      .select("event_type", "category", "user_id").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getLong(2)))
+      .sortBy(_._3)
+    q.stop()
+    assert(rows.toSeq === Seq(("click", Some("engagement"), 1L),
+      ("view", Some("impression"), 2L), ("purchase", None, 3L)))
+  }
+
+  test("stream-stream interval join: in-window pairs match, out-of-window never") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val q = StreamOps.streamStreamAttribution(
+        clicks.toDF(), purchases.toDF(), "30 minutes", "1 hour")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attrib").start()
+    // user 1: purchase 20 min after click — inside the window
+    // user 2: purchase 50 min after click — outside
+    // user 3: purchase 5 min BEFORE click — wrong direction
+    clicks.addData(Ev(ts(0), "click", 1.0, 1), Ev(ts(0), "click", 2.0, 2),
+      Ev(ts(10), "click", 3.0, 3))
+    purchases.addData(Ev(ts(20), "purchase", 10.0, 1),
+      Ev(ts(50), "purchase", 20.0, 2), Ev(ts(5), "purchase", 30.0, 3))
+    q.processAllAvailable()
+    val rows = spark.table("attrib")
+      .select("user_id", "c_value", "p_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    q.stop()
+    assert(rows.toSeq === Seq((1L, 1.0, 10.0)))
+  }
 }
