@@ -224,8 +224,15 @@ object QueriesRelational {
   /** Hourly gap-fill + last-observation-carried-forward — the time-series
     * regularization op: event streams have empty hours, and downstream
     * models want a dense per-(event_type, hour) grid with counts 0-filled
-    * and the hourly mean value carried forward across the gaps (null before
-    * the first observation).
+    * and the hourly value total carried forward across the gaps (null
+    * before the first observation). The carried statistic is the SUM, not
+    * the mean, deliberately: the 2-decimal values make every hourly sum an
+    * exact 2-decimal number (round(·, 2) sits ~1e-13 from its target,
+    * never near a .005 boundary), while means divide by the hour's count
+    * and land EXACTLY on round-half boundaries (sum/24 → x.xxx75), where
+    * Spark and DuckDB resolve the binary half-representation in opposite
+    * directions — the sf0.1 sweep caught three such rows before this
+    * became the sum.
     *
     * Scale shape: the dense hour axis comes from ONE 1-row min/max
     * aggregate exploded into the hour range — calendar-sized (a decade is
@@ -241,7 +248,7 @@ object QueriesRelational {
         .select(col("event_type"), floor(col("ts_s") / 3600).cast("long").as("hr"),
           col("value"))
       val agg = ev.groupBy("event_type", "hr")
-        .agg(count(lit(1)).as("_n"), round(avg("value"), 4).as("_avg"))
+        .agg(count(lit(1)).as("_n"), round(sum("value"), 2).as("_sum"))
       val hours = ev.agg(min("hr").as("_mn"), max("hr").as("_mx"))
         .select(explode(sequence(col("_mn"), col("_mx"))).as("hr"))
       val types = ev.select("event_type").distinct()
@@ -255,7 +262,7 @@ object QueriesRelational {
         .join(agg, Seq("event_type", "hr"), "left")
         .select(col("event_type"), col("hr"),
           coalesce(col("_n"), lit(0L)).as("n_events"),
-          last(col("_avg"), ignoreNulls = true).over(w).as("avg_value"))
+          last(col("_sum"), ignoreNulls = true).over(w).as("sum_value"))
         .orderBy("event_type", "hr")
     },
     Some("""
@@ -263,7 +270,7 @@ object QueriesRelational {
         SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, value
         FROM events),
       agg AS (
-        SELECT event_type, hr, count(*) AS n, round(avg(value), 4) AS avg_v
+        SELECT event_type, hr, count(*) AS n, round(sum(value), 2) AS sum_v
         FROM ev GROUP BY 1, 2),
       hours AS (
         SELECT unnest(range(min(hr), max(hr) + 1)) AS hr FROM ev),
@@ -272,9 +279,9 @@ object QueriesRelational {
         FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN hours h)
       SELECT g.event_type, g.hr,
              CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
-             last_value(a.avg_v IGNORE NULLS) OVER (
+             last_value(a.sum_v IGNORE NULLS) OVER (
                PARTITION BY g.event_type ORDER BY g.hr
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value
       FROM grid g LEFT JOIN agg a USING (event_type, hr)
       ORDER BY event_type, hr
     """))

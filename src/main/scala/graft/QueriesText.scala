@@ -294,6 +294,50 @@ object QueriesText {
       ORDER BY i, j
     """))
 
+  /** Flesch reading-ease scoring — the classic readability member of the
+    * text-quality family (length/punct/stopword ratios exist; this adds
+    * the sentence/syllable axis): 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated as vowel-group
+    * counts and sentences as terminal-punctuation runs (both floored at
+    * 1). Everything is a row-local regexp count — `regexp_count` here,
+    * `len(regexp_extract_all(...))` in DuckDB; both count non-overlapping
+    * matches, so the arithmetic replays exactly. One scan, no shuffle
+    * beyond the final order; the score feeds the same curation gates as
+    * quality/gopher. */
+  val qReadability = Q("q_readability",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TF.wordCount(col("text")).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
+            .cast("long").as("n_sentences"),
+          greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1))
+            .cast("long").as("n_syllables"))
+      d.select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            4).as("flesch"))
+        .orderBy("doc_id")
+    },
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                 AS BIGINT) AS n_sentences,
+               CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                 AS BIGINT) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             round(206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch
+      FROM d
+      ORDER BY doc_id
+    """))
+
   /** Dataset-card manifest — the one-stop statistics artifact a managed
     * corpus publishes (rows, token/char/word totals, exact-dup rate via
     * full-text hash, median length, language and source mixes) as a long
@@ -1344,7 +1388,8 @@ object QueriesText {
       FROM flagged GROUP BY doc_id ORDER BY doc_id
     """))
 
-  val all: Seq[Q] = Seq(qDocStats, qDatasetCard, qLangid, qFingerprint, qDedupExact,
+  val all: Seq[Q] = Seq(qDocStats, qDatasetCard, qReadability, qLangid,
+    qFingerprint, qDedupExact,
     qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
     qNeardupSurvivors, qNgramJaccard,
