@@ -376,6 +376,95 @@ object QueriesAnalytics {
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
     """))
 
+  /** Ordered funnel-step analysis — sequential-pattern matching over event
+    * streams (view → click → purchase, IN ORDER per user): the product
+    * analytics op windows/sessionize don't cover, because each stage's
+    * qualifying timestamp depends on the PREVIOUS stage's (a view after
+    * the click doesn't count for stage 1). Three chained min-aggregates:
+    * t1 = first view per user, t2 = first click after t1, t3 = first
+    * purchase after t2 — each stage one hash-agg over a filtered
+    * event/stage join of USER-count cardinality, no window, no
+    * collect_list fold, no per-user sequence materialization. Emits the
+    * funnel report: users reaching each stage + conversion from the
+    * previous one. At 100 TB each stage frame is |users| rows keyed by
+    * user — the chained joins co-partition on the same key, so AQE plans
+    * one exchange lineage. Ties inside a timestamp are broken by event_id
+    * (both engines aggregate min over the same (ts, id) pairs). */
+  val qFunnelSteps = Q("q_funnel_steps",
+    (s, dir) => {
+      // (ts, id) packed into one sortable BIGINT (ts·10^7 + id; event ids
+      // are well under 10^7 at every testdata sf) so min-aggregation and
+      // the strict-after gate are single-column in BOTH engines — DuckDB's
+      // min_by has no composite-key form to mirror a struct-min
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          (col("ts_s") * lit(10000000L) + col("event_id")).as("_pk"))
+      def firstAfter(typ: String, prev: Option[DataFrame]): DataFrame = {
+        val base = ev.where(col("event_type") === typ)
+        val gated = prev match {
+          case None => base
+          case Some(p) =>
+            // time-bounded: the next step must land within 24 HOURS of the
+            // previous stage's qualifying event (86400 s in packed units) —
+            // without a bound this corpus converts every user at 1.0
+            base.join(p.select(col("user_id"), col("_pk").as("_prev")),
+                Seq("user_id"))
+              .where(col("_pk") > col("_prev") &&
+                col("_pk") <= col("_prev") + lit(86400L * 10000000L))
+        }
+        gated.groupBy("user_id").agg(min("_pk").as("_pk"))
+      }
+      val s1 = firstAfter("view", None)
+      val s2 = firstAfter("click", Some(s1))
+      val s3 = firstAfter("purchase", Some(s2))
+      import s.implicits._
+      val counts = Seq(
+        ("1_view", s1), ("2_click_after_view", s2),
+        ("3_purchase_after_click", s3))
+        .map { case (n, df) => df.agg(count(lit(1)).as("n_users"))
+          .select(lit(n).as("stage"), col("n_users")) }
+        .reduce(_ unionByName _)
+      // conversion relative to stage 1 via a 1-row base-count cross join —
+      // NOT an ordered window over the 3-row frame (the surface-wide audit
+      // bans unpartitioned ordered windows and cannot know this one is
+      // stage-count-bounded)
+      val base = s1.agg(count(lit(1)).as("_base"))
+      counts.crossJoin(broadcast(base))
+        .select(col("stage"), col("n_users"),
+          round(col("n_users") / col("_base"), 6).as("conversion"))
+        .orderBy("stage")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) * 10000000 + event_id AS pk
+        FROM events),
+      s1 AS (
+        SELECT user_id, min(pk) AS pk
+        FROM ev WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(e.pk) AS pk
+        FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND e.pk > s1.pk
+          AND e.pk <= s1.pk + CAST(864000000000 AS BIGINT)
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(e.pk) AS pk
+        FROM ev e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND e.pk > s2.pk
+          AND e.pk <= s2.pk + CAST(864000000000 AS BIGINT)
+        GROUP BY e.user_id),
+      counts AS (
+        SELECT '1_view' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click_after_view', count(*) FROM s2
+        UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3)
+      SELECT stage, n_users,
+             round(CAST(n_users AS DOUBLE) /
+                   (SELECT count(*) FROM s1), 6) AS conversion
+      FROM counts
+      ORDER BY stage
+    """))
+
   /** GROUPING SETS with an asymmetric set list — the general multi-grain
     * aggregate that ROLLUP/CUBE are special cases of: one pass produces the
     * (flag, status) grain, the status-only grain, and the grand total, but
@@ -484,6 +573,6 @@ object QueriesAnalytics {
   val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest,
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
-    qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qWindowFuncs,
-    qJsonExtract, qCollectValues)
+    qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,
+    qWindowFuncs, qJsonExtract, qCollectValues)
 }
