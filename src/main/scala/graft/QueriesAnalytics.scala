@@ -465,6 +465,58 @@ object QueriesAnalytics {
       ORDER BY stage
     """))
 
+  /** Weekly retention cohorts — the second product-analytics classic
+    * beside the funnel: users cohorted by first-seen week, the fraction
+    * still active in each subsequent week. Two hash-aggregates and one
+    * user-keyed join: first-seen day per user (|users| rows), the
+    * distinct (user, week-offset) activity set, cohort sizes, then the
+    * matrix aggregate — every frame keyed by user or by the
+    * calendar-bounded (cohort, offset) pair, no window anywhere. Weeks
+    * are epoch-day based (day/7) so both engines derive identical integer
+    * buckets; retention is rounded from an exact count ratio. */
+  val qRetentionCohorts = Q("q_retention_cohorts",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), floor(col("ts_s") / 86400L).cast("long").as("_day"))
+      val first = ev.groupBy("user_id").agg(min("_day").as("_d0"))
+      val activity = ev.join(first, Seq("user_id"))
+        .select(col("user_id"), floor(col("_d0") / 7).cast("long").as("cohort_week"),
+          floor((col("_day") - col("_d0")) / 7).cast("long").as("week_offset"))
+        .distinct()
+      val sizes = first
+        .groupBy(floor(col("_d0") / 7).cast("long").as("cohort_week"))
+        .agg(count(lit(1)).as("_n0"))
+      activity.groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .join(sizes, Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          round(col("n_active") / col("_n0"), 6).as("retention"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 86400) AS BIGINT)
+                 AS day
+        FROM events),
+      first AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id),
+      activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(floor(f.d0 / 7) AS BIGINT) AS cohort_week,
+               CAST(floor((e.day - f.d0) / 7) AS BIGINT) AS week_offset
+        FROM ev e JOIN first f USING (user_id)),
+      sizes AS (
+        SELECT CAST(floor(d0 / 7) AS BIGINT) AS cohort_week,
+               count(*) AS n0
+        FROM first GROUP BY 1)
+      SELECT a.cohort_week, a.week_offset,
+             count(*) AS n_active,
+             round(CAST(count(*) AS DOUBLE) / any_value(s.n0), 6) AS retention
+      FROM activity a JOIN sizes s USING (cohort_week)
+      GROUP BY a.cohort_week, a.week_offset
+      ORDER BY cohort_week, week_offset
+    """))
+
   /** GROUPING SETS with an asymmetric set list — the general multi-grain
     * aggregate that ROLLUP/CUBE are special cases of: one pass produces the
     * (flag, status) grain, the status-only grain, and the grand total, but
@@ -574,5 +626,6 @@ object QueriesAnalytics {
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,
+    qRetentionCohorts,
     qWindowFuncs, qJsonExtract, qCollectValues)
 }
