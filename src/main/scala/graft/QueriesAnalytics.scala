@@ -177,6 +177,63 @@ object QueriesAnalytics {
       ORDER BY user_id, sess_no
     """))
 
+  /** Top event paths — the sequence-mining op on top of sessionization:
+    * each session's ordered event-type string ("view>click>purchase"),
+    * then the 10 most frequent paths across all sessions. Sessions come
+    * from the SAME lag + cumulative-sum definition as q_sessionize (user-
+    * partitioned windows); the path string is one row-local
+    * sort_array-of-structs → transform → concat_ws per session group (the
+    * struct sort orders by (ts, id) lexicographically, so ties replay);
+    * the global top-10 is TakeOrderedAndProject — never a full sort or an
+    * unpartitioned window. DuckDB replays the path with
+    * `string_agg(... ORDER BY ts_s, event_id)`. */
+  val qEventPaths = Q("q_event_paths",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = events(s, dir)
+        .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum("new_sess").over(wCum))
+      val paths = sess.groupBy("user_id", "sess_no")
+        .agg(concat_ws(">", transform(
+          sort_array(collect_list(struct(col("ts_s"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type"))).as("path"))
+      paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), col("path"))
+        .limit(10)
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      flagged AS (
+        SELECT user_id, event_id, event_type, ts_s,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                         OR ts_s - lag(ts_s) OVER w > 1800
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+      sess AS (
+        SELECT user_id, event_id, event_type, ts_s,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id
+                 ORDER BY ts_s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS sess_no
+        FROM flagged),
+      paths AS (
+        SELECT user_id, sess_no,
+               string_agg(event_type, '>' ORDER BY ts_s, event_id) AS path
+        FROM sess GROUP BY user_id, sess_no)
+      SELECT path, count(*) AS n_sessions
+      FROM paths GROUP BY path
+      ORDER BY n_sessions DESC, path
+      LIMIT 10
+    """))
+
   /** range self-join: events in each event's trailing 60-second window —
     * bucketed equi-join plan (see [[graft.operators.RangeJoin]]), NOT the
     * broadcast-nested-loop an inequality-only join would plan */
@@ -626,6 +683,6 @@ object QueriesAnalytics {
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,
-    qRetentionCohorts,
+    qRetentionCohorts, qEventPaths,
     qWindowFuncs, qJsonExtract, qCollectValues)
 }
