@@ -234,6 +234,48 @@ object QueriesAnalytics {
       LIMIT 10
     """))
 
+  /** Event-type transition matrix — the first-order Markov chain over each
+    * user's ordered event stream: P(next = b | current = a) for every
+    * observed (a, b) pair, the behavioral-model artifact path mining's
+    * top-10 cannot give (paths enumerate whole sequences; this gives the
+    * edge probabilities any sequence model starts from). One user-
+    * partitioned lag window (the q_sessionize exchange), one hash-agg to
+    * the |types|² transition counts, row totals via a second tiny agg
+    * joined back — no window over the aggregate, no collect. */
+  val qEventTransitions = Q("q_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+      val pairs = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("cur").agg(sum("n").as("_tot"))
+      pairs.join(totals, Seq("cur"))
+        .select(col("cur"), col("nxt"), col("n"),
+          round(col("n") / col("_tot"), 6).as("p"))
+        .orderBy("cur", "nxt")
+    },
+    Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      pairs AS (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts_s, event_id) AS nxt
+        FROM e),
+      cnt AS (
+        SELECT cur, nxt, count(*) AS n
+        FROM pairs WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      tot AS (SELECT cur, sum(n) AS t FROM cnt GROUP BY cur)
+      SELECT c.cur, c.nxt, c.n,
+             round(CAST(c.n AS DOUBLE) / t.t, 6) AS p
+      FROM cnt c JOIN tot t USING (cur)
+      ORDER BY cur, nxt
+    """))
+
   /** range self-join: events in each event's trailing 60-second window —
     * bucketed equi-join plan (see [[graft.operators.RangeJoin]]), NOT the
     * broadcast-nested-loop an inequality-only join would plan */
@@ -683,6 +725,6 @@ object QueriesAnalytics {
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,
-    qRetentionCohorts, qEventPaths,
+    qRetentionCohorts, qEventPaths, qEventTransitions,
     qWindowFuncs, qJsonExtract, qCollectValues)
 }
