@@ -286,6 +286,63 @@ object QueriesRelational {
       ORDER BY event_type, hr
     """))
 
+  /** Hourly anomaly flags — the monitoring op on top of the gap-fill
+    * grid: per event type, hours whose count deviates more than 3
+    * standard deviations from that type's hourly mean, COMPUTED OVER THE
+    * DENSE GRID so a silent outage (zero-count hour) is itself a
+    * candidate anomaly — scanning only observed hours can never flag the
+    * hour that's missing. Per-type mean/sd is a 5-row aggregate joined
+    * back (rounded to 6 decimals before the z-score so both engines
+    * standardize identical inputs); output is the anomalous rows only.
+    * Scale shape: the gap-fill grid (calendar × types) plus one tiny
+    * stats join — no window beyond the calendar-bounded fill. */
+  val qHourlyAnomalies = Q("q_hourly_anomalies",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"),
+          floor(col("ts_s") / 3600).cast("long").as("hr"))
+      val agg = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("_n"))
+      val hours = ev.agg(min("hr").as("_mn"), max("hr").as("_mx"))
+        .select(explode(sequence(col("_mn"), col("_mx"))).as("hr"))
+      val types = ev.select("event_type").distinct()
+      val grid = types.crossJoin(broadcast(hours))
+        .join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("_n"), lit(0L)).as("n_events"))
+      val stats = grid.groupBy("event_type")
+        .agg(round(avg("n_events"), 6).as("_mu"),
+          round(stddev_samp(col("n_events").cast("double")), 6).as("_sd"))
+      grid.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("n_events") - col("_mu")) / col("_sd"), 4))
+        .where(abs(col("z")) > 3.0)
+        .select(col("event_type"), col("hr"), col("n_events"), col("z"))
+        .orderBy("event_type", "hr")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+        FROM events),
+      agg AS (
+        SELECT event_type, hr, count(*) AS n FROM ev GROUP BY 1, 2),
+      hours AS (
+        SELECT unnest(range(min(hr), max(hr) + 1)) AS hr FROM ev),
+      grid AS (
+        SELECT t.event_type, h.hr,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n_events
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN hours h
+        LEFT JOIN agg a ON a.event_type = t.event_type AND a.hr = h.hr),
+      stats AS (
+        SELECT event_type, round(avg(n_events), 6) AS mu,
+               round(stddev_samp(CAST(n_events AS DOUBLE)), 6) AS sd
+        FROM grid GROUP BY event_type)
+      SELECT g.event_type, g.hr, g.n_events,
+             round((g.n_events - s.mu) / s.sd, 4) AS z
+      FROM grid g JOIN stats s USING (event_type)
+      WHERE abs(round((g.n_events - s.mu) / s.sd, 4)) > 3.0
+      ORDER BY g.event_type, g.hr
+    """))
+
   /** tumbling-window aggregation via the streaming `window()` operator run
     * in batch mode — the exact code path StreamOps uses under readStream
     * (SURVEY §2.4 streaming). Output = epoch seconds of window start/end. */
@@ -307,5 +364,5 @@ object QueriesRelational {
 
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
-    qGapfill, qStreamHourly)
+    qGapfill, qHourlyAnomalies, qStreamHourly)
 }
