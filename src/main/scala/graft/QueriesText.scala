@@ -712,6 +712,62 @@ object QueriesText {
     * law), so neither is broadcast-hinted — AQE decides each of the three
     * scoring joins; only the 1-row (T, V) total is hinted. One explode +
     * two hash-aggs to train, three equi-joins + one per-doc agg to score. */
+  /** Pointwise mutual information over adjacent word pairs — the
+    * word-association artifact (collocation mining) the bigram LM doesn't
+    * give: PMI = ln(p(ab) / (p(a)·p(b))), top-20 pairs with support >= 20.
+    * Same tokenization and bigram derivation as [[qBigramPpl]]; totals are
+    * 1-row scalar aggregates (audit-eligible broadcasts), the count joins
+    * are vocabulary-keyed hash joins AQE sizes, and the global top-20 is
+    * TakeOrderedAndProject on the ROUNDED pmi with (w1, w2) tie-break —
+    * both engines sort identical keys. ln parity across engines is the
+    * DSIR precedent: identical double operands, rounded after. */
+  val qWordPmi = Q("q_word_pmi",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(TF.words(col("text")).as("w"))
+      val c1 = docs.select(explode(col("w")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val c2 = docs.select(explode(expr("""
+          CASE WHEN size(w) >= 2 THEN
+            transform(sequence(1, size(w) - 1),
+              i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))
+          ELSE array() END""")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      val t1 = c1.agg(sum("c1").as("_t1"))
+      val t2 = c2.agg(sum("n").as("_t2"))
+      c2.where(col("n") >= 20)
+        .join(c1.select(col("w").as("w1"), col("c1").as("_ca")), Seq("w1"))
+        .join(c1.select(col("w").as("w2"), col("c1").as("_cb")), Seq("w2"))
+        .crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .select(col("w1"), col("w2"), col("n"),
+          round(log((col("n") / col("_t2")) /
+            ((col("_ca") / col("_t1")) * (col("_cb") / col("_t1")))), 4)
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2"))
+        .limit(20)
+    },
+    Some("""
+      WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      uni AS (SELECT unnest(w) AS wd FROM w),
+      c1 AS (SELECT wd, count(*) AS c FROM uni GROUP BY wd),
+      bi AS (
+        SELECT unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+               i -> struct_pack(w1 := w[i], w2 := w[i + 1]))) AS b
+        FROM w),
+      c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n FROM bi GROUP BY 1, 2),
+      t1 AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM c1),
+      t2 AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c2)
+      SELECT w1, w2, n,
+             round(ln((n / t2.t) / ((ca.c / t1.t) * (cb.c / t1.t))), 4) AS pmi
+      FROM c2
+      JOIN c1 ca ON ca.wd = c2.w1
+      JOIN c1 cb ON cb.wd = c2.w2
+      CROSS JOIN t1 CROSS JOIN t2
+      WHERE n >= 20
+      ORDER BY pmi DESC, w1, w2
+      LIMIT 20
+    """))
+
   val qBigramPpl = Q("q_bigram_ppl",
     (s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1395,6 +1451,7 @@ object QueriesText {
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qEditNeardup, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,
+    qWordPmi,
     qBpeMerges, qBpeApply, qTokenBudgetSelect, qDomainMix,
     qSpanDedup, qSpanContamination, qQualityLogreg, qPiiScrub, qPplBuckets)
 }
