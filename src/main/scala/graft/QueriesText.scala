@@ -86,6 +86,103 @@ object QueriesText {
     """
     })
 
+  /** Language-ID confusion matrix — the classifier-evaluation artifact for
+    * the in-repo n-gram langid (q_langid emits predictions; this grades
+    * them against the ground-truth `lang` column): per (truth, predicted)
+    * cell counts and the within-truth fraction. Same scored frame as
+    * q_langid (one tokenize pass), then a |langs|²-bounded hash-agg and a
+    * per-truth total join-back. */
+  val qLangidConfusion = Q("q_langid_confusion",
+    (s, dir) => {
+      val scoreCols = TF.langMarkers.map { case (code, m) =>
+        TF.langScoreOfWords(col("_w"), m).as(s"_s_$code") }
+      val scored = t(s, dir, "documents")
+        .withColumn("_w", TF.words(col("text")))
+        .select(col("doc_id") +: col("lang") +: scoreCols: _*)
+        .select(col("lang"),
+          TF.langIdFromScores(
+            TF.langMarkers.map { case (c, _) => c -> col(s"_s_$c") })
+            .as("pred_lang"))
+      val cells = scored.groupBy("lang", "pred_lang")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("lang").agg(sum("n").as("_t"))
+      cells.join(totals, Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          round(col("n") / col("_t"), 6).as("frac"))
+        .orderBy("lang", "pred_lang")
+    },
+    Some {
+      val scores = TF.langMarkers.map { case (code, m) =>
+        val lst = m.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter(string_split(text, ' '), w -> list_contains($lst, w))) AS s_$code"
+      }.mkString(",\n               ")
+      val codes = TF.langMarkers.map(_._1)
+      val maxExpr = s"greatest(${codes.map("s_" + _).mkString(", ")})"
+      val caseExpr = codes.map(c => s"WHEN s_$c = $maxExpr THEN '$c'")
+        .mkString("CASE ", " ", " END")
+      s"""
+      WITH scored AS (
+        SELECT doc_id, lang,
+               $scores
+        FROM documents),
+      pred AS (
+        SELECT lang, $caseExpr AS pred_lang FROM scored),
+      cells AS (
+        SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+      tot AS (SELECT lang, sum(n) AS t FROM cells GROUP BY lang)
+      SELECT c.lang, c.pred_lang, c.n,
+             round(CAST(c.n AS DOUBLE) / t.t, 6) AS frac
+      FROM cells c JOIN tot t USING (lang)
+      ORDER BY c.lang, c.pred_lang
+    """
+    })
+
+  /** Per-document keyword extraction — top-3 tf-idf terms per doc, the
+    * document-tagging step of a search/RAG pipeline (q_tfidf reports
+    * corpus-level term scores; this assigns each DOCUMENT its
+    * distinguishing terms). One explode pass → (doc, term) tf counts, df
+    * from the same frame, idf = ln((N+1)/(df+1)) with the 1-row doc count
+    * broadcast; per-doc rank window is PARTITIONED BY doc (never global),
+    * ties broken on the word. */
+  val qDocKeywords = Q("q_doc_keywords",
+    (s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = t(s, dir, "documents").agg(count(lit(1)).as("_n"))
+      val scoredKw = tf.join(df, Seq("w")).crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 6))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), col("w"))
+      scoredKw.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("w").as("term"),
+          col("tf"), col("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""
+      WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tfc AS (SELECT doc_id, w, count(*) AS tf FROM tf GROUP BY 1, 2),
+      df AS (SELECT w, count(*) AS df FROM tfc GROUP BY w),
+      n AS (SELECT count(*) AS n FROM documents),
+      scored AS (
+        SELECT t.doc_id, t.w, t.tf,
+               round(t.tf * ln((n.n + 1.0) / (d.df + 1.0)), 6) AS score
+        FROM tfc t JOIN df d USING (w) CROSS JOIN n),
+      ranked AS (
+        SELECT doc_id, w, tf, score,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY score DESC, w) AS rank
+        FROM scored)
+      SELECT doc_id, rank, w AS term, tf, score
+      FROM ranked WHERE rank <= 3
+      ORDER BY doc_id, rank
+    """))
+
   /** md5 + winnowing (min rolling-window hash) fingerprints */
   val qFingerprint = Q("q_fingerprint",
     (s, dir) => t(s, dir, "documents")
@@ -1445,6 +1542,7 @@ object QueriesText {
     """))
 
   val all: Seq[Q] = Seq(qDocStats, qDatasetCard, qReadability, qLangid,
+    qLangidConfusion, qDocKeywords,
     qFingerprint, qDedupExact,
     qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
