@@ -183,6 +183,113 @@ object QueriesText {
       ORDER BY doc_id, rank
     """))
 
+  /** Source vocabulary-overlap matrix — the corpus-comparison artifact
+    * behind mixture decisions: pairwise Jaccard of the distinct word sets
+    * of every source pair (high overlap → redundant sources, low → a
+    * genuinely new domain). One explode → distinct (source, word) frame;
+    * the intersection is a word-keyed self-join emitting each unordered
+    * pair once; set sizes join back — |sources|²-bounded output, the same
+    * count-based inverted-index shape as [[graft.prep.Dedup.ngramJaccardJoin]]
+    * at source granularity. */
+  val qSourceOverlap = Q("q_source_overlap",
+    (s, dir) => {
+      val sw = t(s, dir, "documents")
+        .select(col("source"), explode(TF.words(col("text"))).as("w"))
+        .distinct()
+      val sizes = sw.groupBy("source").agg(count(lit(1)).as("_n"))
+      val inter = sw.as("a").join(sw.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("_i"))
+      inter
+        .join(sizes.select(col("source").as("src_a"), col("_n").as("_na")),
+          Seq("src_a"))
+        .join(sizes.select(col("source").as("src_b"), col("_n").as("_nb")),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"),
+          round(col("_i") / (col("_na") + col("_nb") - col("_i")), 6)
+            .as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""
+      WITH sw AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      sizes AS (SELECT source, count(*) AS n FROM sw GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, count(*) AS i
+        FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT i.src_a, i.src_b,
+             round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 6) AS jaccard
+      FROM inter i
+      JOIN sizes sa ON sa.source = i.src_a
+      JOIN sizes sb ON sb.source = i.src_b
+      ORDER BY src_a, src_b
+    """))
+
+  /** Vocabulary growth curve (Heaps' law, measured) — per ingest batch,
+    * how many word-3-gram shingles are NEW vs all earlier batches, plus the
+    * cumulative shingle vocabulary: the dataset-freshness signal that
+    * tells a curation loop when additional data stops contributing new
+    * language (the 31-word template vocab saturates in batch 0; the
+    * combinatorial shingle space is where growth is measurable). Batch =
+    * doc_id/20 (the testdata's ingest-order proxy). Window-free: each
+    * word's FIRST batch is one hash-agg (min over the exploded frame);
+    * new-word counts per batch follow; the cumulative sum is a ≤-join over
+    * the BATCH-COUNT-sized frame (a broadcast nested loop over dozens of
+    * rows — not an ordered window, which the audit bans regardless of
+    * frame size). */
+  val qVocabGrowth = Q("q_vocab_growth",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val firstBatch = docs
+        .withColumn("_w", TF.words(col("text")))
+        .select(floor(col("doc_id") / 20).cast("long").as("batch"),
+          explode(TF.shinglesOfWords(col("_w"))).as("w"))
+        .groupBy("w").agg(min("batch").as("first_batch"))
+      val perBatch = firstBatch.groupBy(col("first_batch").as("batch"))
+        .agg(count(lit(1)).as("new_words"))
+      // dense batch axis: a batch contributing ZERO new words must appear
+      // as a row — the saturation tail IS the curve's finding
+      val axis = docs
+        .select(floor(col("doc_id") / 20).cast("long").as("batch")).distinct()
+      val dense = axis.join(perBatch, Seq("batch"), "left")
+        .select(col("batch"), coalesce(col("new_words"), lit(0L)).as("new_words"))
+      dense.as("a")
+        .join(dense.as("b"), col("b.batch") <= col("a.batch"))
+        .groupBy(col("a.batch").as("batch"))
+        .agg(max(col("a.new_words")).as("new_words"),
+          sum(col("b.new_words")).as("cum_vocab"))
+        .orderBy("batch")
+    },
+    Some("""
+      WITH fb AS (
+        SELECT w, min(batch) AS first_batch FROM (
+          SELECT CAST(floor(doc_id / 20) AS BIGINT) AS batch,
+                 unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 0) + 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]))) AS w
+          FROM documents)
+        GROUP BY w),
+      pb AS (
+        SELECT first_batch AS batch, count(*) AS new_words
+        FROM fb GROUP BY 1),
+      axis AS (
+        SELECT DISTINCT CAST(floor(doc_id / 20) AS BIGINT) AS batch
+        FROM documents),
+      dense AS (
+        SELECT a.batch, coalesce(p.new_words, 0) AS new_words
+        FROM axis a LEFT JOIN pb p USING (batch))
+      SELECT a.batch, max(a.new_words) AS new_words,
+             CAST(sum(b.new_words) AS BIGINT) AS cum_vocab
+      FROM dense a JOIN dense b ON b.batch <= a.batch
+      GROUP BY a.batch
+      ORDER BY a.batch
+    """))
+
   /** md5 + winnowing (min rolling-window hash) fingerprints */
   val qFingerprint = Q("q_fingerprint",
     (s, dir) => t(s, dir, "documents")
@@ -1542,7 +1649,7 @@ object QueriesText {
     """))
 
   val all: Seq[Q] = Seq(qDocStats, qDatasetCard, qReadability, qLangid,
-    qLangidConfusion, qDocKeywords,
+    qLangidConfusion, qDocKeywords, qSourceOverlap, qVocabGrowth,
     qFingerprint, qDedupExact,
     qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
