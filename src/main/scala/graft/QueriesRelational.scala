@@ -343,6 +343,77 @@ object QueriesRelational {
       ORDER BY g.event_type, g.hr
     """))
 
+  /** EWMA smoothing of the hourly series — the exponential decay filter
+    * (α = 0.25) every monitoring stack runs beside the raw counts: over
+    * the SAME dense grid as the gap-fill, each type's running
+    * `0.25·x + 0.75·prev` — carried as an INTEGER in millionths with a
+    * floor division per step (`e_t = ⌊(10⁶·x_t + 3·e_{t−1}) / 4⌋`), which
+    * is what makes the inherently sequential fold engine-replayable:
+    * quarter-steps over 6-decimal values land on round-half boundaries
+    * about once in four steps, and Spark rounds the binary double where
+    * DuckDB rounds its decimal presentation (93/3600 rows flipped when
+    * this was a rounded double fold). Integer state is bit-exact in both
+    * engines; the emitted ewma divides the SAME integer by 10⁶, so the
+    * doubles are identical without any terminal rounding. DuckDB replays
+    * the recursion as a step-per-hour recursive CTE. Plan shape: the per-type fold runs over a CALENDAR-BOUNDED
+    * array (one collect_list group per type, ≤ hours rows — the same
+    * bounded-axis argument as the grid itself), as a single codegen'd
+    * `aggregate()` expression; no per-row shuffle, no window beyond the
+    * grid build. */
+  val qEwmaSmooth = Q("q_ewma_smooth",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), floor(col("ts_s") / 3600).cast("long").as("hr"))
+      val agg = ev.groupBy("event_type", "hr").agg(count(lit(1)).as("_n"))
+      val hours = ev.agg(min("hr").as("_mn"), max("hr").as("_mx"))
+        .select(explode(sequence(col("_mn"), col("_mx"))).as("hr"))
+      val grid = ev.select("event_type").distinct()
+        .crossJoin(broadcast(hours))
+        .join(agg, Seq("event_type", "hr"), "left")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("_n"), lit(0L)).as("n"))
+      grid.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("_xs"))
+        .withColumn("_ew", expr("""
+          aggregate(_xs, CAST(array() AS array<bigint>),
+            (acc, x) -> concat(acc, array(
+              CASE WHEN size(acc) = 0 THEN x.n * 1000000L
+                   ELSE CAST(floor((x.n * 1000000L +
+                     3L * element_at(acc, size(acc))) / 4) AS BIGINT) END)))"""))
+        .select(col("event_type"),
+          explode(arrays_zip(col("_xs"), col("_ew"))).as("_z"))
+        .select(col("event_type"), col("_z._xs.hr").as("hr"),
+          col("_z._xs.n").as("n_events"),
+          (col("_z._ew") / 1000000.0).as("ewma"))
+        .orderBy("event_type", "hr")
+    },
+    Some("""
+      WITH RECURSIVE ev AS (
+        SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr
+        FROM events),
+      agg AS (SELECT event_type, hr, count(*) AS n FROM ev GROUP BY 1, 2),
+      hours AS (SELECT unnest(range(min(hr), max(hr) + 1)) AS hr FROM ev),
+      dense AS (
+        SELECT t.event_type, h.hr,
+               CAST(coalesce(a.n, 0) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY t.event_type ORDER BY h.hr)
+                 AS idx
+        FROM (SELECT DISTINCT event_type FROM ev) t
+        CROSS JOIN hours h
+        LEFT JOIN agg a ON a.event_type = t.event_type AND a.hr = h.hr),
+      steps AS (
+        SELECT event_type, idx, hr, n, n * 1000000 AS e
+        FROM dense WHERE idx = 1
+        UNION ALL
+        SELECT d.event_type, d.idx, d.hr, d.n,
+               CAST(floor((d.n * 1000000 + 3 * s.e) / 4) AS BIGINT)
+        FROM steps s JOIN dense d
+          ON d.event_type = s.event_type AND d.idx = s.idx + 1)
+      SELECT event_type, hr, n AS n_events, e / 1000000.0 AS ewma
+      FROM steps
+      ORDER BY event_type, hr
+    """))
+
   /** tumbling-window aggregation via the streaming `window()` operator run
     * in batch mode — the exact code path StreamOps uses under readStream
     * (SURVEY §2.4 streaming). Output = epoch seconds of window start/end. */
@@ -364,5 +435,5 @@ object QueriesRelational {
 
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
-    qGapfill, qHourlyAnomalies, qStreamHourly)
+    qGapfill, qHourlyAnomalies, qEwmaSmooth, qStreamHourly)
 }
