@@ -1215,6 +1215,61 @@ object QueriesPipeline {
       ORDER BY rank
     """))
 
+  // -------------------------------------------------------- q_dedup_triangles
+  /** Triangle census of the near-dup graph — the graph-analytics member of
+    * the dedup family: edge count, triangle count, wedge count, and the
+    * global clustering coefficient 3·T/W. Near-dup graphs should be
+    * near-cliques (banding emits most intra-cluster pairs directly), so a
+    * LOW coefficient flags chains of borderline pairs — exactly the shape
+    * where transitive dedup over-merges. Triangle counting is the
+    * node-ordered wedge join (i < j < k, each triangle found once) over
+    * the SAME exact-verified pair set every dedup query shares
+    * ([[PrepCache.minhashPairs]]); at scale this is the standard
+    * two-join distributed triangle count over a candidate-bounded edge
+    * list, never all-pairs. Wedges come from one degree aggregate. */
+  val qDedupTriangles = Q("q_dedup_triangles",
+    (s, dir) => {
+      val pairs = PrepCache.minhashPairs(s, dir)
+        .select(col("i"), col("j")) // i < j by construction
+      val tri = pairs.as("ab")
+        .join(pairs.as("bc"), col("ab.j") === col("bc.i"))
+        .join(pairs.as("ac"),
+          col("ac.i") === col("ab.i") && col("ac.j") === col("bc.j"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = pairs.select(col("i").as("node"))
+        .unionAll(pairs.select(col("j").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val wed = deg.agg((sum(col("d") * (col("d") - 1)) / 2)
+        .cast("long").as("n_wedges"))
+      val ne = pairs.agg(count(lit(1)).as("n_edges"))
+      ne.crossJoin(broadcast(tri)).crossJoin(broadcast(wed))
+        .select(col("n_edges"), col("n_triangles"), col("n_wedges"),
+          round(when(col("n_wedges") === 0, 0.0)
+            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
+            .as("clustering"))
+    },
+    Some(s"""
+      $pairsSql
+      tri AS (
+        SELECT count(*) AS t
+        FROM good ab
+        JOIN good bc ON ab.j = bc.i
+        JOIN good ac ON ac.i = ab.i AND ac.j = bc.j),
+      deg AS (
+        SELECT node, count(*) AS d FROM (
+          SELECT i AS node FROM good
+          UNION ALL SELECT j AS node FROM good)
+        GROUP BY node),
+      wed AS (
+        SELECT CAST(CAST(sum(d * (d - 1)) AS BIGINT) / 2 AS BIGINT) AS w
+        FROM deg)
+      SELECT (SELECT count(*) FROM good) AS n_edges,
+             tri.t AS n_triangles, wed.w AS n_wedges,
+             round(CASE WHEN wed.w = 0 THEN 0.0
+                        ELSE 3.0 * tri.t / wed.w END, 6) AS clustering
+      FROM tri, wed
+    """))
+
   // ---------------------------------------------------- q_cross_source_dups
   /** Cross-source duplication leakage matrix: for every near-dup pair
     * (the SAME exact-verified MinHash pair set q_minhash_dedup and
@@ -2378,6 +2433,7 @@ object QueriesPipeline {
     """))
 
   val all: Seq[Q] = Seq(qSkewStats, qDedupClusters, qIncrementalClusters, qSnapshotDiff,
+    qDedupTriangles,
     qMaxsim, qMaxsimPruned,
     qTfidf, qRepetition, qSampleHash,
     qSampleStratified, qPrioritySample, qCountminHh, qHllDistinct, qHllBySource,
