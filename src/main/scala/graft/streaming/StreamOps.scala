@@ -103,6 +103,41 @@ object StreamOps {
       .toDF()
   }
 
+  case class TsEvent(ts_t: java.sql.Timestamp, event_type: String,
+      value: Double, user_id: Long)
+  case class EwmaState(n: Long, e: Long)
+  case class EwmaOut(event_type: String, n_seen: Long, ewma: Double)
+
+  /** Streaming EWMA per event type — the live counterpart of the batch
+    * q_ewma_smooth, carrying the SAME bit-exact integer state (value
+    * scaled to millionths, `e ← ⌊(10⁶·x + 3·e)/4⌋` per observation):
+    * per-key state is two longs forever, the decay math can never drift
+    * between a streaming and a batch replay of the same prefix, and
+    * within each micro-batch the group's rows fold in (ts, user_id) order
+    * so the result is a pure function of batch contents, not arrival
+    * interleaving. */
+  def ewmaOnStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("ts_t"), col("event_type"), col("value"), col("user_id"))
+      .as[TsEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (typ: String, rows: Iterator[TsEvent], state: GroupState[EwmaState]) =>
+          val ordered = rows.toSeq.sortBy(r => (r.ts_t.getTime, r.user_id))
+          var st = state.getOption.getOrElse(EwmaState(0L, 0L))
+          ordered.foreach { r =>
+            val x = math.round(r.value * 1e6)
+            st =
+              if (st.n == 0L) EwmaState(1L, x)
+              else EwmaState(st.n + 1, Math.floorDiv(x + 3L * st.e, 4L))
+          }
+          state.update(st)
+          EwmaOut(typ, st.n, st.e / 1e6)
+      }
+      .toDF()
+  }
+
   /** Dedup-on-ingest: drop rows whose dedup key was already seen, with
     * state bounded by the watermark (`dropDuplicatesWithinWatermark` keeps a
     * key in state only until the watermark passes its event time — the

@@ -594,6 +594,32 @@ class StreamingSpec extends SparkSpec {
     Seq(path, ckpt).foreach(p => VerifyIO.deleteRec(new java.io.File(p)))
   }
 
+  test("streaming EWMA: integer state matches the hand-computed recurrence across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamOps.ewmaOnStream(input.toDF())
+      .writeStream.outputMode("update").format("memory")
+      .queryName("ewma_stream").start()
+    // batch 1: clicks 2.0 then 6.0 (ts order) → e = 2e6, then ⌊(6e6+3·2e6)/4⌋
+    input.addData(Ev(ts(1), "click", 6.0, 2), Ev(ts(0), "click", 2.0, 1))
+    q.processAllAvailable()
+    // batch 2: one more click 10.0 → ⌊(10e6 + 3·3e6)/4⌋ = 4.75e6
+    input.addData(Ev(ts(2), "click", 10.0, 3))
+    q.processAllAvailable()
+    val rows = spark.table("ewma_stream")
+      .select("event_type", "n_seen", "ewma").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    q.stop()
+    // update mode: one row per batch; state evolved 2.0 → 3.0 → 4.75
+    val clicks = rows.filter(_._1 == "click").sortBy(_._2).toSeq
+    assert(clicks == Seq(("click", 2L, 3.0), ("click", 3L, 4.75)))
+    // and the recurrence is the batch q_ewma_smooth integer rule exactly
+    val e1 = 2L * 1000000L
+    val e2 = Math.floorDiv(6L * 1000000L + 3L * e1, 4L)
+    val e3 = Math.floorDiv(10L * 1000000L + 3L * e2, 4L)
+    assert(clicks.last._3 == e3 / 1e6)
+  }
+
   test("stream-static enrichment: broadcast dimension join, no stream shuffle") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
