@@ -56,6 +56,31 @@ class Vicinity private (
       .select("query_id", "id", "item", "dist", "rank")
   }
 
+  /** Store/index introspection manifest — the dataset-card of an index:
+    * backend, physical strategy, metric, row count, dimensionality,
+    * vector storage, plus user metadata. Everything is already held on
+    * the facade, so this costs no jobs. */
+  def describe: Map[String, String] = Map(
+    "backend" -> backend.name,
+    "index" -> strategy.name,
+    "metric" -> metric.name,
+    "count" -> count.toString,
+    "dim" -> dim.toString,
+    "store_vectors" -> storeVectors.toString) ++ metadata
+
+  /** Metadata-filtered k-NN at the facade level — PRE-filter semantics
+    * (the q_knn_filtered / q_ivf_filtered_knn convention): the predicate
+    * gates the prepared store BEFORE the kernel, so k results survive
+    * arbitrarily selective filters. The predicate ranges over the store
+    * columns (`id`, `item`, and any extra ingested columns — strategies
+    * pass them through prepare untouched). */
+  def queryFilteredDf(queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val res = strategy.query(prepared.where(predicate), queries, k)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist", "rank")
+  }
+
   /** Driver-side result, one list per query vector of (item, dist) pairs —
     * the reference's `SimilarityResult` shape (`datatypes.py:12-16`).
     */

@@ -351,4 +351,34 @@ class VicinitySpec extends SparkSpec {
       Some(BackendArgs.PynndescentArgs(Metric.Manhattan, nNeighbors = 5)))
     intercept[IllegalArgumentException] { v.evaluate(vectors.take(2)) }
   }
+
+  test("describe: introspection manifest reflects the built store") {
+    val d = basic.describe
+    assert(d("backend") == "basic" && d("metric") == "cosine")
+    assert(d("count").toLong == n && d("dim").toInt == dim)
+    assert(d.contains("index") && d.contains("store_vectors"))
+  }
+
+  test("queryFilteredDf: pre-filter semantics — k results from the filtered store only") {
+    import org.apache.spark.sql.functions.col
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, queryVec)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val got = basic.queryFilteredDf(q, 10, col("id") % 2 === 0)
+      .collect().map(r => (r.getLong(1), r.getInt(4)))
+    // every hit satisfies the predicate, and selectivity did not starve k
+    assert(got.length == 10)
+    assert(got.forall(_._1 % 2 == 0))
+    // equals brute force over the pre-filtered store
+    val all = basic.queryDf(q, basic.length.toInt).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+      .filter(_._1 % 2 == 0).sortBy(p => (p._2, p._1)).take(10).map(_._1)
+    assert(got.sortBy(_._2).map(_._1).toSeq == all.toSeq)
+  }
 }
