@@ -182,8 +182,10 @@ object QueriesAnalytics {
     * then the 10 most frequent paths across all sessions. Sessions come
     * from the SAME lag + cumulative-sum definition as q_sessionize (user-
     * partitioned windows); the path string is one row-local
-    * sort_array-of-structs → transform → concat_ws per session group (the
-    * struct sort orders by (ts, id) lexicographically, so ties replay);
+    * sort_array-of-structs → slice(50) → transform → concat_ws per session
+    * group (the struct sort orders by (ts, id) lexicographically, so ties
+    * replay; the 50-event cap is the standard path truncation, so an
+    * always-active session cannot blow a group at scale);
     * the global top-10 is TakeOrderedAndProject — never a full sort or an
     * unpartitioned window. DuckDB replays the path with
     * `string_agg(... ORDER BY ts_s, event_id)`. */
@@ -199,8 +201,11 @@ object QueriesAnalytics {
         .withColumn("sess_no", sum("new_sess").over(wCum))
       val paths = sess.groupBy("user_id", "sess_no")
         .agg(concat_ws(">", transform(
-          sort_array(collect_list(struct(col("ts_s"), col("event_id"),
-            col("event_type")))),
+          // cap at the first 50 events: the standard path-analysis
+          // truncation — an always-active pathological session must not
+          // blow a single aggregation group at scale
+          slice(sort_array(collect_list(struct(col("ts_s"), col("event_id"),
+            col("event_type")))), 1, 50),
           x => x.getField("event_type"))).as("path"))
       paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
         .orderBy(desc("n_sessions"), col("path"))
@@ -226,7 +231,8 @@ object QueriesAnalytics {
         FROM flagged),
       paths AS (
         SELECT user_id, sess_no,
-               string_agg(event_type, '>' ORDER BY ts_s, event_id) AS path
+               array_to_string(list_slice(
+                 list(event_type ORDER BY ts_s, event_id), 1, 50), '>') AS path
         FROM sess GROUP BY user_id, sess_no)
       SELECT path, count(*) AS n_sessions
       FROM paths GROUP BY path

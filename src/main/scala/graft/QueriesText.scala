@@ -234,7 +234,9 @@ object QueriesText {
     * tells a curation loop when additional data stops contributing new
     * language (the 31-word template vocab saturates in batch 0; the
     * combinatorial shingle space is where growth is measurable). Batch =
-    * doc_id/20 (the testdata's ingest-order proxy). Window-free: each
+    * doc_id/20 (the testdata's ingest-order proxy; in production the batch
+    * axis is the ingest CALENDAR — days — so the cumulative ≤-join below
+    * stays bounded by elapsed time, never by corpus size). Window-free: each
     * word's FIRST batch is one hash-agg (min over the exploded frame);
     * new-word counts per batch follow; the cumulative sum is a ≤-join over
     * the BATCH-COUNT-sized frame (a broadcast nested loop over dozens of
