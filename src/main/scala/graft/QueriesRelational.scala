@@ -414,6 +414,32 @@ object QueriesRelational {
       ORDER BY event_type, hr
     """))
 
+  /** Seasonality profile — the (day-of-week × hour-of-day) heatmap behind
+    * capacity planning and anomaly baselines: per cell, event count and
+    * value total. Calendar fields come from PURE EPOCH ARITHMETIC
+    * (dow = (day + 4) mod 7 with epoch day 0 a Thursday; hour =
+    * (ts/3600) mod 24) rather than either engine's dayofweek function —
+    * Spark and DuckDB disagree on week-start conventions, integer
+    * arithmetic cannot. The value stat is the SUM (the gap-fill
+    * round-half lesson). One hash-agg to a fixed 168-row frame. */
+  val qSeasonality = Q("q_seasonality",
+    (s, dir) => events(s, dir)
+      .groupBy(
+        pmod(floor(col("ts_s") / 86400) + 4, lit(7)).cast("long").as("dow"),
+        pmod(floor(col("ts_s") / 3600), lit(24)).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("dow", "hour"),
+    Some("""
+      WITH e AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events)
+      SELECT CAST((floor(ts_s / 86400) + 4) % 7 AS BIGINT) AS dow,
+             CAST(floor(ts_s / 3600) % 24 AS BIGINT) AS hour,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM e
+      GROUP BY 1, 2
+      ORDER BY dow, hour
+    """))
+
   /** tumbling-window aggregation via the streaming `window()` operator run
     * in batch mode — the exact code path StreamOps uses under readStream
     * (SURVEY §2.4 streaming). Output = epoch seconds of window start/end. */
@@ -435,5 +461,5 @@ object QueriesRelational {
 
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
-    qGapfill, qHourlyAnomalies, qEwmaSmooth, qStreamHourly)
+    qGapfill, qHourlyAnomalies, qEwmaSmooth, qSeasonality, qStreamHourly)
 }
