@@ -180,6 +180,108 @@ object QueriesRelational {
       ORDER BY o_custkey
     """))
 
+  /** Column profile — the data-quality profiling pass (the Deequ/
+    * dbt-style artifact) every ingest runs before trusting a table: per
+    * column, null count, exact distinct count, and min/max rendered as
+    * strings so one long frame carries heterogeneous column types. One
+    * scan; the distincts are the standard two-phase exact count. */
+  val qDataProfile = Q("q_data_profile",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+      cols.map { c =>
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+          .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+            col("n_distinct"), col("min_value"), col("max_value"))
+      }.reduce(_ unionByName _).orderBy("col_name")
+    },
+    Some("""
+      SELECT * FROM (
+        SELECT 'l_orderkey' AS col_name, count(*) AS n_rows,
+               CAST(count(*) FILTER (WHERE l_orderkey IS NULL) AS BIGINT) AS n_null,
+               count(DISTINCT l_orderkey) AS n_distinct,
+               CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(l_orderkey) AS VARCHAR) AS max_value
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', count(*),
+               CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT),
+               count(DISTINCT l_quantity),
+               CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', count(*),
+               CAST(count(*) FILTER (WHERE l_discount IS NULL) AS BIGINT),
+               count(DISTINCT l_discount),
+               CAST(min(l_discount) AS VARCHAR), CAST(max(l_discount) AS VARCHAR)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', count(*),
+               CAST(count(*) FILTER (WHERE l_returnflag IS NULL) AS BIGINT),
+               count(DISTINCT l_returnflag),
+               CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        FROM lineitem)
+      ORDER BY col_name
+    """))
+
+  /** Constraint validation — the declarative data-quality gate (referential
+    * integrity, uniqueness, domain checks) reported as one (constraint,
+    * n_violations, passed) frame: orphaned lineitem FKs (anti-join),
+    * duplicate order PKs (group-having), negative/zero quantities and
+    * out-of-domain discounts (row-local predicates). Each check is its own
+    * bounded aggregate; a failing gate names the constraint instead of
+    * silently shipping bad rows downstream. */
+  val qIntegrityChecks = Q("q_integrity_checks",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val orders = t(s, dir, "orders")
+      val orphans = li.join(orders, li("l_orderkey") === orders("o_orderkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("fk_lineitem_orderkey").as("check_name"), col("n_violations"))
+      val dupPk = orders.groupBy("o_orderkey").agg(count(lit(1)).as("_c"))
+        .where(col("_c") > 1)
+        .agg(coalesce(sum(col("_c") - 1), lit(0L)).as("n_violations"))
+        .select(lit("pk_orders_unique").as("check_name"), col("n_violations"))
+      val qty = li.where(col("l_quantity") <= 0)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("domain_quantity_positive").as("check_name"),
+          col("n_violations"))
+      val disc = li.where(col("l_discount") < 0 || col("l_discount") > 1)
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("domain_discount_unit_interval").as("check_name"),
+          col("n_violations"))
+      orphans.unionByName(dupPk).unionByName(qty).unionByName(disc)
+        .withColumn("passed", col("n_violations") === 0)
+        .orderBy("check_name")
+    },
+    Some("""
+      WITH checks AS (
+        SELECT 'fk_lineitem_orderkey' AS check_name,
+               CAST(count(*) AS BIGINT) AS n_violations
+        FROM lineitem WHERE NOT EXISTS
+          (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'pk_orders_unique',
+               CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+          (SELECT count(*) AS c FROM orders GROUP BY o_orderkey
+           HAVING count(*) > 1)
+        UNION ALL
+        SELECT 'domain_quantity_positive', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_quantity <= 0
+        UNION ALL
+        SELECT 'domain_discount_unit_interval', CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+      SELECT check_name, n_violations, n_violations = 0 AS passed
+      FROM checks
+      ORDER BY check_name
+    """))
+
   /** hourly event rollup (epoch-seconds buckets for oracle parity) */
   val qEventsHourly = Q("q_events_hourly",
     (s, dir) => events(s, dir)
@@ -461,5 +563,6 @@ object QueriesRelational {
 
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
-    qGapfill, qHourlyAnomalies, qEwmaSmooth, qSeasonality, qStreamHourly)
+    qGapfill, qHourlyAnomalies, qEwmaSmooth, qSeasonality,
+    qDataProfile, qIntegrityChecks, qStreamHourly)
 }
