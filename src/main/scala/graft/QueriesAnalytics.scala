@@ -622,6 +622,115 @@ object QueriesAnalytics {
       ORDER BY cohort_week, week_offset
     """))
 
+  /** RFM segmentation — the marketing-analytics classic: every customer
+    * scored 1-3 on Recency (days since last order), Frequency (order
+    * count), and Monetary (lifetime spend), segment = the score triple,
+    * reported as 27-cell segment counts. Tercile boundaries are EXACT
+    * type-1 quantiles computed window-free with the value-histogram
+    * rank idiom (the q_quantile_sketch anchor shape): every metric is
+    * first forced onto a BOUNDED INTEGER domain — days via epoch
+    * division, spend via `⌊100·round(p,2)+0.5⌋` cents summed exactly
+    * then bucketed to thousands (floats would flip floor() at exact
+    * thousand boundaries between engines — the session's third
+    * round-half lesson applied preemptively), frequency is already a
+    * small int — so the histogram ≤-join is domain², never customers².
+    * No window anywhere; the boundary frames are 1-row aggregates. */
+  val qRfmSegments = Q("q_rfm_segments",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val perCust = orders
+        .select(col("o_custkey"),
+          floor(unix_timestamp(col("o_orderdate")) / 86400L).cast("long")
+            .as("_day"),
+          floor(round(col("o_totalprice"), 2) * 100 + 0.5).cast("long")
+            .as("_cents"))
+        .groupBy("o_custkey")
+        .agg(max("_day").as("_last"), count(lit(1)).as("frequency"),
+          sum("_cents").as("_tc"))
+      val maxDay = perCust.agg(max("_last").as("_mx"))
+      val rfm = perCust.crossJoin(broadcast(maxDay))
+        .select(col("o_custkey"),
+          (col("_mx") - col("_last")).as("recency"),
+          col("frequency"),
+          floor(col("_tc") / 100000L).cast("long").as("monetary_k"))
+        .cache()
+      def bounds(c: String): DataFrame = {
+        val hist = rfm.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
+        val cum = hist.select(col("v"), col("cnt"))
+          .join(hist.select(col("v").as("v2"), col("cnt").as("cnt2")),
+            col("v2") <= col("v"))
+          .groupBy("v").agg(sum("cnt2").as("cle"))
+        val n = rfm.agg(count(lit(1)).as("_n"))
+        cum.crossJoin(n)
+          .agg(
+            min(when(col("cle") >=
+              floor(lit(1.0 / 3) * (col("_n") - 1)) + 1, col("v")))
+              .as(s"_t1_$c"),
+            min(when(col("cle") >=
+              floor(lit(2.0 / 3) * (col("_n") - 1)) + 1, col("v")))
+              .as(s"_t2_$c"))
+      }
+      def score(c: String): org.apache.spark.sql.Column =
+        when(col(c) <= col(s"_t1_$c"), 1L)
+          .when(col(c) <= col(s"_t2_$c"), 2L).otherwise(3L)
+      rfm.crossJoin(broadcast(bounds("recency")))
+        .crossJoin(broadcast(bounds("frequency")))
+        .crossJoin(broadcast(bounds("monetary_k")))
+        .select(score("recency").as("r_score"),
+          score("frequency").as("f_score"),
+          score("monetary_k").as("m_score"))
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    },
+    Some("""
+      WITH pc AS (
+        SELECT o_custkey,
+               max(CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT)) AS last_d,
+               count(*) AS frequency,
+               sum(CAST(floor(100 * round(o_totalprice, 2) + 0.5) AS BIGINT))
+                 AS tc
+        FROM orders GROUP BY o_custkey),
+      rfm AS (
+        SELECT o_custkey,
+               (SELECT max(last_d) FROM pc) - last_d AS recency,
+               frequency,
+               CAST(floor(tc / 100000.0) AS BIGINT) AS monetary_k
+        FROM pc),
+      n AS (SELECT count(*) AS n FROM rfm),
+      rb AS (
+        SELECT min(v) FILTER (WHERE cle >= floor(1.0/3 * (n.n - 1)) + 1) AS t1,
+               min(v) FILTER (WHERE cle >= floor(2.0/3 * (n.n - 1)) + 1) AS t2
+        FROM (SELECT recency AS v,
+                     count(*) OVER (ORDER BY recency
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+              FROM rfm) CROSS JOIN n),
+      fb AS (
+        SELECT min(v) FILTER (WHERE cle >= floor(1.0/3 * (n.n - 1)) + 1) AS t1,
+               min(v) FILTER (WHERE cle >= floor(2.0/3 * (n.n - 1)) + 1) AS t2
+        FROM (SELECT frequency AS v,
+                     count(*) OVER (ORDER BY frequency
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+              FROM rfm) CROSS JOIN n),
+      mb AS (
+        SELECT min(v) FILTER (WHERE cle >= floor(1.0/3 * (n.n - 1)) + 1) AS t1,
+               min(v) FILTER (WHERE cle >= floor(2.0/3 * (n.n - 1)) + 1) AS t2
+        FROM (SELECT monetary_k AS v,
+                     count(*) OVER (ORDER BY monetary_k
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+              FROM rfm) CROSS JOIN n)
+      SELECT CASE WHEN recency <= rb.t1 THEN 1
+                  WHEN recency <= rb.t2 THEN 2 ELSE 3 END AS r_score,
+             CASE WHEN frequency <= fb.t1 THEN 1
+                  WHEN frequency <= fb.t2 THEN 2 ELSE 3 END AS f_score,
+             CASE WHEN monetary_k <= mb.t1 THEN 1
+                  WHEN monetary_k <= mb.t2 THEN 2 ELSE 3 END AS m_score,
+             count(*) AS n_customers
+      FROM rfm, rb, fb, mb
+      GROUP BY 1, 2, 3
+      ORDER BY r_score, f_score, m_score
+    """))
+
   /** GROUPING SETS with an asymmetric set list — the general multi-grain
     * aggregate that ROLLUP/CUBE are special cases of: one pass produces the
     * (flag, status) grain, the status-only grain, and the grand total, but
@@ -731,6 +840,7 @@ object QueriesAnalytics {
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,
+    qRfmSegments,
     qRetentionCohorts, qEventPaths, qEventTransitions,
     qWindowFuncs, qJsonExtract, qCollectValues)
 }
