@@ -731,6 +731,94 @@ object QueriesAnalytics {
       ORDER BY r_score, f_score, m_score
     """))
 
+  /** Revenue concentration — Gini coefficient and top-decile/median share
+    * of customer lifetime spend, the inequality artifact behind "10% of
+    * customers drive X% of revenue". EVERYTHING is exact integer
+    * arithmetic until the final divisions: spend as exact cents (the RFM
+    * convention), the rank-weighted sum Σ i·vᵢ from the value histogram
+    * in closed form (a value v occupying ranks b+1..b+c contributes
+    * v·(c·b + c·(c+1)/2) — no sort, no window), decile cutoffs as
+    * integer ceil division, and bottom-m revenue as Σ v·min(c, max(0,
+    * m − b)) over the same histogram. The two engines divide identical
+    * BIGINTs, so the doubles agree bit-for-bit. Histogram size is
+    * bounded by the distinct-cents domain, and the ≤-join is domain². */
+  val qRevenueConcentration = Q("q_revenue_concentration",
+    (s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(round(col("o_totalprice"), 2) * 100 + 0.5).cast("long")
+            .as("_cents"))
+        .groupBy("o_custkey").agg(sum("_cents").as("v"))
+      val hist = perCust.groupBy("v").agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("v"), col("c"))
+        .join(hist.select(col("v").as("v2"), col("c").as("c2")),
+          col("v2") <= col("v"))
+        .groupBy("v", "c").agg(sum("c2").as("cle"))
+        .withColumn("b", col("cle") - col("c"))
+      val scalars = perCust.agg(count(lit(1)).as("n"), sum("v").as("t"))
+      val agg = cum.crossJoin(broadcast(scalars))
+        .agg(
+          // ALL-LONG arithmetic: Spark's `/` on longs is double division,
+          // and these rank-weighted sums exceed 2^53 where doubles drop
+          // bits while DuckDB's `//` stays integer — floor+cast pins each
+          // division back to the exact BIGINT before any multiplication
+          sum(col("v") * (col("c") * col("b") +
+            floor(col("c") * (col("c") + 1) / 2).cast("long"))).as("_s"),
+          // bottom-(n - ceil(n/10)) and bottom-(n - ceil(n/2)) revenue
+          sum(col("v") * greatest(lit(0L),
+            least(col("c"), col("n") -
+              floor((col("n") + 9) / 10).cast("long") - col("b"))))
+            .as("_b10"),
+          sum(col("v") * greatest(lit(0L),
+            least(col("c"), col("n") -
+              floor((col("n") + 1) / 2).cast("long") - col("b"))))
+            .as("_b50"),
+          first("n").as("n"), first("t").as("t"))
+      agg.select(explode(array(
+        struct(lit("gini").as("stat"),
+          round(lit(2.0) * col("_s") / (col("n") * col("t")) -
+            (col("n") + 1.0) / col("n"), 6).as("value")),
+        struct(lit("top10_share").as("stat"),
+          round((col("t") - col("_b10")) / col("t").cast("double"), 6)
+            .as("value")),
+        struct(lit("top50_share").as("stat"),
+          round((col("t") - col("_b50")) / col("t").cast("double"), 6)
+            .as("value")))).as("kv"))
+        .select(col("kv.stat"), col("kv.value"))
+        .orderBy("stat")
+    },
+    Some("""
+      WITH pc AS (
+        SELECT o_custkey,
+               sum(CAST(floor(100 * round(o_totalprice, 2) + 0.5) AS BIGINT))
+                 AS v
+        FROM orders GROUP BY o_custkey),
+      hist AS (SELECT v, count(*) AS c FROM pc GROUP BY v),
+      cum AS (
+        SELECT h.v, h.c, CAST(sum(h2.c) AS BIGINT) - h.c AS b
+        FROM hist h JOIN hist h2 ON h2.v <= h.v
+        GROUP BY h.v, h.c),
+      sc AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS t FROM pc),
+      agg AS (
+        SELECT CAST(sum(v * (c * b + c * (c + 1) // 2)) AS BIGINT) AS s,
+               CAST(sum(v * greatest(0, least(c,
+                 sc.n - (sc.n + 9) // 10 - b))) AS BIGINT) AS b10,
+               CAST(sum(v * greatest(0, least(c,
+                 sc.n - (sc.n + 1) // 2 - b))) AS BIGINT) AS b50,
+               any_value(sc.n) AS n, any_value(sc.t) AS t
+        FROM cum CROSS JOIN sc)
+      SELECT * FROM (
+        SELECT 'gini' AS stat,
+               round(2.0 * s / (n * t) - (n + 1.0) / n, 6) AS value FROM agg
+        UNION ALL
+        SELECT 'top10_share',
+               round((t - b10) / CAST(t AS DOUBLE), 6) FROM agg
+        UNION ALL
+        SELECT 'top50_share',
+               round((t - b50) / CAST(t AS DOUBLE), 6) FROM agg)
+      ORDER BY stat
+    """))
+
   /** GROUPING SETS with an asymmetric set list — the general multi-grain
     * aggregate that ROLLUP/CUBE are special cases of: one pass produces the
     * (flag, status) grain, the status-only grain, and the grand total, but
@@ -840,7 +928,7 @@ object QueriesAnalytics {
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,
-    qRfmSegments,
+    qRfmSegments, qRevenueConcentration,
     qRetentionCohorts, qEventPaths, qEventTransitions,
     qWindowFuncs, qJsonExtract, qCollectValues)
 }
