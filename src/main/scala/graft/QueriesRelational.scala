@@ -180,6 +180,52 @@ object QueriesRelational {
       ORDER BY o_custkey
     """))
 
+  /** Market-basket co-purchase pairs — association mining over orders
+    * (the PMI cousin on baskets): part pairs appearing together in >= 3
+    * orders, with lift = P(ab)/(P(a)·P(b)) = n·N/(nₐ·n_b) from exact
+    * distinct-order counts. SET semantics first (distinct (order, part) —
+    * an order can hold the same part on several lines), then the pair
+    * join is order-keyed: pairs per order = lines², bounded by basket
+    * size, never parts². Support threshold before the lift join keeps
+    * the part-count joins candidate-sized. */
+  val qBasketPairs = Q("q_basket_pairs",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val n = li.select("ok").distinct().count()
+      val per = li.groupBy("pk").agg(count(lit(1)).as("np"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3)
+      pairs
+        .join(per.select(col("pk").as("p1"), col("np").as("_na")), Seq("p1"))
+        .join(per.select(col("pk").as("p2"), col("np").as("_nb")), Seq("p2"))
+        .select(col("p1"), col("p2"), col("n"),
+          round(col("n") * lit(n) / (col("_na") * col("_nb")), 6).as("lift"))
+        .orderBy(desc("n"), col("p1"), col("p2"))
+    },
+    Some("""
+      WITH li AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      n AS (SELECT count(DISTINCT ok) AS n FROM li),
+      per AS (SELECT pk, count(*) AS np FROM li GROUP BY pk),
+      pairs AS (
+        SELECT a.pk AS p1, b.pk AS p2, count(*) AS n
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        HAVING count(*) >= 3)
+      SELECT p.p1, p.p2, p.n,
+             round(p.n * n.n / CAST(pa.np * pb.np AS DOUBLE), 6) AS lift
+      FROM pairs p
+      JOIN per pa ON pa.pk = p.p1
+      JOIN per pb ON pb.pk = p.p2
+      CROSS JOIN n
+      ORDER BY p.n DESC, p.p1, p.p2
+    """))
+
   /** Column profile — the data-quality profiling pass (the Deequ/
     * dbt-style artifact) every ingest runs before trusting a table: per
     * column, null count, exact distinct count, and min/max rendered as
@@ -564,5 +610,5 @@ object QueriesRelational {
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
     qGapfill, qHourlyAnomalies, qEwmaSmooth, qSeasonality,
-    qDataProfile, qIntegrityChecks, qStreamHourly)
+    qDataProfile, qIntegrityChecks, qBasketPairs, qStreamHourly)
 }
