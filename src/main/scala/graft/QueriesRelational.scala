@@ -180,6 +180,77 @@ object QueriesRelational {
       ORDER BY o_custkey
     """))
 
+  /** Fulfillment-latency SLA report — per order priority: ship-delay
+    * median and p90 (EXACT type-1 quantiles over the integer day-delay
+    * histogram — the domain is bounded by the order-to-ship calendar
+    * span, a few thousand day values at most, so the rank ≤-join is
+    * domain² per priority, never rows²), max delay, and
+    * the >30-day breach rate. Delays are epoch-day differences (exact
+    * longs); quantiles are pure element selection, so every published
+    * latency is integer-exact cross-engine — no mean, whose rounding the
+    * engines can disagree on at half boundaries. */
+  val qFulfillmentSla = Q("q_fulfillment_sla",
+    (s, dir) => {
+      val d = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority").as("priority"),
+          (floor(unix_timestamp(col("l_shipdate")) / 86400L) -
+            floor(unix_timestamp(col("o_orderdate")) / 86400L))
+            .cast("long").as("delay"))
+      val hist = d.groupBy("priority", "delay").agg(count(lit(1)).as("c"))
+      val cum = hist.as("a").join(hist.as("b"),
+          col("a.priority") === col("b.priority") &&
+            col("b.delay") <= col("a.delay"))
+        .groupBy(col("a.priority").as("priority"), col("a.delay").as("delay"))
+        .agg(sum(col("b.c")).as("cle"))
+      val stats = d.groupBy("priority").agg(count(lit(1)).as("n"),
+        max("delay").as("max_delay"),
+        sum(when(col("delay") > 30, 1L).otherwise(0L)).as("_breach"))
+      cum.join(stats, Seq("priority"))
+        .groupBy(col("priority"), col("n"), col("max_delay"), col("_breach"))
+        .agg(
+          min(when(col("cle") >=
+            floor(lit(0.5) * (col("n") - 1)) + 1, col("delay")))
+            .as("median_days"),
+          min(when(col("cle") >=
+            floor(lit(0.9) * (col("n") - 1)) + 1, col("delay")))
+            .as("p90_days"))
+        .select(col("priority"), col("n"), col("median_days"),
+          col("p90_days"), col("max_delay"),
+          round(col("_breach") / col("n").cast("double"), 6)
+            .as("breach_rate"))
+        .orderBy("priority")
+    },
+    Some("""
+      WITH d AS (
+        SELECT o_orderpriority AS priority,
+               CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) -
+               CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS delay
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      hist AS (
+        SELECT priority, delay, count(*) AS c FROM d GROUP BY 1, 2),
+      cum AS (
+        SELECT a.priority, a.delay, CAST(sum(b.c) AS BIGINT) AS cle
+        FROM hist a JOIN hist b
+          ON a.priority = b.priority AND b.delay <= a.delay
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT priority, count(*) AS n, max(delay) AS max_delay,
+               CAST(count(*) FILTER (WHERE delay > 30) AS BIGINT) AS breach
+        FROM d GROUP BY priority)
+      SELECT s.priority, s.n,
+             min(c.delay) FILTER (WHERE c.cle >= floor(0.5 * (s.n - 1)) + 1)
+               AS median_days,
+             min(c.delay) FILTER (WHERE c.cle >= floor(0.9 * (s.n - 1)) + 1)
+               AS p90_days,
+             s.max_delay,
+             round(s.breach / CAST(s.n AS DOUBLE), 6) AS breach_rate
+      FROM cum c JOIN stats s USING (priority)
+      GROUP BY s.priority, s.n, s.max_delay, s.breach
+      ORDER BY s.priority
+    """))
+
   /** Market-basket co-purchase pairs — association mining over orders
     * (the PMI cousin on baskets): part pairs appearing together in >= 3
     * orders, with lift = P(ab)/(P(a)·P(b)) = n·N/(nₐ·n_b) from exact
@@ -610,5 +681,5 @@ object QueriesRelational {
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
     qGapfill, qHourlyAnomalies, qEwmaSmooth, qSeasonality,
-    qDataProfile, qIntegrityChecks, qBasketPairs, qStreamHourly)
+    qDataProfile, qIntegrityChecks, qBasketPairs, qFulfillmentSla, qStreamHourly)
 }
