@@ -1348,6 +1348,64 @@ object QueriesVector {
     * Two-stage oracle replicates the truncated coarse ranking and the
     * re-rank — the approximate path itself is hash-checked, like
     * q_bq_rerank_knn. */
+  /** Matryoshka dims tuning curve — recall@10 of the PREFIX-cosine
+    * ranking at dims ∈ {8, 16, 32, 64} against the full-dim exact truth:
+    * the artifact that tells a deployment which truncation its recall
+    * target permits (the 4th family's tuning knob beside nprobe / rerank
+    * factor / ef). Prefix cosine is exactly computable in BOTH engines
+    * (list slicing), so like the BQ factor curve — and unlike IVF/HNSW —
+    * this tuning curve carries a COMPLETE DuckDB oracle: every point is
+    * |GT ∩ prefix-top-10| / 200 over deterministic rankings with id
+    * tie-breaks. Four bounded coarse passes (one per dims), each the
+    * standard broadcast-queries kernel + bounded heap. */
+  val qMatryoshkaCurve = Q("q_matryoshka_curve",
+    (s, dir) => {
+      import s.implicits._
+      val nq = 20
+      val k = 10
+      val gt = exactCosineTopK(s, dir, nq, k).select(col("query_id"), col("id"))
+      val st = store(s, dir)
+      val qs = queriesDf(s, dir, nq)
+      val curve = Seq(8, 16, 32, 64).map { d =>
+        val coarse = Knn.matryoshkaRerank(st, qs, coarseDims = d,
+          pool = k, k = k) // pool = k: the raw prefix ranking, no rerank gain
+          .select(col("query_id"), col("id"))
+        coarse.join(gt, Seq("query_id", "id"), "left_semi")
+          .agg(count(lit(1)).as("_hits"))
+          .select(lit(d.toLong).as("dims"),
+            round(col("_hits") / (nq * k).toDouble, 6).as("recall"))
+      }.reduce(_ unionByName _)
+      curve.orderBy("dims")
+    },
+    Some("""
+      WITH dd AS (SELECT unnest([8, 16, 32, 64]) AS d),
+      pairs AS (
+        SELECT dd.d, q.vec_id AS query_id, s.vec_id AS id,
+               greatest(1 - list_cosine_similarity(
+                 CAST(list_slice(s.embedding, 1, dd.d) AS DOUBLE[]),
+                 CAST(list_slice(q.embedding, 1, dd.d) AS DOUBLE[])), 0) AS cd,
+               greatest(1 - list_cosine_similarity(
+                 CAST(s.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])), 0) AS fd
+        FROM embeddings s, embeddings q, dd
+        WHERE q.vec_id < 20),
+      ranked AS (
+        SELECT d, query_id, id,
+               row_number() OVER (PARTITION BY d, query_id
+                 ORDER BY cd, id) AS crank,
+               row_number() OVER (PARTITION BY d, query_id
+                 ORDER BY fd, id) AS erank
+        FROM pairs),
+      gt AS (SELECT d, query_id, id FROM ranked WHERE erank <= 10),
+      coarse AS (SELECT d, query_id, id FROM ranked WHERE crank <= 10)
+      SELECT CAST(c.d AS BIGINT) AS dims,
+             round(count(g.id) / 200.0, 6) AS recall
+      FROM coarse c
+      LEFT JOIN gt g ON g.d = c.d AND g.query_id = c.query_id AND g.id = c.id
+      GROUP BY c.d
+      ORDER BY dims
+    """))
+
   val qMatryoshkaRerank = Q("q_matryoshka_rerank",
     (s, dir) => Knn.matryoshkaRerank(store(s, dir), queriesDf(s, dir, 5),
         coarseDims = 16, pool = 40, k = 10)
@@ -1907,7 +1965,7 @@ object QueriesVector {
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
     qBqMihPartitioned, qBqFactorCurve, qIvfBqKnn, qIvfBqKnnExact,
     qIvfBqPartitionedKnn,
-    qMatryoshkaRerank, qMatryoshkaDisk,
+    qMatryoshkaRerank, qMatryoshkaDisk, qMatryoshkaCurve,
     qPqKnn,
     qPqRerankKnn, qOpqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
