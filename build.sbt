@@ -39,5 +39,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // measured 55.5 -> 51.6 -> 49.1 s at 117 queries (BENCH_NOTES r11);
   // at 135 queries the same cliff reappeared at 24g (evaluate 14.9 s,
   // gopher 7.0 s, total 99.4 s) and 48g restores shape (4.9 / 0.6 / 70.8)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")}",
 )

@@ -731,17 +731,20 @@ object QueriesAnalytics {
       ORDER BY r_score, f_score, m_score
     """))
 
-  /** Revenue concentration — Gini coefficient and top-decile/median share
-    * of customer lifetime spend, the inequality artifact behind "10% of
-    * customers drive X% of revenue". EVERYTHING is exact integer
-    * arithmetic until the final divisions: spend as exact cents (the RFM
-    * convention), the rank-weighted sum Σ i·vᵢ from the value histogram
-    * in closed form (a value v occupying ranks b+1..b+c contributes
-    * v·(c·b + c·(c+1)/2) — no sort, no window), decile cutoffs as
-    * integer ceil division, and bottom-m revenue as Σ v·min(c, max(0,
-    * m − b)) over the same histogram. The two engines divide identical
-    * BIGINTs, so the doubles agree bit-for-bit. Histogram size is
-    * bounded by the distinct-cents domain, and the ≤-join is domain². */
+  /** Revenue concentration — binned Gini coefficient and
+    * top-decile/median revenue share, the inequality artifact behind
+    * "10% of customers drive X% of revenue". Spend is exact cents (the
+    * RFM convention) BUCKETED into hundred-dollar bins before the
+    * histogram: the first draft's distinct-cents histogram was
+    * customer-cardinality, making the rank ≤-join customers² — the exact
+    * quadratic the bench caught (4.2 s at sf0.1 and growing with the
+    * square of customers); the bin domain is spend-range-bounded at any
+    * corpus size. Within a bin members sit at their average rank
+    * (all-integer S₂ = Σ sv·(2b+c+1), G = S₂/(n·T) − (n+1)/n — the
+    * standard binned-Gini discretization) and bottom-m revenue pro-rates
+    * the boundary bin; full bins contribute their exact integer sv, so
+    * the one rounded addend per metric is ≤ 1 ulp — far inside the
+    * 6-decimal reporting grid. */
   val qRevenueConcentration = Q("q_revenue_concentration",
     (s, dir) => {
       val perCust = t(s, dir, "orders")
@@ -749,34 +752,37 @@ object QueriesAnalytics {
           floor(round(col("o_totalprice"), 2) * 100 + 0.5).cast("long")
             .as("_cents"))
         .groupBy("o_custkey").agg(sum("_cents").as("v"))
-      val hist = perCust.groupBy("v").agg(count(lit(1)).as("c"))
-      val cum = hist.select(col("v"), col("c"))
-        .join(hist.select(col("v").as("v2"), col("c").as("c2")),
-          col("v2") <= col("v"))
-        .groupBy("v", "c").agg(sum("c2").as("cle"))
-        .withColumn("b", col("cle") - col("c"))
+        .withColumn("bin", floor(col("v") / 10000L).cast("long"))
+      val hist = perCust.groupBy("bin")
+        .agg(count(lit(1)).as("c"), sum("v").as("sv"))
+      val cum = hist.select(col("bin"), col("c"))
+        .join(hist.select(col("bin").as("b2"), col("c").as("c2")),
+          col("b2") <= col("bin"))
+        .groupBy("bin").agg(sum("c2").as("cle"))
       val scalars = perCust.agg(count(lit(1)).as("n"), sum("v").as("t"))
-      val agg = cum.crossJoin(broadcast(scalars))
+      val agg = hist.join(cum, Seq("bin"))
+        .withColumn("b", col("cle") - col("c"))
+        .crossJoin(broadcast(scalars))
         .agg(
-          // ALL-LONG arithmetic: Spark's `/` on longs is double division,
-          // and these rank-weighted sums exceed 2^53 where doubles drop
-          // bits while DuckDB's `//` stays integer — floor+cast pins each
-          // division back to the exact BIGINT before any multiplication
-          sum(col("v") * (col("c") * col("b") +
-            floor(col("c") * (col("c") + 1) / 2).cast("long"))).as("_s"),
-          // bottom-(n - ceil(n/10)) and bottom-(n - ceil(n/2)) revenue
-          sum(col("v") * greatest(lit(0L),
+          // ALL-LONG arithmetic: Spark's `/` on longs is double division
+          // and these sums can exceed 2^53 where doubles drop bits while
+          // DuckDB's `//` stays integer — every term here stays BIGINT
+          sum(col("sv") * (lit(2L) * col("b") + col("c") + 1L)).as("_s2"),
+          // bottom-(n - ceil(n/10)) / bottom-(n - ceil(n/2)) revenue,
+          // pro-rated inside the boundary bin (exact-int numerators, one
+          // double division per bin)
+          sum(col("sv") * greatest(lit(0L),
             least(col("c"), col("n") -
-              floor((col("n") + 9) / 10).cast("long") - col("b"))))
-            .as("_b10"),
-          sum(col("v") * greatest(lit(0L),
+              floor((col("n") + 9) / 10).cast("long") - col("b")))
+            / col("c").cast("double")).as("_b10"),
+          sum(col("sv") * greatest(lit(0L),
             least(col("c"), col("n") -
-              floor((col("n") + 1) / 2).cast("long") - col("b"))))
-            .as("_b50"),
+              floor((col("n") + 1) / 2).cast("long") - col("b")))
+            / col("c").cast("double")).as("_b50"),
           first("n").as("n"), first("t").as("t"))
       agg.select(explode(array(
         struct(lit("gini").as("stat"),
-          round(lit(2.0) * col("_s") / (col("n") * col("t")) -
+          round(col("_s2") / (col("n") * col("t")).cast("double") -
             (col("n") + 1.0) / col("n"), 6).as("value")),
         struct(lit("top10_share").as("stat"),
           round((col("t") - col("_b10")) / col("t").cast("double"), 6)
@@ -793,23 +799,28 @@ object QueriesAnalytics {
                sum(CAST(floor(100 * round(o_totalprice, 2) + 0.5) AS BIGINT))
                  AS v
         FROM orders GROUP BY o_custkey),
-      hist AS (SELECT v, count(*) AS c FROM pc GROUP BY v),
+      binned AS (
+        SELECT v, CAST(floor(v / 10000.0) AS BIGINT) AS bin FROM pc),
+      hist AS (
+        SELECT bin, count(*) AS c, CAST(sum(v) AS BIGINT) AS sv
+        FROM binned GROUP BY bin),
       cum AS (
-        SELECT h.v, h.c, CAST(sum(h2.c) AS BIGINT) - h.c AS b
-        FROM hist h JOIN hist h2 ON h2.v <= h.v
-        GROUP BY h.v, h.c),
+        SELECT h.bin, CAST(sum(h2.c) AS BIGINT) - h.c AS b
+        FROM hist h JOIN hist h2 ON h2.bin <= h.bin
+        GROUP BY h.bin, h.c),
       sc AS (SELECT count(*) AS n, CAST(sum(v) AS BIGINT) AS t FROM pc),
       agg AS (
-        SELECT CAST(sum(v * (c * b + c * (c + 1) // 2)) AS BIGINT) AS s,
-               CAST(sum(v * greatest(0, least(c,
-                 sc.n - (sc.n + 9) // 10 - b))) AS BIGINT) AS b10,
-               CAST(sum(v * greatest(0, least(c,
-                 sc.n - (sc.n + 1) // 2 - b))) AS BIGINT) AS b50,
+        SELECT CAST(sum(sv * (2 * b + c + 1)) AS BIGINT) AS s2,
+               sum(sv * greatest(0, least(c,
+                 sc.n - (sc.n + 9) // 10 - b)) / CAST(c AS DOUBLE)) AS b10,
+               sum(sv * greatest(0, least(c,
+                 sc.n - (sc.n + 1) // 2 - b)) / CAST(c AS DOUBLE)) AS b50,
                any_value(sc.n) AS n, any_value(sc.t) AS t
-        FROM cum CROSS JOIN sc)
+        FROM hist JOIN cum USING (bin) CROSS JOIN sc)
       SELECT * FROM (
         SELECT 'gini' AS stat,
-               round(2.0 * s / (n * t) - (n + 1.0) / n, 6) AS value FROM agg
+               round(s2 / CAST(n * t AS DOUBLE) - (n + 1.0) / n, 6)
+                 AS value FROM agg
         UNION ALL
         SELECT 'top10_share',
                round((t - b10) / CAST(t AS DOUBLE), 6) FROM agg
