@@ -204,9 +204,12 @@ object QueriesRelational {
             col("b.delay") <= col("a.delay"))
         .groupBy(col("a.priority").as("priority"), col("a.delay").as("delay"))
         .agg(sum(col("b.c")).as("cle"))
-      val stats = d.groupBy("priority").agg(count(lit(1)).as("n"),
+      // stats derive from the HISTOGRAM, not a second pass over the
+      // lineitem-orders join (the first draft scanned the join twice and
+      // benched at ~9.6 s; the histogram has everything the stats need)
+      val stats = hist.groupBy("priority").agg(sum("c").as("n"),
         max("delay").as("max_delay"),
-        sum(when(col("delay") > 30, 1L).otherwise(0L)).as("_breach"))
+        sum(when(col("delay") > 30, col("c")).otherwise(0L)).as("_breach"))
       cum.join(stats, Seq("priority"))
         .groupBy(col("priority"), col("n"), col("max_delay"), col("_breach"))
         .agg(
@@ -236,9 +239,10 @@ object QueriesRelational {
           ON a.priority = b.priority AND b.delay <= a.delay
         GROUP BY 1, 2),
       stats AS (
-        SELECT priority, count(*) AS n, max(delay) AS max_delay,
-               CAST(count(*) FILTER (WHERE delay > 30) AS BIGINT) AS breach
-        FROM d GROUP BY priority)
+        SELECT priority, CAST(sum(c) AS BIGINT) AS n, max(delay) AS max_delay,
+               CAST(coalesce(sum(c) FILTER (WHERE delay > 30), 0) AS BIGINT)
+                 AS breach
+        FROM hist GROUP BY priority)
       SELECT s.priority, s.n,
              min(c.delay) FILTER (WHERE c.cle >= floor(0.5 * (s.n - 1)) + 1)
                AS median_days,
