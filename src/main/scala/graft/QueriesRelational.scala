@@ -199,26 +199,31 @@ object QueriesRelational {
             floor(unix_timestamp(col("o_orderdate")) / 86400L))
             .cast("long").as("delay"))
       val hist = d.groupBy("priority", "delay").agg(count(lit(1)).as("c"))
-      val cum = hist.as("a").join(hist.as("b"),
-          col("a.priority") === col("b.priority") &&
-            col("b.delay") <= col("a.delay"))
-        .groupBy(col("a.priority").as("priority"), col("a.delay").as("delay"))
-        .agg(sum(col("b.c")).as("cle"))
-      // stats derive from the HISTOGRAM, not a second pass over the
-      // lineitem-orders join (the first draft scanned the join twice and
-      // benched at ~9.6 s; the histogram has everything the stats need)
+        .cache()
+      // the quantile walk runs DRIVER-SIDE over the pulled histogram — the
+      // token-budget idiom: the pull is bounded at priorities × day-span
+      // rows at any corpus size, while the ≤-join formulation keys on the
+      // FIVE priority values only and serializes the whole cumulative on
+      // five tasks (measured 9 s at sf0.1 before this; the driver walk is
+      // milliseconds on ~12k rows)
+      val rows = hist.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val quant = rows.groupBy(_._1).toSeq.map { case (p, rs) =>
+        val sorted = rs.sortBy(_._2)
+        val n = sorted.map(_._3).sum
+        def q(frac: Double): Long = {
+          val idx = math.floor(frac * (n - 1)).toLong + 1
+          var cum = 0L
+          sorted.find { case (_, _, c) => cum += c; cum >= idx }.get._2
+        }
+        (p, q(0.5), q(0.9))
+      }
+      import s.implicits._
+      val quantDf = quant.toDF("priority", "median_days", "p90_days")
       val stats = hist.groupBy("priority").agg(sum("c").as("n"),
         max("delay").as("max_delay"),
         sum(when(col("delay") > 30, col("c")).otherwise(0L)).as("_breach"))
-      cum.join(stats, Seq("priority"))
-        .groupBy(col("priority"), col("n"), col("max_delay"), col("_breach"))
-        .agg(
-          min(when(col("cle") >=
-            floor(lit(0.5) * (col("n") - 1)) + 1, col("delay")))
-            .as("median_days"),
-          min(when(col("cle") >=
-            floor(lit(0.9) * (col("n") - 1)) + 1, col("delay")))
-            .as("p90_days"))
+      stats.join(broadcast(quantDf), Seq("priority"))
         .select(col("priority"), col("n"), col("median_days"),
           col("p90_days"), col("max_delay"),
           round(col("_breach") / col("n").cast("double"), 6)
