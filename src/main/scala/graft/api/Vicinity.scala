@@ -76,7 +76,10 @@ class Vicinity private (
     * pass them through prepare untouched). */
   def queryFilteredDf(queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
-    val res = strategy.query(prepared.where(predicate), queries, k)
+    // queryFiltered, NOT query: the graph strategies' driver-local fast
+    // path ignores the frame it is handed, so query(where(...)) would
+    // silently drop the predicate there (advice r11)
+    val res = strategy.queryFiltered(prepared.where(predicate), queries, k)
     res.join(store.select(col("id"), col("item")), Seq("id"), "left")
       .select("query_id", "id", "item", "dist", "rank")
   }

@@ -48,6 +48,19 @@ trait IndexStrategy extends Serializable {
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame
 
+  /** Top-k over a pre-FILTERED view of the prepared store — the entry
+    * point behind [[graft.api.Vicinity.queryFilteredDf]]'s pre-filter
+    * semantics (the predicate gates the store BEFORE the kernel, so k
+    * results survive arbitrarily selective filters). The default simply
+    * scores the filtered frame. Strategies whose [[query]] serves from a
+    * driver-local replica of the FULL store (the graph walks:
+    * [[HnswStrategy]], [[NnDescentStrategy]]) MUST override — routing the
+    * filtered frame through their [[query]] would take the replica fast
+    * path and silently drop the predicate (advice r11).
+    */
+  def queryFiltered(filtered: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = query(filtered, queries, k)
+
   def supportsInsert: Boolean = true
   def supportsDelete: Boolean = false
 

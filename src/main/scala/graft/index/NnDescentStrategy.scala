@@ -496,6 +496,30 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     beamFrom(graph, vecs, q, allSeeds, k, 0, k)
   }
 
+  /** Filtered top-k (advice r11) — see [[HnswStrategy.queryFiltered]]: the
+    * driver-local arrays and hash-ranked seeds were built from the FULL
+    * store, so [[query]] on a filtered frame would silently drop the
+    * predicate. Exact top-k of the surviving subset instead: every
+    * surviving node seeds the beam (hops 0 — expansion cannot add nodes
+    * beyond a full seed set), same kernel and tie-breaks as [[query]]. */
+  override def queryFiltered(filtered: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(graph != null, "NnDescentStrategy.prepare must run before query")
+    val q = walkQueries(queries)
+    val batch = if (localIds == null) None
+      else NnDescentStrategy.driverBatch(q)
+    if (batch.isDefined) {
+      val keep = filtered.select("id").collect().map(_.getLong(0)).sorted
+      return walkResultFrame(filtered.sparkSession, batch.get,
+        qv => beamLocalOne(qv, keep, localIds, localVs,
+          localIds, localAdj, k, 0, k))
+    }
+    val vecs = filtered.select(col("id"), col("vector"))
+    val allSeeds = vecs.select("id").crossJoin(q.select("query_id"))
+    beamFrom(graph, vecs, q, allSeeds, k, 0, k)
+  }
+
   /** ANN threshold semantics: top-max_k then strict `<` mask
     * (pynndescent.py:85-93) */
   def queryThreshold(prepared: DataFrame, queries: DataFrame,

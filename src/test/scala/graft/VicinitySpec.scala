@@ -381,4 +381,33 @@ class VicinitySpec extends SparkSpec {
       .filter(_._1 % 2 == 0).sortBy(p => (p._2, p._1)).take(10).map(_._1)
     assert(got.sortBy(_._2).map(_._1).toSeq == all.toSeq)
   }
+
+  test("queryFilteredDf: graph backends honor the predicate (advice r11 — " +
+      "the driver-local walk must not drop the filter)") {
+    import org.apache.spark.sql.functions.col
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, queryVec)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    // exact truth over the pre-filtered store, from the basic backend
+    val expected = basic.queryDf(q, basic.length.toInt).collect()
+      .map(r => (r.getLong(1), r.getDouble(3)))
+      .filter(_._1 % 2 == 0).sortBy(p => (p._2, p._1)).take(10).map(_._1)
+    for (backend <- Seq(Backend.Hnsw, Backend.Pynndescent)) {
+      val v = build(backend)
+      val got = v.queryFilteredDf(q, 10, col("id") % 2 === 0)
+        .collect().map(r => (r.getLong(1), r.getInt(4)))
+      assert(got.length == 10, s"${backend.name}: got ${got.length} rows")
+      assert(got.forall(_._1 % 2 == 0),
+        s"${backend.name}: filtered query leaked odd ids")
+      // filtered mode is exact over the surviving subset — matches basic
+      assert(got.sortBy(_._2).map(_._1).toSeq == expected.toSeq,
+        s"${backend.name}: filtered top-10 != exact filtered top-10")
+    }
+  }
 }
