@@ -39,6 +39,14 @@ object Generations {
     state.withColumn("_batch", lit(tag))
       .write.mode("overwrite")
       .partitionBy(("_batch" +: partitionCols): _*).parquet(staging)
+    swapInto(spark, path, staging)
+  }
+
+  /** The two-rename swap of the compact protocol, factored out so other
+    * compact-and-swap layouts (e.g. the HNSW disk index's generation
+    * fold) share the exact discipline: retire live → promote staging,
+    * roll back on a failed promote, delete the retired dir last. */
+  def swapInto(spark: SparkSession, path: String, staging: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new Path(path)
     val st = new Path(staging)
@@ -53,5 +61,30 @@ object Generations {
       throw new java.io.IOException(s"compact: cannot promote $st")
     }
     fs.delete(old, true)
+  }
+
+  /** True iff `path` holds at least one `_batch=` generation. Exists so
+    * ingest paths can distinguish the legitimate first-batch case (no
+    * store written yet → empty history) from everything else WITHOUT a
+    * catch-all on AnalysisException, which would also swallow schema or
+    * corruption errors as "first batch" and silently under-count history
+    * (advice r11). If the live dir is absent but a compaction staging or
+    * retired dir is present, a [[compact]] is mid-swap — that is NOT
+    * first-batch, so fail loudly rather than hand back empty history. */
+  def hasGenerations(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new Path(path)
+    val fs = live.getFileSystem(conf)
+    if (fs.exists(live))
+      fs.listStatus(live).exists(_.getPath.getName.startsWith("_batch="))
+    else {
+      val old = new Path(path.stripSuffix("/") + "__old")
+      val staging = new Path(path.stripSuffix("/") + "__compacting")
+      if (fs.exists(old) || fs.exists(staging))
+        throw new IllegalStateException(
+          s"snapshot store $path is mid-compaction (staging/retired dir " +
+            "present but live dir absent); retry after the swap completes")
+      false
+    }
   }
 }

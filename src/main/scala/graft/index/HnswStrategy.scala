@@ -228,6 +228,35 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
   def query(prepared: DataFrame, queries: DataFrame, k: Int): DataFrame =
     queryWithEf(prepared, queries, k, efSearch)
 
+  /** Filtered top-k (advice r11): the driver-local walk and the graph's
+    * entry set were built from the FULL store, so [[query]] on a filtered
+    * frame would either drop the predicate (local path) or let the walk
+    * die on nodes the filter removed. Pre-filter semantics demand the
+    * exact top-k of the SURVIVING subset, so this is [[queryExhaustive]]
+    * restricted to the filtered frame: every surviving node is a seed
+    * (connectivity-independent — a filter can disconnect any graph), same
+    * scoring kernel, (dist, id) tie-break, and rank plumbing. The
+    * driver-local branch collects the surviving ids — bounded by the
+    * store, which in the localIds regime is already driver-resident. */
+  override def queryFiltered(filtered: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(layers != null, "HnswStrategy.prepare must run before query")
+    val kn = scoringKernel
+    val q = kn.walkQueries(queries)
+    val batch = if (localIds == null) None
+      else NnDescentStrategy.driverBatch(q)
+    if (batch.isDefined) {
+      val keep = filtered.select("id").collect().map(_.getLong(0)).sorted
+      return kn.walkResultFrame(filtered.sparkSession, batch.get,
+        qv => kn.beamLocalOne(qv, keep, localIds, localVs,
+          localLayers(0)._1, localLayers(0)._2, k, 0, k))
+    }
+    val vecs = filtered.select(col("id"), col("vector"))
+    val allSeeds = vecs.select("id").crossJoin(q.select("query_id"))
+    kn.beamFrom(layers(0), vecs, q, allSeeds, k, 0, k)
+  }
+
   /** [[query]] with the beam width as an argument — the strategy's
     * configured `efSearch` is just the default; the tuning curve sweeps
     * this without rebuilding (the graph depends on m/efConstruction only).
@@ -389,22 +418,47 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // skip row groups — the page-level random-access half of the DiskANN
     // cost model (directory pruning is the other half, and only bites when
     // a hop's frontier covers fewer buckets than exist)
-    prepared.select(col("id"), col("vector"))
-      .withColumn("_nb", pmod(col("id"), lit(buckets)).cast("int"))
-      .repartition(col("_nb")).sortWithinPartitions("_nb", "id")
-      .write.mode("overwrite").partitionBy("_nb").parquet(s"$path/vectors")
+    writeGeneration(prepared.select(col("id"), col("vector")), "id",
+      s"$path/vectors", buckets, gen = 0)
     layers.zipWithIndex.foreach { case (g, l) =>
-      g.select("src", "dst")
-        .withColumn("_nb", pmod(col("src"), lit(buckets)).cast("int"))
-        .repartition(col("_nb")).sortWithinPartitions("_nb", "src")
-        .write.mode("overwrite").partitionBy("_nb").parquet(s"$path/layer_$l")
+      writeGeneration(g.select("src", "dst"), "src", s"$path/layer_$l",
+        buckets, gen = 0)
     }
+    writeGraphMeta(path, buckets, generations = 1)
+  }
+
+  /** one `_gen=N` generation of a graph-layout subdir — id-sorted within
+    * each bucket, DYNAMIC partition overwrite so a replayed append
+    * REPLACES its own generation (the sketch-snapshot replay discipline) */
+  private def writeGeneration(rows: DataFrame, idCol: String, sub: String,
+      buckets: Int, gen: Int): Unit =
+    rows.withColumn("_gen", lit(gen))
+      .withColumn("_nb", pmod(col(idCol), lit(buckets)).cast("int"))
+      .repartition(col("_nb")).sortWithinPartitions("_nb", idCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gen", "_nb").parquet(sub)
+
+  /** the sidecar: layout shape, walk configuration (advice r11 — the
+    * entry set is capped at the WRITER's efSearch, so a reader must walk
+    * with the writer's parameters), committed generation count (the
+    * append replay guard: readers ignore `_gen >= generations`, so a
+    * crash between a generation write and this sidecar update leaves the
+    * orphan invisible), and the CURRENT entry set (recomputed on append —
+    * on a single-layer graph the inserted nodes join the entry layer). */
+  private def writeGraphMeta(path: String, buckets: Int,
+      generations: Int): Unit = {
     val entries = entryIds.collect().map(_.getLong(0))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("buckets", buckets)
     root.put("n_layers", layers.length)
     root.put("metric", metric.name)
+    root.put("m", m)
+    root.put("ef_search", efSearch)
+    root.put("hops", hops)
+    root.put("descent_width", descentWidth)
+    root.put("generations", generations)
     val arr = root.putArray("entries")
     entries.foreach(arr.add)
     graft.core.FsIO.write(s"$path/_graph_meta.json",
@@ -430,6 +484,18 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       s"index at $path was built for metric ${meta.get("metric").asText()}")
     val buckets = meta.get("buckets").asInt()
     val nLayers = meta.get("n_layers").asInt()
+    // adopt the WRITER's walk configuration (advice r11) — the sidecar's
+    // entry set was capped at the writer's efSearch, so walking with a
+    // differently-configured reader's parameters would silently break the
+    // disk == memory walk equality. Absent fields (pre-r12 sidecars) fall
+    // back to this instance's configuration, the old behavior.
+    def metaInt(field: String, dflt: Int): Int = {
+      val node = meta.get(field); if (node == null) dflt else node.asInt()
+    }
+    val diskEf = metaInt("ef_search", efSearch)
+    val diskHops = metaInt("hops", hops)
+    val diskDw = metaInt("descent_width", descentWidth)
+    val gens = metaInt("generations", Int.MaxValue)
     val eIt = meta.get("entries").elements()
     val entries = Iterator.continually(eIt)
       .takeWhile(_.hasNext).map(_.next().asLong()).toArray
@@ -437,7 +503,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     val q = kn.walkQueries(queries)
     def pruned(sub: String, idCol: String, ids: Array[Long],
         cols: Seq[String]): DataFrame =
-      prunedRead(spark, path, sub, idCol, ids, buckets, cols)
+      prunedRead(spark, path, sub, idCol, ids, buckets, cols, gens)
     def expandFrom(beam: DataFrame, layerSub: String): DataFrame = {
       val srcIds = beam.select("id").distinct().collect().map(_.getLong(0))
       val adj = pruned(layerSub, "src", srcIds, Seq("src", "dst"))
@@ -457,18 +523,18 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     var ep = TopK.topKPerGroup(
         kn.scoreCandidates(pruned("vectors", "id", entries,
           Seq("id", "vector")), q, entryPairs),
-        Seq("query_id"), "id", "dist", descentWidth)
+        Seq("query_id"), "id", "dist", diskDw)
       .select("query_id", "id", "dist").localCheckpoint()
     for (l <- (nLayers - 1) to 1 by -1) {
       ep = TopK.topKPerGroup(expandFrom(ep, s"layer_$l"),
-          Seq("query_id"), "id", "dist", descentWidth)
+          Seq("query_id"), "id", "dist", diskDw)
         .select("query_id", "id", "dist").localCheckpoint()
     }
-    var beam = TopK.topKPerGroup(ep, Seq("query_id"), "id", "dist", efSearch)
+    var beam = TopK.topKPerGroup(ep, Seq("query_id"), "id", "dist", diskEf)
       .select("query_id", "id", "dist").localCheckpoint()
-    for (_ <- 1 to hops) {
+    for (_ <- 1 to diskHops) {
       beam = TopK.topKPerGroup(expandFrom(beam, "layer_0"),
-          Seq("query_id"), "id", "dist", efSearch)
+          Seq("query_id"), "id", "dist", diskEf)
         .select("query_id", "id", "dist").localCheckpoint()
     }
     TopK.topKPerGroup(beam, Seq("query_id"), "id", "dist", k)
@@ -480,15 +546,29 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * can walk its plan. */
   private[graft] def prunedRead(spark: org.apache.spark.sql.SparkSession,
       path: String, sub: String, idCol: String, ids: Array[Long],
-      buckets: Int, cols: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(s"$path/$sub")
+      buckets: Int, cols: Seq[String],
+      maxGen: Int = Int.MaxValue): DataFrame = {
+    val base0 = spark.read.parquet(s"$path/$sub")
+    // generation-aware read (r12 disk insert): only COMMITTED generations
+    // are visible (`maxGen` = the sidecar count, so an orphan generation
+    // from a crashed append is ignored), and for a key an append touched
+    // the LATEST generation's rows REPLACE the earlier ones — the
+    // adjacency re-cap writes a full row set per touched src, and vector
+    // ids are append-only unique so the dedup is a no-op there.
+    // Pre-generation layouts (no `_gen` column) read unchanged.
+    val hasGen = base0.columns.contains("_gen")
+    val base = if (hasGen) base0.where(col("_gen") < maxGen) else base0
     if (ids.isEmpty) base.where(lit(false)).select(cols.map(col): _*)
     else {
       val nbs = ids.map(i => (((i % buckets) + buckets) % buckets).toInt)
         .distinct.map(Integer.valueOf).toSeq
-      base.where(col("_nb").isin(nbs: _*) &&
-          col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
-        .select(cols.map(col): _*)
+      val filtered = base.where(col("_nb").isin(nbs: _*) &&
+        col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+      val out = if (hasGen) {
+        val latest = filtered.groupBy(idCol).agg(max("_gen").as("_gen"))
+        filtered.join(latest, Seq(idCol, "_gen"))
+      } else filtered
+      out.select(cols.map(col): _*)
     }
   }
 
@@ -504,7 +584,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(k >= 1, s"k must be >= 1, got $k")
     val kn = scoringKernel
     val q = kn.walkQueries(queries)
-    val vecs = spark.read.parquet(s"$path/vectors").select("id", "vector")
+    val vecs0 = spark.read.parquet(s"$path/vectors")
+    // committed generations only (append-only unique ids → no dedup)
+    val vecs = (if (vecs0.columns.contains("_gen")) {
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+      val g = meta.get("generations")
+      if (g == null) vecs0 else vecs0.where(col("_gen") < g.asInt())
+    } else vecs0).select("id", "vector")
     val pairs = vecs.select("id").crossJoin(q.select("query_id"))
     TopK.topKPerGroup(kn.scoreCandidates(vecs, q, pairs),
       Seq("query_id"), "id", "dist", k)
@@ -534,7 +621,17 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * edges, re-cap only the touched old nodes. Upper layers route through
     * the pre-insert hierarchy until the next full build. */
   override def prepareIncrement(prevPrepared: DataFrame, newRows: DataFrame,
-      fullStore: DataFrame): DataFrame = {
+      fullStore: DataFrame): DataFrame =
+    prepareIncrementDelta(prevPrepared, newRows)._1
+
+  /** the insert, exposing its DELTA — exactly what a disk layout must
+    * learn: the new nodes' normalized vectors (append-only) and the full
+    * REPLACEMENT layer-0 adjacency of every touched src (the new srcs'
+    * forward edges + the re-capped affected old srcs). This instance's
+    * in-memory graph updates identically whether the caller keeps the
+    * delta ([[appendGraphIndex]]) or drops it ([[prepareIncrement]]). */
+  private def prepareIncrementDelta(prevPrepared: DataFrame,
+      newRows: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     require(layers != null, "prepare must run before prepareIncrement")
     val kn = scoringKernel
     val normedNew = maybeNormalize(newRows, "vector").cache()
@@ -553,14 +650,90 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       old.join(affected, Seq("src"), "left_semi").unionByName(rev)
         .groupBy("src", "dst").agg(min("dist").as("dist")),
       Seq("src"), "dst", "dist", deg0).select("src", "dst", "dist")
-    layers = untouched.unionByName(recapped).unionByName(fwd)
+    // the rows an append must persist: full adjacency for every src the
+    // insert touched (latest-generation-wins makes them replacements)
+    val replaced = recapped.unionByName(fwd).localCheckpoint()
+    layers = untouched.unionByName(replaced)
       .localCheckpoint() +: layers.tail
     // layer 0 just changed under the retained arrays: the driver walk must
     // not serve the pre-insert adjacency
     localIds = null; localVs = null; localLayers = null
     nStored += normedNew.count()
     normedNew.unpersist()
-    prevPrepared.unionByName(maybeNormalize(newRows, "vector"))
+    (prevPrepared.unionByName(maybeNormalize(newRows, "vector")),
+      maybeNormalize(newRows, "vector").select("id", "vector"),
+      replaced.select("src", "dst"))
+  }
+
+  /** Incremental insert COMPOSED WITH the disk layout (verdict r11 #5 —
+    * the graph family's disk serving was write-once, so the streaming
+    * index-freshness story didn't reach it): performs the same insert as
+    * [[prepareIncrement]] (the in-memory graph updates identically), then
+    * appends the delta as ONE `_gen=N` generation of the
+    * [[writeGraphIndex]] layout. [[queryFromDisk]] reads base + deltas
+    * with latest-generation-wins per src, so the disk walk stays
+    * decision-for-decision the in-memory walk (spec-pinned);
+    * [[compactGraphIndex]] folds the deltas back to one generation. The
+    * generation write is dynamic-partition-overwrite and the sidecar
+    * count commits LAST, so a crashed or replayed append never
+    * double-serves rows (the sketch-snapshot replay discipline). The
+    * sidecar entry set is recomputed — on a single-layer graph inserted
+    * nodes join the entry layer, exactly as the in-memory walk sees them.
+    * Returns the new prepared frame (the facade's insert contract). */
+  def appendGraphIndex(prevPrepared: DataFrame, newRows: DataFrame,
+      path: String): DataFrame = {
+    require(layers != null, "prepare must run before appendGraphIndex")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+    require(meta.get("metric").asText() == metric.name,
+      s"index at $path was built for metric ${meta.get("metric").asText()}")
+    require(meta.get("generations") != null,
+      s"index at $path predates the generation layout — rewrite it with " +
+        "writeGraphIndex before appending")
+    val buckets = meta.get("buckets").asInt()
+    val gens = meta.get("generations").asInt()
+    val (newPrepared, deltaVecs, deltaAdj) =
+      prepareIncrementDelta(prevPrepared, newRows)
+    writeGeneration(deltaVecs, "id", s"$path/vectors", buckets, gens)
+    writeGeneration(deltaAdj, "src", s"$path/layer_0", buckets, gens)
+    writeGraphMeta(path, buckets, generations = gens + 1)
+    newPrepared
+  }
+
+  /** Fold a generation-layered graph layout back to a single `_gen=0`
+    * generation — vectors union (append-only ids), adjacency
+    * latest-per-src — via the [[graft.core.Generations.swapInto]]
+    * two-rename protocol per subdir (staging write is re-runnable; a
+    * crash before a swap leaves the live layout untouched). Upper layers
+    * never receive deltas (inserts wire layer 0 only, matching the
+    * in-memory insert), so only vectors and layer_0 are rewritten. The
+    * sidecar keeps its entry set and walk configuration; only the
+    * generation count resets. */
+  def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+    require(meta.get("generations") != null,
+      s"index at $path predates the generation layout")
+    val gens = meta.get("generations").asInt()
+    if (gens <= 1) return // already compact
+    val buckets = meta.get("buckets").asInt()
+    def fold(sub: String, idCol: String): Unit = {
+      val rows = spark.read.parquet(s"$path/$sub")
+        .where(col("_gen") < gens)
+      val latest = rows.groupBy(idCol).agg(max("_gen").as("_gen"))
+      val state = rows.join(latest, Seq(idCol, "_gen"))
+        .drop("_gen", "_nb")
+      val staging = s"$path/$sub" + "__compacting"
+      writeGeneration(state, idCol, staging, buckets, gen = 0)
+      graft.core.Generations.swapInto(spark, s"$path/$sub", staging)
+    }
+    fold("vectors", "id")
+    fold("layer_0", "src")
+    val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("generations", 1)
+    graft.core.FsIO.write(s"$path/_graph_meta.json",
+      mapper.writeValueAsString(root))
   }
 
   /** persist every layer's adjacency + meta so load never retrains

@@ -561,12 +561,66 @@ class ScaleDesignSpec extends SparkSpec {
       .filter(_.relation.location.rootPaths.exists(
         _.toString.contains("graft_hnswdisk")))
     assert(scans.nonEmpty, "no scan of the graph layout found")
-    // ids 1 and 17 both land in bucket 1 of 16 — exactly one directory read
-    assert(scans.map(_.selectedPartitions.partitionCount).sum == 1,
+    // ids 1 and 17 both land in bucket 1 of 16 — every access to the
+    // layout (the read and its latest-generation dedup side) reads
+    // exactly one directory
+    assert(scans.forall(_.selectedPartitions.partitionCount == 1),
       "bucket IN-list did not prune the vector directories")
     assert(scans.exists(s => s.toString.contains("PushedFilters: [In(id")
         || s.toString.contains("PushedFilters: [In(`id`")),
       "id IN-list did not reach the scan as a pushed filter")
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("HNSW disk insert: appended generation is served (disk == memory " +
+      "after insert); compaction folds to one generation, walk unchanged") {
+    import graft.index.HnswStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val strat = HnswStrategy(graft.core.Metric.Cosine)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_hnswins")
+    val path = root.resolve("index").toString
+    strat.writeGraphIndex(prepared, path)
+    // three inserts: exact copies of stored rows 0-2 under fresh ids, so
+    // each has a known zero-distance twin the walk must discover
+    val maxId = store.agg(max($"id")).first().getLong(0)
+    val newRows = store.where($"id" < 3)
+      .select(($"id" + maxId + 1).as("id"), $"vector")
+    val prepared2 = strat.appendGraphIndex(prepared, newRows, path)
+    // 1. disk == memory after the insert, decision for decision
+    val mem = strat.query(prepared2, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dsk = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(dsk === mem, "disk walk diverged from memory after append")
+    // 2. the disk walk FINDS the inserted vectors: querying with an
+    // inserted embedding surfaces the inserted id itself (or via its twin
+    // at dist 0 — both must be in the top-2)
+    val qNew = newRows.select($"id".as("query_id"), $"vector".as("qvector"))
+    val byQ = strat.queryFromDisk(spark, path, qNew, 2).collect()
+      .groupBy(_.getLong(0))
+    newRows.collect().map(_.getLong(0)).foreach { qid =>
+      assert(byQ(qid).exists(_.getLong(1) == qid),
+        s"inserted node $qid not served from disk") }
+    // 3. exhaustive-from-disk sees the appended generation: each inserted
+    // vector's exact nearest is at distance 0
+    val dskX = strat.queryExhaustiveFromDisk(spark, path, qNew, 1).collect()
+    assert(dskX.length == 3 && dskX.forall(_.getDouble(2) < 1e-9))
+    // 4. compaction folds to a single generation; the walk is unchanged
+    strat.compactGraphIndex(spark, path)
+    val dsk2 = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(dsk2 === mem, "compaction changed the disk walk")
+    val genDirs = new java.io.File(s"$path/vectors").listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).toSeq
+    assert(genDirs == Seq("_gen=0"), s"expected one generation, got $genDirs")
+    // 5. the inserted vectors survived the fold
+    val dskX2 = strat.queryExhaustiveFromDisk(spark, path, qNew, 1).collect()
+    assert(dskX2.length == 3 && dskX2.forall(_.getDouble(2) < 1e-9))
     prepared.unpersist()
     VerifyIO.deleteRec(root.toFile)
   }
