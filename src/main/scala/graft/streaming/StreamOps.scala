@@ -316,12 +316,14 @@ object StreamOps {
         val s = batch.sparkSession
         val tag = s"stream-$batchId"
         val gen = Dedup.segmentDf(batch, idCol, col(textCol), segWords).cache()
-        // first batch: the snapshot dir may be missing or empty (no
-        // generations yet) — either way there is no history df
+        // first batch (no generations yet) → empty history; an explicit
+        // existence check, NOT a catch on AnalysisException — the catch
+        // would also swallow schema/corruption errors and a mid-swap
+        // compact as "first batch", silently under-scrubbing (advice r11)
         val hist =
-          try Dedup.loadSegmentDfState(s, dfPath, excludeGeneration = Some(tag))
-          catch { case _: org.apache.spark.sql.AnalysisException =>
-            s.emptyDataFrame.select(lit("").as("_sm"), lit(0L).as("_df")) }
+          if (graft.core.Generations.hasGenerations(s, dfPath))
+            Dedup.loadSegmentDfState(s, dfPath, excludeGeneration = Some(tag))
+          else s.emptyDataFrame.select(lit("").as("_sm"), lit(0L).as("_df"))
         val combined = hist.unionByName(gen)
           .groupBy("_sm").agg(sum("_df").cast("long").as("_df"))
         onClean(Dedup.lineDedupAgainst(batch, combined, idCol, col(textCol),
