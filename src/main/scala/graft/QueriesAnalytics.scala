@@ -134,6 +134,67 @@ object QueriesAnalytics {
       ORDER BY event_id
     """))
 
+  /** bounded as-of (merge_asof tolerance parity — verdict r11 #6): the
+    * nearest error↔view correlation capped at a 1-hour gap. Exercises the
+    * subtle semantic: the bound gates EACH direction before the
+    * closer-of-two choice, so an out-of-tolerance backward candidate loses
+    * to an in-tolerance forward one instead of blocking the match; errors
+    * with no view within the hour drop entirely (inner semantics). Same
+    * single-exchange union-window plan — the gate is a scalar predicate. */
+  val qAsofTolerance = Q("q_asof_tolerance",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val views = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts_s").as("v_ts"))
+        .agg(max("event_id").as("view_id"))
+      AsofJoin.asof(errors, views, "user_id", "v_user", "ts_s", "v_ts",
+        Seq("view_id", "v_ts"), direction = "nearest",
+        tolerance = Some(3600L))
+        .select(col("event_id"), col("user_id"), col("view_id"),
+          abs(col("v_ts") - col("ts_s")).cast("long").as("secs_apart"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      err AS (
+        SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'error'),
+      vw AS (
+        SELECT user_id AS v_user, ts_s AS v_ts, max(event_id) AS view_id
+        FROM ev WHERE event_type = 'view' GROUP BY 1, 2),
+      b0 AS (
+        SELECT e.event_id, e.user_id, e.ts_s, v.view_id AS bk, v.v_ts AS bt
+        FROM err e ASOF LEFT JOIN vw v
+          ON e.user_id = v.v_user AND e.ts_s >= v.v_ts),
+      f0 AS (
+        SELECT e.event_id, v.view_id AS fk, v.v_ts AS ft
+        FROM err e ASOF LEFT JOIN vw v
+          ON e.user_id = v.v_user AND e.ts_s <= v.v_ts),
+      g AS (
+        SELECT b0.event_id, b0.user_id, b0.ts_s,
+               CASE WHEN b0.ts_s - bt <= 3600 THEN bk END AS bk,
+               CASE WHEN b0.ts_s - bt <= 3600 THEN bt END AS bt,
+               CASE WHEN ft - b0.ts_s <= 3600 THEN fk END AS fk,
+               CASE WHEN ft - b0.ts_s <= 3600 THEN ft END AS ft
+        FROM b0 JOIN f0 USING (event_id))
+      SELECT event_id, user_id,
+             CASE WHEN ft IS NULL THEN bk
+                  WHEN bt IS NULL THEN fk
+                  WHEN ts_s - bt <= ft - ts_s THEN bk
+                  ELSE fk END AS view_id,
+             CASE WHEN ft IS NULL THEN ts_s - bt
+                  WHEN bt IS NULL THEN ft - ts_s
+                  WHEN ts_s - bt <= ft - ts_s THEN ts_s - bt
+                  ELSE ft - ts_s END AS secs_apart
+      FROM g
+      WHERE bk IS NOT NULL OR fk IS NOT NULL
+      ORDER BY event_id
+    """))
+
   /** sessionization: a 30-minute inactivity gap starts a new session */
   val qSessionize = Q("q_sessionize",
     (s, dir) => {
@@ -506,18 +567,25 @@ object QueriesAnalytics {
           (col("ts_s") * lit(10000000L) + col("event_id")).as("_pk"))
       def firstAfter(typ: String, prev: Option[DataFrame]): DataFrame = {
         val base = ev.where(col("event_type") === typ)
-        val gated = prev match {
-          case None => base
+        prev match {
+          case None => base.groupBy("user_id").agg(min("_pk").as("_pk"))
           case Some(p) =>
-            // time-bounded: the next step must land within 24 HOURS of the
-            // previous stage's qualifying event (86400 s in packed units) —
-            // without a bound this corpus converts every user at 1.0
-            base.join(p.select(col("user_id"), col("_pk").as("_prev")),
-                Seq("user_id"))
-              .where(col("_pk") > col("_prev") &&
-                col("_pk") <= col("_prev") + lit(86400L * 10000000L))
+            // the step gate IS a bounded forward as-of join — the next
+            // step's EARLIEST event strictly after the previous stage's
+            // qualifying event and within 24 HOURS of it (without a bound
+            // this corpus converts every user at 1.0). The operator owns
+            // the bound now (AsofJoin tolerance, r12): strict-after via
+            // t = _pk + 1 (packed keys are unique), 24 h via
+            // tolerance = 86400 s·10^7 − 1 in packed units. One exchange,
+            // no join + re-aggregate pass.
+            AsofJoin.asof(
+              p.select(col("user_id"), (col("_pk") + 1L).as("_prev")),
+              base.select(col("user_id").as("_bu"), col("_pk")),
+              "user_id", "_bu", "_prev", "_pk", Seq("_pk"),
+              direction = "forward",
+              tolerance = Some(86400L * 10000000L - 1L))
+              .select(col("user_id"), col("_pk"))
         }
-        gated.groupBy("user_id").agg(min("_pk").as("_pk"))
       }
       val s1 = firstAfter("view", None)
       val s2 = firstAfter("click", Some(s1))
@@ -654,31 +722,37 @@ object QueriesAnalytics {
           col("frequency"),
           floor(col("_tc") / 100000L).cast("long").as("monetary_k"))
         .cache()
-      def bounds(c: String): DataFrame = {
+      // the three boundary pairs are 1-row aggregates — pull them to the
+      // driver HERE (three actions over the cached base) so the cache can
+      // be dropped inside the closure instead of accumulating across a
+      // long bench/correctness session (advice r11); the scoring pass
+      // then recomputes the per-customer frame once, with the terciles
+      // inlined as literals (no broadcast exchanges at all)
+      def bounds(c: String): (Long, Long) = {
         val hist = rfm.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
         val cum = hist.select(col("v"), col("cnt"))
           .join(hist.select(col("v").as("v2"), col("cnt").as("cnt2")),
             col("v2") <= col("v"))
           .groupBy("v").agg(sum("cnt2").as("cle"))
         val n = rfm.agg(count(lit(1)).as("_n"))
-        cum.crossJoin(n)
+        val row = cum.crossJoin(n)
           .agg(
             min(when(col("cle") >=
-              floor(lit(1.0 / 3) * (col("_n") - 1)) + 1, col("v")))
-              .as(s"_t1_$c"),
+              floor(lit(1.0 / 3) * (col("_n") - 1)) + 1, col("v"))),
             min(when(col("cle") >=
-              floor(lit(2.0 / 3) * (col("_n") - 1)) + 1, col("v")))
-              .as(s"_t2_$c"))
+              floor(lit(2.0 / 3) * (col("_n") - 1)) + 1, col("v"))))
+          .first()
+        (row.getLong(0), row.getLong(1))
       }
-      def score(c: String): org.apache.spark.sql.Column =
-        when(col(c) <= col(s"_t1_$c"), 1L)
-          .when(col(c) <= col(s"_t2_$c"), 2L).otherwise(3L)
-      rfm.crossJoin(broadcast(bounds("recency")))
-        .crossJoin(broadcast(bounds("frequency")))
-        .crossJoin(broadcast(bounds("monetary_k")))
-        .select(score("recency").as("r_score"),
-          score("frequency").as("f_score"),
-          score("monetary_k").as("m_score"))
+      val (r1, r2) = bounds("recency")
+      val (f1, f2) = bounds("frequency")
+      val (m1, m2) = bounds("monetary_k")
+      rfm.unpersist()
+      def score(c: String, t1: Long, t2: Long): org.apache.spark.sql.Column =
+        when(col(c) <= t1, 1L).when(col(c) <= t2, 2L).otherwise(3L)
+      rfm.select(score("recency", r1, r2).as("r_score"),
+          score("frequency", f1, f2).as("f_score"),
+          score("monetary_k", m1, m2).as("m_score"))
         .groupBy("r_score", "f_score", "m_score")
         .agg(count(lit(1)).as("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
@@ -935,7 +1009,7 @@ object QueriesAnalytics {
       FROM events GROUP BY event_type ORDER BY event_type
     """))
 
-  val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest,
+  val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest, qAsofTolerance,
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,

@@ -1305,6 +1305,95 @@ class PipelineOpsSpec extends SparkSpec {
       direction = "forward").select("rid").collect().head.getLong(0) == 12L)
   }
 
+  test("AsofJoin tolerance: out-of-bound matches drop; nearest gates each " +
+      "direction BEFORE the closer-of-two choice (merge_asof parity)") {
+    import spark.implicits._
+    import graft.operators.AsofJoin
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 205L), (3L, 10L, 300L),
+      (4L, 20L, 50L)).toDF("lid", "k", "t")
+    val right = Seq((11L, 10L, 90L), (12L, 10L, 200L), (13L, 10L, 210L),
+      (14L, 20L, 60L)).toDF("rid", "k", "rt")
+    def run(d: String, tol: Long) = AsofJoin.asof(left, right, "k", "k",
+      "t", "rt", Seq("rid"), direction = d, tolerance = Some(tol))
+      .select("lid", "rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // backward tol=10: lid1 gap 10 ok; lid2 gap 5 ok; lid3 gap 90 → drop
+    assert(run("backward", 10L) == Map(1L -> 11L, 2L -> 12L))
+    // forward tol=10: lid1→200 gap 100 drop; lid2→210 gap 5 ok; lid4 gap 10 ok
+    assert(run("forward", 10L) == Map(2L -> 13L, 4L -> 14L))
+    // nearest tol=95: lid3's backward candidate (210, gap 90) survives;
+    // lid1: backward 90 (gap 10) beats forward 200 (gap 100, gated out
+    // anyway at tol=95... no: 100 > 95 → forward null, backward wins)
+    assert(run("nearest", 95L) ==
+      Map(1L -> 11L, 2L -> 12L, 3L -> 13L, 4L -> 14L))
+    // nearest tol=8: lid1's backward (gap 10) gated out AND forward (gap
+    // 100) gated out → dropped; lid2 tie → backward; lid4 forward never
+    // beats its 10-gap → dropped. The gate is per-direction: a nearest
+    // overall-winner beyond tol must not block an in-tol other side.
+    assert(run("nearest", 8L) == Map(2L -> 12L))
+    // per-direction gating: lid3 at tol=90 keeps backward (gap exactly 90)
+    assert(run("nearest", 90L).get(3L).contains(13L))
+    intercept[IllegalArgumentException] {
+      AsofJoin.asof(left, right, "k", "k", "t", "rt", Seq("rid"),
+        tolerance = Some(-1L))
+    }
+  }
+
+  test("basketPairs mega-basket cap: over-cap order excluded from pairs, " +
+      "support, AND the order universe; exact no-op when nothing is over") {
+    import spark.implicits._
+    // three normal 2-item baskets sharing pair (1,2); one 50-item cart
+    val normal = (1 to 3).flatMap(o => Seq((o.toLong, 1L), (o.toLong, 2L)))
+    val mega = (1 to 50).map(p => (99L, p.toLong))
+    val lines = (normal ++ mega).toDF("ok", "pk")
+    // capped: the mega cart is out entirely → (1,2) counted 3 times over a
+    // 3-order universe with supports 3/3 → lift 3·3/(3·3) = 1
+    val c = QueriesRelational.basketPairs(lines, minSupport = 3L,
+      maxBasket = 10).collect()
+    assert(c.length == 1)
+    assert((c.head.getLong(0), c.head.getLong(1), c.head.getLong(2)) ==
+      (1L, 2L, 3L))
+    assert(c.head.getDouble(3) == 1.0)
+    // unbounded: mega joins in → (1,2) support 4; its other C(50,2)-ish
+    // pairs die at minSupport
+    val f = QueriesRelational.basketPairs(lines, minSupport = 3L,
+      maxBasket = 1000).collect()
+    assert(f.length == 1 && f.head.getLong(2) == 4L)
+    // the monitoring hook surfaces exactly the excluded cart
+    val oc = QueriesRelational.overCapBaskets(lines, 10).collect()
+    assert(oc.length == 1 &&
+      (oc.head.getLong(0), oc.head.getLong(1)) == (99L, 50L))
+    // with no over-cap basket, capped ≡ unbounded row for row
+    val onlyNormal = normal.toDF("ok", "pk")
+    assert(QueriesRelational.basketPairs(onlyNormal, 3L, 10)
+      .collect().toSeq ==
+      QueriesRelational.basketPairs(onlyNormal, 3L, 1000000)
+        .collect().toSeq)
+  }
+
+  test("Generations.hasGenerations: first-batch vs mid-compaction are " +
+      "distinguished (advice r11 — no catch-all on AnalysisException)") {
+    import graft.core.Generations
+    val root = java.nio.file.Files.createTempDirectory("graft_gens")
+    val live = root.resolve("store").toString
+    // no dir at all → legitimate first batch
+    assert(!Generations.hasGenerations(spark, live))
+    // dir exists but holds no _batch= generation → still first batch
+    new java.io.File(live).mkdirs()
+    assert(!Generations.hasGenerations(spark, live))
+    // a generation present → history exists
+    new java.io.File(s"$live/_batch=stream-0").mkdirs()
+    assert(Generations.hasGenerations(spark, live))
+    // live dir absent while a retired/staging dir exists = a compact
+    // mid-swap: NOT first batch — must fail loudly, never "empty history"
+    VerifyIO.deleteRec(new java.io.File(live))
+    new java.io.File(live + "__old").mkdirs()
+    intercept[IllegalStateException] {
+      Generations.hasGenerations(spark, live)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("Pca: recovers a planted dominant direction; unit-norm orthogonal comps") {
     import spark.implicits._
     // planted anisotropy: dim 0 carries ±5, the rest carry deterministic
