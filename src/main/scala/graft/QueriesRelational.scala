@@ -199,16 +199,18 @@ object QueriesRelational {
             floor(unix_timestamp(col("o_orderdate")) / 86400L))
             .cast("long").as("delay"))
       val hist = d.groupBy("priority", "delay").agg(count(lit(1)).as("c"))
-        .cache()
-      // the quantile walk runs DRIVER-SIDE over the pulled histogram — the
-      // token-budget idiom: the pull is bounded at priorities × day-span
-      // rows at any corpus size, while the ≤-join formulation keys on the
-      // FIVE priority values only and serializes the whole cumulative on
-      // five tasks (measured 9 s at sf0.1 before this; the driver walk is
-      // milliseconds on ~12k rows)
+      // the quantile walk AND the per-priority stats run DRIVER-SIDE over
+      // the pulled histogram — the token-budget idiom: the pull is bounded
+      // at priorities × day-span rows at any corpus size, while the ≤-join
+      // formulation keys on the FIVE priority values only and serializes
+      // the whole cumulative on five tasks (measured 9 s at sf0.1 before
+      // this; the driver walk is milliseconds on ~12k rows). ONE job, no
+      // cached frame left behind in executor memory (advice r11) — every
+      // published stat is an exact integer fold over the same rows the
+      // quantile selection walks.
       val rows = hist.collect()
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val quant = rows.groupBy(_._1).toSeq.map { case (p, rs) =>
+      val stats = rows.groupBy(_._1).toSeq.map { case (p, rs) =>
         val sorted = rs.sortBy(_._2)
         val n = sorted.map(_._3).sum
         def q(frac: Double): Long = {
@@ -216,14 +218,12 @@ object QueriesRelational {
           var cum = 0L
           sorted.find { case (_, _, c) => cum += c; cum >= idx }.get._2
         }
-        (p, q(0.5), q(0.9))
+        val breach = rs.collect { case (_, delay, c) if delay > 30 => c }.sum
+        (p, n, q(0.5), q(0.9), sorted.last._2, breach)
       }
       import s.implicits._
-      val quantDf = quant.toDF("priority", "median_days", "p90_days")
-      val stats = hist.groupBy("priority").agg(sum("c").as("n"),
-        max("delay").as("max_delay"),
-        sum(when(col("delay") > 30, col("c")).otherwise(0L)).as("_breach"))
-      stats.join(broadcast(quantDf), Seq("priority"))
+      stats.toDF("priority", "n", "median_days", "p90_days", "max_delay",
+          "_breach")
         .select(col("priority"), col("n"), col("median_days"),
           col("p90_days"), col("max_delay"),
           round(col("_breach") / col("n").cast("double"), 6)
@@ -268,25 +268,54 @@ object QueriesRelational {
     * join is order-keyed: pairs per order = lines², bounded by basket
     * size, never parts². Support threshold before the lift join keeps
     * the part-count joins candidate-sized. */
+  /** Market-basket pair mining over a distinct `(ok, pk)` basket-lines
+    * frame, with the mega-basket guard (verdict r11 #4): pairs-per-order
+    * = lines², bounded by basket size on TPC-H (≤7) but unbounded on a
+    * pathological million-line cart — the same hazard class the MinHash
+    * hot-bucket star-link caps ([[graft.prep.Dedup.minhashCandidates]]).
+    * Baskets with more than `maxBasket` distinct items are excluded from
+    * the analysis ENTIRELY (pairs, item support, and the order universe),
+    * keeping the lift statistics self-consistent over the non-degenerate
+    * sub-corpus — a degenerate cart's co-occurrences are support noise,
+    * not signal. On a corpus with no over-cap basket the output is
+    * IDENTICAL to the unbounded form (spec-asserted both ways); per-order
+    * work is bounded at maxBasket². Excluded orders are observable via
+    * [[overCapBaskets]] — log it before large runs. */
+  private[graft] def basketPairs(basketLines: DataFrame,
+      minSupport: Long = 3L, maxBasket: Int = 1000): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    val sizes = basketLines.groupBy("ok").agg(count(lit(1)).as("_bs"))
+    val li = basketLines.join(
+      sizes.where(col("_bs") <= maxBasket).select("ok"), Seq("ok"),
+      "left_semi")
+    val n = li.select("ok").distinct().count()
+    val per = li.groupBy("pk").agg(count(lit(1)).as("np"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSupport)
+    pairs
+      .join(per.select(col("pk").as("p1"), col("np").as("_na")), Seq("p1"))
+      .join(per.select(col("pk").as("p2"), col("np").as("_nb")), Seq("p2"))
+      .select(col("p1"), col("p2"), col("n"),
+        round(col("n") * lit(n) / (col("_na") * col("_nb")), 6).as("lift"))
+      .orderBy(desc("n"), col("p1"), col("p2"))
+  }
+
+  /** The monitoring hook for [[basketPairs]]'s cap: `(ok, basket_size)`
+    * of every excluded order, the analogue of the MinHash family's
+    * `overCapBuckets`. */
+  private[graft] def overCapBaskets(basketLines: DataFrame,
+      maxBasket: Int): DataFrame =
+    basketLines.groupBy("ok").agg(count(lit(1)).as("basket_size"))
+      .where(col("basket_size") > maxBasket)
+
   val qBasketPairs = Q("q_basket_pairs",
-    (s, dir) => {
-      val li = t(s, dir, "lineitem")
+    (s, dir) => basketPairs(
+      t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val n = li.select("ok").distinct().count()
-      val per = li.groupBy("pk").agg(count(lit(1)).as("np"))
-      val pairs = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-        .agg(count(lit(1)).as("n"))
-        .where(col("n") >= 3)
-      pairs
-        .join(per.select(col("pk").as("p1"), col("np").as("_na")), Seq("p1"))
-        .join(per.select(col("pk").as("p2"), col("np").as("_nb")), Seq("p2"))
-        .select(col("p1"), col("p2"), col("n"),
-          round(col("n") * lit(n) / (col("_na") * col("_nb")), 6).as("lift"))
-        .orderBy(desc("n"), col("p1"), col("p2"))
-    },
+        .distinct()),
     Some("""
       WITH li AS (
         SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
@@ -352,6 +381,83 @@ object QueriesRelational {
                count(DISTINCT l_returnflag),
                CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
         FROM lineitem)
+      ORDER BY col_name
+    """))
+
+  /** [[qDataProfile]]'s scale path (verdict r11 #7): the exact
+    * `countDistinct` per column is the one profiling stat that pays a
+    * full distinct shuffle PER COLUMN at 100 TB; here the distinct counts
+    * come from ONE bounded HyperLogLog register aggregate instead. The
+    * four columns melt into a single `(col_name, v)` stream (one scan,
+    * `stack`), registers key on (col_name, bucket) — ≤ 64·|columns| rows
+    * total at any corpus size ([[graft.prep.HyperLogLog.registersBy]]) —
+    * and the estimate is replayed EXACTLY by the DuckDB oracle (exact
+    * BIGINT register sum, one IEEE division). The exact distinct rides
+    * alongside as the anchor + error band, same stance as q_hll_distinct:
+    * at 100 TB the exact column disappears and the register table IS the
+    * profile state (and it merges across ingest snapshots by register
+    * max, which a per-column exact count cannot). */
+  val qDataProfileSketch = Q("q_data_profile_sketch",
+    (s, dir) => {
+      import graft.prep.HyperLogLog
+      val cols = Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
+      val melted = t(s, dir, "lineitem").selectExpr(
+        "stack(4, " + cols.map(c => s"'$c', cast($c as string)")
+          .mkString(", ") + ") as (col_name, v)")
+      val stats = melted.groupBy("col_name").agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("v")).as("n_distinct"))
+      val est = HyperLogLog.estimateBy(
+        HyperLogLog.registersBy(melted.where(col("v").isNotNull), "v",
+          "col_name"), "col_name")
+      stats.join(est, "col_name")
+        .select(col("col_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), round(col("est"), 2).as("est_distinct"),
+          round(abs(col("est") - col("n_distinct").cast("double"))
+            / col("n_distinct").cast("double"), 6).as("rel_err"))
+        .orderBy("col_name")
+    },
+    Some("""
+      WITH m AS (
+        SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_quantity', CAST(l_quantity AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', CAST(l_discount AS VARCHAR) FROM lineitem
+        UNION ALL
+        SELECT 'l_returnflag', CAST(l_returnflag AS VARCHAR) FROM lineitem),
+      stats AS (
+        SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+               count(DISTINCT v) AS n_distinct
+        FROM m GROUP BY 1),
+      h AS (
+        SELECT col_name,
+               list_reduce(list_transform(range(1, 13),
+                 i -> CAST(strpos('0123456789abcdef',
+                        (substr(md5(v), 1, 12))[i]) AS BIGINT) - 1),
+                 (a, x) -> a * 16 + x) AS hv
+        FROM m WHERE v IS NOT NULL),
+      b AS (SELECT col_name, hv // 4398046511104 AS bucket,
+                   hv % 4398046511104 AS w FROM h),
+      r AS (SELECT col_name, bucket,
+                   max(CASE WHEN w = 0 THEN CAST(43 AS BIGINT)
+                            ELSE 43 - length(bin(w)) END) AS r
+            FROM b GROUP BY 1, 2),
+      sums AS (SELECT col_name,
+                   CAST(sum(CAST(1 AS BIGINT) << CAST(43 - r AS INTEGER))
+                     AS BIGINT)
+                   + (64 - count(*)) * 8796093022208 AS s
+            FROM r GROUP BY 1),
+      e AS (SELECT col_name, (0.7213 / (1.0 + 1.079 / 64.0)) * 4096.0
+                   * 8796093022208.0 / CAST(s AS DOUBLE) AS est FROM sums)
+      SELECT st.col_name, st.n_rows, st.n_null, st.n_distinct,
+             round(e.est, 2) AS est_distinct,
+             round(abs(e.est - CAST(st.n_distinct AS DOUBLE))
+                   / CAST(st.n_distinct AS DOUBLE), 6) AS rel_err
+      FROM stats st JOIN e USING (col_name)
       ORDER BY col_name
     """))
 
@@ -690,5 +796,6 @@ object QueriesRelational {
   val all: Seq[Q] = Seq(q3JoinTopn, q5Multijoin, q6Filter, qWindowRank,
     qWindowRunning, qAntiJoin, qSemiJoin, qSetOps, qEventsHourly, qEventsLag,
     qGapfill, qHourlyAnomalies, qEwmaSmooth, qSeasonality,
-    qDataProfile, qIntegrityChecks, qBasketPairs, qFulfillmentSla, qStreamHourly)
+    qDataProfile, qDataProfileSketch, qIntegrityChecks, qBasketPairs,
+    qFulfillmentSla, qStreamHourly)
 }
