@@ -32,12 +32,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // heap tracks the query surface (the host has 128 GiB; one forked JVM
-  // runs at a time): at 8g the bench JVM GC-churned through the cached
-  // stores + registry indexes and the most job-dense queries (q_evaluate,
-  // q_gopher_rules) absorbed the collector pressure — 8g -> 16g -> 24g
-  // measured 55.5 -> 51.6 -> 49.1 s at 117 queries (BENCH_NOTES r11);
-  // at 135 queries the same cliff reappeared at 24g (evaluate 14.9 s,
-  // gopher 7.0 s, total 99.4 s) and 48g restores shape (4.9 / 0.6 / 70.8)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "80g")}",
+  // 48g, and the "heap tracks the query surface" trend (8g→80g across
+  // rounds) is CLOSED (r12): a post-run GC + class-histogram probe
+  // (SPARK_GRAFT_HEAP_PROBE=1 in Bench) measured only 0.47 GB retained
+  // after the full 180-query sf0.1 run — the ceiling was never
+  // accumulated registry/cache state but the PEAK transient demand of
+  // whichever single query was heaviest (each past bump coincided with a
+  // newly added heavy query, e.g. the pre-fix customers² histogram).
+  // The full bench runs green and slightly FASTER at 48g than 80g
+  // (83.5 s vs 94.0 s, BENCH_NOTES r12); 48g keeps ~2× headroom over the
+  // worst observed per-query peak on this 128 GiB host.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
