@@ -939,6 +939,71 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** Filtered search served from the GRAPH layout
+    * ([[HnswStrategy.queryFilteredFromDisk]], r12) — q_knn_filtered's
+    * label predicate answered through the DiskANN-style layout: the
+    * metadata column rides in the vectors files (writeGraphIndex persists
+    * every prepared column), the predicate pushes into the scan, and the
+    * result is the EXACT top-k of the surviving subset (the graph is
+    * bypassed — [[HnswStrategy.queryFiltered]]'s argument — so the same
+    * filtered oracle as q_knn_filtered pins the whole path). The layout
+    * is the registry hnsw16 graph with labels joined on; one write per
+    * session. */
+  val qHnswDiskFiltered = Q("q_hnsw_disk_filtered",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      val h = strat.asInstanceOf[HnswStrategy]
+      val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16disklbl", {
+        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_lbl")
+          .resolve("index").toString
+        // same graph, labels riding along: the build depends on
+        // (id, vector) only, so the registry instance's layers serve the
+        // labeled layout unchanged
+        val labeled = prepared.join(
+          t(s, dir, "embeddings").select(col("vec_id").as("id"), col("label")),
+          Seq("id"))
+        h.writeGraphIndex(labeled, p)
+        p
+      })
+      h.queryFilteredFromDisk(s, path, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10,
+        col("label") % 2 === 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5, " AND s.label % 2 = 0")))
+
+  /** Tombstone DELETE on the graph layout
+    * ([[HnswStrategy.deleteFromDisk]], r12), oracle-checked END TO END:
+    * two ids are tombstoned and the layout's exact mode must equal the
+    * DuckDB ground truth over the surviving rows — deleted rows are GONE
+    * from served results with no data rewrite (one bucketed tombstone
+    * generation; compaction drops them physically, spec-pinned in
+    * ScaleDesignSpec). Completes the graph family's serving CRUD
+    * write → append → delete → compact. Own layout; one write + delete
+    * per session (the delete is idempotent on replay — a tombstone is a
+    * set member). */
+  val qHnswDiskDelete = Q("q_hnsw_disk_delete",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "hnsw16")(
+        HnswStrategy(Metric.Cosine))
+      val h = strat.asInstanceOf[HnswStrategy]
+      val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16diskdel", {
+        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_del")
+          .resolve("index").toString
+        h.writeGraphIndex(prepared, p)
+        import s.implicits._
+        h.deleteFromDisk(s, p, Seq(0L, 1L).toDF("id"))
+        p
+      })
+      h.queryExhaustiveFromDisk(s, path, queriesDf(s, dir, 5)
+        .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5, " AND s.vec_id > 1")))
+
   /** Distributed ANN self-join via IVF cells — the similarity self-join
     * scale path (no broadcast of the store, no driver collect; see
     * `IvfStrategy.selfJoin`). Approximate by probe coverage, so rows-only;
@@ -1970,7 +2035,8 @@ object QueriesVector {
     qPqRerankKnn, qOpqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
     qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
-    qHnswDiskKnnExact, qKnnClassify, qKnnFiltered,
+    qHnswDiskKnnExact, qHnswDiskFiltered, qHnswDiskDelete,
+    qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,
     qIvfPartitionedRadius, qIvfFilteredKnn, qIvfNprobeCurve,
     qEvaluate)

@@ -417,9 +417,12 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // node id become tight ranges, so the pushed `id IN` / `src IN` lists
     // skip row groups — the page-level random-access half of the DiskANN
     // cost model (directory pruning is the other half, and only bites when
-    // a hop's frontier covers fewer buckets than exist)
-    writeGeneration(prepared.select(col("id"), col("vector")), "id",
-      s"$path/vectors", buckets, gen = 0)
+    // a hop's frontier covers fewer buckets than exist). EVERY prepared
+    // column is persisted, not just (id, vector): metadata rides in the
+    // layout so filtered serving ([[queryFilteredFromDisk]]) pushes its
+    // predicate straight into the scan — the walk's own reads still
+    // project (id, vector) only, so they pay nothing for the extras.
+    writeGeneration(prepared, "id", s"$path/vectors", buckets, gen = 0)
     layers.zipWithIndex.foreach { case (g, l) =>
       writeGeneration(g.select("src", "dst"), "src", s"$path/layer_$l",
         buckets, gen = 0)
@@ -447,7 +450,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * orphan invisible), and the CURRENT entry set (recomputed on append —
     * on a single-layer graph the inserted nodes join the entry layer). */
   private def writeGraphMeta(path: String, buckets: Int,
-      generations: Int): Unit = {
+      generations: Int, tombstoneGenerations: Int = 0): Unit = {
     val entries = entryIds.collect().map(_.getLong(0))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -459,10 +462,26 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     root.put("hops", hops)
     root.put("descent_width", descentWidth)
     root.put("generations", generations)
+    root.put("tombstone_generations", tombstoneGenerations)
     val arr = root.putArray("entries")
     entries.foreach(arr.add)
     graft.core.FsIO.write(s"$path/_graph_meta.json",
       mapper.writeValueAsString(root))
+  }
+
+  /** committed tombstone set as an `(id)` frame — None when the layout
+    * has none. Tombstones live as their own `_gen` generations under
+    * `tombstones/`, bucketed like everything else so a membership check
+    * against a bounded candidate set prunes directories; the sidecar
+    * count gates uncommitted generations exactly as for data. */
+  private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): Option[DataFrame] = {
+    val node = meta.get("tombstone_generations")
+    val tGens = if (node == null) 0 else node.asInt()
+    if (tGens <= 0) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .where(col("_gen") < tGens).select("id").distinct())
   }
 
   /** The hierarchical walk served DIRECTLY from a [[writeGraphIndex]]
@@ -537,7 +556,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
           Seq("query_id"), "id", "dist", diskEf)
         .select("query_id", "id", "dist").localCheckpoint()
     }
-    TopK.topKPerGroup(beam, Seq("query_id"), "id", "dist", k)
+    // tombstones (disk delete): deleted nodes still ROUTE — the walk
+    // traverses them exactly as before, the hnswlib mark-deleted
+    // semantics — but are excluded from the served results; the ef-wide
+    // beam is what absorbs the filter (up to ef candidates survive it)
+    val served = tombstoneFrame(spark, path, meta)
+      .fold(beam)(t => beam.join(t, Seq("id"), "left_anti"))
+    TopK.topKPerGroup(served, Seq("query_id"), "id", "dist", k)
   }
 
   /** The one disk accessor every hop goes through: bucket IN-list as a
@@ -584,17 +609,93 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(k >= 1, s"k must be >= 1, got $k")
     val kn = scoringKernel
     val q = kn.walkQueries(queries)
-    val vecs0 = spark.read.parquet(s"$path/vectors")
-    // committed generations only (append-only unique ids → no dedup)
-    val vecs = (if (vecs0.columns.contains("_gen")) {
-      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
-      val g = meta.get("generations")
-      if (g == null) vecs0 else vecs0.where(col("_gen") < g.asInt())
-    } else vecs0).select("id", "vector")
+    val vecs = committedVectors(spark, path).select("id", "vector")
     val pairs = vecs.select("id").crossJoin(q.select("query_id"))
     TopK.topKPerGroup(kn.scoreCandidates(vecs, q, pairs),
       Seq("query_id"), "id", "dist", k)
+  }
+
+  /** the layout's LIVE vector rows: committed generations only, minus
+    * tombstones — exact semantics (a deleted row is GONE here, unlike the
+    * walk where it still routes until compaction) */
+  private def committedVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val vecs0 = spark.read.parquet(s"$path/vectors")
+    if (!vecs0.columns.contains("_gen")) vecs0 // pre-generation layout
+    else {
+      val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+      val g = meta.get("generations")
+      val committed = if (g == null) vecs0
+        else vecs0.where(col("_gen") < g.asInt())
+      tombstoneFrame(spark, path, meta)
+        .fold(committed)(t => committed.join(t, Seq("id"), "left_anti"))
+    }
+  }
+
+  /** Filtered search off the disk layout — the graph family's member of
+    * the filtered-serving set ([[IvfStrategy.queryFilteredFromDisk]]),
+    * with PRE-filter semantics: exact top-k of the surviving subset.
+    * The graph is deliberately bypassed ([[queryFiltered]]'s argument —
+    * an arbitrary predicate can disconnect any graph, and the walk
+    * cannot guarantee k survivors), so this is one filter-pushed,
+    * column-pruned scan of the live vectors: metadata columns ride in
+    * the vectors layout ([[writeGraphIndex]] persists every prepared
+    * column), so simple predicates reach the parquet reader as
+    * PushedFilters and no side join is needed. */
+  def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kn = scoringKernel
+    val q = kn.walkQueries(queries)
+    val vecs = committedVectors(spark, path).where(predicate)
+      .select("id", "vector")
+    val pairs = vecs.select("id").crossJoin(q.select("query_id"))
+    TopK.topKPerGroup(kn.scoreCandidates(vecs, q, pairs),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  /** Tombstone DELETE on the disk-resident graph (completing the graph
+    * family's serving CRUD next to [[appendGraphIndex]] /
+    * [[compactGraphIndex]], the way [[IvfStrategy.deleteFromDisk]]
+    * completes the cell family's): deleted ids land as one bucketed
+    * tombstone generation — no data rewrite, no graph surgery. Until
+    * compaction the nodes still ROUTE (hnswlib's mark-deleted semantics:
+    * removing a hub would tear connectivity) but are excluded from every
+    * served result; [[compactGraphIndex]] then physically drops their
+    * vectors, their adjacency rows, and the edges pointing at them. The
+    * existence check is partition-pruned to the candidates' buckets —
+    * I/O proportional to the delete batch, never the store. Returns the
+    * number of live rows newly tombstoned. */
+  def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+    require(meta.get("generations") != null,
+      s"index at $path predates the generation layout")
+    val buckets = meta.get("buckets").asInt()
+    val tNode = meta.get("tombstone_generations")
+    val tGens = if (tNode == null) 0 else tNode.asInt()
+    val gens = meta.get("generations").asInt()
+    // verify against LIVE rows only, pruned to the candidates' buckets
+    val cand = ids.select("id").distinct()
+    val candIds = cand.collect().map(_.getLong(0))
+    val existing = prunedRead(spark, path, "vectors", "id", candIds,
+      buckets, Seq("id"), gens)
+    val prior = tombstoneFrame(spark, path, meta)
+    val fresh = prior.fold(existing)(t =>
+      existing.join(t, Seq("id"), "left_anti")).cache()
+    val n = fresh.count()
+    if (n > 0) {
+      writeGeneration(fresh, "id", s"$path/tombstones", buckets, tGens)
+      val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.put("tombstone_generations", tGens + 1)
+      graft.core.FsIO.write(s"$path/_graph_meta.json",
+        mapper.writeValueAsString(root))
+    }
+    fresh.unpersist()
+    n
   }
 
   /** ANN threshold semantics: top-max_k then strict `<` (hnsw.py:107-114) */
@@ -661,7 +762,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     nStored += normedNew.count()
     normedNew.unpersist()
     (prevPrepared.unionByName(maybeNormalize(newRows, "vector")),
-      maybeNormalize(newRows, "vector").select("id", "vector"),
+      maybeNormalize(newRows, "vector"), // all columns: metadata rides
       replaced.select("src", "dst"))
   }
 
@@ -692,11 +793,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         "writeGraphIndex before appending")
     val buckets = meta.get("buckets").asInt()
     val gens = meta.get("generations").asInt()
+    val tNode = meta.get("tombstone_generations")
+    val tGens = if (tNode == null) 0 else tNode.asInt()
     val (newPrepared, deltaVecs, deltaAdj) =
       prepareIncrementDelta(prevPrepared, newRows)
     writeGeneration(deltaVecs, "id", s"$path/vectors", buckets, gens)
     writeGeneration(deltaAdj, "src", s"$path/layer_0", buckets, gens)
-    writeGraphMeta(path, buckets, generations = gens + 1)
+    writeGraphMeta(path, buckets, generations = gens + 1,
+      tombstoneGenerations = tGens)
     newPrepared
   }
 
@@ -716,22 +820,58 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(meta.get("generations") != null,
       s"index at $path predates the generation layout")
     val gens = meta.get("generations").asInt()
-    if (gens <= 1) return // already compact
+    val tomb = tombstoneFrame(spark, path, meta)
+    if (gens <= 1 && tomb.isEmpty) return // already compact
     val buckets = meta.get("buckets").asInt()
-    def fold(sub: String, idCol: String): Unit = {
+    // tombstoned nodes leave PHYSICALLY here: their vectors and adjacency
+    // rows drop, and so do edges POINTING at them (a dangling dst is
+    // harmless to the walk — the frontier scoring join skips it — but
+    // dead edges are wasted frontier I/O forever)
+    def fold(sub: String, idCol: String, stripDst: Boolean): Unit = {
       val rows = spark.read.parquet(s"$path/$sub")
         .where(col("_gen") < gens)
       val latest = rows.groupBy(idCol).agg(max("_gen").as("_gen"))
-      val state = rows.join(latest, Seq(idCol, "_gen"))
+      val merged = rows.join(latest, Seq(idCol, "_gen"))
         .drop("_gen", "_nb")
+      val live = tomb.fold(merged)(t => merged.join(
+        t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"))
+      val state = if (stripDst)
+        tomb.fold(live)(t => live.join(
+          t.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+      else live
       val staging = s"$path/$sub" + "__compacting"
       writeGeneration(state, idCol, staging, buckets, gen = 0)
       graft.core.Generations.swapInto(spark, s"$path/$sub", staging)
     }
-    fold("vectors", "id")
-    fold("layer_0", "src")
+    fold("vectors", "id", stripDst = false)
+    val nLayers = meta.get("n_layers").asInt()
+    // layer 0 always folds (it takes insert deltas); upper layers only
+    // need a rewrite when tombstones must leave them
+    fold("layer_0", "src", stripDst = true)
+    if (tomb.nonEmpty)
+      for (l <- 1 until nLayers) fold(s"layer_$l", "src", stripDst = true)
     val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
     root.put("generations", 1)
+    // the tombstones are spent: drop the set and reset the count; a
+    // tombstoned id also leaves the sidecar entry list (its vector is
+    // gone — it can no longer route)
+    if (tomb.nonEmpty) {
+      val eIt = meta.get("entries").elements()
+      val entryArr = Iterator.continually(eIt).takeWhile(_.hasNext)
+        .map(_.next().asLong()).toArray
+      // bounded pull: only tombstones that hit the (≤ max(ef, 2m)-sized)
+      // entry list come back, never the whole delete history
+      val dead = tomb.get
+        .where(col("id").isin(entryArr.map(java.lang.Long.valueOf).toSeq: _*))
+        .collect().map(_.getLong(0)).toSet
+      val kept = entryArr.filterNot(dead)
+      val arr = root.putArray("entries")
+      kept.foreach(arr.add)
+      root.put("tombstone_generations", 0)
+      val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
     graft.core.FsIO.write(s"$path/_graph_meta.json",
       mapper.writeValueAsString(root))
   }

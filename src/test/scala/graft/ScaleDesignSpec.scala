@@ -624,4 +624,64 @@ class ScaleDesignSpec extends SparkSpec {
     prepared.unpersist()
     VerifyIO.deleteRec(root.toFile)
   }
+
+  test("HNSW disk delete: tombstones exclude served results while still " +
+      "routing; compaction drops them physically; filtered serving works") {
+    import graft.index.HnswStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val strat = HnswStrategy(graft.core.Metric.Cosine)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_hnswdel")
+    val path = root.resolve("index").toString
+    strat.writeGraphIndex(prepared, path)
+    val delIds = Seq(0L, 1L).toDF("id")
+    assert(strat.deleteFromDisk(spark, path, delIds) == 2L)
+    // idempotent: replaying the same delete tombstones nothing new
+    assert(strat.deleteFromDisk(spark, path, delIds) == 0L)
+    // 1. the walk never serves a deleted id, and equals the in-memory
+    //    ef-wide beam with the deleted filtered out (mark-deleted
+    //    semantics: routing unchanged, results exclude)
+    val dsk = strat.queryFromDisk(spark, path, queries, 10).collect()
+    assert(!dsk.exists(r => r.getLong(1) <= 1L), "served a deleted id")
+    val memBeam = strat.query(prepared, queries, strat.efSearch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = memBeam.filterNot(_._2 <= 1L).groupBy(_._1).toSeq
+      .flatMap { case (_, rs) => rs.sortBy(t => (t._3, t._2)).take(10) }
+      .map(t => (t._1, t._2)).toSet
+    assert(dsk.map(r => (r.getLong(0), r.getLong(1))).toSet == expect,
+      "disk walk != memory beam minus tombstones")
+    // 2. exact mode treats deleted as GONE: equals the exact filtered
+    //    top-k of the surviving subset
+    val dskX = strat.queryExhaustiveFromDisk(spark, path, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memX = strat.queryFiltered(prepared.where($"id" > 1L), queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dskX == memX)
+    // 3. filtered serving composes with tombstones: predicate survivors
+    //    minus deleted, exact
+    val dskF = strat.queryFilteredFromDisk(spark, path, queries, 10,
+      col("id") % 2 === 0)
+    val gotF = dskF.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotF.forall(p => p._2 % 2 == 0 && p._2 > 1L))
+    val memF = strat.queryFiltered(
+      prepared.where($"id" % 2 === 0 && $"id" > 1L), queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotF == memF)
+    // 4. compaction physically removes the two rows + the tombstone set;
+    //    exact results are unchanged (routing-independent)
+    val before = spark.read.parquet(s"$path/vectors").count()
+    strat.compactGraphIndex(spark, path)
+    assert(spark.read.parquet(s"$path/vectors").count() == before - 2)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val dskX2 = strat.queryExhaustiveFromDisk(spark, path, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dskX2 == memX, "compaction changed exact results")
+    val dsk2 = strat.queryFromDisk(spark, path, queries, 10).collect()
+    assert(dsk2.nonEmpty && !dsk2.exists(_.getLong(1) <= 1L))
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
