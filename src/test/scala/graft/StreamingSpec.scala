@@ -224,6 +224,60 @@ class StreamingSpec extends SparkSpec {
     assert(qps > 0 && recall >= 0.8, s"recall=$recall")
   }
 
+  test("DISK index freshness mid-stream: each micro-batch appends a " +
+      "generation the disk walk serves immediately; compaction folds the " +
+      "stream's generations") {
+    // the r12 composition closing verdict r11 #5 end to end: streaming
+    // inserts land via appendGraphIndex, so DISK serving keeps pace with
+    // the live graph — not just the in-memory instance (the test above)
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.index.HnswStrategy
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextDouble() - 0.5)
+    val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
+    val strat = HnswStrategy(Metric.Cosine)
+    @volatile var prepared = strat.prepare(store)
+    val root = java.nio.file.Files.createTempDirectory("graft_hnsw_stream")
+    val path = root.resolve("index").toString
+    strat.writeGraphIndex(prepared, path)
+    @volatile var nextId = 60L
+    @volatile var misses = 0
+    val input = MemoryStream[Seq[Double]]
+    val q = input.toDF().toDF("vector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getSeq[Double](0).toSeq).toSeq
+        if (rows.nonEmpty) {
+          val newRows = rows.zipWithIndex
+            .map { case (x, i) => (nextId + i, x) }.toDF("id", "vector")
+          prepared = strat.appendGraphIndex(prepared, newRows, path)
+          nextId += rows.length
+          // every vector of the batch must be served FROM DISK the moment
+          // its generation commits (its own nearest, distance 0)
+          val qdf = newRows.select(col("id").as("query_id"),
+            col("vector").as("qvector"))
+          val got = strat.queryFromDisk(spark, path, qdf, 1).collect()
+          misses += rows.length -
+            got.count(r => r.getLong(0) == r.getLong(1) &&
+              r.getDouble(2) < 1e-9)
+        }
+      }.start()
+    (0 until 3).foreach { _ =>
+      input.addData((0 until 4).map(_ => vec()): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(misses === 0,
+      s"$misses streamed vectors not immediately servable from disk")
+    // compaction folds base + 3 stream generations to one; nothing lost
+    strat.compactGraphIndex(spark, path)
+    val genDirs = new java.io.File(s"$path/vectors").listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).toSeq
+    assert(genDirs == Seq("_gen=0"))
+    assert(spark.read.parquet(s"$path/vectors").count() === 72L)
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("streaming near-dup maintenance: batches dedup against the growing signature snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.Dedup
