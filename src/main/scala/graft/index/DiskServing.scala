@@ -1,0 +1,64 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** The disk-resident serving contract (verdict r11 #8): every index
+  * family that answers TOP-K straight off its partitioned parquet layout
+  * implements ONE interface, so a serving tier routes on capability
+  * flags instead of per-family reflection. Members: [[IvfStrategy]]
+  * (flat cells), [[IvfSq8Strategy]] (scalar-coded cells),
+  * [[IvfPqStrategy]] (PQ-coded cells, rerank included), and
+  * [[HnswStrategy]] (per-hop graph walk). The BQ family's MIH layout
+  * serves the RADIUS shape instead ([[BqStrategy.mihRadiusFromDisk]]) —
+  * it shares the maintenance conventions (partition-pruned reads,
+  * sidecar metadata, generation snapshots) but not the top-k entry
+  * point, so it deliberately stays outside this trait rather than
+  * shoehorning Hamming-ball semantics into a k parameter.
+  *
+  * Writing the layout stays the family's own entry point
+  * ([[IndexStrategy.writeIndex]] for the cell families,
+  * [[HnswStrategy.writeGraphIndex]] for the graph) because layouts
+  * differ in KIND — cells scan, graphs hop — and a serving tier writes
+  * once at build time but queries forever; the uniform surface is the
+  * query/maintenance side.
+  *
+  * Capability flags default to false; a family that implements an
+  * optional operation overrides the flag AND the method together, so
+  * `supportsX` is always an honest router predicate.
+  */
+trait DiskServing { self: IndexStrategy =>
+
+  /** Top-k served from the layout at `path` — identical results to
+    * [[IndexStrategy.query]] on the in-memory prepared frame
+    * (spec-pinned per family). */
+  def queryFromDisk(spark: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame
+
+  /** Pre-filter metadata search off the layout (k results survive
+    * arbitrarily selective predicates; the metadata column rides IN the
+    * layout so the predicate reaches the scan). */
+  def supportsDiskFiltered: Boolean = false
+  def queryFilteredFromDisk(spark: SparkSession, path: String,
+      queries: DataFrame, k: Int, predicate: Column): DataFrame =
+    throw new UnsupportedOperationException(
+      s"$name does not serve filtered queries from disk")
+
+  /** Radius search off the same layout (the families whose kernel has a
+    * distance-threshold form). */
+  def supportsDiskThreshold: Boolean = false
+  def queryThresholdFromDisk(spark: SparkSession, path: String,
+      queries: DataFrame, threshold: Double, maxK: Int): DataFrame =
+    throw new UnsupportedOperationException(
+      s"$name does not serve threshold queries from disk")
+
+  /** Delete against the layout — partition-scoped rewrite (cell
+    * families) or tombstone generations (graph family); returns rows
+    * removed/newly tombstoned. `rows` must carry `id`; families that
+    * compute the touched partition FROM the vector (IVF) require
+    * `vector` too — see each implementation's scaladoc. */
+  def supportsDiskDelete: Boolean = false
+  def deleteFromDisk(spark: SparkSession, path: String,
+      rows: DataFrame): Long =
+    throw new UnsupportedOperationException(
+      s"$name does not delete from disk")
+}

@@ -57,7 +57,7 @@ import graft.functions.TopK
 case class HnswStrategy(metric: Metric, m: Int = 16,
     efConstruction: Int = 200, efSearch: Int = 64, seed: Long = 42L,
     hops: Int = 2, descentWidth: Int = 4,
-    smallBuildElems: Long = 4L << 20) extends IndexStrategy {
+    smallBuildElems: Long = 4L << 20) extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the HNSW backend.")
   require(m >= 2, s"m must be >= 2, got $m")
@@ -494,8 +494,8 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * convention as the MIH probe keys — so the `IN`-list prune is known
     * before each scan starts. Candidates, scores, and tie-breaks are
     * identical to the in-memory walk (spec-asserted equality). */
-  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int): DataFrame = {
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
@@ -643,7 +643,8 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * the vectors layout ([[writeGraphIndex]] persists every prepared
     * column), so simple predicates reach the parquet reader as
     * PushedFilters and no side join is needed. */
-  def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -668,7 +669,8 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * existence check is partition-pruned to the candidates' buckets —
     * I/O proportional to the delete batch, never the store. Returns the
     * number of live rows newly tombstoned. */
-  def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame): Long = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = mapper.readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))

@@ -33,7 +33,7 @@ private[index] case class QueryAdc(qid: Long, probes: Array[Int],
   */
 case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     m: Int = 8, nbits: Int = 8, rerank: Boolean = false,
-    rerankFactor: Int = 4, seed: Long = 42L) extends IndexStrategy {
+    rerankFactor: Int = 4, seed: Long = 42L) extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the IVFPQ backend.")
   require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
@@ -269,8 +269,8 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * identical to [[query]] on the in-memory prepared frame
     * (spec-pinned at pruned nprobe; oracle-checked exact through the
     * rerank path at nprobe = nlist). */
-  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, kTop: Int): DataFrame = {
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, kTop: Int): DataFrame = {
     require(codebooks != null, "IvfPqStrategy.prepare must run before query")
     query(spark.read.parquet(path), queries, kTop)
   }

@@ -19,7 +19,7 @@ import graft.core.Metric
   */
 case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     rerank: Boolean = false, rerankFactor: Int = 4, seed: Long = 42L)
-  extends IndexStrategy {
+  extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the IVF-scalar backend.")
   val name = "ivf_scalar"
@@ -78,8 +78,8 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * variant reads the raw vectors of the probed cells in a SECOND,
     * survivor-joined pass — the refine step pays full-precision I/O only
     * for candidates. */
-  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int): DataFrame = {
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
     require(ivf.isTrained && sq.isTrained,
       "IvfSq8Strategy.prepare must run before query")
     query(spark.read.parquet(path), queries, k)
@@ -87,7 +87,8 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
 
   /** [[queryFromDisk]] for the range-search entry point: same pruned
     * quantized scan, same FAISS strict-`<` masked-distance semantics. */
-  def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, threshold: Double,
       maxK: Int): DataFrame = {
     require(ivf.isTrained && sq.isTrained,

@@ -24,7 +24,7 @@ import graft.functions.{TopK, VectorFunctions}
   * (≙ FAISS `add` after `train`); delete is unsupported (`faiss.py:163-165`).
   */
 case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
-    seed: Long = 42L) extends IndexStrategy {
+    seed: Long = 42L) extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the IVF backend.")
   val name = "ivf"
@@ -153,8 +153,8 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * cell matching happens in the same broadcast equi-join as the
     * in-memory path, so results are identical to [[query]] on the
     * prepared frame (spec-pinned). */
-  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int): DataFrame = {
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
     val pruned = spark.read.parquet(path)
       .where(col("_centroid").isInCollection(probeCells(queries)))
@@ -173,7 +173,8 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * The metadata column rides in the index layout (prepare/writeIndex
     * pass extra store columns through untouched), so no side join is
     * needed at query time. */
-  def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
@@ -187,7 +188,8 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * partition-pruned scan, same FAISS strict-`<` threshold semantics as
     * [[queryThreshold]] — the disk-resident index serves BOTH query
     * shapes through one layout. */
-  def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, threshold: Double,
       maxK: Int): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
@@ -210,8 +212,9 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * overwrite of a path being read), which also handles the edge dynamic
     * partition overwrite silently skips: a cell emptied by the delete is
     * removed outright. Returns the number of rows removed. */
-  def deleteFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
-      deletes: DataFrame): Long = {
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletes: DataFrame): Long = {
     require(centroids != null, "IvfStrategy.prepare must run before delete")
     val del = maybeNormalize(deletes, "vector")
       .select(col("id"),

@@ -684,4 +684,31 @@ class ScaleDesignSpec extends SparkSpec {
     prepared.unpersist()
     VerifyIO.deleteRec(root.toFile)
   }
+
+  test("DiskServing contract: capability flags route honestly across the " +
+      "four top-k disk families; unsupported ops throw") {
+    import graft.index._
+    import graft.core.Metric
+    val fams: Seq[(IndexStrategy with DiskServing, Boolean, Boolean, Boolean)] =
+      Seq(
+        (IvfStrategy(Metric.Cosine), true, true, true),
+        (IvfSq8Strategy(Metric.Cosine), false, true, false),
+        (IvfPqStrategy(Metric.Cosine), false, false, false),
+        (HnswStrategy(Metric.Cosine), true, false, true))
+    fams.foreach { case (f, filt, thresh, del) =>
+      assert(f.supportsDiskFiltered == filt, s"${f.name} filtered flag")
+      assert(f.supportsDiskThreshold == thresh, s"${f.name} threshold flag")
+      assert(f.supportsDiskDelete == del, s"${f.name} delete flag")
+    }
+    // an unsupported op fails loudly, never silently misroutes
+    intercept[UnsupportedOperationException] {
+      IvfPqStrategy(Metric.Cosine)
+        .deleteFromDisk(spark, "/nonexistent", Seq(1L).toDF("id"))
+    }
+    intercept[UnsupportedOperationException] {
+      IvfSq8Strategy(Metric.Cosine).queryFilteredFromDisk(spark,
+        "/nonexistent", Seq((0L, Seq(0.0))).toDF("query_id", "qvector"),
+        1, col("id") > 0)
+    }
+  }
 }
