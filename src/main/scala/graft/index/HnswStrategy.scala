@@ -589,7 +589,10 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         .distinct.map(Integer.valueOf).toSeq
       val filtered = base.where(col("_nb").isin(nbs: _*) &&
         col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
-      val out = if (hasGen) {
+      // the latest-wins dedup join only exists when deltas exist: a
+      // single-generation layout (fresh write, or post-compaction — the
+      // steady serving state) reads with the r11 single-scan plan
+      val out = if (hasGen && maxGen > 1) {
         val latest = filtered.groupBy(idCol).agg(max("_gen").as("_gen"))
         filtered.join(latest, Seq(idCol, "_gen"))
       } else filtered
