@@ -84,6 +84,33 @@ class Vicinity private (
       .select("query_id", "id", "item", "dist", "rank")
   }
 
+  /** Disk-resident serving at the FACADE level — the deployment story's
+    * API face over [[graft.index.DiskServing]]: persist the serving
+    * layout once at build time and answer top-k straight off it with no
+    * resident index ([[save]]/[[load]] remain the reference-parity
+    * portability format; this is the query-optimized one, partitioned
+    * for pruning). Capability-gated per physical strategy — the
+    * per-backend surface-gating convention [[insert]]/[[delete]]
+    * already use: the IVF/quantized families and the graph family
+    * serve from disk; BASIC and the LSH family raise. */
+  def writeServingIndex(path: String): Unit = strategy match {
+    case d: graft.index.DiskServing => d.writeServingIndex(prepared, path)
+    case _ => throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) has no disk-serving layout.")
+  }
+
+  /** Top-k from a [[writeServingIndex]] layout, item-joined like every
+    * facade query — same output schema as [[queryDf]]. */
+  def queryFromDiskDf(path: String, queries: DataFrame, k: Int): DataFrame =
+    strategy match {
+      case d: graft.index.DiskServing =>
+        val res = d.queryFromDisk(spark, path, queries, k)
+        res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+          .select("query_id", "id", "item", "dist", "rank")
+      case _ => throw new UnsupportedOperationException(
+        s"Backend ${backend.name} (${strategy.name}) has no disk-serving layout.")
+    }
+
   /** Driver-side result, one list per query vector of (item, dist) pairs —
     * the reference's `SimilarityResult` shape (`datatypes.py:12-16`).
     */

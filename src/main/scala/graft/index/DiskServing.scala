@@ -28,6 +28,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 trait DiskServing { self: IndexStrategy =>
 
+  /** Write the family's serving layout — the cell families' partitioned
+    * [[IndexStrategy.writeIndex]] by default; the graph family overrides
+    * to its bucketed graph layout. The one write a serving tier performs
+    * at build time; everything else on this trait reads it. */
+  def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    self.writeIndex(prepared, path)
+
   /** Top-k served from the layout at `path` — identical results to
     * [[IndexStrategy.query]] on the in-memory prepared frame
     * (spec-pinned per family). */

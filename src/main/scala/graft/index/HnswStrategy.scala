@@ -409,6 +409,10 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * groups passing the pushed `src IN` / `id IN` filters — I/O
     * proportional to the frontier (the SSD-DiskANN cost model), never to
     * the store. */
+  /** the graph family's serving layout IS [[writeGraphIndex]] */
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    writeGraphIndex(prepared, path)
+
   def writeGraphIndex(prepared: DataFrame, path: String,
       buckets: Int = 16): Unit = {
     require(layers != null,

@@ -410,4 +410,41 @@ class VicinitySpec extends SparkSpec {
         s"${backend.name}: filtered top-10 != exact filtered top-10")
     }
   }
+
+  test("writeServingIndex/queryFromDiskDf: facade-level disk serving " +
+      "(exact-probe IVF == in-memory; graph walk == in-memory; basic raises)") {
+    import org.apache.spark.sql.functions.col
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, queryVec)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val root = java.nio.file.Files.createTempDirectory("graft_facade_disk")
+    def served(v: graft.api.Vicinity, sub: String) = {
+      val p = root.resolve(sub).toString
+      v.writeServingIndex(p)
+      (v.queryDf(q, 10).collect().map(r => (r.getLong(1), r.getInt(4))).toSet,
+        v.queryFromDiskDf(p, q, 10).collect()
+          .map(r => (r.getLong(1), r.getInt(4))).toSet)
+    }
+    // exact probe (nlist = 4 → the engine's nprobe floor of 4 covers every
+    // cell): disk == memory, decision for decision
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 4)))
+    val (ivfMem, ivfDsk) = served(ivf, "ivf")
+    assert(ivfDsk == ivfMem, "facade IVF disk serving != in-memory")
+    // graph family routes through its graph layout (disk == memory walk)
+    val hnsw = build(Backend.Hnsw)
+    val (hMem, hDsk) = served(hnsw, "hnsw")
+    assert(hDsk == hMem, "facade HNSW disk serving != in-memory walk")
+    // no layout for the exact backend — gated like insert/delete
+    intercept[UnsupportedOperationException] {
+      basic.writeServingIndex(root.resolve("basic").toString)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
