@@ -195,6 +195,45 @@ object QueriesAnalytics {
       ORDER BY event_id
     """))
 
+  /** last-touch attribution — the bread-and-butter use of the BOUNDED
+    * backward as-of (r12): each purchase attributed to the user's most
+    * recent click within ONE HOUR; a purchase with no click inside the
+    * window is unattributed and drops (inner semantics). The exact shape
+    * an unbounded backward match gets wrong (crediting a click from
+    * three years prior). Same single-exchange union-window plan. */
+  val qAsofAttribution = Q("q_asof_attribution",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_s"))
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts_s").as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+      AsofJoin.asof(purchases, clicks, "user_id", "c_user", "ts_s", "c_ts",
+        Seq("click_id", "c_ts"), direction = "backward",
+        tolerance = Some(3600L))
+        .select(col("event_id"), col("user_id"), col("click_id"),
+          (col("ts_s") - col("c_ts")).cast("long").as("secs_since_click"))
+        .orderBy("event_id")
+    },
+    Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events),
+      purch AS (
+        SELECT event_id, user_id, ts_s FROM ev WHERE event_type = 'purchase'),
+      clk AS (
+        SELECT user_id AS c_user, ts_s AS c_ts, max(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+      SELECT p.event_id, p.user_id, c.click_id,
+             p.ts_s - c.c_ts AS secs_since_click
+      FROM purch p ASOF JOIN clk c
+        ON p.user_id = c.c_user AND p.ts_s >= c.c_ts
+      WHERE p.ts_s - c.c_ts <= 3600
+      ORDER BY p.event_id
+    """))
+
   /** sessionization: a 30-minute inactivity gap starts a new session */
   val qSessionize = Q("q_sessionize",
     (s, dir) => {
@@ -1010,6 +1049,7 @@ object QueriesAnalytics {
     """))
 
   val all: Seq[Q] = Seq(qAsofJoin, qAsofForward, qAsofNearest, qAsofTolerance,
+    qAsofAttribution,
     qSessionize, qRangeJoin, qPivot,
     qUnpivot,
     qPercentiles, qAggExtras, qHistogram, qRollup, qGroupingSets, qFunnelSteps,

@@ -102,6 +102,56 @@ object QueriesPipeline {
       ORDER BY doc_id
     """))
 
+  /** Canonical-survivor selection per near-dup cluster (r12) — what a
+    * production dedup actually keeps: not the min-id member but the
+    * HIGHEST-QUALITY one (quality proxy here = text length; real
+    * pipelines plug in the Gopher/logreg score through the same shape).
+    * The argmax is the window-free packed-BIGINT max the funnel query
+    * established — pk = len·10^7 + (10^7−1−doc_id), so max() prefers
+    * longer text and breaks ties on the SMALLER doc id, single-column in
+    * both engines — one |cluster|-keyed hash aggregate over the shared
+    * component labels, no window, no per-cluster sort. Emits the keep
+    * decision a rewrite join consumes: (cluster, canonical, size, len). */
+  val qClusterCanonical = Q("q_cluster_canonical",
+    (s, dir) => {
+      val labels = PrepCache.components(s, dir)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val scored = labels.join(
+        t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("_len")),
+        "doc_id")
+      scored
+        .withColumn("_pk", col("_len") * lit(10000000L) +
+          (lit(9999999L) - col("doc_id")))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"), max("_pk").as("_mx"))
+        .select(col("cluster_id"),
+          (lit(9999999L) - pmod(col("_mx"), lit(10000000L)))
+            .as("canonical_id"),
+          col("cluster_size"),
+          floor(col("_mx") / lit(10000000L)).cast("long")
+            .as("canonical_len"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      $componentsSql
+      scored AS (
+        SELECT l.comp AS cluster_id, l.doc_id,
+               CAST(length(d.text) AS BIGINT) * 10000000
+                 + (9999999 - l.doc_id) AS pk
+        FROM labels l JOIN documents d USING (doc_id)),
+      agg AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+               max(pk) AS mx
+        FROM scored GROUP BY 1)
+      SELECT cluster_id,
+             9999999 - (mx % 10000000) AS canonical_id,
+             cluster_size,
+             mx // 10000000 AS canonical_len
+      FROM agg
+      ORDER BY cluster_id
+    """))
+
   /** Snapshot diff — the corpus-versioning op every managed 100 TB
     * dataset needs ("what changed between yesterday's snapshot and
     * today's"): two snapshot views of the documents table (A drops
@@ -2432,7 +2482,8 @@ object QueriesPipeline {
       ORDER BY query_id, rank
     """))
 
-  val all: Seq[Q] = Seq(qSkewStats, qDedupClusters, qIncrementalClusters, qSnapshotDiff,
+  val all: Seq[Q] = Seq(qSkewStats, qDedupClusters, qClusterCanonical,
+    qIncrementalClusters, qSnapshotDiff,
     qDedupTriangles,
     qMaxsim, qMaxsimPruned,
     qTfidf, qRepetition, qSampleHash,
