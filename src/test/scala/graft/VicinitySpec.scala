@@ -447,4 +447,68 @@ class VicinitySpec extends SparkSpec {
     }
     VerifyIO.deleteRec(root.toFile)
   }
+
+  test("facade disk serving: threshold/filtered/delete/describe ride the " +
+      "full DiskServing surface (verdict r12 #3, stretch #8)") {
+    import org.apache.spark.sql.functions.col
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, queryVec)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val root = java.nio.file.Files.createTempDirectory("graft_facade_crud")
+    // exact probe (nlist=4 → nprobe floor 4 covers every cell): the
+    // facade disk paths must be decision-for-decision ≡ their in-memory
+    // facade siblings
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 4)))
+    val ip = root.resolve("ivf").toString
+    ivf.writeServingIndex(ip)
+    val thMem = ivf.queryThresholdDf(q, 0.5).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9))).toSet
+    val thDsk = ivf.queryThresholdFromDiskDf(ip, q, 0.5).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9))).toSet
+    assert(thMem.nonEmpty && thDsk == thMem,
+      "facade disk threshold != in-memory threshold")
+    val flMem = ivf.queryFilteredDf(q, 10, col("id") % 2 === 0).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    val flDsk = ivf.queryFilteredFromDiskDf(ip, q, 10, col("id") % 2 === 0)
+      .collect().map(r => (r.getLong(1), r.getInt(4))).toSet
+    assert(flDsk == flMem, "facade disk filtered != in-memory filtered")
+    assert(flDsk.forall(_._1 % 2 == 0), "facade disk filtered leaked ids")
+    // cell-family describeServing: partition shape without reading data
+    val ivfDesc = ivf.describeServing(ip)
+    assert(ivfDesc("family") == "cells" && ivfDesc("partitions").toInt > 0 &&
+      ivfDesc("bytes").toLong > 0, s"bad cell describe: $ivfDesc")
+    // graph family: facade delete tombstones and every disk read honors it
+    val hnsw = build(Backend.Hnsw)
+    val hp = root.resolve("hnsw").toString
+    hnsw.writeServingIndex(hp)
+    val before = hnsw.queryFromDiskDf(hp, q, 5).collect()
+      .map(_.getLong(1)).toSeq
+    val victim = before.head
+    val ids = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(victim)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    assert(hnsw.deleteFromDisk(hp, ids) == 1L)
+    val after = hnsw.queryFromDiskDf(hp, q, 5).collect()
+      .map(_.getLong(1)).toSeq
+    assert(!after.contains(victim), "facade disk delete not honored")
+    val hDesc = hnsw.describeServing(hp)
+    assert(hDesc("family") == "graph" &&
+      hDesc("tombstone_generations").toInt == 1 &&
+      hDesc("generations").toInt == 1, s"bad graph describe: $hDesc")
+    // capability gating: the graph family has no disk-threshold form
+    intercept[UnsupportedOperationException] {
+      hnsw.queryThresholdFromDiskDf(hp, q, 0.5)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
