@@ -453,6 +453,32 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** The LSH family's DISK-SERVING anchor (verdict r12 #4 — the one
+    * index family that raised on writeServingIndex): the lsh32x5
+    * registry index persisted to its probe-pruned layout
+    * ([[LshStrategy.writeServingIndex]]: `_pk`-partitioned postings +
+    * id-bucketed rerank vectors), then answered in the provably-exact
+    * exhaustive mode ([[LshStrategy.queryExhaustiveFromDisk]]: all-pairs
+    * candidates over the layout's vectors side, so the rerank IS brute
+    * force) — the exact cosine oracle pins the whole round trip:
+    * partitioned write, payload recovery, rerank join, rank. The pruned
+    * ANN path over the SAME layout is spec-pinned decision-for-decision
+    * against the in-memory index, with the probe IN-list asserted as a
+    * partition filter (ScaleDesignSpec). */
+  val qLshPartitionedKnn = Q("q_lsh_partitioned_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "lsh32x5")(
+        LshStrategy(Metric.Cosine, nTables = 32, nBits = 5))
+      val path = diskIvfPath(s, dir, "lsh32x5", strat, prepared,
+        serving = true)
+      strat.asInstanceOf[LshStrategy].queryExhaustiveFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
   /** ANN top-k via IVF/KMeans cells (B5-ivf family) — rows-only check. */
   val qIvfKnn = Q("q_ivf_knn",
     (s, dir) => {
@@ -1792,11 +1818,17 @@ object QueriesVector {
     * per (session, dir, key); returns the path (the production shape writes
     * the index in the build job and serves every later query from disk) */
   private def diskIvfPath(s: SparkSession, dir: String, key: String,
-      strat: graft.index.IndexStrategy, prepared: DataFrame): String =
+      strat: graft.index.IndexStrategy, prepared: DataFrame,
+      serving: Boolean = false): String =
     mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/$key", {
       val path = java.nio.file.Files.createTempDirectory(s"graft_$key")
         .resolve("index").toString
-      strat.writeIndex(prepared, path)
+      // serving = families whose layout entry point is the DiskServing
+      // face rather than the cell write (LSH's postings+vectors pair)
+      if (serving)
+        strat.asInstanceOf[graft.index.DiskServing]
+          .writeServingIndex(prepared, path)
+      else strat.writeIndex(prepared, path)
       path
     })
 
@@ -2076,7 +2108,8 @@ object QueriesVector {
     qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,
-    qLshKnnExact, qIvfKnn, qIvfRadiusExact, qSq8Radius, qIvfSq8Radius,
+    qLshKnnExact, qLshPartitionedKnn, qIvfKnn, qIvfRadiusExact,
+    qSq8Radius, qIvfSq8Radius,
     qIvfSq8PartitionedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
     qBqMihPartitioned, qBqFactorCurve, qIvfBqKnn, qIvfBqKnnExact,

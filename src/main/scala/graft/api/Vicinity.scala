@@ -91,8 +91,10 @@ class Vicinity private (
     * portability format; this is the query-optimized one, partitioned
     * for pruning). Capability-gated per physical strategy — the
     * per-backend surface-gating convention [[insert]]/[[delete]]
-    * already use: the IVF/quantized families and the graph family
-    * serve from disk; BASIC and the LSH family raise. */
+    * already use: the IVF/quantized families, the graph family, and the
+    * LSH family serve from disk; BASIC raises (an exact scan has no
+    * structure to prune — there is nothing a layout could serve that a
+    * plain parquet table does not already). */
   def writeServingIndex(path: String): Unit = strategy match {
     case d: graft.index.DiskServing => d.writeServingIndex(prepared, path)
     case _ => throw new UnsupportedOperationException(

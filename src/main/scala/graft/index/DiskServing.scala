@@ -7,8 +7,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * implements ONE interface, so a serving tier routes on capability
   * flags instead of per-family reflection. Members: [[IvfStrategy]]
   * (flat cells), [[IvfSq8Strategy]] (scalar-coded cells),
-  * [[IvfPqStrategy]] (PQ-coded cells, rerank included), and
-  * [[HnswStrategy]] (per-hop graph walk). The BQ family's MIH layout
+  * [[IvfPqStrategy]] (PQ-coded cells, rerank included),
+  * [[HnswStrategy]] (per-hop graph walk), and [[LshStrategy]]
+  * (probe-pruned (table, bucket) postings + id-bucketed rerank
+  * vectors). The BQ family's MIH layout
   * serves the RADIUS shape instead ([[BqStrategy.mihRadiusFromDisk]]) —
   * it shares the maintenance conventions (partition-pruned reads,
   * sidecar metadata, generation snapshots) but not the top-k entry

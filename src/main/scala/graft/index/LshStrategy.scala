@@ -44,7 +44,7 @@ import graft.functions.{TopK, VectorFunctions}
   */
 case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     w: Double = 1.0, seed: Long = 42L, nProbes: Int = 0)
-    extends IndexStrategy {
+    extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the LSH backend.")
   require(nProbes >= 0 && nProbes <= nBits,
@@ -193,6 +193,216 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val capped = TopK.topKPerGroup(candidates(prepared, queries),
       Seq("query_id"), "id", "dist", maxK)
     capped.where(col("dist") < threshold).drop("rank") // strict <: hnsw.py:111
+  }
+
+  // --------------------------------------------------------------------
+  // Disk-resident serving (verdict r12 #4 — the one index family that
+  // raised on writeServingIndex despite its naturally partitionable
+  // (table, bucket) hash-table structure; reference users coming from
+  // annoy.py:99-104 save/load expect the family to persist-and-serve).
+  //
+  // Layout:
+  //   postings/  (id, table, bucket) WITHOUT the vector payload,
+  //              partitioned by ONE combined key
+  //              `_pk = table·subBuckets + pmod(bucket, subBuckets)`
+  //              (the BQ-MIH `_pk` lesson: a query batch's (table,
+  //              bucket) probe PAIRS prune directories exactly, where
+  //              two separate partition columns would prune on the
+  //              cross product of the per-column IN-lists), sorted by
+  //              bucket within files so the pushed `bucket IN (...)`
+  //              filter skips row groups via parquet min/max stats.
+  //   vectors/   the full prepared rows (id, vector, extra metadata
+  //              columns) WITHOUT the bucket arrays, partitioned by
+  //              `_nb = pmod(xxhash64(id), vecBuckets)` — the rerank
+  //              join runs on (_nb, id), so Spark's dynamic partition
+  //              pruning can skip vector directories no candidate
+  //              touches; filtered serving's predicate pushes into
+  //              this same scan.
+  //   _lsh_meta.json  writer config (metric/tables/bits/w/seed + the
+  //              partition fans) — a reader with mismatched hash
+  //              config would probe buckets that do not line up, so
+  //              serving REQUIRES the instance to match the sidecar
+  //              (the appendGraphIndex discipline).
+  //
+  // At 100 TB: a query batch enumerates its probe keys driver-side
+  // (bounded by |queries| × nTables × (1+nProbes), never by the store),
+  // reads ~|probed buckets|/|all buckets| of the postings table via
+  // directory pruning, and reranks only colliding candidates. Delete
+  // stays unsupported on disk as in memory (family semantics:
+  // hnsw.py:103-105).
+  // --------------------------------------------------------------------
+
+  /** per-table partition fan of the postings layout; 16 × nTables dirs */
+  private val subBuckets = 16
+  /** id-hash partition fan of the vectors sub-layout */
+  private val vecBuckets = 64
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
+    val dim = prepared.select(size(col("vector"))).limit(1).head.getInt(0)
+    postings(prepared)
+      .withColumn("_pk",
+        col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets)))
+      .repartition(col("_pk"))
+      .sortWithinPartitions("bucket")
+      .write.mode("overwrite").partitionBy("_pk")
+      .parquet(s"$path/postings")
+    prepared.drop("_buckets")
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .repartition(col("_nb"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").partitionBy("_nb")
+      .parquet(s"$path/vectors")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("metric", metric.name)
+    root.put("n_tables", nTables)
+    root.put("n_bits", nBits)
+    root.put("w", w)
+    root.put("seed", seed)
+    root.put("dim", dim)
+    root.put("sub_buckets", subBuckets)
+    root.put("vec_buckets", vecBuckets)
+    graft.core.FsIO.write(s"$path/_lsh_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  /** Fail fast on a hash-config mismatch — probing with different
+    * planes/quantization than the layout was hashed with would silently
+    * return garbage candidates, so every disk read verifies first. */
+  private def readMeta(path: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(graft.core.FsIO.exists(s"$path/_lsh_meta.json"),
+      s"no LSH serving layout at $path (missing _lsh_meta.json)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_lsh_meta.json"))
+    require(meta.get("metric").asText() == metric.name &&
+        meta.get("n_tables").asInt() == nTables &&
+        meta.get("n_bits").asInt() == nBits &&
+        meta.get("w").asDouble() == w &&
+        meta.get("seed").asLong() == seed,
+      s"layout at $path was hashed with " +
+        s"(metric=${meta.get("metric").asText()}, " +
+        s"tables=${meta.get("n_tables").asInt()}, " +
+        s"bits=${meta.get("n_bits").asInt()}, w=${meta.get("w").asDouble()}, " +
+        s"seed=${meta.get("seed").asLong()}); this instance has " +
+        s"(${metric.name}, $nTables, $nBits, $w, $seed) — serve with a " +
+        "matching configuration")
+    meta
+  }
+
+  /** the vectors sub-layout, ready for (_nb, id) candidate joins */
+  private def diskVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/vectors")
+
+  /** Candidate (query_id, id) pairs off the pruned postings read: probe
+    * keys enumerated driver-side from the QUERY batch, pushed into the
+    * scan twice — `_pk IN` prunes directories, `bucket IN` skips row
+    * groups — then the same broadcast equi-join as the in-memory path.
+    * Probes exactly the buckets [[candidatePairs]] probes, so the
+    * candidate set (and therefore every served result) is identical to
+    * the in-memory path's, decision for decision (spec-pinned). */
+  private def diskCandidates(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, dim: Int): DataFrame = {
+    val qPost = queries
+      .withColumn("_buckets",
+        probeBucketsUdf(dim)(col("qvector").cast("array<double>")))
+      .select(col("query_id"), posexplode(col("_buckets")))
+      .toDF("query_id", "pos", "bucket")
+      .select(col("query_id"),
+        (col("pos") / (1 + nProbes)).cast("int").as("table"), col("bucket"))
+    val probes = qPost.select("table", "bucket").distinct().collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    val probePks = probes
+      .map { case (t, b) => t.toLong * subBuckets + Math.floorMod(b, subBuckets.toLong) }
+      .distinct.toSeq
+    val probeVals = probes.map(_._2).distinct.toSeq
+    spark.read.parquet(s"$path/postings")
+      .where(col("_pk").isin(probePks: _*) &&
+        col("bucket").isin(probeVals: _*))
+      .join(broadcast(qPost), Seq("table", "bucket"))
+      .select("query_id", "id").distinct()
+  }
+
+  /** exact rerank of disk candidates: (_nb, id) join against the vectors
+    * sub-layout (DPP-prunable), then the same kernel as [[rerank]] */
+  private def rerankFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, cands: DataFrame): DataFrame = {
+    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
+    cands
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .join(diskVectors(spark, path).select(col("_nb"), col("id"),
+        col("vector")), Seq("_nb", "id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvector"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+  }
+
+  /** Top-k served from the [[writeServingIndex]] layout — identical
+    * results to [[query]] on the in-memory prepared frame (the disk path
+    * probes the same buckets and reranks with the same kernel). */
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = readMeta(path)
+    val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
+    val cands = diskCandidates(spark, path, q, meta.get("dim").asInt())
+    TopK.topKPerGroup(rerankFromDisk(spark, path, q, cands),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  /** [[queryExhaustive]] served from the layout's vectors side: all-pairs
+    * candidates, so the rerank IS brute force and the result provably the
+    * exact top-k — the family's oracle anchor THROUGH the disk round trip
+    * (pins the partitioned write, payload recovery, rerank join, rank),
+    * mirroring [[HnswStrategy]]'s exhaustive disk sibling. */
+  def queryExhaustiveFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    readMeta(path)
+    val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
+    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
+    val scored = diskVectors(spark, path).select(col("id"), col("vector"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("qvector"))))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+    TopK.topKPerGroup(scored, Seq("query_id"), "id", "dist", k)
+  }
+
+  /** [[queryThreshold]] off the same layout — strict `<` and the max_k
+    * cap (hnsw.py:107-114), same pruned candidate read. */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
+    val meta = readMeta(path)
+    val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
+    val cands = diskCandidates(spark, path, q, meta.get("dim").asInt())
+    val capped = TopK.topKPerGroup(rerankFromDisk(spark, path, q, cands),
+      Seq("query_id"), "id", "dist", maxK)
+    capped.where(col("dist") < threshold).drop("rank")
+  }
+
+  /** Pre-filter serving: candidates ∩ predicate-survivors — identical to
+    * the in-memory [[IndexStrategy.queryFiltered]] set (filtering the
+    * postings before the bucket join and filtering the vectors at the
+    * rerank select the same (query, id) pairs), with the predicate
+    * pushed into the vectors scan (metadata columns ride in the
+    * layout). */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = readMeta(path)
+    val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
+    val cands = diskCandidates(spark, path, q, meta.get("dim").asInt())
+    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
+    val scored = cands
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .join(diskVectors(spark, path).where(predicate), Seq("_nb", "id"))
+      .join(broadcast(q.select(col("query_id"), col("qvector"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+    TopK.topKPerGroup(scored, Seq("query_id"), "id", "dist", k)
   }
 }
 

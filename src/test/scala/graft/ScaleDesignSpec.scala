@@ -275,6 +275,72 @@ class ScaleDesignSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("disk-resident LSH serving: probe keys prune postings partitions, " +
+      "disk == memory decision for decision (verdict r12 #4)") {
+    import graft.index.LshStrategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"), $"label")
+    val strat = LshStrategy(graft.core.Metric.Cosine, nTables = 8, nBits = 5)
+    val prepared = strat.prepare(store).cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_lshdisk")
+      .resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    // ANN path: the disk read probes exactly the buckets the in-memory
+    // path probes, so results are identical including ranks
+    val fromDisk = strat.queryFromDisk(spark, path, queries, 10)
+    val mem = strat.query(prepared, queries, 10).collect().toSet
+    assert(fromDisk.collect().toSet === mem,
+      "LSH disk serving != in-memory LSH")
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val postScans = fileScans(fromDisk.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("_pk"))
+    assert(postScans.nonEmpty, "no partitioned scan of the postings found")
+    // 3 queries × 8 tables probe ≤ 24 of the 8×16 = 128 possible _pk
+    // directories: the IN-list must arrive as a partition filter and the
+    // scan must read only probed directories
+    val scanned = postScans.map(_.selectedPartitions.partitionCount).sum
+    assert(scanned <= 24, s"postings scan read $scanned partition dirs, " +
+      "probe set is at most 24")
+    assert(postScans.exists(_.toString.contains("PartitionFilters")),
+      "probe keys did not reach the postings scan as a partition filter")
+    // threshold path rides the same pruned candidates
+    val thDsk = strat.queryThresholdFromDisk(spark, path, queries, 0.5, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val thMem = strat.queryThreshold(prepared, queries, 0.5, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(thDsk == thMem, "LSH disk threshold != in-memory threshold")
+    // filtered path: pre-filter semantics, predicate pushed to the
+    // vectors scan (metadata rides in the layout)
+    val pred = $"label" >= 1
+    val flDsk = strat.queryFilteredFromDisk(spark, path, queries, 10, pred)
+    val flMem = strat.queryFiltered(prepared.where(pred), queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flDsk.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == flMem, "LSH disk filtered != in-memory filtered")
+    assert(fileScans(flDsk.queryExecution.executedPlan)
+        .exists(s => s.metadata.get("PushedFilters")
+          .exists(_.contains("label"))),
+      "label predicate did not reach PushedFilters on the vectors scan")
+    // config mismatch fails fast instead of probing garbage buckets
+    intercept[IllegalArgumentException] {
+      LshStrategy(graft.core.Metric.Cosine, nTables = 4, nBits = 5)
+        .queryFromDisk(spark, path, queries, 10)
+    }
+    prepared.unpersist()
+  }
+
   test("disk-resident IVF delete rewrites only the affected cell partitions") {
     import graft.index.IvfStrategy
     val store = sf("embeddings")
