@@ -10,35 +10,85 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Calibration instruments (verdict r12 #1a: the driver's r12 run was
+    // 1.36× the builder's at the SAME HEAD and the artifact carried
+    // nothing to tell ambient load from a regression):
+    //  - gcMs(): cumulative JVM GC time — a loaded/overcommitted box shows
+    //    up as GC inflation;
+    //  - probe(): a pinned pure-CPU codegen loop (same work every round,
+    //    every machine) timed at start and end — the ratio against a quiet
+    //    run IS the ambient slowdown factor, independent of the queries;
+    //  - load average + cpu count at start and end.
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).filter(_ > 0).sum
+    }
+    def loadAvg(): Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    def probe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(500000000L).selectExpr("sum(id * 3 + 1)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // warm the JVM/codegen/parquet-footer paths so startup cost doesn't land
     // on whichever query happens to run first — all three hot tables, not
     // just lineitem (documents/embeddings footer reads were landing on the
     // alphabetically-first query that touched each)
     spark.range(1000).selectExpr("sum(id)").collect()
-    Seq("lineitem", "documents", "embeddings").foreach { tbl =>
-      spark.read.parquet(s"$sfDir/$tbl.parquet").limit(10).count() }
     // Per-query warmup pass (verdict r7 #6): rounds 6/7 ran byte-identical
     // binaries yet swung ±13× on individual queries (q_gopher_rules
     // 0.84→10.88 s) — JIT compilation, codegen caching, parquet page-cache
     // faults, and one-time registry index builds were landing on whichever
-    // timed pass hit them first. Run each query once untimed, then report
-    // the timed steady-state pass. SPARK_GRAFT_WARMUP=0 restores the
-    // single-pass cold numbers.
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    // timed pass hit them first. Modes (SPARK_GRAFT_WARMUP):
+    //  "1" (default) — run each query once untimed, report the timed
+    //      steady-state second pass;
+    //  "light" (verdict r12 #6) — CONSTRUCT each query's DataFrame and
+    //      force its physical plan + codegen compile (queryExecution.toRdd
+    //      builds the RDD lineage and compiles generated code WITHOUT
+    //      running a job), but skip the untimed execution. One-time
+    //      registry builds, disk layouts, and shared cached frames are
+    //      eager side effects of construction, so they stay absorbed in
+    //      warmup; Janino's generated-source cache makes the timed pass's
+    //      own compile nearly free. The timed pass still RECONSTRUCTS the
+    //      frame (construction-eager queries — driver walks, the evaluate
+    //      grid — do their work at fn() time; reusing the warmed frame
+    //      would report ~0 s for them). ~35% less total wall;
+    //  "0" — single-pass cold numbers.
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1")
+    val tables =
+      if (warmupMode == "light")
+        // no untimed execution will fault data pages into the OS page
+        // cache, so materialize EVERY table fully up front
+        new java.io.File(sfDir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+      else Seq("lineitem.parquet", "documents.parquet", "embeddings.parquet")
+    tables.foreach { tbl =>
+      val t = spark.read.parquet(s"$sfDir/$tbl")
+      if (warmupMode == "light") t.queryExecution.toRdd.foreach(_ => ())
+      else t.limit(10).count()
+    }
+    val probeStart = probe()
+    val loadStart = loadAvg()
+    val gcStart = gcMs()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      if (warmup) {
-        // NonFatal only (advice r8): a warmup OOM/VM error must fail loudly,
-        // not leave the timed pass running in a silently degraded heap
-        try fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
-        catch { case scala.util.control.NonFatal(_) => () } // re-surfaces in the timed pass
+      if (warmupMode != "0") {
+        // NonFatal only (advice r8): a warmup OOM/VM error must fail
+        // loudly, not leave the timed pass in a silently degraded heap
+        try {
+          val rdd = fn(spark, sfDir).queryExecution.toRdd // plan + codegen
+          if (warmupMode != "light") rdd.foreach(_ => ())
+        } catch { case scala.util.control.NonFatal(_) => () } // re-surfaces timed
       }
+      val train0 = graft.core.BuildCounters.trainings.get()
       val t0 = System.nanoTime()
       // materialize every column (count() would let Catalyst prune the
       // projections and under-measure projection-heavy queries)
       val ok = try { fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ()); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val trained = graft.core.BuildCounters.trainings.get() - train0
+      (name, (System.nanoTime() - t0) / 1e9, ok, trained)
     }
     // The driver keeps only a ~2000-char stdout tail; at 105 queries the
     // full per-query map is ~2300 chars and truncating the line's HEAD made
@@ -46,17 +96,31 @@ object Bench {
     // map on stdout (always < 2000 chars) and the complete per-query map to
     // BENCH_FULL.json for the judge.
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    def qmap(rs: Seq[(String, Double, Boolean)]): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + sec(v) }
+    def qmap(rs: Seq[(String, Double, Boolean, Long)]): String =
+      rs.map { case (k, v, _, _) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
+    // index trainings that leaked into a TIMED run (must be empty: every
+    // one-time build belongs to warmup/construction — a non-empty map here
+    // is the eviction/re-train smoking gun the r12 verdict asked for)
+    val timedTrainings = results.filter(_._4 > 0)
+      .map { case (k, _, _, n) => "\"" + k + "\":" + n }
+      .mkString("{", ",", "}")
+    val probeEnd = probe()
+    val calib =
+      s""""calibration":{"probe_start_sec":${sec(probeStart)},""" +
+      s""""probe_end_sec":${sec(probeEnd)},"gc_ms":${gcMs() - gcStart},""" +
+      s""""load_avg_start":${"%.2f".formatLocal(java.util.Locale.ROOT, loadStart)},""" +
+      s""""load_avg_end":${"%.2f".formatLocal(java.util.Locale.ROOT, loadAvg())},""" +
+      s""""cpus":"$cpus","warmup":"$warmupMode",""" +
+      s""""timed_trainings":$timedTrainings}"""
     val total = results.map(_._2).sum
     val slowest = results.sortBy(-_._2).take(20).sortBy(_._1)
     val line =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(slowest)},"failed":$failed,$calib,"sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":${qmap(results)},"failed":$failed,$calib,"sf":"$sfDir"}"""
     val fullOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "/root/repo/BENCH_FULL.json")
     try {

@@ -1662,23 +1662,30 @@ object QueriesVector {
       // so the average is driven from the (strategy × gt query) grid.
       // All builds come from the shared registry, so the q_*_knn
       // queries serve from the same instances at no extra cost.
-      val tagged = Seq(
-        lsh.queryFromCandidates(lshPrep, q, lshCands, k)
-          .withColumn("strategy", lit("lsh")),
-        lshMp.queryFromCandidates(lshPrep, q, mpCands, k)
-          .withColumn("strategy", lit("lsh_mp")),
-        ivf.query(ivfPrep, q, k).withColumn("strategy", lit("ivf")),
-        ivfpq.query(ivfpqPrep, q, k).withColumn("strategy", lit("ivfpq")),
-        ivfsq8.query(ivfsq8Prep, q, k)
-          .withColumn("strategy", lit("ivf_scalar")),
-        sq8.query(sq8Prep, q, k).withColumn("strategy", lit("sq8")),
-        pq.query(pqPrep, q, k).withColumn("strategy", lit("pq")),
-        opq.query(opqPrep, q, k).withColumn("strategy", lit("opq")),
-        bq.query(bqPrep, q, k).withColumn("strategy", lit("bq")),
-        ivfbq.query(ivfbqPrep, q, k)
-          .withColumn("strategy", lit("ivf_binary")),
-        hnsw.query(hnswPrep, q, k).withColumn("strategy", lit("hnsw")),
-        nnd.query(nndPrep, q, k).withColumn("strategy", lit("nndescent")))
+      // Branch CONSTRUCTION runs as futures (verdict r12 #5): the graph
+      // families' query() is a driver-local walk at this scale — real
+      // driver CPU at construction time — and the quantized families run
+      // probe/codebook lookups; constructing the twelve branches
+      // concurrently overlaps that driver work. The union order stays
+      // fixed (futures are awaited in sequence position), so the emitted
+      // frame is bit-identical to the sequential form.
+      val branchFs = Seq[(String, () => DataFrame)](
+        ("lsh", () => lsh.queryFromCandidates(lshPrep, q, lshCands, k)),
+        ("lsh_mp", () => lshMp.queryFromCandidates(lshPrep, q, mpCands, k)),
+        ("ivf", () => ivf.query(ivfPrep, q, k)),
+        ("ivfpq", () => ivfpq.query(ivfpqPrep, q, k)),
+        ("ivf_scalar", () => ivfsq8.query(ivfsq8Prep, q, k)),
+        ("sq8", () => sq8.query(sq8Prep, q, k)),
+        ("pq", () => pq.query(pqPrep, q, k)),
+        ("opq", () => opq.query(opqPrep, q, k)),
+        ("bq", () => bq.query(bqPrep, q, k)),
+        ("ivf_binary", () => ivfbq.query(ivfbqPrep, q, k)),
+        ("hnsw", () => hnsw.query(hnswPrep, q, k)),
+        ("nndescent", () => nnd.query(nndPrep, q, k)))
+        .map { case (n, mkDf) =>
+          Future(mkDf().withColumn("strategy", lit(n))) }
+      val tagged = branchFs
+        .map(f => Await.result(f, Duration.Inf))
         .map(_.select("strategy", "query_id", "dist"))
         .reduce(_ unionByName _)
       val hits = tagged.join(gt, "query_id")

@@ -83,6 +83,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       // isTrained == true and later inserts assigned to a null cell that
       // no probe list ever selects
       require(n > 0, "cannot train an IVF codebook on an empty store")
+      graft.core.BuildCounters.trainings.incrementAndGet()
       val k = math.min(nlist, math.max(1, n.toInt))
       val dim = if (n == 0) 1 else normed.select(size(col("vector"))).head.getInt(0)
       if (n * dim <= smallTrainElems) {

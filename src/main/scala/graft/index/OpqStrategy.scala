@@ -99,6 +99,7 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
 
   def prepare(store: DataFrame): DataFrame = {
     if (rot == null) {
+      graft.core.BuildCounters.trainings.incrementAndGet()
       // rotation chosen from the covariance of what gets quantized: the
       // normalized store for cosine, the raw store for euclidean
       val basis = maybeNormalize(store, "vector")

@@ -92,6 +92,7 @@ private[index] object PqCore {
   def train(sample: Array[Array[Double]], m: Int, k: Int,
       seed: Long): (Array[Array[Array[Double]]], Array[Int]) = {
     require(sample.nonEmpty, "cannot train PQ codebooks on an empty sample")
+    graft.core.BuildCounters.trainings.incrementAndGet()
     val ranges = subRanges(sample(0).length, m)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration

@@ -96,6 +96,7 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
             (mn1, mx1)
         })
     lo = mins; hi = maxs
+    graft.core.BuildCounters.trainings.incrementAndGet()
   }
 
   private def quantized(normed: DataFrame): DataFrame = {
