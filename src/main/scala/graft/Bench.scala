@@ -71,7 +71,14 @@ object Bench {
     val probeStart = probe()
     val loadStart = loadAvg()
     val gcStart = gcMs()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run to named queries — the
+    // targeted perf loop (iterate on one query's plan without paying the
+    // full-surface wall). Never set on driver/artifact runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       if (warmupMode != "0") {
         // NonFatal only (advice r8): a warmup OOM/VM error must fail
         // loudly, not leave the timed pass in a silently degraded heap
