@@ -51,6 +51,12 @@ object QueriesPipeline {
     * over the verified pair set, ending in `labels(doc_id, comp)`. Shared
     * by the q_dedup_clusters and q_leakage_safe_split oracles — one copy of
     * the reach CTE, exactly like pairsSql is one copy of the shingling. */
+  /** DuckDB literal list of [[TF.stopwords]] — same rendering as the
+    * QueriesText oracles, so the quality-keyed canonical survivor scores
+    * with exactly q_quality_logreg's signal pipeline */
+  private val stopwordsSql =
+    TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
   private val componentsSql = s"""
       $pairsSql
       edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
@@ -157,6 +163,101 @@ object QueriesPipeline {
              9999999 - (mx % 10000000) AS canonical_id,
              cluster_size,
              mx // 10000000 AS canonical_len
+      FROM agg
+      ORDER BY cluster_id
+    """))
+
+  /** Canonical-survivor selection keyed on MODEL QUALITY (verdict r12
+    * stretch): the same window-free packed-BIGINT argmax as
+    * [[qClusterCanonical]], but the survivor is the cluster member with
+    * the highest q_quality_logreg logit instead of the longest text —
+    * the policy a production dedup actually runs (keep the best-scoring
+    * duplicate, not the longest). The logit (identical signal pipeline
+    * to q_quality_logreg, rounded to 6 decimals on both engines) maps to
+    * a non-negative integer key qk = round((logit + 16)·10^6) — the
+    * logit is bounded in (−10, 4) by its weights, so the +16 shift keeps
+    * qk positive and the pack pk = qk·10^7 + (10^7−1−doc_id) inside
+    * BIGINT with the same smaller-id tiebreak. One |cluster|-keyed hash
+    * aggregate, no window; the decode recovers the winning logit as
+    * canonical_quality. */
+  val qClusterCanonicalQuality = Q("q_cluster_canonical_quality",
+    (s, dir) => {
+      val labels = PrepCache.components(s, dir)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      val sw = array(TF.stopwords.map(lit): _*)
+      val nwS = round(least(size(col("_w")) / lit(100.0), lit(1.0)), 6)
+      val stopS = round(
+        size(filter(col("_w"), w => array_contains(sw, w))) /
+          greatest(size(col("_w")), lit(1)), 6)
+      val punctS = round(TF.punctCount(col("text")) /
+        greatest(length(col("text")), lit(1)), 6)
+      val quality = t(s, dir, "documents")
+        .withColumn("_w", TF.words(col("text")))
+        .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
+        .withColumn("_dup2", round(
+          when(size(col("_g")) === 0, lit(0.0))
+            .otherwise(lit(1.0) -
+              size(array_distinct(col("_g"))) / size(col("_g"))), 6))
+        .withColumn("_lq", round(
+          lit(2.0) * nwS + lit(3.0) * stopS - lit(4.0) * punctS -
+            lit(5.0) * col("_dup2") - lit(1.0), 6))
+        .select(col("doc_id"),
+          round((col("_lq") + lit(16.0)) * lit(1000000.0)).cast("long")
+            .as("_qk"))
+      labels.join(quality, "doc_id")
+        .withColumn("_pk",
+          when(col("doc_id") > lit(9999999L) || col("doc_id") < lit(0L),
+            raise_error(concat(lit("doc_id outside packing base [0, 1e7): "),
+              col("doc_id").cast("string"))).cast("long"))
+          .otherwise(col("_qk") * lit(10000000L) +
+            (lit(9999999L) - col("doc_id"))))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"), max("_pk").as("_mx"))
+        .select(col("cluster_id"),
+          (lit(9999999L) - pmod(col("_mx"), lit(10000000L)))
+            .as("canonical_id"),
+          col("cluster_size"),
+          round(floor(col("_mx") / lit(10000000L)) / lit(1000000.0) -
+            lit(16.0), 6).as("canonical_quality"))
+        .orderBy("cluster_id")
+    },
+    Some(s"""
+      $componentsSql
+      sig AS (
+        SELECT doc_id,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0), 6)
+                 AS nw_s,
+               round(len(list_filter(string_split(text, ' '),
+                       w -> list_contains($stopwordsSql, w))) * 1.0 /
+                     greatest(len(string_split(text, ' ')), 1), 6) AS stop_s,
+               round((length(text) -
+                      length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1), 6) AS punct_s,
+               round(CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1]))) * 1.0 /
+                      (len(string_split(text, ' ')) - 1)
+                 END, 6) AS dup2
+        FROM documents),
+      zq AS (
+        SELECT doc_id,
+               CAST(round((round(2.0 * nw_s + 3.0 * stop_s - 4.0 * punct_s
+                 - 5.0 * dup2 - 1.0, 6) + 16) * 1000000) AS BIGINT) AS qk
+        FROM sig),
+      scored AS (
+        SELECT l.comp AS cluster_id, l.doc_id,
+               z.qk * 10000000 + (9999999 - l.doc_id) AS pk
+        FROM labels l JOIN zq z USING (doc_id)),
+      agg AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size,
+               max(pk) AS mx
+        FROM scored GROUP BY 1)
+      SELECT cluster_id,
+             9999999 - (mx % 10000000) AS canonical_id,
+             cluster_size,
+             round((mx // 10000000) / 1000000.0 - 16, 6) AS canonical_quality
       FROM agg
       ORDER BY cluster_id
     """))
@@ -2492,6 +2593,7 @@ object QueriesPipeline {
     """))
 
   val all: Seq[Q] = Seq(qSkewStats, qDedupClusters, qClusterCanonical,
+    qClusterCanonicalQuality,
     qIncrementalClusters, qSnapshotDiff,
     qDedupTriangles,
     qMaxsim, qMaxsimPruned,

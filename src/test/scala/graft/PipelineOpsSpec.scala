@@ -324,6 +324,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(badMin.isEmpty)
   }
 
+  test("q_cluster_canonical_quality: survivor is the max-logit member, " +
+      "smaller id on ties") {
+    val canon = Queries.queryMap("q_cluster_canonical_quality")(spark, dir)
+    val clusters = Queries.queryMap("q_dedup_clusters")(spark, dir)
+      .select("doc_id", "cluster_id")
+    val logit = Queries.queryMap("q_quality_logreg")(spark, dir)
+      .select(col("doc_id"), col("logit"))
+    // independent argmax via a window over the joined frames
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("logit").desc, col("doc_id"))
+    val expect = clusters.join(logit, "doc_id")
+      .withColumn("_r", row_number().over(w)).where(col("_r") === 1)
+      .select(col("cluster_id"), col("doc_id").as("e_id"),
+        col("logit").as("e_q"))
+    val joined = canon.join(expect, "cluster_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("canonical_id") === r.getAs[Long]("e_id"),
+        s"cluster ${r.getAs[Long]("cluster_id")}: wrong survivor")
+      assert(math.abs(r.getAs[Double]("canonical_quality") -
+        r.getAs[Double]("e_q")) < 1e-9,
+        s"cluster ${r.getAs[Long]("cluster_id")}: decoded quality drifted")
+    }
+    // same cluster set and sizes as the length-keyed variant
+    val base = Queries.queryMap("q_cluster_canonical")(spark, dir)
+      .select("cluster_id", "cluster_size")
+    assert(canon.select("cluster_id", "cluster_size").except(base).isEmpty)
+    assert(base.except(canon.select("cluster_id", "cluster_size")).isEmpty)
+  }
+
   test("q_tfidf: 3 rows per doc that has >= 3 distinct terms; ranks 1..3") {
     val out = Queries.queryMap("q_tfidf")(spark, dir)
     val byDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"),
