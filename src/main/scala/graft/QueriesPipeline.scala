@@ -733,6 +733,87 @@ object QueriesPipeline {
       GROUP BY 1, 2 ORDER BY 1, 2
     """))
 
+  /** Embedding-distribution drift monitor — the ops check a managed
+    * corpus runs when a new crawl lands: per-label centroid shift
+    * between two snapshot views of the embeddings table (A drops
+    * vec_id % 11 == 0, B drops % 13 == 0 — the same deterministic
+    * snapshot stand-ins as [[qSnapshotDiff]]). Emits per label the
+    * snapshot sizes and the cosine between the two centroids; a
+    * centroid_cos well below 1 flags a label whose embedding mass
+    * moved (crawl drift, encoder change, ingestion bug).
+    *
+    * Scale shape: ONE table scan — both snapshots come from
+    * conditional aggregation inside the same posexplode pass (no
+    * second scan, no self-join), partial-aggregated to |labels|·d mean
+    * cells; the cosine is a |labels|-keyed aggregate over those cells.
+    * Replay stability: per-cell means are rounded to 6 decimals (the
+    * proven [[qCentroids]] idiom) and then SCALED TO INTEGERS, so the
+    * cosine's dot/norm sums are exact BIGINT arithmetic in both
+    * engines — summation order cannot drift the result; the only
+    * float op left is one divide + two sqrts over exact integers.
+    * Bounds: |mean| ≤ max|v|, so ma6 ≤ ~1e7 and the dot sum stays
+    * far inside BIGINT at any real dimension. */
+  val qEmbeddingDrift = Q("q_embedding_drift",
+    (s, dir) => {
+      val inA = (col("vec_id") % 11) =!= 0
+      val inB = (col("vec_id") % 13) =!= 0
+      val cells = t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), posexplode(col("embedding")))
+        .toDF("label", "vec_id", "pos", "v")
+        .groupBy("label", "pos")
+        .agg(
+          round(sum(when(inA, col("v")).otherwise(lit(0.0))) /
+            greatest(sum(when(inA, 1).otherwise(0)), lit(1)) *
+            lit(1000000.0)).cast("long").as("ma6"),
+          round(sum(when(inB, col("v")).otherwise(lit(0.0))) /
+            greatest(sum(when(inB, 1).otherwise(0)), lit(1)) *
+            lit(1000000.0)).cast("long").as("mb6"),
+          sum(when(inA && col("pos") === 0, 1L).otherwise(0L)).as("na_c"),
+          sum(when(inB && col("pos") === 0, 1L).otherwise(0L)).as("nb_c"))
+      cells.groupBy("label")
+        .agg(
+          sum("na_c").cast("long").as("n_a"),
+          sum("nb_c").cast("long").as("n_b"),
+          sum(col("ma6") * col("mb6")).as("_dot"),
+          sum(col("ma6") * col("ma6")).as("_sa"),
+          sum(col("mb6") * col("mb6")).as("_sb"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(when(col("_sa") === 0 || col("_sb") === 0, lit(0.0))
+            .otherwise(col("_dot") /
+              (sqrt(col("_sa")) * sqrt(col("_sb")))), 6)
+            .as("centroid_cos"))
+        .orderBy("label")
+    },
+    Some("""
+      WITH cells AS (
+        SELECT label, CAST(p.i AS BIGINT) AS pos,
+               CAST(round(sum(CASE WHEN vec_id % 11 <> 0
+                       THEN embedding[CAST(p.i AS INT) + 1] ELSE 0 END)
+                 / greatest(sum(CASE WHEN vec_id % 11 <> 0 THEN 1 ELSE 0 END),
+                            1) * 1000000) AS BIGINT) AS ma6,
+               CAST(round(sum(CASE WHEN vec_id % 13 <> 0
+                       THEN embedding[CAST(p.i AS INT) + 1] ELSE 0 END)
+                 / greatest(sum(CASE WHEN vec_id % 13 <> 0 THEN 1 ELSE 0 END),
+                            1) * 1000000) AS BIGINT) AS mb6,
+               sum(CASE WHEN vec_id % 11 <> 0 AND p.i = 0 THEN 1 ELSE 0 END)
+                 AS na_c,
+               sum(CASE WHEN vec_id % 13 <> 0 AND p.i = 0 THEN 1 ELSE 0 END)
+                 AS nb_c
+        FROM embeddings, UNNEST(range(0, len(embedding))) AS p(i)
+        GROUP BY 1, 2),
+      agg AS (
+        SELECT label, CAST(sum(na_c) AS BIGINT) AS n_a,
+               CAST(sum(nb_c) AS BIGINT) AS n_b,
+               sum(ma6 * mb6) AS dot, sum(ma6 * ma6) AS sa,
+               sum(mb6 * mb6) AS sb
+        FROM cells GROUP BY 1)
+      SELECT label, n_a, n_b,
+             round(CASE WHEN sa = 0 OR sb = 0 THEN 0.0
+               ELSE dot / (sqrt(sa) * sqrt(sb)) END, 6) AS centroid_cos
+      FROM agg
+      ORDER BY label
+    """))
+
   /** Benchmark-contamination check: corpus documents sharing any word-5-gram
     * with the "evaluation set" (stand-in: doc_id < 20) and how many distinct
     * grams leak. Scale shape: the benchmark gram set is eval-benchmark-sized
@@ -2603,7 +2684,7 @@ object QueriesPipeline {
     qVocab,
     qNormalizeText,
     qPackChunks,
-    qChunkOverlap, qCentroids,
+    qChunkOverlap, qCentroids, qEmbeddingDrift,
     qContamination, qBloomContamination, qSaltedAgg, qInterleave, qShardSplit,
     qEpochShuffle,
     qSemdedup, qBm25,

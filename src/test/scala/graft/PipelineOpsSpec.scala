@@ -355,6 +355,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(base.except(canon.select("cluster_id", "cluster_size")).isEmpty)
   }
 
+  test("q_embedding_drift: snapshot counts match direct filters, " +
+      "heavily-overlapping snapshots stay near cosine 1") {
+    val out = Queries.queryMap("q_embedding_drift")(spark, dir).collect()
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nA = emb.where(col("vec_id") % 11 =!= 0)
+      .groupBy("label").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val nB = emb.where(col("vec_id") % 13 =!= 0)
+      .groupBy("label").count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val lbl = r.get(0)
+      assert(r.getAs[Long]("n_a") === nA(lbl), s"n_a wrong for $lbl")
+      assert(r.getAs[Long]("n_b") === nB(lbl), s"n_b wrong for $lbl")
+      val cos = r.getAs[Double]("centroid_cos")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9,
+        s"cosine out of range for $lbl: $cos")
+      // A and B share ~83% of rows, but label centroids of this
+      // synthetic corpus are NEAR-ZERO vectors (components cancel), so
+      // a ~9% membership change can legitimately swing the direction —
+      // sf0.01 measures as low as 0.89. Positive-and-high still holds;
+      // anti-correlated or orthogonal centroids would mean a bug.
+      assert(cos > 0.5, s"drift implausibly large for $lbl: $cos")
+    }
+  }
+
   test("q_tfidf: 3 rows per doc that has >= 3 distinct terms; ranks 1..3") {
     val out = Queries.queryMap("q_tfidf")(spark, dir)
     val byDoc = out.groupBy("doc_id").agg(count(lit(1)).as("n"),
