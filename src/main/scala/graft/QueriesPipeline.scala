@@ -1356,6 +1356,90 @@ object QueriesPipeline {
       ORDER BY rank
     """))
 
+  // ----------------------------------------------------- q_retrieval_overlap
+  /** Lexical-vs-vector overlap@k — the diagnostic that JUSTIFIES hybrid
+    * search before anyone ships it: how many of the BM25 top-k and the
+    * embedding-cosine top-k are the same documents, at k = 10/25/50/100
+    * (same deterministic rankings as [[qRrfFusion]]). Low overlap means
+    * the retrievers are complementary and fusion pays; overlap ~1 means
+    * one retriever is redundant. Emits (k, n_overlap, jaccard).
+    *
+    * Plan: the two rank lists are the same bounded-heap top-100 frames
+    * the fusion queries build (≤100 rows each — broadcast join), and the
+    * four k-levels come from ONE conditional aggregate over the joined
+    * ranks reshaped by `stack` — no per-k rescans, no window. At 100 TB
+    * the cost lives in the upstream rankings, shared shape with
+    * [[qBm25]] / [[qRrfFusion]]. */
+  val qRetrievalOverlap = Q("q_retrieval_overlap",
+    (s, dir) => {
+      val bm = graft.functions.TopK.topKPerGroup(
+          bm25Scores(s, dir).where(col("doc_id") =!= 0)
+            .select(lit(1).as("_g"), col("doc_id"), (-col("bm25")).as("_neg")),
+          Seq("_g"), "doc_id", "_neg", 100)
+        .select(col("doc_id"), col("rank").cast("long").as("r_bm25"))
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qv"))
+      val ve = graft.functions.TopK.topKPerGroup(
+          emb.where(col("vec_id") =!= 0)
+            .select(col("vec_id").as("doc_id"),
+              col("embedding").cast("array<double>").as("v"))
+            .crossJoin(broadcast(qv))
+            .select(lit(1).as("_g"), col("doc_id"), greatest(
+              graft.functions.VectorFunctions.cosine_distance(
+                col("v"), col("qv")), lit(0.0)).as("_d")),
+          Seq("_g"), "doc_id", "_d", 100)
+        .select(col("doc_id"), col("rank").cast("long").as("r_vec"))
+      val ks = Seq(10, 25, 50, 100)
+      val both = bm.join(broadcast(ve), "doc_id")
+      val counts = both.agg(
+        coalesce(sum(when(col("r_bm25") <= ks.head &&
+          col("r_vec") <= ks.head, 1L).otherwise(0L)), lit(0L))
+          .as(s"_o${ks.head}"),
+        ks.tail.map(k => coalesce(sum(when(col("r_bm25") <= k &&
+          col("r_vec") <= k, 1L).otherwise(0L)), lit(0L)).as(s"_o$k")): _*)
+      counts.select(expr(
+          "stack(4, 10L, _o10, 25L, _o25, 50L, _o50, 100L, _o100) " +
+            "AS (k, n_overlap)"))
+        .select(col("k"), col("n_overlap"),
+          round(col("n_overlap") * lit(1.0) /
+            (lit(2L) * col("k") - col("n_overlap")), 6).as("jaccard"))
+        .orderBy("k")
+    },
+    Some(s"""
+      WITH $bm25Sql,
+      bm AS (
+        SELECT doc_id, r_bm25 FROM (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+          FROM perdoc WHERE doc_id <> 0)
+        WHERE r_bm25 <= 100),
+      ve AS (
+        SELECT doc_id, r_vec FROM (
+          SELECT s.vec_id AS doc_id,
+                 row_number() OVER (ORDER BY
+                   greatest(1 - list_cosine_similarity(
+                     CAST(s.embedding AS DOUBLE[]),
+                     CAST(q.embedding AS DOUBLE[])), 0), s.vec_id) AS r_vec
+          FROM embeddings s
+          CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+          WHERE s.vec_id <> 0)
+        WHERE r_vec <= 100),
+      j AS (SELECT bm.doc_id, r_bm25, r_vec FROM bm JOIN ve USING (doc_id)),
+      o AS (
+        SELECT k.k,
+               CAST(coalesce(sum(CASE WHEN j.r_bm25 <= k.k
+                 AND j.r_vec <= k.k THEN 1 ELSE 0 END), 0) AS BIGINT)
+                 AS n_overlap
+        FROM (VALUES (10), (25), (50), (100)) k(k)
+        LEFT JOIN j ON TRUE
+        GROUP BY k.k)
+      SELECT CAST(k AS BIGINT) AS k, n_overlap,
+             round(n_overlap * 1.0 / (2 * k - n_overlap), 6) AS jaccard
+      FROM o
+      ORDER BY k
+    """))
+
   // -------------------------------------------------------- q_hybrid_fusion
   /** Hybrid retrieval via weighted min-max score fusion — the OTHER
     * standard hybrid combiner (RRF fuses ranks and ignores score gaps;
@@ -2688,7 +2772,8 @@ object QueriesPipeline {
     qContamination, qBloomContamination, qSaltedAgg, qInterleave, qShardSplit,
     qEpochShuffle,
     qSemdedup, qBm25,
-    qRrfFusion, qHybridFusion, qCrossSourceDups, qGramDiversity, qDsirWeights,
+    qRrfFusion, qRetrievalOverlap, qHybridFusion, qCrossSourceDups,
+    qGramDiversity, qDsirWeights,
     qPrototypicality, qTemperatureMix, qLeakageSafeSplit, qKmeans,
     qSoftdedupWeights, qFuzzyContamination, qSemdedupKmeans)
 }

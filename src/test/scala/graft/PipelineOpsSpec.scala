@@ -355,6 +355,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(base.except(canon.select("cluster_id", "cluster_size")).isEmpty)
   }
 
+  test("q_retrieval_overlap: overlap is monotone in k, bounded by k, " +
+      "consistent with the fusion inputs") {
+    val rows = Queries.queryMap("q_retrieval_overlap")(spark, dir)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq === Seq(10L, 25L, 50L, 100L))
+    rows.foreach { case (k, o, j) =>
+      assert(o >= 0 && o <= k, s"overlap@$k out of [0, k]: $o")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard@$k out of [0,1]: $j")
+      assert(math.abs(j - o.toDouble / (2 * k - o)) < 1e-6,
+        s"jaccard@$k inconsistent with overlap")
+    }
+    // nested prefixes: the @k intersection can only grow with k
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted,
+      "overlap not monotone in k")
+    // the @100 intersection is exactly the fusion join's both-listed docs
+    val rrf = Queries.queryMap("q_rrf_fusion")(spark, dir)
+    assert(rows.last._2 <= 100)
+    val bothListed = rrf.where(col("r_bm25") > 0 && col("r_vec") > 0).count()
+    // rrf only materializes its top-10, so it LOWER-bounds the overlap
+    assert(rows.last._2 >= bothListed,
+      "overlap@100 below the fused top-10's both-listed count")
+  }
+
   test("q_embedding_drift: snapshot counts match direct filters, " +
       "heavily-overlapping snapshots stay near cosine 1") {
     val out = Queries.queryMap("q_embedding_drift")(spark, dir).collect()
