@@ -814,6 +814,65 @@ object QueriesPipeline {
       ORDER BY label
     """))
 
+  /** Population-stability-index drift monitor over the document-length
+    * distribution — the scalar-feature companion to [[qEmbeddingDrift]]
+    * (that one watches the embedding SPACE; this one watches a FEATURE
+    * distribution the way a production data monitor does). The word
+    * count buckets into 8 fixed 15-word bins (least(wc/15, 7) — fixed
+    * edges, not quantiles, so the binning is deterministic and
+    * snapshot-independent); per bucket the two snapshot proportions
+    * (same A/B stand-ins as [[qSnapshotDiff]]) feed the standard PSI
+    * term (p_b − p_a)·ln(p_b / p_a), proportions clamped at 1e-6 so an
+    * empty bucket contributes a finite, conventional penalty. Rule of
+    * thumb PSI: < 0.1 stable, 0.1-0.25 drifting, > 0.25 act.
+    *
+    * Scale shape: one scan, one 8-bucket conditional aggregate (both
+    * snapshot counts from the same pass — no second scan); everything
+    * after is arithmetic on 8 rows. Counts are exact BIGINTs, the
+    * divisions and ln are identical IEEE doubles on both engines, and
+    * the term rounds at 6 decimals. */
+  val qPsiDrift = Q("q_psi_drift",
+    (s, dir) => {
+      val inA = (col("doc_id") % 11) =!= 0
+      val inB = (col("doc_id") % 13) =!= 0
+      val buckets = t(s, dir, "documents")
+        .select(col("doc_id"),
+          least(floor(TF.wordCount(col("text")) / lit(15)), lit(7L))
+            .cast("long").as("bucket"))
+        .groupBy("bucket")
+        .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(inB, 1L).otherwise(0L)).as("n_b"))
+      val tot = buckets.agg(sum("n_a"), sum("n_b")).head()
+      val (ta, tb) = (tot.getLong(0), tot.getLong(1))
+      val pa = greatest(col("n_a") / lit(ta.toDouble), lit(1e-6))
+      val pb = greatest(col("n_b") / lit(tb.toDouble), lit(1e-6))
+      buckets
+        .select(col("bucket"), col("n_a"), col("n_b"),
+          round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+          round((pb - pa) * log(pb / pa), 6).as("psi_term"))
+        .orderBy("bucket")
+    },
+    Some("""
+      WITH b AS (
+        SELECT least(CAST(floor(len(string_split(text, ' ')) / 15)
+                 AS BIGINT), 7) AS bucket,
+               CAST(sum(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN doc_id % 13 <> 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_b
+        FROM documents GROUP BY 1),
+      t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM b),
+      p AS (
+        SELECT bucket, n_a, n_b,
+               greatest(n_a / (ta * 1.0), 0.000001) AS pa,
+               greatest(n_b / (tb * 1.0), 0.000001) AS pb
+        FROM b CROSS JOIN t)
+      SELECT bucket, n_a, n_b, round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+             round((pb - pa) * ln(pb / pa), 6) AS psi_term
+      FROM p
+      ORDER BY bucket
+    """))
+
   /** Benchmark-contamination check: corpus documents sharing any word-5-gram
     * with the "evaluation set" (stand-in: doc_id < 20) and how many distinct
     * grams leak. Scale shape: the benchmark gram set is eval-benchmark-sized
@@ -2768,7 +2827,7 @@ object QueriesPipeline {
     qVocab,
     qNormalizeText,
     qPackChunks,
-    qChunkOverlap, qCentroids, qEmbeddingDrift,
+    qChunkOverlap, qCentroids, qEmbeddingDrift, qPsiDrift,
     qContamination, qBloomContamination, qSaltedAgg, qInterleave, qShardSplit,
     qEpochShuffle,
     qSemdedup, qBm25,

@@ -355,6 +355,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(base.except(canon.select("cluster_id", "cluster_size")).isEmpty)
   }
 
+  test("q_psi_drift: proportions sum to ~1 per snapshot, terms finite, " +
+      "near-identical snapshots read as stable") {
+    val rows = Queries.queryMap("q_psi_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val (sumA, sumB) = (rows.map(_.getAs[Double]("p_a")).sum,
+      rows.map(_.getAs[Double]("p_b")).sum)
+    assert(math.abs(sumA - 1.0) < 1e-3 && math.abs(sumB - 1.0) < 1e-3,
+      s"proportions do not sum to 1: $sumA / $sumB")
+    val psi = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(!psi.isNaN && !psi.isInfinite, "PSI not finite")
+    // PSI is a sum of (p-q)ln(p/q) terms, each >= 0
+    rows.foreach(r => assert(r.getAs[Double]("psi_term") >= -1e-9,
+      s"negative PSI term in bucket ${r.getAs[Long]("bucket")}"))
+    // A and B drop different ~9% slices of the same corpus: the length
+    // DISTRIBUTION barely moves, so this must read as "stable" (< 0.1)
+    assert(psi < 0.1, s"near-identical snapshots report drift: $psi")
+  }
+
   test("q_retrieval_overlap: overlap is monotone in k, bounded by k, " +
       "consistent with the fusion inputs") {
     val rows = Queries.queryMap("q_retrieval_overlap")(spark, dir)
