@@ -2149,8 +2149,59 @@ object QueriesVector {
     Some(graft.prep.Pca.spectrumOracleSql("embeddings", "embedding",
       k = 4, iters = 30)))
 
+  // -------------------------------------------------------- q_index_staleness
+  /** Index-staleness ceiling — the freshness metric that tells an ops
+    * team how often a served ANN index must be refreshed: the true
+    * top-10 of each query over TODAY's corpus (snapshot B,
+    * vec_id % 13 ≠ 0 — the [[Queries]] snapshot stand-ins), and what
+    * fraction of those true neighbors already existed in YESTERDAY's
+    * corpus (snapshot A, % 11 ≠ 0). That fraction upper-bounds the
+    * recall ANY index built on A — whatever the family — can reach
+    * against today's truth, independent of index quality; when the
+    * ceiling sags below the recall target, the refresh cadence (or the
+    * generation-append path every disk family ships) is due.
+    *
+    * Plan: the exact kNN kernel over the B-filtered store (store never
+    * shuffles, bounded-heap top-k), then a row-local membership test on
+    * the neighbor id — no join against A (membership of the
+    * DETERMINISTIC snapshot rule is a predicate; a real pipeline with
+    * arbitrary snapshots uses the same shape with a broadcast semi-join
+    * flag instead). Counts exact, ceiling = n/10 exact at one decimal. */
+  private val qIndexStaleness = Q("q_index_staleness",
+    (s, dir) => Knn.query(
+        store(s, dir).where(col("id") % 13 =!= 0),
+        queriesDf(s, dir, 5), 10, Metric.Cosine)
+      .groupBy("query_id")
+      .agg(sum(when(col("id") % 11 =!= 0, 1L).otherwise(0L)).as("n_in_a"))
+      .select(col("query_id"), col("n_in_a"),
+        round(col("n_in_a") / lit(10.0), 6).as("recall_ceiling"))
+      .orderBy("query_id"),
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               greatest(1 - list_cosine_similarity(
+                 CAST(s.embedding AS DOUBLE[]),
+                 CAST(q.embedding AS DOUBLE[])), 0) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5 AND s.vec_id % 13 <> 0
+      ), ranked AS (
+        SELECT query_id, neighbor_id, d,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY d, neighbor_id) AS rank
+        FROM pairs
+      ), top AS (SELECT * FROM ranked WHERE rank <= 10)
+      SELECT query_id,
+             CAST(sum(CASE WHEN neighbor_id % 11 <> 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_in_a,
+             round(sum(CASE WHEN neighbor_id % 11 <> 0 THEN 1 ELSE 0 END)
+               / 10.0, 6) AS recall_ceiling
+      FROM top
+      GROUP BY query_id
+      ORDER BY query_id
+    """))
+
   val all: Seq[Q] = Seq(qKnnSelfjoin, qKnnOutliers, qMmrRerank, qKnnSelfjoinGrid,
-    qPcaSpectrum,
+    qPcaSpectrum, qIndexStaleness,
     qKnnSelfjoinIvf,
     qKnnSelfjoinIvfExact, qRadius, qPointLookup, qCount, qMetricsPairs,
     qNormalize, qInsertUnion, qDeleteFirstocc, qEmbedNeardup, qLshKnn,

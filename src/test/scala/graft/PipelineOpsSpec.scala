@@ -355,6 +355,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(base.except(canon.select("cluster_id", "cluster_size")).isEmpty)
   }
 
+  test("q_index_staleness: matches an independent window-ranked recompute") {
+    val out = Queries.queryMap("q_index_staleness")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    out.values.foreach { case (n, c) =>
+      assert(n >= 0 && n <= 10 && math.abs(c - n / 10.0) < 1e-9)
+    }
+    // independent route: brute-force crossJoin + window rank over the
+    // B snapshot, then the A-membership count
+    import org.apache.spark.sql.expressions.Window
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qs = emb.where(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("d"), col("vec_id"))
+    val expect = emb.where(col("vec_id") % 13 =!= 0).crossJoin(qs)
+      .withColumn("d", greatest(
+        graft.functions.VectorFunctions.cosine_distance(col("v"), col("qv")),
+        lit(0.0)))
+      .withColumn("r", row_number().over(w)).where(col("r") <= 10)
+      .groupBy("query_id")
+      .agg(sum(when(col("vec_id") % 11 =!= 0, 1L).otherwise(0L)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.view.mapValues(_._1).toMap === expect)
+  }
+
   test("q_psi_drift: proportions sum to ~1 per snapshot, terms finite, " +
       "near-identical snapshots read as stable") {
     val rows = Queries.queryMap("q_psi_drift")(spark, dir).collect()
