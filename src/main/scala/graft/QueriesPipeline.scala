@@ -51,12 +51,6 @@ object QueriesPipeline {
     * over the verified pair set, ending in `labels(doc_id, comp)`. Shared
     * by the q_dedup_clusters and q_leakage_safe_split oracles — one copy of
     * the reach CTE, exactly like pairsSql is one copy of the shingling. */
-  /** DuckDB literal list of [[TF.stopwords]] — same rendering as the
-    * QueriesText oracles, so the quality-keyed canonical survivor scores
-    * with exactly q_quality_logreg's signal pipeline */
-  private val stopwordsSql =
-    TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-
   private val componentsSql = s"""
       $pairsSql
       edges AS (SELECT i, j FROM good UNION SELECT j, i FROM good),
@@ -184,26 +178,13 @@ object QueriesPipeline {
     (s, dir) => {
       val labels = PrepCache.components(s, dir)
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      val sw = array(TF.stopwords.map(lit): _*)
-      val nwS = round(least(size(col("_w")) / lit(100.0), lit(1.0)), 6)
-      val stopS = round(
-        size(filter(col("_w"), w => array_contains(sw, w))) /
-          greatest(size(col("_w")), lit(1)), 6)
-      val punctS = round(TF.punctCount(col("text")) /
-        greatest(length(col("text")), lit(1)), 6)
-      val quality = t(s, dir, "documents")
-        .withColumn("_w", TF.words(col("text")))
-        .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
-        .withColumn("_dup2", round(
-          when(size(col("_g")) === 0, lit(0.0))
-            .otherwise(lit(1.0) -
-              size(array_distinct(col("_g"))) / size(col("_g"))), 6))
-        .withColumn("_lq", round(
-          lit(2.0) * nwS + lit(3.0) * stopS - lit(4.0) * punctS -
-            lit(5.0) * col("_dup2") - lit(1.0), 6))
+      // the logit comes from THE shared q_quality_logreg pipeline
+      // (QueriesText.withQualityZ) — one definition of the signals and
+      // weights, so the survivor policy cannot drift from the score
+      val quality = QueriesText.withQualityZ(t(s, dir, "documents"))
         .select(col("doc_id"),
-          round((col("_lq") + lit(16.0)) * lit(1000000.0)).cast("long")
-            .as("_qk"))
+          round((round(col("_z"), 6) + lit(16.0)) * lit(1000000.0))
+            .cast("long").as("_qk"))
       labels.join(quality, "doc_id")
         .withColumn("_pk",
           when(col("doc_id") > lit(9999999L) || col("doc_id") < lit(0L),
@@ -223,28 +204,11 @@ object QueriesPipeline {
     },
     Some(s"""
       $componentsSql
-      sig AS (
-        SELECT doc_id,
-               round(least(len(string_split(text, ' ')) / 100.0, 1.0), 6)
-                 AS nw_s,
-               round(len(list_filter(string_split(text, ' '),
-                       w -> list_contains($stopwordsSql, w))) * 1.0 /
-                     greatest(len(string_split(text, ' ')), 1), 6) AS stop_s,
-               round((length(text) -
-                      length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                     * 1.0 / greatest(length(text), 1), 6) AS punct_s,
-               round(CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
-                 ELSE 1.0 - len(list_distinct(list_transform(
-                        range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
-                        i -> string_split(text, ' ')[i] || ' ' ||
-                             string_split(text, ' ')[i + 1]))) * 1.0 /
-                      (len(string_split(text, ' ')) - 1)
-                 END, 6) AS dup2
-        FROM documents),
+      ${QueriesText.qualitySigSql},
       zq AS (
         SELECT doc_id,
-               CAST(round((round(2.0 * nw_s + 3.0 * stop_s - 4.0 * punct_s
-                 - 5.0 * dup2 - 1.0, 6) + 16) * 1000000) AS BIGINT) AS qk
+               CAST(round((round(${QueriesText.qualityZExprSql}, 6) + 16)
+                 * 1000000) AS BIGINT) AS qk
         FROM sig),
       scored AS (
         SELECT l.comp AS cluster_id, l.doc_id,
@@ -833,8 +797,13 @@ object QueriesPipeline {
     * the term rounds at 6 decimals. */
   val qPsiDrift = Q("q_psi_drift",
     (s, dir) => {
+      import s.implicits._
       val inA = (col("doc_id") % 11) =!= 0
       val inB = (col("doc_id") % 13) =!= 0
+      // ONE scan: the 8-bucket aggregate is the only distributed work;
+      // its ≤ 8 rows come to the driver once and the totals, clamped
+      // proportions, and PSI terms are plain arithmetic there (a second
+      // Spark pass would re-run the scan just to divide by the totals)
       val buckets = t(s, dir, "documents")
         .select(col("doc_id"),
           least(floor(TF.wordCount(col("text")) / lit(15)), lit(7L))
@@ -842,14 +811,18 @@ object QueriesPipeline {
         .groupBy("bucket")
         .agg(sum(when(inA, 1L).otherwise(0L)).as("n_a"),
           sum(when(inB, 1L).otherwise(0L)).as("n_b"))
-      val tot = buckets.agg(sum("n_a"), sum("n_b")).head()
-      val (ta, tb) = (tot.getLong(0), tot.getLong(1))
-      val pa = greatest(col("n_a") / lit(ta.toDouble), lit(1e-6))
-      val pb = greatest(col("n_b") / lit(tb.toDouble), lit(1e-6))
-      buckets
-        .select(col("bucket"), col("n_a"), col("n_b"),
-          round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
-          round((pb - pa) * log(pb / pa), 6).as("psi_term"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val ta = buckets.map(_._2).sum.toDouble
+      val tb = buckets.map(_._3).sum.toDouble
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      buckets.toSeq.map { case (bkt, na, nb) =>
+        val pa = math.max(na / ta, 1e-6)
+        val pb = math.max(nb / tb, 1e-6)
+        (bkt, na, nb, r6(pa), r6(pb), r6((pb - pa) * math.log(pb / pa)))
+      }.toDF("bucket", "n_a", "n_b", "p_a", "p_b", "psi_term")
         .orderBy("bucket")
     },
     Some("""

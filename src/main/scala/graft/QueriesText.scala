@@ -15,7 +15,60 @@ object QueriesText {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  private val stopwordsSql = TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  /** DuckDB literal list of [[TF.stopwords]] — shared with
+    * [[QueriesPipeline]]'s oracles so there is exactly one rendering */
+  private[graft] val stopwordsSql =
+    TF.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** The q_quality_logreg signal pipeline, factored so every consumer
+    * (the score itself and [[QueriesPipeline]]'s quality-keyed canonical
+    * survivor) computes the SAME logit from the same signals and
+    * weights — a weight tweak here retunes them all together. Adds the
+    * materialized word/gram columns and the UNROUNDED `_z` logit; each
+    * consumer applies its own output rounding. */
+  private[graft] def withQualityZ(docs: DataFrame): DataFrame = {
+    val sw = array(TF.stopwords.map(lit): _*)
+    val nwS = round(least(size(col("_w")) / lit(100.0), lit(1.0)), 6)
+    val stopS = round(
+      size(filter(col("_w"), w => array_contains(sw, w))) /
+        greatest(size(col("_w")), lit(1)), 6)
+    val punctS = round(TF.punctCount(col("text")) /
+      greatest(length(col("text")), lit(1)), 6)
+    docs
+      .withColumn("_w", TF.words(col("text")))
+      .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
+      .withColumn("_dup2", round(
+        when(size(col("_g")) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            size(array_distinct(col("_g"))) / size(col("_g"))), 6))
+      .withColumn("_z",
+        lit(2.0) * nwS + lit(3.0) * stopS - lit(4.0) * punctS -
+          lit(5.0) * col("_dup2") - lit(1.0))
+  }
+
+  /** the oracle mirror of [[withQualityZ]]: the `sig` CTE (one row per
+    * doc with the four rounded signals) and the z expression over it */
+  private[graft] def qualitySigSql: String = s"""sig AS (
+        SELECT doc_id,
+               round(least(len(string_split(text, ' ')) / 100.0, 1.0), 6)
+                 AS nw_s,
+               round(len(list_filter(string_split(text, ' '),
+                       w -> list_contains($stopwordsSql, w))) * 1.0 /
+                     greatest(len(string_split(text, ' ')), 1), 6) AS stop_s,
+               round((length(text) -
+                      length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                     * 1.0 / greatest(length(text), 1), 6) AS punct_s,
+               round(CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(list_transform(
+                        range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
+                        i -> string_split(text, ' ')[i] || ' ' ||
+                             string_split(text, ' ')[i + 1]))) * 1.0 /
+                      (len(string_split(text, ' ')) - 1)
+                 END, 6) AS dup2
+        FROM documents)"""
+
+  private[graft] val qualityZExprSql =
+    "2.0 * nw_s + 3.0 * stop_s - 4.0 * punct_s - 5.0 * dup2 - 1.0"
 
   /** per-document stats: words, chars, punct, stopword ratio, quality */
   val qDocStats = Q("q_doc_stats",
@@ -1452,26 +1505,11 @@ object QueriesText {
     * split — no shuffle beyond the scan. */
   val qQualityLogreg = Q("q_quality_logreg",
     (s, dir) => {
-      // every word-derived signal reads the materialized _w column — the
-      // raw-text TF forms would re-split the text once per reference
-      // (the langScoreOfWords pitfall, TextFunctions scaladoc)
-      val sw = array(TF.stopwords.map(lit): _*)
-      val nwS = round(least(size(col("_w")) / lit(100.0), lit(1.0)), 6)
-      val stopS = round(
-        size(filter(col("_w"), w => array_contains(sw, w))) /
-          greatest(size(col("_w")), lit(1)), 6)
-      val punctS = round(TF.punctCount(col("text")) /
-        greatest(length(col("text")), lit(1)), 6)
-      val scored = t(s, dir, "documents")
-        .withColumn("_w", TF.words(col("text")))
-        .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
-        .withColumn("_dup2", round(
-          when(size(col("_g")) === 0, lit(0.0))
-            .otherwise(lit(1.0) -
-              size(array_distinct(col("_g"))) / size(col("_g"))), 6))
-        .withColumn("_z",
-          lit(2.0) * nwS + lit(3.0) * stopS - lit(4.0) * punctS -
-            lit(5.0) * col("_dup2") - lit(1.0))
+      // signal pipeline shared via withQualityZ (every word-derived
+      // signal reads the materialized _w column — the raw-text TF forms
+      // would re-split the text once per reference; the
+      // langScoreOfWords pitfall, TextFunctions scaladoc)
+      val scored = withQualityZ(t(s, dir, "documents"))
       scored.select(col("doc_id"),
           round(col("_z"), 6).as("logit"),
           round(lit(1.0) / (lit(1.0) + exp(-col("_z"))), 6).as("score"),
@@ -1479,28 +1517,9 @@ object QueriesText {
         .orderBy("doc_id")
     },
     Some(s"""
-      WITH sig AS (
-        SELECT doc_id,
-               round(least(len(string_split(text, ' ')) / 100.0, 1.0), 6)
-                 AS nw_s,
-               round(len(list_filter(string_split(text, ' '),
-                       w -> list_contains($stopwordsSql, w))) * 1.0 /
-                     greatest(len(string_split(text, ' ')), 1), 6) AS stop_s,
-               round((length(text) -
-                      length(regexp_replace(text, '[.,;:!?]', '', 'g')))
-                     * 1.0 / greatest(length(text), 1), 6) AS punct_s,
-               round(CASE WHEN len(string_split(text, ' ')) < 2 THEN 0.0
-                 ELSE 1.0 - len(list_distinct(list_transform(
-                        range(1, greatest(len(string_split(text, ' ')) - 1, 0) + 1),
-                        i -> string_split(text, ' ')[i] || ' ' ||
-                             string_split(text, ' ')[i + 1]))) * 1.0 /
-                      (len(string_split(text, ' ')) - 1)
-                 END, 6) AS dup2
-        FROM documents),
+      WITH $qualitySigSql,
       z AS (
-        SELECT doc_id,
-               2.0 * nw_s + 3.0 * stop_s - 4.0 * punct_s - 5.0 * dup2 - 1.0
-                 AS z
+        SELECT doc_id, $qualityZExprSql AS z
         FROM sig)
       SELECT doc_id, round(z, 6) AS logit,
              round(1.0 / (1.0 + exp(-z)), 6) AS score,

@@ -1999,10 +1999,13 @@ object QueriesVector {
           v.writeServingIndex(p)
           (v, p)
         })
+      // cap far above the store: the IVF family's threshold path ignores
+      // max_k (FAISS range-search parity), so any positive cap returns
+      // identical rows — and the facade now rejects max_k <= 0 outright
       vic.queryThresholdFromDiskDf(path,
           queriesDf(s, dir, 5)
             .withColumn("qvector", col("qvector").cast("array<double>")),
-          1.2, 0)
+          1.2, Int.MaxValue)
         .select(col("query_id"), col("item").cast("long").as("neighbor_id"),
           round(col("dist"), 6).as("dist"))
         .orderBy("query_id", "neighbor_id")

@@ -124,6 +124,7 @@ class Vicinity private (
     * point plus the family's own `supportsDiskThreshold` flag. */
   def queryThresholdFromDiskDf(path: String, queries: DataFrame,
       threshold: Double, maxK: Int = 100): DataFrame = {
+    requireThresholdMaxK(maxK)
     val d = diskServing
     if (!d.supportsDiskThreshold) throw new UnsupportedOperationException(
       s"Backend ${backend.name} (${strategy.name}) does not serve " +
@@ -189,6 +190,23 @@ class Vicinity private (
         "entries" -> meta.get("entries").size().toString,
         "m" -> meta.get("m").asInt().toString,
         "ef_search" -> meta.get("ef_search").asInt().toString)
+    } else if (FsIO.exists(s"$path/_lsh_meta.json")) {
+      // the LSH layout nests its partitioning one level down
+      // (postings/_pk=…, vectors/_nb=…), so the flat first-level count
+      // below would read it as an empty cells layout
+      val meta = new ObjectMapper().readTree(FsIO.read(s"$path/_lsh_meta.json"))
+      val posts = new org.apache.hadoop.fs.Path(s"$path/postings")
+      val nPosts =
+        if (fs.exists(posts))
+          fs.listStatus(posts).count(_.getPath.getName.startsWith("_pk="))
+        else 0
+      base ++ Map(
+        "family" -> "lsh",
+        "n_tables" -> meta.get("n_tables").asInt().toString,
+        "n_bits" -> meta.get("n_bits").asInt().toString,
+        "sub_buckets" -> meta.get("sub_buckets").asInt().toString,
+        "vec_buckets" -> meta.get("vec_buckets").asInt().toString,
+        "postings_partitions" -> nPosts.toString)
     } else {
       // cell/bucket layouts: the first directory level IS the partition
       // key (_centroid= / _pk= / …) — count it without reading data
@@ -219,9 +237,24 @@ class Vicinity private (
   def queryOne(vector: Seq[Double], k: Int = 10): Seq[(String, Double)] =
     query(Seq(vector), k).head
 
+  /** max_k must be positive at the facade: the reference's threshold
+    * semantics are top-max_k-then-filter (`vicinity.py:140-165`), under
+    * which max_k <= 0 is an always-empty query on every ANN backend —
+    * while the IVF family IGNORES the cap entirely (FAISS range-search
+    * parity, `IvfStrategy.queryThreshold`). Failing fast here keeps the
+    * two backend conventions from silently diverging on a nonsensical
+    * argument: a caller wanting "uncapped" passes a cap above the store
+    * size (the IVF family returns identical rows for ANY positive cap). */
+  private def requireThresholdMaxK(maxK: Int): Unit =
+    require(maxK >= 1,
+      s"max_k must be >= 1, got $maxK (top-max_k-then-filter semantics: " +
+        "pass a cap above the store size for an effectively uncapped " +
+        "radius search)")
+
   /** ≙ `vicinity.query_threshold` (`vicinity.py:140-165`). */
   def queryThresholdDf(queries: DataFrame, threshold: Double,
       maxK: Int = 100): DataFrame = {
+    requireThresholdMaxK(maxK)
     val res = strategy.queryThreshold(prepared, queries, threshold, maxK)
     res.join(store.select(col("id"), col("item")), Seq("id"), "left")
       .select("query_id", "id", "item", "dist")

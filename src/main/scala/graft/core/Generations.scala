@@ -84,8 +84,15 @@ object Generations {
     if (fs.exists(live)) {
       val kids = fs.listStatus(live).map(_.getPath.getName)
       if (kids.exists(_.startsWith("_batch="))) true
-      else if (kids.forall(n => n.startsWith("_") || n.startsWith(".")))
-        false // empty or metadata-only → legitimately no history yet
+      // EXACT metadata whitelist, not a prefix test: every graft
+      // partition layout is underscore-prefixed too (_pk= / _nb= /
+      // _centroid= / _gen=), so "starts with _" would classify a
+      // misconfigured path pointing at a real index layout as
+      // "legitimately no history" — the silent under-count this method
+      // exists to refuse
+      else if (kids.forall(n => n == "_SUCCESS" || n == "_temporary" ||
+          n.startsWith(".")))
+        false // empty or write-metadata-only → legitimately no history yet
       else throw new IllegalStateException(
         s"snapshot store $path exists but holds no _batch= generation " +
           s"(found: ${kids.take(5).mkString(", ")}) — unrecognized store " +

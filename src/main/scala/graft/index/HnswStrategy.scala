@@ -697,6 +697,19 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       existing.join(t, Seq("id"), "left_anti")).cache()
     val n = fresh.count()
     if (n > 0) {
+      // at tGens == 0 any existing tombstones/ dir is an invisible
+      // leftover from a compaction that crashed between its sidecar
+      // commit and its directory delete — clear it FIRST (the staging-dir
+      // pre-delete discipline): writeGeneration's dynamic partition
+      // overwrite would otherwise keep the leftover's stale (_gen=0, _nb)
+      // partitions, and the sidecar bump below would make every reader
+      // see those SPENT tombstones again, silently hiding any id that
+      // was re-inserted since the compaction
+      if (tGens == 0) {
+        val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        val tFs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (tFs.exists(tPath)) tFs.delete(tPath, true)
+      }
       writeGeneration(fresh, "id", s"$path/tombstones", buckets, tGens)
       val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
       root.put("tombstone_generations", tGens + 1)
@@ -900,9 +913,12 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // sidecar commits BEFORE the tombstones dir is deleted (advice r12):
     // at tombstone_generations=0 an orphaned tombstones/ dir is invisible
     // to every reader, so a crash in this window leaves a servable layout
-    // with a harmless leftover — the reverse order left a sidecar pointing
-    // at a missing directory, bricking every subsequent disk read. Same
-    // sidecar-commits-last discipline as the append path.
+    // — the reverse order left a sidecar pointing at a missing directory,
+    // bricking every subsequent disk read. Same sidecar-commits-last
+    // discipline as the append path. The leftover is NOT writable-over,
+    // though: [[deleteFromDisk]] clears it before writing a fresh
+    // generation 0 (dynamic partition overwrite would keep its stale
+    // partitions and resurrect the spent tombstones).
     graft.core.FsIO.write(s"$path/_graph_meta.json",
       mapper.writeValueAsString(root))
     if (tomb.nonEmpty) {

@@ -301,7 +301,15 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * candidate set (and therefore every served result) is identical to
     * the in-memory path's, decision for decision (spec-pinned). */
   private def diskCandidates(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, dim: Int): DataFrame = {
+      path: String, queries: DataFrame,
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    // partition fans come FROM THE SIDECAR, not the compiled-in
+    // constants (reader-adopts-writer-config, the graph-family
+    // discipline): a reader built with retuned fans would otherwise
+    // compute _pk / _nb values for directories that do not exist and
+    // silently return zero candidates
+    val dim = meta.get("dim").asInt()
+    val sb = meta.get("sub_buckets").asInt()
     val qPost = queries
       .withColumn("_buckets",
         probeBucketsUdf(dim)(col("qvector").cast("array<double>")))
@@ -312,7 +320,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val probes = qPost.select("table", "bucket").distinct().collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val probePks = probes
-      .map { case (t, b) => t.toLong * subBuckets + Math.floorMod(b, subBuckets.toLong) }
+      .map { case (t, b) => t.toLong * sb + Math.floorMod(b, sb.toLong) }
       .distinct.toSeq
     val probeVals = probes.map(_._2).distinct.toSeq
     spark.read.parquet(s"$path/postings")
@@ -325,10 +333,11 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   /** exact rerank of disk candidates: (_nb, id) join against the vectors
     * sub-layout (DPP-prunable), then the same kernel as [[rerank]] */
   private def rerankFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, cands: DataFrame): DataFrame = {
+      path: String, queries: DataFrame, cands: DataFrame,
+      nb: Int): DataFrame = {
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
     cands
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
       .join(diskVectors(spark, path).select(col("_nb"), col("id"),
         col("vector")), Seq("_nb", "id"))
       .join(broadcast(queries.select(col("query_id"), col("qvector"))),
@@ -344,8 +353,10 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     require(k >= 1, s"k must be >= 1, got $k")
     val meta = readMeta(path)
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
-    val cands = diskCandidates(spark, path, q, meta.get("dim").asInt())
-    TopK.topKPerGroup(rerankFromDisk(spark, path, q, cands),
+    val cands = diskCandidates(spark, path, q, meta)
+    TopK.topKPerGroup(
+      rerankFromDisk(spark, path, q, cands,
+        meta.get("vec_buckets").asInt()),
       Seq("query_id"), "id", "dist", k)
   }
 
@@ -375,8 +386,10 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
     val meta = readMeta(path)
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
-    val cands = diskCandidates(spark, path, q, meta.get("dim").asInt())
-    val capped = TopK.topKPerGroup(rerankFromDisk(spark, path, q, cands),
+    val cands = diskCandidates(spark, path, q, meta)
+    val capped = TopK.topKPerGroup(
+      rerankFromDisk(spark, path, q, cands,
+        meta.get("vec_buckets").asInt()),
       Seq("query_id"), "id", "dist", maxK)
     capped.where(col("dist") < threshold).drop("rank")
   }
@@ -394,10 +407,11 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     require(k >= 1, s"k must be >= 1, got $k")
     val meta = readMeta(path)
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
-    val cands = diskCandidates(spark, path, q, meta.get("dim").asInt())
+    val cands = diskCandidates(spark, path, q, meta)
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
     val scored = cands
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .withColumn("_nb",
+        pmod(xxhash64(col("id")), lit(meta.get("vec_buckets").asInt())))
       .join(diskVectors(spark, path).where(predicate), Seq("_nb", "id"))
       .join(broadcast(q.select(col("query_id"), col("qvector"))),
         Seq("query_id"))

@@ -1518,6 +1518,20 @@ class PipelineOpsSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Generations.hasGenerations(spark, live)
     }
+    VerifyIO.deleteRec(new java.io.File(live + "__old"))
+    // a path misconfigured onto a DIFFERENT graft layout (underscore-
+    // prefixed partition dirs like _pk= / _centroid=) is a foreign
+    // layout, NOT an empty history — the prefix test would silently
+    // under-count; only the exact write-metadata names are benign
+    new java.io.File(s"$live/_pk=3").mkdirs()
+    intercept[IllegalStateException] {
+      Generations.hasGenerations(spark, live)
+    }
+    VerifyIO.deleteRec(new java.io.File(live))
+    // exact write-metadata names stay benign
+    new java.io.File(live).mkdirs()
+    new java.io.File(s"$live/_SUCCESS").createNewFile()
+    assert(!Generations.hasGenerations(spark, live))
     VerifyIO.deleteRec(root.toFile)
   }
 

@@ -747,6 +747,38 @@ class ScaleDesignSpec extends SparkSpec {
     assert(dskX2 == memX, "compaction changed exact results")
     val dsk2 = strat.queryFromDisk(spark, path, queries, 10).collect()
     assert(dsk2.nonEmpty && !dsk2.exists(_.getLong(1) <= 1L))
+    // 5. crash-window leftover cannot resurrect spent tombstones: a
+    //    compaction that died BETWEEN its sidecar commit
+    //    (tombstone_generations=0) and its tombstones/ delete leaves the
+    //    dir behind. The next deleteFromDisk must clear it before
+    //    writing generation 0 — dynamic partition overwrite would keep
+    //    the stale partitions and the sidecar bump would make every
+    //    reader hide the stale ids again.
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+    assert(meta.get("tombstone_generations").asInt() == 0)
+    val nb = meta.get("buckets").asInt()
+    val live5 = 5L // a live id the "crashed" compaction had already spent
+    Seq(live5).toDF("id")
+      .withColumn("_gen", lit(0)).withColumn("_nb",
+        pmod(col("id"), lit(nb)).cast("int"))
+      .write.partitionBy("_gen", "_nb").parquet(s"$path/tombstones")
+    // delete an UNRELATED id landing in a DIFFERENT bucket than id 5's
+    val otherBucket = (6L to 60L).find(i =>
+      i % nb != live5 % nb && dskX.exists(_._2 == i)).getOrElse(6L)
+    assert(strat.deleteFromDisk(spark, path, Seq(otherBucket).toDF("id")) == 1L)
+    // the leftover row for id 5 must be GONE from the tombstone store
+    // (the fresh delete cleared the dir before rewriting generation 0) …
+    assert(spark.read.parquet(s"$path/tombstones")
+      .where($"id" === live5).isEmpty,
+      "crashed-compaction leftover survived the next delete's rewrite")
+    // … so the live id is still served while the fresh delete holds
+    val afterLeft = strat.queryExhaustiveFromDisk(spark, path, queries, 10)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(!afterLeft.contains(otherBucket), "fresh tombstone not honored")
+    if (memX.exists(_._2 == live5))
+      assert(afterLeft.contains(live5),
+        "stale leftover tombstone resurrected: live id vanished")
     prepared.unpersist()
     VerifyIO.deleteRec(root.toFile)
   }

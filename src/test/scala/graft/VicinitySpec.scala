@@ -509,6 +509,26 @@ class VicinitySpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       hnsw.queryThresholdFromDiskDf(hp, q, 0.5)
     }
+    // max_k <= 0 is rejected at the facade on BOTH paths: under the
+    // reference's top-max_k-then-filter semantics it is an always-empty
+    // query on ANN backends while the IVF family ignores the cap — the
+    // require keeps that divergence from biting silently
+    intercept[IllegalArgumentException] {
+      ivf.queryThresholdFromDiskDf(ip, q, 0.5, 0)
+    }
+    intercept[IllegalArgumentException] {
+      ivf.queryThresholdDf(q, 0.5, 0)
+    }
+    // the LSH layout nests its partitions one level down: describeServing
+    // must report the lsh family's real shape, not an empty cells layout
+    val lshV = build(Backend.Annoy)
+    val lp = root.resolve("lshserve").toString
+    lshV.writeServingIndex(lp)
+    val lDesc = lshV.describeServing(lp)
+    assert(lDesc("family") == "lsh" &&
+      lDesc("postings_partitions").toInt > 0 &&
+      lDesc("sub_buckets").toInt > 0 && lDesc("vec_buckets").toInt > 0 &&
+      lDesc("bytes").toLong > 0, s"bad lsh describe: $lDesc")
     VerifyIO.deleteRec(root.toFile)
   }
 }
