@@ -76,16 +76,26 @@ object Bench {
     // full-surface wall). Never set on driver/artifact runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // warmup wall is measured and reported separately (advice r13: warmup
+    // is INTERLEAVED with the timed passes, so the probe pair necessarily
+    // brackets both — warmup_sec plus the mid-run probe below let a load
+    // transient be attributed instead of skewing the inferred ambient
+    // factor for the timed numbers)
+    var warmupNanos = 0L
+    val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    var probeMid = -1.0
+    val results = toRun.zipWithIndex.map { case ((name, fn), qi) =>
+      if (qi == toRun.size / 2) probeMid = probe()
       if (warmupMode != "0") {
         // NonFatal only (advice r8): a warmup OOM/VM error must fail
         // loudly, not leave the timed pass in a silently degraded heap
+        val w0 = System.nanoTime()
         try {
           val rdd = fn(spark, sfDir).queryExecution.toRdd // plan + codegen
           if (warmupMode != "light") rdd.foreach(_ => ())
         } catch { case scala.util.control.NonFatal(_) => () } // re-surfaces timed
+        warmupNanos += System.nanoTime() - w0
       }
       val train0 = graft.core.BuildCounters.trainings.get()
       val t0 = System.nanoTime()
@@ -117,7 +127,9 @@ object Bench {
     val probeEnd = probe()
     val calib =
       s""""calibration":{"probe_start_sec":${sec(probeStart)},""" +
+      s""""probe_mid_sec":${sec(probeMid)},""" +
       s""""probe_end_sec":${sec(probeEnd)},"gc_ms":${gcMs() - gcStart},""" +
+      s""""warmup_sec":${sec(warmupNanos / 1e9)},""" +
       s""""load_avg_start":${"%.2f".formatLocal(java.util.Locale.ROOT, loadStart)},""" +
       s""""load_avg_end":${"%.2f".formatLocal(java.util.Locale.ROOT, loadAvg())},""" +
       s""""cpus":"$cpus","warmup":"$warmupMode",""" +

@@ -1423,19 +1423,27 @@ object QueriesPipeline {
           Seq("_g"), "doc_id", "_d", 100)
         .select(col("doc_id"), col("rank").cast("long").as("r_vec"))
       val ks = Seq(10, 25, 50, 100)
-      val both = bm.join(broadcast(ve), "doc_id")
-      val counts = both.agg(
-        coalesce(sum(when(col("r_bm25") <= ks.head &&
-          col("r_vec") <= ks.head, 1L).otherwise(0L)), lit(0L))
-          .as(s"_o${ks.head}"),
-        ks.tail.map(k => coalesce(sum(when(col("r_bm25") <= k &&
-          col("r_vec") <= k, 1L).otherwise(0L)), lit(0L)).as(s"_o$k")): _*)
+      // FULL join (advice r13): the Jaccard denominator uses the ACTUAL
+      // list sizes |bm≤k| + |vec≤k| − overlap, not the 2k − overlap
+      // shortcut — on a corpus with fewer than k eligible docs the
+      // shortcut diverges from true |∩|/|∪|. On a ≥k corpus the two
+      // formulas agree exactly, so the oracle values are unchanged there.
+      val both = bm.join(ve, Seq("doc_id"), "full")
+      def agg3(k: Int) = Seq(
+        coalesce(sum(when(col("r_bm25") <= k &&
+          col("r_vec") <= k, 1L).otherwise(0L)), lit(0L)).as(s"_o$k"),
+        coalesce(sum(when(col("r_bm25") <= k, 1L).otherwise(0L)), lit(0L))
+          .as(s"_b$k"),
+        coalesce(sum(when(col("r_vec") <= k, 1L).otherwise(0L)), lit(0L))
+          .as(s"_v$k"))
+      val aggs = ks.flatMap(agg3)
+      val counts = both.agg(aggs.head, aggs.tail: _*)
       counts.select(expr(
-          "stack(4, 10L, _o10, 25L, _o25, 50L, _o50, 100L, _o100) " +
-            "AS (k, n_overlap)"))
+          "stack(4, " + ks.map(k => s"${k}L, _o$k, _b$k, _v$k")
+            .mkString(", ") + ") AS (k, n_overlap, _nb, _nv)"))
         .select(col("k"), col("n_overlap"),
           round(col("n_overlap") * lit(1.0) /
-            (lit(2L) * col("k") - col("n_overlap")), 6).as("jaccard"))
+            (col("_nb") + col("_nv") - col("n_overlap")), 6).as("jaccard"))
         .orderBy("k")
     },
     Some(s"""
@@ -1457,17 +1465,22 @@ object QueriesPipeline {
           CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
           WHERE s.vec_id <> 0)
         WHERE r_vec <= 100),
-      j AS (SELECT bm.doc_id, r_bm25, r_vec FROM bm JOIN ve USING (doc_id)),
+      j AS (SELECT coalesce(bm.doc_id, ve.doc_id) AS doc_id, r_bm25, r_vec
+            FROM bm FULL JOIN ve ON bm.doc_id = ve.doc_id),
       o AS (
         SELECT k.k,
                CAST(coalesce(sum(CASE WHEN j.r_bm25 <= k.k
                  AND j.r_vec <= k.k THEN 1 ELSE 0 END), 0) AS BIGINT)
-                 AS n_overlap
+                 AS n_overlap,
+               CAST(coalesce(sum(CASE WHEN j.r_bm25 <= k.k
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bm,
+               CAST(coalesce(sum(CASE WHEN j.r_vec <= k.k
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_vec
         FROM (VALUES (10), (25), (50), (100)) k(k)
         LEFT JOIN j ON TRUE
         GROUP BY k.k)
       SELECT CAST(k AS BIGINT) AS k, n_overlap,
-             round(n_overlap * 1.0 / (2 * k - n_overlap), 6) AS jaccard
+             round(n_overlap * 1.0 / (n_bm + n_vec - n_overlap), 6) AS jaccard
       FROM o
       ORDER BY k
     """))

@@ -1866,7 +1866,11 @@ object QueriesVector {
   private def diskIvfPath(s: SparkSession, dir: String, key: String,
       strat: graft.index.IndexStrategy, prepared: DataFrame,
       serving: Boolean = false): String =
-    mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/$key", {
+    // the layout KIND is part of the cache key (advice r13): two queries
+    // sharing an index key but differing in `serving` must not silently
+    // reuse whichever layout was written first
+    mapOf(diskIndexCaches, s).getOrElseUpdate(
+      s"$dir/$key/${if (serving) "serving" else "cells"}", {
       val path = java.nio.file.Files.createTempDirectory(s"graft_$key")
         .resolve("index").toString
       // serving = families whose layout entry point is the DiskServing

@@ -167,6 +167,7 @@ class Vicinity private (
     * generation/tombstone state from the sidecar. Metadata-only: one
     * recursive listing plus a sidecar read, zero Spark jobs. */
   def describeServing(path: String): Map[String, String] = {
+    diskServing // same capability gate as every other disk entry point
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -177,19 +178,29 @@ class Vicinity private (
       "index" -> strategy.name,
       "bytes" -> sum.getLength.toString,
       "files" -> sum.getFileCount.toString)
+    // Sidecar fields are read null-safely (advice r13: a foreign or
+    // hand-edited sidecar must produce a marked generic answer, not an
+    // NPE): a sidecar missing any expected field degrades to the base map
+    // plus an explicit "sidecar" -> "unrecognized" marker.
+    def fields(meta: com.fasterxml.jackson.databind.JsonNode,
+        family: String, keys: Seq[(String, com.fasterxml.jackson.databind
+          .JsonNode => String)]): Map[String, String] =
+      if (keys.forall { case (k, _) => meta.get(k) != null })
+        base ++ (("family" -> family) +: keys.map { case (k, f) =>
+          k -> f(meta.get(k)) })
+      else base ++ Map("family" -> family, "sidecar" -> "unrecognized")
+    def asInt(n: com.fasterxml.jackson.databind.JsonNode): String =
+      n.asInt().toString
     if (FsIO.exists(s"$path/_graph_meta.json")) {
       val meta = new ObjectMapper().readTree(FsIO.read(s"$path/_graph_meta.json"))
       val tNode = meta.get("tombstone_generations")
-      base ++ Map(
-        "family" -> "graph",
-        "buckets" -> meta.get("buckets").asInt().toString,
-        "n_layers" -> meta.get("n_layers").asInt().toString,
-        "generations" -> meta.get("generations").asInt().toString,
-        "tombstone_generations" ->
-          (if (tNode == null) "0" else tNode.asInt().toString),
-        "entries" -> meta.get("entries").size().toString,
-        "m" -> meta.get("m").asInt().toString,
-        "ef_search" -> meta.get("ef_search").asInt().toString)
+      fields(meta, "graph", Seq(
+        "buckets" -> asInt, "n_layers" -> asInt, "generations" -> asInt,
+        "entries" -> ((n: com.fasterxml.jackson.databind.JsonNode) =>
+          n.size().toString),
+        "m" -> asInt, "ef_search" -> asInt)) ++
+        Map("tombstone_generations" ->
+          (if (tNode == null) "0" else tNode.asInt().toString))
     } else if (FsIO.exists(s"$path/_lsh_meta.json")) {
       // the LSH layout nests its partitioning one level down
       // (postings/_pk=…, vectors/_nb=…), so the flat first-level count
@@ -200,13 +211,10 @@ class Vicinity private (
         if (fs.exists(posts))
           fs.listStatus(posts).count(_.getPath.getName.startsWith("_pk="))
         else 0
-      base ++ Map(
-        "family" -> "lsh",
-        "n_tables" -> meta.get("n_tables").asInt().toString,
-        "n_bits" -> meta.get("n_bits").asInt().toString,
-        "sub_buckets" -> meta.get("sub_buckets").asInt().toString,
-        "vec_buckets" -> meta.get("vec_buckets").asInt().toString,
-        "postings_partitions" -> nPosts.toString)
+      fields(meta, "lsh", Seq(
+        "n_tables" -> asInt, "n_bits" -> asInt,
+        "sub_buckets" -> asInt, "vec_buckets" -> asInt)) ++
+        Map("postings_partitions" -> nPosts.toString)
     } else {
       // cell/bucket layouts: the first directory level IS the partition
       // key (_centroid= / _pk= / …) — count it without reading data
