@@ -91,8 +91,9 @@ class Vicinity private (
     * portability format; this is the query-optimized one, partitioned
     * for pruning). Capability-gated per physical strategy — the
     * per-backend surface-gating convention [[insert]]/[[delete]]
-    * already use: the IVF/quantized families, the graph family, and the
-    * LSH family serve from disk; BASIC raises (an exact scan has no
+    * already use: the IVF/quantized families, the binary family, the
+    * graph family, and the LSH family serve from disk; BASIC raises (an
+    * exact scan has no
     * structure to prune — there is nothing a layout could serve that a
     * plain parquet table does not already). */
   def writeServingIndex(path: String): Unit = strategy match {
@@ -145,6 +146,24 @@ class Vicinity private (
       s"Backend ${backend.name} (${strategy.name}) does not serve " +
         "filtered queries from disk.")
     val res = d.queryFilteredFromDisk(spark, path, queries, k, predicate)
+    res.join(store.select(col("id"), col("item")), Seq("id"), "left")
+      .select("query_id", "id", "item", "dist", "rank")
+  }
+
+  /** Integer Hamming-radius search from the serving layout — the BINARY
+    * family's native range-search shape (FAISS `IndexBinaryFlat
+    * .range_search` takes a bit radius; a metric-units threshold is
+    * [[queryThresholdFromDiskDf]]'s job — one parameter carrying two unit
+    * systems would silently diverge). Inclusive `<= bits`, (dist, id)
+    * rank capped at maxK; `dist` is the integer Hamming distance. */
+  def queryHammingFromDiskDf(path: String, queries: DataFrame, bits: Int,
+      maxK: Int = 100): DataFrame = {
+    requireThresholdMaxK(maxK)
+    val d = diskServing
+    if (!d.supportsDiskHamming) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) does not serve " +
+        "Hamming-radius queries from disk.")
+    val res = d.queryHammingFromDisk(spark, path, queries, bits, maxK)
     res.join(store.select(col("id"), col("item")), Seq("id"), "left")
       .select("query_id", "id", "item", "dist", "rank")
   }
@@ -215,6 +234,18 @@ class Vicinity private (
         "n_tables" -> asInt, "n_bits" -> asInt,
         "sub_buckets" -> asInt, "vec_buckets" -> asInt)) ++
         Map("postings_partitions" -> nPosts.toString)
+    } else if (FsIO.exists(s"$path/_bq_serving_meta.json")) {
+      // the binary layout nests its partitioning (vectors/_nb=…,
+      // mih/_pk=…) like the LSH layout does
+      val meta = new ObjectMapper()
+        .readTree(FsIO.read(s"$path/_bq_serving_meta.json"))
+      val mihRoot = new org.apache.hadoop.fs.Path(s"$path/mih")
+      val nMih =
+        if (fs.exists(mihRoot))
+          fs.listStatus(mihRoot).count(_.getPath.getName.startsWith("_pk="))
+        else 0
+      fields(meta, "binary", Seq("vec_buckets" -> asInt)) ++
+        Map("mih_partitions" -> nMih.toString)
     } else {
       // cell/bucket layouts: the first directory level IS the partition
       // key (_centroid= / _pk= / …) — count it without reading data

