@@ -2237,6 +2237,28 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** NN-descent served from its bucketed DISK layout in exhaustive-exact
+    * mode (verdict r13 #2 — the last family without a layout; template =
+    * the HNSW graph layout's single-layer case via the shared
+    * GraphLayout helpers): the oracle pins the vectors round trip,
+    * bucket-partitioned write, and kernel/rank plumbing THROUGH the
+    * layout; the adjacency round trip and per-hop pruned reads of the
+    * same layout are pinned by the NnDescentSpec disk ≡ memory
+    * walk-equality test (a diverged edge set would divert the walk). */
+  val qNndescentDiskKnn = Q("q_nndescent_disk_knn_exact",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "nnd15")(
+        NnDescentStrategy(Metric.Cosine))
+      val path = diskIvfPath(s, dir, "nnd15", strat, prepared,
+        serving = true)
+      strat.asInstanceOf[NnDescentStrategy].queryExhaustiveFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5)))
+
   /** PCA spectrum of the embedding store ([[graft.prep.Pca]]): top-4
     * covariance eigencomponents by deterministic fixed-budget power
     * iteration, every step rounded to 6 decimals so the DuckDB oracle
@@ -2317,7 +2339,8 @@ object QueriesVector {
     qPqKnn,
     qPqRerankKnn, qOpqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
-    qNndescentKnnExact, qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
+    qNndescentKnnExact, qNndescentDiskKnn,
+    qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
     qHnswDiskKnnExact, qHnswDiskFiltered, qHnswDiskDelete,
     qKnnClassify, qKnnFiltered,
     qHardNegatives, qTrainingTriples, qIvfPartitionedKnn,

@@ -234,6 +234,15 @@ class Vicinity private (
         "n_tables" -> asInt, "n_bits" -> asInt,
         "sub_buckets" -> asInt, "vec_buckets" -> asInt)) ++
         Map("postings_partitions" -> nPosts.toString)
+    } else if (FsIO.exists(s"$path/_nn_serving_meta.json")) {
+      // the NN-descent layout is the graph template's single-layer case
+      // (vectors/_gen=…/_nb=…, graph/_gen=…/_nb=…)
+      val meta = new ObjectMapper()
+        .readTree(FsIO.read(s"$path/_nn_serving_meta.json"))
+      fields(meta, "nn_graph", Seq(
+        "buckets" -> asInt, "n_neighbors" -> asInt, "generations" -> asInt,
+        "entries" -> ((n: com.fasterxml.jackson.databind.JsonNode) =>
+          n.size().toString)))
     } else if (FsIO.exists(s"$path/_bq_serving_meta.json")) {
       // the binary layout nests its partitioning (vectors/_nb=…,
       // mih/_pk=…) like the LSH layout does

@@ -85,3 +85,58 @@ trait DiskServing { self: IndexStrategy =>
     throw new UnsupportedOperationException(
       s"$name does not delete from disk")
 }
+
+/** Shared physical helpers for the GRAPH-shaped serving layouts
+  * ([[HnswStrategy]]'s layered graph, [[NnDescentStrategy]]'s
+  * single-layer k-NN graph): node-bucketed, id-sorted, generation-tagged
+  * parquet subdirs, and the partition-pruned, filter-pushed point read
+  * every walk hop goes through — ONE implementation so the two families'
+  * layouts stay byte-compatible in discipline (r13 lesson: shared
+  * builders over kept-in-sync copies). */
+private[graft] object GraphLayout {
+  import org.apache.spark.sql.functions._
+
+  /** one `_gen=N` generation of a bucketed subdir — id-sorted within
+    * each bucket (row-group min/max stats on the node id become tight
+    * ranges for the pushed `IN` lists), DYNAMIC partition overwrite so a
+    * replayed append REPLACES its own generation (the sketch-snapshot
+    * replay discipline). */
+  def writeGeneration(rows: DataFrame, idCol: String, sub: String,
+      buckets: Int, gen: Int): Unit =
+    rows.withColumn("_gen", lit(gen))
+      .withColumn("_nb", pmod(col(idCol), lit(buckets)).cast("int"))
+      .repartition(col("_nb")).sortWithinPartitions("_nb", idCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gen", "_nb").parquet(sub)
+
+  /** The one disk accessor every hop goes through: bucket IN-list as a
+    * PARTITION filter + node-id IN-list pushed into the scan (row-group
+    * skipping against the id-sorted files). Only COMMITTED generations
+    * are visible (`maxGen` = the sidecar count, so an orphan generation
+    * from a crashed append is ignored); for a key an append touched, the
+    * LATEST generation's rows replace the earlier ones. Pre-generation
+    * layouts (no `_gen` column) read unchanged. */
+  def prunedRead(spark: SparkSession, path: String, sub: String,
+      idCol: String, ids: Array[Long], buckets: Int, cols: Seq[String],
+      maxGen: Int = Int.MaxValue): DataFrame = {
+    val base0 = spark.read.parquet(s"$path/$sub")
+    val hasGen = base0.columns.contains("_gen")
+    val base = if (hasGen) base0.where(col("_gen") < maxGen) else base0
+    if (ids.isEmpty) base.where(lit(false)).select(cols.map(col): _*)
+    else {
+      val nbs = ids.map(i => (((i % buckets) + buckets) % buckets).toInt)
+        .distinct.map(Integer.valueOf).toSeq
+      val filtered = base.where(col("_nb").isin(nbs: _*) &&
+        col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
+      // the latest-wins dedup join only exists when deltas exist: a
+      // single-generation layout (fresh write, or post-compaction — the
+      // steady serving state) reads with the single-scan plan
+      val out = if (hasGen && maxGen > 1) {
+        val latest = filtered.groupBy(idCol).agg(max("_gen").as("_gen"))
+        filtered.join(latest, Seq(idCol, "_gen"))
+      } else filtered
+      out.select(cols.map(col): _*)
+    }
+  }
+}

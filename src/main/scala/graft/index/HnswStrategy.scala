@@ -434,17 +434,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     writeGraphMeta(path, buckets, generations = 1)
   }
 
-  /** one `_gen=N` generation of a graph-layout subdir — id-sorted within
-    * each bucket, DYNAMIC partition overwrite so a replayed append
-    * REPLACES its own generation (the sketch-snapshot replay discipline) */
+  /** one `_gen=N` generation of a graph-layout subdir — the shared
+    * [[GraphLayout.writeGeneration]] discipline (id-sorted buckets,
+    * dynamic partition overwrite so a replayed append replaces its own
+    * generation) */
   private def writeGeneration(rows: DataFrame, idCol: String, sub: String,
       buckets: Int, gen: Int): Unit =
-    rows.withColumn("_gen", lit(gen))
-      .withColumn("_nb", pmod(col(idCol), lit(buckets)).cast("int"))
-      .repartition(col("_nb")).sortWithinPartitions("_nb", idCol)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_gen", "_nb").parquet(sub)
+    GraphLayout.writeGeneration(rows, idCol, sub, buckets, gen)
 
   /** the sidecar: layout shape, walk configuration (advice r11 — the
     * entry set is capped at the WRITER's efSearch, so a reader must walk
@@ -576,33 +572,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
   private[graft] def prunedRead(spark: org.apache.spark.sql.SparkSession,
       path: String, sub: String, idCol: String, ids: Array[Long],
       buckets: Int, cols: Seq[String],
-      maxGen: Int = Int.MaxValue): DataFrame = {
-    val base0 = spark.read.parquet(s"$path/$sub")
-    // generation-aware read (r12 disk insert): only COMMITTED generations
-    // are visible (`maxGen` = the sidecar count, so an orphan generation
-    // from a crashed append is ignored), and for a key an append touched
-    // the LATEST generation's rows REPLACE the earlier ones — the
-    // adjacency re-cap writes a full row set per touched src, and vector
-    // ids are append-only unique so the dedup is a no-op there.
-    // Pre-generation layouts (no `_gen` column) read unchanged.
-    val hasGen = base0.columns.contains("_gen")
-    val base = if (hasGen) base0.where(col("_gen") < maxGen) else base0
-    if (ids.isEmpty) base.where(lit(false)).select(cols.map(col): _*)
-    else {
-      val nbs = ids.map(i => (((i % buckets) + buckets) % buckets).toInt)
-        .distinct.map(Integer.valueOf).toSeq
-      val filtered = base.where(col("_nb").isin(nbs: _*) &&
-        col(idCol).isin(ids.map(java.lang.Long.valueOf).toSeq: _*))
-      // the latest-wins dedup join only exists when deltas exist: a
-      // single-generation layout (fresh write, or post-compaction — the
-      // steady serving state) reads with the r11 single-scan plan
-      val out = if (hasGen && maxGen > 1) {
-        val latest = filtered.groupBy(idCol).agg(max("_gen").as("_gen"))
-        filtered.join(latest, Seq(idCol, "_gen"))
-      } else filtered
-      out.select(cols.map(col): _*)
-    }
-  }
+      maxGen: Int = Int.MaxValue): DataFrame =
+    // generation-aware read (r12 disk insert), shared with the other
+    // graph-shaped layout ([[GraphLayout.prunedRead]]): committed
+    // generations only, latest generation wins per key — the adjacency
+    // re-cap writes a full row set per touched src, and vector ids are
+    // append-only unique so the dedup is a no-op there.
+    GraphLayout.prunedRead(spark, path, sub, idCol, ids, buckets, cols,
+      maxGen)
 
   /** Exhaustive exact mode over the SAME disk layout ([[queryExhaustive]]'s
     * full-seed identity, reading vectors through the serving files): scores

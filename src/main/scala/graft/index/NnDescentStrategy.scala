@@ -51,7 +51,8 @@ import graft.functions.{Neighbor, TopK, VectorFunctions}
 case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     iters: Int = 5, sampleDeg: Int = 15, nSeeds: Int = 64, beam: Int = 40,
     hops: Int = 2, seed: Long = 42L,
-    smallBuildElems: Long = 4L << 20) extends IndexStrategy {
+    smallBuildElems: Long = 4L << 20)
+  extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean ||
     metric == Metric.Manhattan,
     s"Metric '${metric.name}' is not supported by the NN-descent backend.")
@@ -565,6 +566,161 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         .readTree(graft.core.FsIO.read(s"$dir/nn_meta.json"))
       nStored = root.get("n").asLong()
     }
+  }
+
+  // --------------------------------------------------------------------
+  // Disk-resident serving (verdict r13 #2 — the last index family
+  // without a layout). The graph is single-layer, so the layout is the
+  // HNSW bucketed template's one-layer case ([[GraphLayout]]):
+  //   vectors/  every prepared column, `_nb = id mod buckets` dirs,
+  //             id-sorted within files (metadata rides in the layout so
+  //             filtered serving pushes its predicate into the scan)
+  //   graph/    the k-NN adjacency (src, dst), bucketed by src
+  //   _nn_serving_meta.json  layout shape + the WRITER's walk config
+  //             (entries/beam/hops — the reader-adopts-writer-config
+  //             discipline: the entry set was ranked with the writer's
+  //             seed, so a differently-configured reader would silently
+  //             break the disk == memory walk equality)
+  // A walk touches, per hop, only the directories holding its
+  // frontier's buckets and only the row groups passing the pushed
+  // `src IN` / `id IN` filters — I/O proportional to the frontier, never
+  // the store. Reference parity: pynndescent persists and serves its
+  // graph (`pynndescent.py:93-115`); insert/delete stay unsupported on
+  // disk as in memory (`pynndescent.py:75-83`).
+  // --------------------------------------------------------------------
+
+  /** node-bucket fan of the serving layout */
+  private val diskBuckets = 16
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
+    require(graph != null,
+      "NnDescentStrategy.prepare must run before writeServingIndex")
+    GraphLayout.writeGeneration(prepared, "id", s"$path/vectors",
+      diskBuckets, gen = 0)
+    GraphLayout.writeGeneration(graph.select("src", "dst"), "src",
+      s"$path/graph", diskBuckets, gen = 0)
+    // the hash-ranked entry set — EXACTLY the seeds [[query]] walks from
+    // (same mixer, same (hash, id) order), bounded by nSeeds
+    val sd = seed
+    val mixUdf = udf((a: Long, b: Long) => NnDescentStrategy.mix(a, b, sd))
+    val entries = prepared.select(col("id"))
+      .withColumn("_h", mixUdf(col("id"), lit(0L)))
+      .orderBy(col("_h"), col("id")).limit(nSeeds)
+      .collect().map(_.getLong(0))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("metric", metric.name)
+    root.put("buckets", diskBuckets)
+    root.put("n_neighbors", nNeighbors)
+    root.put("beam", beam)
+    root.put("hops", hops)
+    root.put("generations", 1)
+    val arr = root.putArray("entries")
+    entries.foreach(arr.add)
+    graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  private def readServingMeta(
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(graft.core.FsIO.exists(s"$path/_nn_serving_meta.json"),
+      s"no NN-descent serving layout at $path (missing _nn_serving_meta.json)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_nn_serving_meta.json"))
+    require(meta.get("metric") != null &&
+        meta.get("metric").asText() == metric.name,
+      s"layout at $path was built for metric " +
+        s"${Option(meta.get("metric")).map(_.asText()).getOrElse("?")}; " +
+        s"this instance serves ${metric.name}")
+    meta
+  }
+
+  /** The beam walk served DIRECTLY from a [[writeServingIndex]] layout,
+    * with no resident graph: stage for stage [[beamFrom]] (seed scoring →
+    * `hops` frontier expansions → top-k), except every adjacency/vector
+    * access is a partition-pruned, filter-pushed read of exactly the
+    * frontier's rows ([[GraphLayout.prunedRead]]). Frontier ids are
+    * driver-enumerated per hop — bounded by beam width × batch × degree,
+    * the bounded-driver-pull convention — so the `IN`-list prune is known
+    * before each scan starts. Candidates, scores, and tie-breaks are
+    * identical to the in-memory walk (spec-asserted equality). */
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = readServingMeta(path)
+    def metaInt(field: String, dflt: Int): Int = {
+      val node = meta.get(field); if (node == null) dflt else node.asInt()
+    }
+    val buckets = metaInt("buckets", diskBuckets)
+    val diskBeam = metaInt("beam", beam)
+    val diskHops = metaInt("hops", hops)
+    val gens = metaInt("generations", Int.MaxValue)
+    val eIt = meta.get("entries").elements()
+    val entries = Iterator.continually(eIt)
+      .takeWhile(_.hasNext).map(_.next().asLong()).toArray
+    val q = walkQueries(queries)
+    def pruned(sub: String, idCol: String, ids: Array[Long],
+        cols: Seq[String]): DataFrame =
+      GraphLayout.prunedRead(spark, path, sub, idCol, ids, buckets, cols,
+        gens)
+    import spark.implicits._
+    val entryPairs = entries.toSeq.toDF("id")
+      .crossJoin(q.select("query_id"))
+    var beamDf = TopK.topKPerGroup(
+        scoreCandidates(pruned("vectors", "id", entries,
+          Seq("id", "vector")), q, entryPairs),
+        Seq("query_id"), "id", "dist", diskBeam)
+      .select("query_id", "id", "dist").localCheckpoint()
+    for (_ <- 1 to diskHops) {
+      val srcIds = beamDf.select("id").distinct().collect().map(_.getLong(0))
+      val adj = pruned("graph", "src", srcIds, Seq("src", "dst"))
+        .withColumnRenamed("src", "id")
+      val frontier = beamDf.select("query_id", "id").join(adj, Seq("id"))
+        .select(col("query_id"), col("dst").as("id")).distinct()
+        .localCheckpoint()
+      val candIds = frontier.select("id").distinct().collect()
+        .map(_.getLong(0))
+      val merged = beamDf.unionByName(scoreCandidates(
+          pruned("vectors", "id", candIds, Seq("id", "vector")), q, frontier))
+        .groupBy("query_id", "id").agg(min("dist").as("dist"))
+      beamDf = TopK.topKPerGroup(merged, Seq("query_id"), "id", "dist",
+          diskBeam)
+        .select("query_id", "id", "dist").localCheckpoint()
+    }
+    TopK.topKPerGroup(beamDf, Seq("query_id"), "id", "dist", k)
+  }
+
+  /** [[queryExhaustive]]'s full-seed identity through the layout's
+    * vectors side — the family's oracle anchor THROUGH the disk round
+    * trip (the adjacency round trip is pinned by the disk ≡ memory
+    * walk-equality spec: a diverged edge set would divert the walk). */
+  def queryExhaustiveFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    readServingMeta(path)
+    val q = walkQueries(queries)
+    val vecs = spark.read.parquet(s"$path/vectors").select("id", "vector")
+    val pairs = vecs.select("id").crossJoin(q.select("query_id"))
+    TopK.topKPerGroup(scoreCandidates(vecs, q, pairs),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  /** Filtered search off the layout — [[queryFiltered]]'s exact-subset
+    * semantics (an arbitrary predicate can disconnect any graph, so the
+    * graph is deliberately bypassed): one filter-pushed, column-pruned
+    * scan of the layout vectors, every survivor seeded. */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    readServingMeta(path)
+    val q = walkQueries(queries)
+    val vecs = spark.read.parquet(s"$path/vectors").where(predicate)
+      .select("id", "vector")
+    val pairs = vecs.select("id").crossJoin(q.select("query_id"))
+    TopK.topKPerGroup(scoreCandidates(vecs, q, pairs),
+      Seq("query_id"), "id", "dist", k)
   }
 }
 

@@ -182,4 +182,82 @@ class NnDescentSpec extends SparkSpec {
     val perQuery = math.min(n, 64L + 2L * 40 * 15)
     assert(vol === perQuery * 5)
   }
+
+  test("disk serving (verdict r13 #2): disk walk == memory walk; reader " +
+      "adopts writer config; hop reads prune and push; filtered/exact") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val labeled = sf("embeddings")
+      .select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vector"), col("label"))
+      .cache()
+    val strat = NnDescentStrategy(Metric.Cosine)
+    val prepared = strat.prepare(labeled).cache()
+    val q = queriesOf(labeled, 5)
+    val root = java.nio.file.Files.createTempDirectory("graft_nnddisk")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    // 1. the disk walk is the in-memory walk, decision for decision —
+    //    seeds, beam merges, tie-breaks (any divergence in the
+    //    adjacency/vector round trip would divert it)
+    val mem = strat.query(prepared, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val dsk = strat.queryFromDisk(spark, path, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(dsk === mem, "disk walk diverged from the in-memory walk")
+    // 2. reader adopts WRITER config: a differently-tuned reader instance
+    //    walks with the sidecar's entries/beam/hops and still matches
+    val reader = NnDescentStrategy(Metric.Cosine, beam = 7, hops = 1)
+    val dskR = reader.queryFromDisk(spark, path, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(dskR === mem, "reader did not adopt the writer's walk config")
+    // 3. exhaustive-from-disk equals exhaustive-in-memory (the
+    //    q_nndescent_disk_knn_exact oracle identity at spec level)
+    val memX = strat.queryExhaustive(prepared, q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dskX = strat.queryExhaustiveFromDisk(spark, path, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dskX === memX)
+    // 4. filtered serving: exact-subset semantics, predicate pushed into
+    //    the vectors scan (label rides in the layout)
+    val pred = col("label") >= 1
+    val flMem = strat.queryFiltered(prepared.where(pred), q, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val flDskDf = strat.queryFilteredFromDisk(spark, path, q, 10, pred)
+    assert(flDskDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === flMem, "disk filtered != in-memory filtered")
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    assert(fileScans(flDskDf.queryExecution.executedPlan)
+        .exists(s => s.metadata.get("PushedFilters")
+          .exists(_.contains("label"))),
+      "label predicate did not reach PushedFilters on the vectors scan")
+    // 5. the per-hop accessor (shared GraphLayout.prunedRead): ids 1 and
+    //    17 share bucket 1 of 16 — the read prunes to one directory and
+    //    the id list arrives as a pushed filter
+    val narrow = graft.index.GraphLayout.prunedRead(spark, path, "vectors",
+      "id", Array(1L, 17L), 16, Seq("id", "vector"), maxGen = 1)
+    assert(narrow.count() == 2)
+    val scans = fileScans(narrow.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft_nnddisk")))
+    assert(scans.nonEmpty, "no scan of the layout found")
+    assert(scans.forall(_.selectedPartitions.partitionCount == 1),
+      "bucket IN-list did not prune the vector directories")
+    assert(scans.exists(s => s.toString.contains("PushedFilters: [In(id")
+        || s.toString.contains("PushedFilters: [In(`id`")),
+      "id IN-list did not reach the scan as a pushed filter")
+    // 6. metric mismatch fails fast instead of walking with the wrong kernel
+    intercept[IllegalArgumentException] {
+      NnDescentStrategy(Metric.Euclidean).queryFromDisk(spark, path, q, 10)
+    }
+    prepared.unpersist(); labeled.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
