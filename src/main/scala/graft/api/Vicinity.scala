@@ -226,14 +226,24 @@ class Vicinity private (
       // below would read it as an empty cells layout
       val meta = new ObjectMapper().readTree(FsIO.read(s"$path/_lsh_meta.json"))
       val posts = new org.apache.hadoop.fs.Path(s"$path/postings")
+      // distinct _pk directories across generations (generation layouts
+      // nest _gen above _pk; pre-generation layouts have _pk first)
       val nPosts =
         if (fs.exists(posts))
-          fs.listStatus(posts).count(_.getPath.getName.startsWith("_pk="))
+          fs.listStatus(posts).flatMap { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("_gen="))
+              fs.listStatus(st.getPath).map(_.getPath.getName).toSeq
+            else Seq(n)
+          }.filter(_.startsWith("_pk=")).distinct.length
         else 0
+      val gNode = meta.get("generations")
       fields(meta, "lsh", Seq(
         "n_tables" -> asInt, "n_bits" -> asInt,
         "sub_buckets" -> asInt, "vec_buckets" -> asInt)) ++
-        Map("postings_partitions" -> nPosts.toString)
+        Map("postings_partitions" -> nPosts.toString,
+          "generations" ->
+            (if (gNode == null) "1" else gNode.asInt().toString))
     } else if (FsIO.exists(s"$path/_nn_serving_meta.json")) {
       // the NN-descent layout is the graph template's single-layer case
       // (vectors/_gen=…/_nb=…, graph/_gen=…/_nb=…)

@@ -230,6 +230,14 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   // directory pruning, and reranks only colliding candidates. Delete
   // stays unsupported on disk as in memory (family semantics:
   // hnsw.py:103-105).
+  //
+  // Inserts land as GENERATIONS (verdict r13 #3): each sub-layout is
+  // partitioned by (_gen, fan key); [[appendServingIndex]] writes the
+  // hashed increment as `_gen=N` and commits the sidecar count last, so
+  // readers (which union `_gen < generations`) never see a crashed
+  // append and a replay overwrites its own generation. Postings rows are
+  // independent per id, so unlike the graph family no latest-wins merge
+  // is needed.
   // --------------------------------------------------------------------
 
   /** per-table partition fan of the postings layout; 16 × nTables dirs */
@@ -237,21 +245,46 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   /** id-hash partition fan of the vectors sub-layout */
   private val vecBuckets = 64
 
+  /** one `_gen=N` generation of an LSH sub-layout — dynamic partition
+    * overwrite, so a REPLAYED append (crash after the data write, before
+    * the sidecar commit) overwrites its own generation instead of
+    * double-appending (the graph family's replay discipline; postings
+    * rows are independent per id, so readers union committed generations
+    * with no latest-wins merge). */
+  private def writeLshGeneration(rows: DataFrame, partCol: String,
+      sortCol: String, sub: String, gen: Int): Unit =
+    rows.withColumn("_gen", lit(gen))
+      .repartition(col(partCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gen", partCol).parquet(sub)
+
   override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
     val dim = prepared.select(size(col("vector"))).limit(1).head.getInt(0)
-    postings(prepared)
-      .withColumn("_pk",
-        col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets)))
-      .repartition(col("_pk"))
-      .sortWithinPartitions("bucket")
-      .write.mode("overwrite").partitionBy("_pk")
-      .parquet(s"$path/postings")
-    prepared.drop("_buckets")
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
-      .repartition(col("_nb"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite").partitionBy("_nb")
-      .parquet(s"$path/vectors")
+    // fresh-write semantics: clear any previous layout first — the
+    // generation writes below are dynamic-partition-overwrite, which
+    // would keep stale partitions this write doesn't touch (the
+    // staging-dir pre-delete lesson, advice r12)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      prepared.sparkSession.sparkContext.hadoopConfiguration)
+    Seq("postings", "vectors").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    writeLshGeneration(
+      postings(prepared).withColumn("_pk",
+        col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets))),
+      "_pk", "bucket", s"$path/postings", gen = 0)
+    writeLshGeneration(
+      prepared.drop("_buckets")
+        .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets))),
+      "_nb", "id", s"$path/vectors", gen = 0)
+    writeLshMeta(path, dim, generations = 1)
+  }
+
+  private def writeLshMeta(path: String, dim: Int, generations: Int): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("metric", metric.name)
@@ -262,8 +295,58 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     root.put("dim", dim)
     root.put("sub_buckets", subBuckets)
     root.put("vec_buckets", vecBuckets)
+    root.put("generations", generations)
     graft.core.FsIO.write(s"$path/_lsh_meta.json",
       mapper.writeValueAsString(root))
+  }
+
+  /** Incremental insert COMPOSED WITH the disk layout (verdict r13 #3 —
+    * in-memory LSH absorbs inserts via [[prepareIncrement]] but the
+    * layout was write-once): hash ONLY the appended rows (per-row seeded
+    * hashing needs no history) and land their postings and vectors as one
+    * `_gen=N` generation of each sub-layout. The sidecar count commits
+    * LAST, so a crashed append leaves an invisible orphan and a replay
+    * overwrites it (dynamic partition overwrite) — at-least-once replay
+    * stays exactly-once. Unlike the graph family there is no adjacency to
+    * re-cap: postings rows are independent, so readers simply union
+    * committed generations — no latest-wins merge, no compaction
+    * required for correctness (compaction remains an I/O optimization a
+    * deployment can run by rewriting with [[writeServingIndex]]). */
+  def appendServingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, newRows: DataFrame): Unit = {
+    val meta = readMeta(path) // hash config must match the layout
+    require(meta.get("generations") != null,
+      s"layout at $path predates the generation layout — rewrite it with " +
+        "writeServingIndex before appending")
+    val gens = meta.get("generations").asInt()
+    val dim = meta.get("dim").asInt()
+    val newDim = newRows.select(size(col("vector"))).limit(1).head.getInt(0)
+    require(newDim == dim,
+      s"appended vectors have dim $newDim; the layout at $path was " +
+        s"hashed at dim $dim")
+    val newPrepared = prepare(newRows)
+    // id freshness guard: a duplicate id would serve twice from the
+    // rerank join. Partition-pruned existence check — the read touches
+    // only the append batch's buckets, never the store.
+    val newKeys = newPrepared
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+    val nbs = newKeys.select("_nb").distinct().collect().map(_.getLong(0))
+      .map(java.lang.Long.valueOf).toSeq
+    val clash = spark.read.parquet(s"$path/vectors")
+      .where(col("_gen") < gens && col("_nb").isin(nbs: _*))
+      .select("id")
+      .join(newKeys.select("id"), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"append contains ids already present in the layout at $path " +
+        s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+    writeLshGeneration(
+      postings(newPrepared).withColumn("_pk",
+        col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets))),
+      "_pk", "bucket", s"$path/postings", gen = gens)
+    writeLshGeneration(newKeys.drop("_buckets"),
+      "_nb", "id", s"$path/vectors", gen = gens)
+    writeLshMeta(path, dim, generations = gens + 1) // the commit point
   }
 
   /** Fail fast on a hash-config mismatch — probing with different
@@ -289,9 +372,21 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     meta
   }
 
+  /** committed generations only (`_gen` < the sidecar count): an orphan
+    * generation from a crashed append is invisible to every reader;
+    * pre-generation layouts (no `_gen` column) read unchanged */
+  private def committedGen(df: DataFrame,
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    val g = meta.get("generations")
+    if (g == null || !df.columns.contains("_gen")) df
+    else df.where(col("_gen") < g.asInt())
+  }
+
   /** the vectors sub-layout, ready for (_nb, id) candidate joins */
   private def diskVectors(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = spark.read.parquet(s"$path/vectors")
+      path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    committedGen(spark.read.parquet(s"$path/vectors"), meta)
 
   /** Candidate (query_id, id) pairs off the pruned postings read: probe
     * keys enumerated driver-side from the QUERY batch, pushed into the
@@ -323,7 +418,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       .map { case (t, b) => t.toLong * sb + Math.floorMod(b, sb.toLong) }
       .distinct.toSeq
     val probeVals = probes.map(_._2).distinct.toSeq
-    spark.read.parquet(s"$path/postings")
+    committedGen(spark.read.parquet(s"$path/postings"), meta)
       .where(col("_pk").isin(probePks: _*) &&
         col("bucket").isin(probeVals: _*))
       .join(broadcast(qPost), Seq("table", "bucket"))
@@ -334,11 +429,12 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * sub-layout (DPP-prunable), then the same kernel as [[rerank]] */
   private def rerankFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, cands: DataFrame,
-      nb: Int): DataFrame = {
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    val nb = meta.get("vec_buckets").asInt()
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
     cands
       .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
-      .join(diskVectors(spark, path).select(col("_nb"), col("id"),
+      .join(diskVectors(spark, path, meta).select(col("_nb"), col("id"),
         col("vector")), Seq("_nb", "id"))
       .join(broadcast(queries.select(col("query_id"), col("qvector"))),
         Seq("query_id"))
@@ -354,9 +450,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val meta = readMeta(path)
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
     val cands = diskCandidates(spark, path, q, meta)
-    TopK.topKPerGroup(
-      rerankFromDisk(spark, path, q, cands,
-        meta.get("vec_buckets").asInt()),
+    TopK.topKPerGroup(rerankFromDisk(spark, path, q, cands, meta),
       Seq("query_id"), "id", "dist", k)
   }
 
@@ -368,10 +462,10 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   def queryExhaustiveFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    readMeta(path)
+    val meta = readMeta(path)
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
-    val scored = diskVectors(spark, path).select(col("id"), col("vector"))
+    val scored = diskVectors(spark, path, meta).select(col("id"), col("vector"))
       .crossJoin(broadcast(q.select(col("query_id"), col("qvector"))))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
     TopK.topKPerGroup(scored, Seq("query_id"), "id", "dist", k)
@@ -388,8 +482,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
     val cands = diskCandidates(spark, path, q, meta)
     val capped = TopK.topKPerGroup(
-      rerankFromDisk(spark, path, q, cands,
-        meta.get("vec_buckets").asInt()),
+      rerankFromDisk(spark, path, q, cands, meta),
       Seq("query_id"), "id", "dist", maxK)
     capped.where(col("dist") < threshold).drop("rank")
   }
@@ -412,7 +505,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val scored = cands
       .withColumn("_nb",
         pmod(xxhash64(col("id")), lit(meta.get("vec_buckets").asInt())))
-      .join(diskVectors(spark, path).where(predicate), Seq("_nb", "id"))
+      .join(diskVectors(spark, path, meta).where(predicate), Seq("_nb", "id"))
       .join(broadcast(q.select(col("query_id"), col("qvector"))),
         Seq("query_id"))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))

@@ -341,6 +341,68 @@ class ScaleDesignSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("LSH disk append (verdict r13 #3): appended generation is served " +
+      "== rebuilt-from-scratch; replay overwrites its own generation; " +
+      "duplicate-id append refuses") {
+    import graft.index.LshStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .cache()
+    val strat = LshStrategy(graft.core.Metric.Cosine, nTables = 8, nBits = 5)
+    val fullPrepared = strat.prepare(store).cache()
+    val base = fullPrepared.where($"id" < 400)
+    val delta = store.where($"id" >= 400)
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_lshapp")
+    val path = root.resolve("grown").toString
+    strat.writeServingIndex(base, path)
+    strat.appendServingIndex(spark, path, delta)
+    // hashing is per-row deterministic, so base + appended generation
+    // must serve exactly what one fresh build of the full store serves —
+    // in memory AND through a rebuilt-from-scratch layout
+    val mem = strat.query(fullPrepared, queries, 10).collect().toSet
+    val grown = strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+    assert(grown === mem, "append-grown layout != in-memory full store")
+    val path2 = root.resolve("fresh").toString
+    strat.writeServingIndex(fullPrepared, path2)
+    assert(strat.queryFromDisk(spark, path2, queries, 10).collect().toSet
+      === grown, "append-grown layout != rebuilt-from-scratch layout")
+    // crash-window replay: rewind the sidecar to generations=1 (as if the
+    // append crashed before its commit) — the orphan _gen=1 is invisible…
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(graft.core.FsIO.read(s"$path/_lsh_meta.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    meta.put("generations", 1)
+    graft.core.FsIO.write(s"$path/_lsh_meta.json",
+      mapper.writeValueAsString(meta))
+    val baseOnly = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(r => r.getLong(1)).toSet
+    val memBase = strat.query(base, queries, 10).collect()
+      .map(r => r.getLong(1)).toSet
+    assert(baseOnly === memBase,
+      "uncommitted generation leaked into a served result")
+    // …and replaying the SAME append overwrites its own generation and
+    // recommits: at-least-once replay stays exactly-once
+    strat.appendServingIndex(spark, path, delta)
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === mem, "replayed append did not converge to the full answer")
+    // a committed duplicate append refuses (ids already in the layout)
+    intercept[IllegalArgumentException] {
+      strat.appendServingIndex(spark, path, delta)
+    }
+    // dim mismatch refuses before writing anything
+    intercept[IllegalArgumentException] {
+      strat.appendServingIndex(spark, path,
+        store.limit(1).select($"id" + 10000 as "id",
+          org.apache.spark.sql.functions.expr("slice(vector, 1, 8)")
+            .as("vector")))
+    }
+    fullPrepared.unpersist(); store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("disk-resident IVF delete rewrites only the affected cell partitions") {
     import graft.index.IvfStrategy
     val store = sf("embeddings")
