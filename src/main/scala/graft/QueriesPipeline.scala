@@ -2458,6 +2458,52 @@ object QueriesPipeline {
       SELECT vec_id, cluster, dist FROM a3 ORDER BY vec_id
     """))
 
+  // ------------------------------------------------------- q_ivf_cell_skew
+  /** IVF cell-balance monitor (verdict r13 #5) — the ops metric that tells
+    * a serving deployment WHEN to re-train its coarse quantizer, the way
+    * [[graft.QueriesVector]]'s q_index_staleness tells it when to refresh
+    * vectors: the per-cell row-count distribution of the trained
+    * assignment (rows, cells, max, avg, max/avg skew ratio, p50/p99,
+    * heaviest cell). A skew ratio drifting up means cells degenerated
+    * (inserts concentrated in few cells → probe-pruning stops paying and
+    * tail latency grows); re-training is due. Assignment = the SAME
+    * oracle-replayable Lloyd's job as [[qKmeans]] (seeded init, 2 rounds,
+    * rounded-argmin), so the whole monitor — training included — is
+    * hash-checked cross-engine, not just the summary arithmetic.
+    *
+    * Plan shape: the [[skewOf]] count-of-counts summary applied to the
+    * cluster column — aggregates bounded by |cells| and |distinct count
+    * values|², no window, no global sort; the k-means rounds are the
+    * qKmeans fixed-depth DAG (broadcast centroids, one store scan per
+    * round). At 100 TB this runs as one scan over the assignment column
+    * a deployment already maintains. */
+  val qIvfCellSkew = Q("q_ivf_cell_skew",
+    (s, dir) => skewOf(
+      graft.prep.Clustering.kmeansAssign(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8, iters = 2),
+      "ivf.cells", col("cluster")),
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cid, v AS cvec
+        FROM emb WHERE vec_id < 8),
+      ${kmAssignSql("d1", "a1", "c0")}
+      ${kmUpdateSql("a1", "c1")}
+      ${kmAssignSql("d2", "a2", "c1")}
+      ${kmUpdateSql("a2", "c2")}
+      ${kmAssignSql("d3", "a3", "c2")}
+      ${skewOracleBlock("ivf.cells", "a3", "cluster", "sk")
+        .stripPrefix("\n")}
+      SELECT key_name, CAST(n_rows AS BIGINT) AS n_rows,
+             CAST(n_keys AS BIGINT) AS n_keys,
+             CAST(max_cnt AS BIGINT) AS max_cnt, avg_cnt, skew_ratio,
+             CAST(p50_cnt AS BIGINT) AS p50_cnt,
+             CAST(p99_cnt AS BIGINT) AS p99_cnt,
+             CAST(top_key AS BIGINT) AS top_key
+      FROM rsk
+    """))
+
   // ----------------------------------------------------- q_softdedup_weights
   /** Soft dedup — reweighting instead of removal (He et al., ACL 2024,
     * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
@@ -2820,5 +2866,6 @@ object QueriesPipeline {
     qRrfFusion, qRetrievalOverlap, qHybridFusion, qCrossSourceDups,
     qGramDiversity, qDsirWeights,
     qPrototypicality, qTemperatureMix, qLeakageSafeSplit, qKmeans,
+    qIvfCellSkew,
     qSoftdedupWeights, qFuzzyContamination, qSemdedupKmeans)
 }
