@@ -498,7 +498,26 @@ class Vicinity private (
     * Cosine/euclidean only (`vicinity.py:341`).
     */
   def evaluate(queryVectors: Seq[Seq[Double]], k: Int = 10,
-      epsilon: Double = 1e-3): (Double, Double) = {
+      epsilon: Double = 1e-3): (Double, Double) =
+    evaluateImpl(queryVectors, k, epsilon,
+      q => strategy.query(prepared, q, k))
+
+  /** [[evaluate]] grading a DISK-SERVED index (verdict r13 #6 stretch —
+    * the recall/QPS harness graded in-memory strategies only, but the
+    * numbers a deployment actually serves come off its
+    * [[writeServingIndex]] layout): same exact ground truth, same recall
+    * methodology, with the timed pass running [[queryFromDiskDf]]'s
+    * strategy path against the layout at `path`. Capability-gated like
+    * every disk entry point. */
+  def evaluateFromDisk(path: String, queryVectors: Seq[Seq[Double]],
+      k: Int = 10, epsilon: Double = 1e-3): (Double, Double) = {
+    val d = diskServing
+    evaluateImpl(queryVectors, k, epsilon,
+      q => d.queryFromDisk(spark, path, q, k))
+  }
+
+  private def evaluateImpl(queryVectors: Seq[Seq[Double]], k: Int,
+      epsilon: Double, run: DataFrame => DataFrame): (Double, Double) = {
     if (metric != Metric.Cosine && metric != Metric.Euclidean)
       throw new IllegalArgumentException(
         s"Unsupported metric for evaluation: ${metric.name}")
@@ -510,7 +529,7 @@ class Vicinity private (
     val gt = exact.query(exactPrepared, q, k)
       .groupBy("query_id").agg(max("dist").as("gt_kth")).cache()
     val t0 = System.nanoTime()
-    val approx = strategy.query(prepared, q, k).cache()
+    val approx = run(q).cache()
     approx.count()
     val elapsed = (System.nanoTime() - t0) / 1e9
     val qps = queryVectors.length / math.max(elapsed, 1e-9)

@@ -532,6 +532,31 @@ class VicinitySpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("evaluateFromDisk grades a disk-served layout: recall == the " +
+      "in-memory evaluate for the same pruned IVF config, qps > 0 " +
+      "(verdict r13 #6)") {
+    // nlist = 32 → the engine's nprobe floor of 4 probes 4/32 cells:
+    // genuinely pruned, so recall < 1 is possible and MUST agree between
+    // the in-memory strategy and its disk layout (same probe decisions)
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 32)))
+    val root = java.nio.file.Files.createTempDirectory("graft_evaldisk")
+    val p = root.resolve("index").toString
+    ivf.writeServingIndex(p)
+    val qs = vectors.take(8)
+    val (qpsMem, recallMem) = ivf.evaluate(qs, k = 10)
+    val (qpsDsk, recallDsk) = ivf.evaluateFromDisk(p, qs, k = 10)
+    assert(qpsMem > 0 && qpsDsk > 0)
+    assert(recallDsk === recallMem,
+      s"disk-served recall $recallDsk != in-memory recall $recallMem")
+    assert(recallMem > 0.0, "pruned IVF recall should not be zero here")
+    // gated like every disk entry point
+    intercept[UnsupportedOperationException] {
+      basic.evaluateFromDisk(p, qs)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("facade disk serving: the binary family rides DiskServing " +
       "(verdict r13 #1 — facade == strategy for binary and ivf_binary)") {
     import org.apache.spark.sql.functions.col
