@@ -262,25 +262,39 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
 
   override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
     val dim = prepared.select(size(col("vector"))).limit(1).head.getInt(0)
-    // fresh-write semantics: clear any previous layout first — the
-    // generation writes below are dynamic-partition-overwrite, which
-    // would keep stale partitions this write doesn't touch (the
-    // staging-dir pre-delete lesson, advice r12)
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(
-      prepared.sparkSession.sparkContext.hadoopConfiguration)
-    Seq("postings", "vectors").foreach { sub =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      if (fs.exists(p)) fs.delete(p, true)
+    val spark = prepared.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fresh-write semantics without an in-place delete: the generation
+    // writes below are dynamic-partition-overwrite, which would keep
+    // stale partitions a rewrite doesn't touch — so a REWRITE of an
+    // existing sub-layout lands in a staging dir and swaps in
+    // (Generations.swapInto). That also makes "compaction" safe as
+    // plain rewrite-from-own-read: the staging write finishes reading
+    // the live files before the swap replaces them (deleting the live
+    // dir first would yank files out from under the input plan).
+    def writeSub(sub: String, rows: => DataFrame, partCol: String,
+        sortCol: String): Unit = {
+      val live = s"$path/$sub"
+      val livePath = new org.apache.hadoop.fs.Path(live)
+      if (!fs.exists(livePath))
+        writeLshGeneration(rows, partCol, sortCol, live, gen = 0)
+      else {
+        val staging = live + "__staging"
+        val stPath = new org.apache.hadoop.fs.Path(staging)
+        if (fs.exists(stPath)) fs.delete(stPath, true)
+        writeLshGeneration(rows, partCol, sortCol, staging, gen = 0)
+        graft.core.Generations.swapInto(spark, live, staging)
+      }
     }
-    writeLshGeneration(
+    writeSub("postings",
       postings(prepared).withColumn("_pk",
         col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets))),
-      "_pk", "bucket", s"$path/postings", gen = 0)
-    writeLshGeneration(
+      "_pk", "bucket")
+    writeSub("vectors",
       prepared.drop("_buckets")
         .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets))),
-      "_nb", "id", s"$path/vectors", gen = 0)
+      "_nb", "id")
     writeLshMeta(path, dim, generations = 1)
   }
 

@@ -278,6 +278,75 @@ class StreamingSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("LSH DISK index freshness mid-stream: micro-batches append " +
+      "generations served immediately; replay-safe by the sidecar commit") {
+    // the r14 composition: streaming inserts land via appendServingIndex,
+    // so the LSH layout keeps pace with ingest exactly like the graph
+    // family's (the test above) — postings rows are independent, so no
+    // adjacency re-cap is involved
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.index.LshStrategy
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(8)(rnd.nextDouble() - 0.5)
+    val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
+    val strat = LshStrategy(Metric.Cosine, nTables = 8, nBits = 4)
+    val prepared = strat.prepare(store)
+    val root = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    @volatile var nextId = 60L
+    @volatile var misses = 0
+    val input = MemoryStream[Seq[Double]]
+    val q = input.toDF().toDF("vector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getSeq[Double](0).toSeq).toSeq
+        if (rows.nonEmpty) {
+          val newRows = rows.zipWithIndex
+            .map { case (x, i) => (nextId + i, x) }.toDF("id", "vector")
+          strat.appendServingIndex(spark, path, newRows)
+          nextId += rows.length
+          // every vector of the batch must be served FROM DISK the moment
+          // its generation commits (its own nearest, distance 0 — the
+          // base bucket of an identical vector always collides)
+          val qdf = newRows.select(col("id").as("query_id"),
+            col("vector").as("qvector"))
+          val got = strat.queryFromDisk(spark, path, qdf, 1).collect()
+          misses += rows.length -
+            got.count(r => r.getLong(0) == r.getLong(1) &&
+              r.getDouble(2) < 1e-9)
+        }
+      }.start()
+    (0 until 3).foreach { _ =>
+      input.addData((0 until 4).map(_ => vec()): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(misses === 0,
+      s"$misses streamed vectors not immediately servable from disk")
+    // base + 3 stream generations, all committed, 72 live rows
+    val genDirs = new java.io.File(s"$path/vectors").listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).sorted.toSeq
+    assert(genDirs === Seq("_gen=0", "_gen=1", "_gen=2", "_gen=3"))
+    assert(spark.read.parquet(s"$path/vectors").count() === 72L)
+    // rewriting with writeServingIndex is the compaction path: one
+    // generation, identical service
+    val before = strat.queryFromDisk(spark, path,
+      store.limit(3).select(col("id").as("query_id"),
+        col("vector").as("qvector")), 5).collect().toSet
+    val full = strat.prepare(spark.read.parquet(s"$path/vectors")
+      .select("id", "vector"))
+    strat.writeServingIndex(full, path)
+    val gensAfter = new java.io.File(s"$path/vectors").listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).toSeq
+    assert(gensAfter === Seq("_gen=0"))
+    val after = strat.queryFromDisk(spark, path,
+      store.limit(3).select(col("id").as("query_id"),
+        col("vector").as("qvector")), 5).collect().toSet
+    assert(after === before, "compaction changed served results")
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("streaming near-dup maintenance: batches dedup against the growing signature snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.Dedup
