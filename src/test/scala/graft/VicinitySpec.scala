@@ -532,6 +532,37 @@ class VicinitySpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("facade disk serving: the pynndescent backend rides DiskServing " +
+      "(verdict r13 #2 at the API level)") {
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, queryVec)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val root = java.nio.file.Files.createTempDirectory("graft_facade_nnd")
+    val nnd = build(Backend.Pynndescent)
+    val p = root.resolve("nnd").toString
+    nnd.writeServingIndex(p)
+    val mem = nnd.queryDf(q, 10).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    val dsk = nnd.queryFromDiskDf(p, q, 10).collect()
+      .map(r => (r.getLong(1), r.getInt(4))).toSet
+    assert(dsk == mem, "facade NN-descent disk walk != in-memory walk")
+    val desc = nnd.describeServing(p)
+    assert(desc("family") == "nn_graph" && desc("buckets").toInt > 0 &&
+      desc("entries").toInt > 0 && desc("generations").toInt == 1 &&
+      desc("bytes").toLong > 0, s"bad nn_graph describe: $desc")
+    // the family has no disk-threshold form (graph-family convention)
+    intercept[UnsupportedOperationException] {
+      nnd.queryThresholdFromDiskDf(p, q, 0.5)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("evaluateFromDisk grades a disk-served layout: recall == the " +
       "in-memory evaluate for the same pruned IVF config, qps > 0 " +
       "(verdict r13 #6)") {
