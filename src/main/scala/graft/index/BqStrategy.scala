@@ -202,9 +202,14 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       mapper.writeValueAsString(root))
   }
 
-  /** Fail fast on a missing layout or metric mismatch — serving with a
-    * mismatched metric would re-rank with the wrong kernel. */
-  private def validateServing(path: String): Unit = {
+  /** Fail fast on a missing/foreign layout or metric mismatch — serving
+    * with a mismatched metric would re-rank with the wrong kernel.
+    * Returns the sidecar: readers ADOPT its recorded partition fan
+    * (review r14 — a fan recomputed from the instance constant would
+    * silently empty the (_nb, id) join on a layout written with a
+    * different fan, the bug class the LSH readers closed in r13). */
+  private def validateServing(
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
     require(graft.core.FsIO.exists(s"$path/_bq_serving_meta.json"),
       s"no BQ serving layout at $path (missing _bq_serving_meta.json)")
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -214,24 +219,22 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       s"layout at $path was built for metric " +
         s"${Option(meta.get("metric")).map(_.asText()).getOrElse("?")}; " +
         s"this instance serves ${metric.name}")
-  }
-
-  private def diskVectors(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    validateServing(path)
-    spark.read.parquet(s"$path/vectors")
+    require(meta.get("vec_buckets") != null,
+      s"layout at $path has no recorded vec_buckets — unrecognized sidecar")
+    meta
   }
 
   /** exact re-rank scores of disk candidates through the (_nb, id) join —
     * identical pairs and kernel to [[query]]'s re-rank (`_nb` is a
     * function of id, so widening the join key changes pruning, never
-    * results); the vector payload is read only for candidate buckets. */
+    * results); the vector payload is read only for candidate buckets.
+    * `nb` is the SIDECAR's recorded fan. */
   private def exactFromDisk(vecs: DataFrame, queries: DataFrame,
-      cands: DataFrame): DataFrame = {
+      cands: DataFrame, nb: Int): DataFrame = {
     val q = maybeNormalize(queries, "qvector")
     val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
     cands
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
       .join(vecs.select(col("_nb"), col("id"), col("vector")), Seq("_nb", "id"))
       .join(broadcast(q.select(col("query_id"), col("qvector"))),
         Seq("query_id"))
@@ -245,10 +248,12 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
   override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val vecs = diskVectors(spark, path)
+    val meta = validateServing(path)
+    val vecs = spark.read.parquet(s"$path/vectors")
     if (!rerank) coarseTopK(vecs, queries, k)
     else TopK.topKPerGroup(exactFromDisk(vecs, queries,
-        coarseCandidates(vecs, queries, k * rerankFactor)),
+        coarseCandidates(vecs, queries, k * rerankFactor),
+        meta.get("vec_buckets").asInt()),
       Seq("query_id"), "id", "dist", k)
   }
 
@@ -261,9 +266,11 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       path: String, queries: DataFrame, threshold: Double,
       maxK: Int): DataFrame = {
     if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
-    val vecs = diskVectors(spark, path)
+    val meta = validateServing(path)
+    val vecs = spark.read.parquet(s"$path/vectors")
     val exact = exactFromDisk(vecs, queries,
-      coarseCandidates(vecs, queries, maxK * rerankFactor))
+      coarseCandidates(vecs, queries, maxK * rerankFactor),
+      meta.get("vec_buckets").asInt())
     TopK.topKPerGroup(exact.where(col("dist") < threshold),
       Seq("query_id"), "id", "dist", maxK)
   }
@@ -279,10 +286,12 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val vecs = diskVectors(spark, path).where(predicate)
+    val meta = validateServing(path)
+    val vecs = spark.read.parquet(s"$path/vectors").where(predicate)
     if (!rerank) coarseTopK(vecs, queries, k)
     else TopK.topKPerGroup(exactFromDisk(vecs, queries,
-        coarseCandidates(vecs, queries, k * rerankFactor)),
+        coarseCandidates(vecs, queries, k * rerankFactor),
+        meta.get("vec_buckets").asInt()),
       Seq("query_id"), "id", "dist", k)
   }
 

@@ -110,6 +110,28 @@ private[graft] object GraphLayout {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_gen", "_nb").parquet(sub)
 
+  /** Fresh (re)write of a bucketed subdir: a plain generation-0 write on
+    * a virgin path; a staging write + rename swap when the path exists
+    * (review r14) — dynamic partition overwrite alone would keep stale
+    * partitions the rewrite doesn't touch (served forever after), and a
+    * pre-delete would yank live files out from under an input plan
+    * reading the same layout (rewrite-from-own-read is the compaction
+    * idiom). */
+  def writeFresh(rows: DataFrame, idCol: String, sub: String,
+      buckets: Int): Unit = {
+    val spark = rows.sparkSession
+    val live = new org.apache.hadoop.fs.Path(sub)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) writeGeneration(rows, idCol, sub, buckets, gen = 0)
+    else {
+      val staging = sub + "__staging"
+      val st = new org.apache.hadoop.fs.Path(staging)
+      if (fs.exists(st)) fs.delete(st, true)
+      writeGeneration(rows, idCol, staging, buckets, gen = 0)
+      graft.core.Generations.swapInto(spark, sub, staging)
+    }
+  }
+
   /** The one disk accessor every hop goes through: bucket IN-list as a
     * PARTITION filter + node-id IN-list pushed into the scan (row-group
     * skipping against the id-sorted files). Only COMMITTED generations

@@ -426,10 +426,32 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // layout so filtered serving ([[queryFilteredFromDisk]]) pushes its
     // predicate straight into the scan — the walk's own reads still
     // project (id, vector) only, so they pay nothing for the extras.
-    writeGeneration(prepared, "id", s"$path/vectors", buckets, gen = 0)
+    // writeFresh, not a bare generation write (review r14): rewriting an
+    // existing layout in place must not leave stale buckets behind
+    // (dynamic partition overwrite keeps partitions the rewrite doesn't
+    // touch), and a rewrite whose input reads this same layout must not
+    // have its files deleted mid-plan — the staging + swap handles both.
+    GraphLayout.writeFresh(prepared, "id", s"$path/vectors", buckets)
     layers.zipWithIndex.foreach { case (g, l) =>
-      writeGeneration(g.select("src", "dst"), "src", s"$path/layer_$l",
-        buckets, gen = 0)
+      GraphLayout.writeFresh(g.select("src", "dst"), "src",
+        s"$path/layer_$l", buckets)
+    }
+    // a rewrite shrinks the layer count iff the new graph is shallower:
+    // retire any deeper layer dirs a previous layout left (readers walk
+    // n_layers from the sidecar, so orphans are invisible — this is
+    // hygiene, not correctness)
+    val fsRoot = new org.apache.hadoop.fs.Path(path)
+    val fs = fsRoot.getFileSystem(
+      prepared.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(fsRoot)) {
+      fs.listStatus(fsRoot).map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          n.startsWith("layer_") &&
+            n.stripPrefix("layer_").forall(_.isDigit) &&
+            n.stripPrefix("layer_").toInt >= layers.length
+        }
+        .foreach(p => fs.delete(p, true))
     }
     writeGraphMeta(path, buckets, generations = 1)
   }

@@ -334,33 +334,54 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
         "writeServingIndex before appending")
     val gens = meta.get("generations").asInt()
     val dim = meta.get("dim").asInt()
-    val newDim = newRows.select(size(col("vector"))).limit(1).head.getInt(0)
+    // partition fans come FROM THE SIDECAR, like every read path
+    // (review r14): appending under the instance constants onto a layout
+    // recorded with different fans would write rows the (_nb, id) /
+    // (_pk, bucket) joins can never find
+    val sb = meta.get("sub_buckets").asInt()
+    val nb = meta.get("vec_buckets").asInt()
+    // an empty increment is a safe no-op (idle micro-batches must not
+    // kill a stream on the dim probe below)
+    val first = newRows.select(size(col("vector"))).limit(1).collect()
+    if (first.isEmpty) return
+    val newDim = first.head.getInt(0)
     require(newDim == dim,
       s"appended vectors have dim $newDim; the layout at $path was " +
         s"hashed at dim $dim")
-    val newPrepared = prepare(newRows)
-    // id freshness guard: a duplicate id would serve twice from the
-    // rerank join. Partition-pruned existence check — the read touches
-    // only the append batch's buckets, never the store.
-    val newKeys = newPrepared
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
-    val nbs = newKeys.select("_nb").distinct().collect().map(_.getLong(0))
-      .map(java.lang.Long.valueOf).toSeq
-    val clash = spark.read.parquet(s"$path/vectors")
-      .where(col("_gen") < gens && col("_nb").isin(nbs: _*))
-      .select("id")
-      .join(newKeys.select("id"), Seq("id"), "left_semi")
-      .limit(1).collect()
-    require(clash.isEmpty,
-      s"append contains ids already present in the layout at $path " +
-        s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-    writeLshGeneration(
-      postings(newPrepared).withColumn("_pk",
-        col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets))),
-      "_pk", "bucket", s"$path/postings", gen = gens)
-    writeLshGeneration(newKeys.drop("_buckets"),
-      "_nb", "id", s"$path/vectors", gen = gens)
-    writeLshMeta(path, dim, generations = gens + 1) // the commit point
+    // cached: the increment feeds four actions (dup check, bucket
+    // enumeration, clash check, two generation writes) — hash it once
+    val newKeys = prepare(newRows)
+      .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
+      .cache()
+    try {
+      // id freshness guard, BOTH directions (review r14): the batch must
+      // not collide with the layout NOR with itself — a duplicate id
+      // would serve twice from the rerank join either way.
+      val selfDup = newKeys.groupBy("id").agg(count(lit(1)).as("_c"))
+        .where(col("_c") > 1).limit(1).collect()
+      require(selfDup.isEmpty,
+        s"append batch contains duplicate ids (e.g. id " +
+          s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      // …vs the layout: partition-pruned existence check — the read
+      // touches only the append batch's buckets, never the store
+      val nbs = newKeys.select("_nb").distinct().collect().map(_.getLong(0))
+        .map(java.lang.Long.valueOf).toSeq
+      val clash = spark.read.parquet(s"$path/vectors")
+        .where(col("_gen") < gens && col("_nb").isin(nbs: _*))
+        .select("id")
+        .join(newKeys.select("id"), Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"append contains ids already present in the layout at $path " +
+          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      writeLshGeneration(
+        postings(newKeys).withColumn("_pk",
+          col("table") * sb + pmod(col("bucket"), lit(sb))),
+        "_pk", "bucket", s"$path/postings", gen = gens)
+      writeLshGeneration(newKeys.drop("_buckets"),
+        "_nb", "id", s"$path/vectors", gen = gens)
+      writeLshMeta(path, dim, generations = gens + 1) // the commit point
+    } finally newKeys.unpersist()
   }
 
   /** Fail fast on a hash-config mismatch — probing with different

@@ -595,10 +595,11 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
   override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
     require(graph != null,
       "NnDescentStrategy.prepare must run before writeServingIndex")
-    GraphLayout.writeGeneration(prepared, "id", s"$path/vectors",
-      diskBuckets, gen = 0)
-    GraphLayout.writeGeneration(graph.select("src", "dst"), "src",
-      s"$path/graph", diskBuckets, gen = 0)
+    // writeFresh, not a bare generation write (review r14): rewriting an
+    // existing layout must not leave stale buckets behind
+    GraphLayout.writeFresh(prepared, "id", s"$path/vectors", diskBuckets)
+    GraphLayout.writeFresh(graph.select("src", "dst"), "src",
+      s"$path/graph", diskBuckets)
     // the hash-ranked entry set — EXACTLY the seeds [[query]] walks from
     // (same mixer, same (hash, id) order), bounded by nSeeds
     val sd = seed
@@ -632,6 +633,15 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       s"layout at $path was built for metric " +
         s"${Option(meta.get("metric")).map(_.asText()).getOrElse("?")}; " +
         s"this instance serves ${metric.name}")
+    // every walk-config field must be present (review r14): a missing
+    // field means a foreign/hand-edited sidecar — fail fast with a clear
+    // error rather than NPE on entries or SILENTLY walking with the
+    // reader's own beam/hops (which would break the reader-adopts-
+    // writer-config invariant with a plausible-looking result set)
+    Seq("buckets", "beam", "hops", "generations", "entries").foreach { f =>
+      require(meta.get(f) != null,
+        s"layout at $path has no recorded '$f' — unrecognized sidecar")
+    }
     meta
   }
 
@@ -648,13 +658,10 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val meta = readServingMeta(path)
-    def metaInt(field: String, dflt: Int): Int = {
-      val node = meta.get(field); if (node == null) dflt else node.asInt()
-    }
-    val buckets = metaInt("buckets", diskBuckets)
-    val diskBeam = metaInt("beam", beam)
-    val diskHops = metaInt("hops", hops)
-    val gens = metaInt("generations", Int.MaxValue)
+    val buckets = meta.get("buckets").asInt()
+    val diskBeam = meta.get("beam").asInt()
+    val diskHops = meta.get("hops").asInt()
+    val gens = meta.get("generations").asInt()
     val eIt = meta.get("entries").elements()
     val entries = Iterator.continually(eIt)
       .takeWhile(_.hasNext).map(_.next().asLong()).toArray
@@ -694,12 +701,22 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     * vectors side — the family's oracle anchor THROUGH the disk round
     * trip (the adjacency round trip is pinned by the disk ≡ memory
     * walk-equality spec: a diverged edge set would divert the walk). */
+  /** the layout's COMMITTED vector rows — same `_gen < generations` gate
+    * as the walk's pruned reads (review r14: all three entry points must
+    * share one visibility rule, or an orphan generation would be visible
+    * to some and not others) */
+  private def committedVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+      .where(col("_gen") < meta.get("generations").asInt())
+
   def queryExhaustiveFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    readServingMeta(path)
+    val meta = readServingMeta(path)
     val q = walkQueries(queries)
-    val vecs = spark.read.parquet(s"$path/vectors").select("id", "vector")
+    val vecs = committedVectors(spark, path, meta).select("id", "vector")
     val pairs = vecs.select("id").crossJoin(q.select("query_id"))
     TopK.topKPerGroup(scoreCandidates(vecs, q, pairs),
       Seq("query_id"), "id", "dist", k)
@@ -714,9 +731,9 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    readServingMeta(path)
+    val meta = readServingMeta(path)
     val q = walkQueries(queries)
-    val vecs = spark.read.parquet(s"$path/vectors").where(predicate)
+    val vecs = committedVectors(spark, path, meta).where(predicate)
       .select("id", "vector")
     val pairs = vecs.select("id").crossJoin(q.select("query_id"))
     TopK.topKPerGroup(scoreCandidates(vecs, q, pairs),
