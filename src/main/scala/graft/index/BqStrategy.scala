@@ -187,12 +187,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
   private val vecBuckets = 64
 
   override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
-    prepared
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets)))
-      .repartition(col("_nb"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite").partitionBy("_nb")
-      .parquet(s"$path/vectors")
+    VectorBuckets.writeBucketed(prepared, s"$path/vectors", vecBuckets)
     BqStrategy.writeMihIndex(prepared, s"$path/mih")
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -224,22 +219,16 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     meta
   }
 
-  /** exact re-rank scores of disk candidates through the (_nb, id) join —
-    * identical pairs and kernel to [[query]]'s re-rank (`_nb` is a
-    * function of id, so widening the join key changes pruning, never
-    * results); the vector payload is read only for candidate buckets.
-    * `nb` is the SIDECAR's recorded fan. */
+  /** exact re-rank scores of disk candidates through the shared
+    * [[VectorBuckets.rerank]] (_nb, id) join — identical pairs and kernel
+    * to [[query]]'s re-rank (`_nb` is a function of id, so widening the
+    * join key changes pruning, never results); the vector payload is
+    * read only for candidate buckets. `nb` is the SIDECAR's recorded
+    * fan. */
   private def exactFromDisk(vecs: DataFrame, queries: DataFrame,
-      cands: DataFrame, nb: Int): DataFrame = {
-    val q = maybeNormalize(queries, "qvector")
-    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
-    cands
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
-      .join(vecs.select(col("_nb"), col("id"), col("vector")), Seq("_nb", "id"))
-      .join(broadcast(q.select(col("query_id"), col("qvector"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-  }
+      cands: DataFrame, nb: Int): DataFrame =
+    VectorBuckets.rerank(vecs, maybeNormalize(queries, "qvector"), cands,
+      nb, metric)
 
   /** Top-k served from the [[writeServingIndex]] layout — decision for
     * decision the in-memory [[query]]: same Hamming coarse pass (over a

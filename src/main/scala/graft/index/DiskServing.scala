@@ -86,6 +86,50 @@ trait DiskServing { self: IndexStrategy =>
       s"$name does not delete from disk")
 }
 
+/** Shared physical discipline for the id-bucketed RERANK-VECTORS
+  * sub-layouts ([[LshStrategy]]'s `vectors/`, [[BqStrategy]]'s
+  * `vectors/`): rows partitioned by `_nb = pmod(xxhash64(id), fan)` and
+  * id-sorted within files; candidate fetches join on (_nb, id) so
+  * dynamic partition pruning skips buckets no candidate touches and
+  * row-group stats skip within surviving files. ONE implementation of
+  * the bucket key and the scoring join (review r14: the two families
+  * had near-verbatim copies — the drift class the GraphLayout refactor
+  * eliminated for the graph twins). */
+private[graft] object VectorBuckets {
+  import org.apache.spark.sql.functions._
+
+  /** the bucket key — write side and join side MUST share it */
+  def nb(fan: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col("id")), lit(fan))
+
+  /** a fresh (non-generation) bucketed write — the BQ layout's shape;
+    * the LSH layout wraps the same key in its generation writes */
+  def writeBucketed(rows: DataFrame, path: String, fan: Int): Unit =
+    rows.withColumn("_nb", nb(fan))
+      .repartition(col("_nb"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").partitionBy("_nb")
+      .parquet(path)
+
+  /** exact metric scores of (query_id, id) candidates against an
+    * id-bucketed vectors frame through the DPP-keyed (_nb, id) join —
+    * `queries` must already be in the caller's prepared form (normalized
+    * for the families that normalize); `fan` is the SIDECAR's recorded
+    * value, never an instance constant. */
+  def rerank(vecs: DataFrame, queries: DataFrame, cands: DataFrame,
+      fan: Int, metric: graft.core.Metric): DataFrame = {
+    val d = graft.functions.VectorFunctions.distance(metric)(
+      col("vector"), col("qvector"))
+    cands
+      .withColumn("_nb", nb(fan))
+      .join(vecs.select(col("_nb"), col("id"), col("vector")),
+        Seq("_nb", "id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvector"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+  }
+}
+
 /** Shared physical helpers for the GRAPH-shaped serving layouts
   * ([[HnswStrategy]]'s layered graph, [[NnDescentStrategy]]'s
   * single-layer k-NN graph): node-bucketed, id-sorted, generation-tagged

@@ -293,7 +293,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       "_pk", "bucket")
     writeSub("vectors",
       prepared.drop("_buckets")
-        .withColumn("_nb", pmod(xxhash64(col("id")), lit(vecBuckets))),
+        .withColumn("_nb", VectorBuckets.nb(vecBuckets)),
       "_nb", "id")
     writeLshMeta(path, dim, generations = 1)
   }
@@ -351,7 +351,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     // cached: the increment feeds four actions (dup check, bucket
     // enumeration, clash check, two generation writes) — hash it once
     val newKeys = prepare(newRows)
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
+      .withColumn("_nb", VectorBuckets.nb(nb))
       .cache()
     try {
       // id freshness guard, BOTH directions (review r14): the batch must
@@ -460,21 +460,14 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       .select("query_id", "id").distinct()
   }
 
-  /** exact rerank of disk candidates: (_nb, id) join against the vectors
-    * sub-layout (DPP-prunable), then the same kernel as [[rerank]] */
+  /** exact rerank of disk candidates through the shared
+    * [[VectorBuckets.rerank]] (_nb, id) join (DPP-prunable), same kernel
+    * as [[rerank]]; the fan comes from the sidecar */
   private def rerankFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, cands: DataFrame,
-      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
-    val nb = meta.get("vec_buckets").asInt()
-    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
-    cands
-      .withColumn("_nb", pmod(xxhash64(col("id")), lit(nb)))
-      .join(diskVectors(spark, path, meta).select(col("_nb"), col("id"),
-        col("vector")), Seq("_nb", "id"))
-      .join(broadcast(queries.select(col("query_id"), col("qvector"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
-  }
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    VectorBuckets.rerank(diskVectors(spark, path, meta), queries, cands,
+      meta.get("vec_buckets").asInt(), metric)
 
   /** Top-k served from the [[writeServingIndex]] layout — identical
     * results to [[query]] on the in-memory prepared frame (the disk path
@@ -536,14 +529,9 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val meta = readMeta(path)
     val q = queries.withColumn("qvector", col("qvector").cast("array<double>"))
     val cands = diskCandidates(spark, path, q, meta)
-    val d = VectorFunctions.distance(metric)(col("vector"), col("qvector"))
-    val scored = cands
-      .withColumn("_nb",
-        pmod(xxhash64(col("id")), lit(meta.get("vec_buckets").asInt())))
-      .join(diskVectors(spark, path, meta).where(predicate), Seq("_nb", "id"))
-      .join(broadcast(q.select(col("query_id"), col("qvector"))),
-        Seq("query_id"))
-      .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+    val scored = VectorBuckets.rerank(
+      diskVectors(spark, path, meta).where(predicate), q, cands,
+      meta.get("vec_buckets").asInt(), metric)
     TopK.topKPerGroup(scored, Seq("query_id"), "id", "dist", k)
   }
 }
