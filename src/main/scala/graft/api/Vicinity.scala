@@ -348,9 +348,12 @@ class Vicinity private (
     * New rows get ids `count..count+n-1` (list-extend semantics). Note the
     * reference does NOT reject duplicate items — neither do we.
     */
-  def insert(items: Seq[String], vectors: Seq[Seq[Double]]): Vicinity = {
-    // per-backend surface parity: ANNOY (annoy.py:120-122) and PYNNDESCENT
-    // (pynndescent.py:75-77) reject insertion in the reference
+  /** shared insert plumbing: per-backend gating (ANNOY `annoy.py:120-122`
+    * and PYNNDESCENT `pynndescent.py:75-77` reject insertion in the
+    * reference), aligned-length and dimension validation, list-extend id
+    * assignment — returns the increment frame in the store schema */
+  private def ingestRows(items: Seq[String],
+      vectors: Seq[Seq[Double]]): DataFrame = {
     if (backend == Backend.Annoy || backend == Backend.Pynndescent ||
         !strategy.supportsInsert) throw new UnsupportedOperationException(
       s"Backend ${backend.name} does not support insertion.")
@@ -361,14 +364,51 @@ class Vicinity private (
     val rows = items.zip(vectors).zipWithIndex.map { case ((it, v), i) =>
       Row(count + i, it, v)
     }
-    val newDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), store.schema)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      store.schema)
+  }
+
+  private def grown(newStore: DataFrame, newPrepared: DataFrame,
+      n: Int): Vicinity =
+    new Vicinity(spark, newStore, backend, args, metadata, storeVectors,
+      strategy, newPrepared, count + n, dim)
+
+  def insert(items: Seq[String], vectors: Seq[Seq[Double]]): Vicinity = {
+    val newDf = ingestRows(items, vectors)
     // incremental maintenance: only the appended rows are prepared
     // (normalized/hashed/assigned), ≙ basic.py:34-51
     val newStore = store.unionByName(newDf).cache()
     val newPrepared = strategy.prepareIncrement(prepared, newDf, newStore).cache()
-    new Vicinity(spark, newStore, backend, args, metadata, storeVectors,
-      strategy, newPrepared, count + items.length, dim)
+    grown(newStore, newPrepared, items.length)
+  }
+
+  /** [[insert]] COMPOSED WITH a serving layout — the deployment loop in
+    * one facade call: the increment lands in the in-memory prepared
+    * frame AND as a committed generation of the layout at `path`
+    * (strategy-level pieces: `HnswStrategy.appendGraphIndex`,
+    * `LshStrategy.appendServingIndex` — sidecar-commits-last, replay
+    * overwrites itself), so [[queryDf]] and [[queryFromDiskDf]] agree
+    * the moment this returns. Gated by BOTH the insert surface (ANNOY/
+    * PYNNDESCENT reject insertion — reference parity — even though
+    * their physical strategies could append) and the family's
+    * appendable-layout support (the IVF/quantized cell families take
+    * streaming appends through `StreamOps.appendVectorsToIndex` +
+    * compaction instead; BASIC has no layout). */
+  def insertIntoServing(path: String, items: Seq[String],
+      vectors: Seq[Seq[Double]]): Vicinity = {
+    val newDf = ingestRows(items, vectors)
+    val newStore = store.unionByName(newDf).cache()
+    val newPrepared = (strategy match {
+      case h: graft.index.HnswStrategy =>
+        h.appendGraphIndex(prepared, newDf, path)
+      case l: graft.index.LshStrategy =>
+        l.appendServingIndex(spark, path, newDf)
+        l.prepareIncrement(prepared, newDf, newStore)
+      case _ => throw new UnsupportedOperationException(
+        s"Backend ${backend.name} (${strategy.name}) has no appendable " +
+          "serving layout.")
+    }).cache()
+    grown(newStore, newPrepared, items.length)
   }
 
   /** ≙ `delete` (`vicinity.py:255-283`): for each distinct token, delete the

@@ -563,6 +563,54 @@ class VicinitySpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("insertIntoServing: the increment lands in memory AND the layout " +
+      "in one facade call (graph + LSH families); gating is honest") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ins_srv")
+    val probe = Seq.fill(dim)(0.123)
+    def q(v: Seq[Double]) = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, v)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    def roundTrip(v: Vicinity, sub: String): Unit = {
+      val p = root.resolve(sub).toString
+      v.writeServingIndex(p)
+      val v2 = v.insertIntoServing(p, Seq("fresh_item"), Seq(probe))
+      assert(v2.length === n + 1)
+      // served IN MEMORY and FROM THE LAYOUT the moment the call returns
+      val mem = v2.queryDf(q(probe), 1).collect()
+      assert(mem.head.getString(2) == "fresh_item" &&
+        mem.head.getDouble(3) < 1e-9, s"$sub: memory miss")
+      val dsk = v2.queryFromDiskDf(p, q(probe), 1).collect()
+      assert(dsk.head.getString(2) == "fresh_item" &&
+        dsk.head.getDouble(3) < 1e-9, s"$sub: layout miss")
+    }
+    roundTrip(build(Backend.Hnsw), "hnsw")
+    roundTrip(build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "lsh"))), "lsh")
+    // reference parity: ANNOY rejects insertion even though its physical
+    // strategy (LSH) could append
+    val annoy = build(Backend.Annoy)
+    val ap = root.resolve("annoy").toString
+    annoy.writeServingIndex(ap)
+    intercept[UnsupportedOperationException] {
+      annoy.insertIntoServing(ap, Seq("x"), Seq(probe))
+    }
+    // cell families take streaming appends + compaction instead
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 4)))
+    val ip = root.resolve("ivf").toString
+    ivf.writeServingIndex(ip)
+    intercept[UnsupportedOperationException] {
+      ivf.insertIntoServing(ip, Seq("x"), Seq(probe))
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("evaluateFromDisk grades a disk-served layout: recall == the " +
       "in-memory evaluate for the same pruned IVF config, qps > 0 " +
       "(verdict r13 #6)") {
