@@ -177,10 +177,12 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
   //             the [[supportsDiskHamming]] capability.
   //   _bq_serving_meta.json  writer config; a reader validates metric
   //             before serving (the LSH readMeta discipline).
-  // Delete stays unsupported on disk as in memory (reference parity:
-  // faiss.py:163-165 raises) — a tombstone design would also have to
-  // rewrite chunk rows across MIH partitions; nothing here pretends it
-  // exists.
+  // Delete is a serving-layer MAINTENANCE op ([[deleteFromDisk]], the
+  // IvfStrategy convention — distinct from the reference's facade
+  // delete, which stays BASIC-only): both sub-layouts rewrite only the
+  // partitions the batch touches — the ids' `_nb` vector buckets, and
+  // the MIH `_pk` partitions COMPUTED from the deleted signatures
+  // (num_chunks dirs per deleted row, never a postings scan).
   // --------------------------------------------------------------------
 
   /** id-hash partition fan of the vectors sub-layout */
@@ -294,6 +296,61 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       path: String, queries: DataFrame, bits: Int, maxK: Int): DataFrame = {
     validateServing(path)
     BqStrategy.mihRadiusFromDisk(spark, s"$path/mih", queries, bits, maxK)
+  }
+
+  /** Partition-scoped DELETE on the serving layout — completes the
+    * binary family's serving CRUD the way [[IvfStrategy.deleteFromDisk]]
+    * completes the cell family's. `rows` carries `id` only: the vectors
+    * side prunes to the ids' `_nb` buckets, and the MIH side's touched
+    * `_pk` partitions are COMPUTED from the deleted rows' own signatures
+    * (fetched through the pruned vectors read — at most num_chunks
+    * directories per deleted row), so a delete batch reads and rewrites
+    * I/O proportional to the batch, never the store. Survivors swap in
+    * per directory ([[PartitionRewrite.dropIds]]); ids absent from the
+    * layout are no-ops. Returns rows removed. */
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Long = {
+    val meta = validateServing(path)
+    val nb = meta.get("vec_buckets").asInt()
+    require(graft.core.FsIO.exists(s"$path/mih/_mih_meta.json"),
+      s"no MIH sub-layout at $path/mih")
+    val mihMeta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/mih/_mih_meta.json"))
+    val chunkBits = mihMeta.get("chunk_bits").asInt()
+    val numChunks = mihMeta.get("num_chunks").asInt()
+    val perWord = 64 / chunkBits
+    val mask = (1L << chunkBits) - 1
+    val keyed = rows.select(col("id")).distinct()
+      .withColumn("_nb", VectorBuckets.nb(nb)).cache()
+    try {
+      val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
+        .map(java.lang.Long.valueOf).toSeq
+      if (nbs.isEmpty) return 0L
+      // signatures (and buckets) of the rows that actually exist —
+      // bounded by the delete batch (bucket-pruned read, semi-joined to
+      // the batch); ids absent from the layout contribute NOTHING to the
+      // rewrite set, so their buckets keep byte-identical files
+      val present = spark.read.parquet(s"$path/vectors")
+        .where(col("_nb").isin(nbs: _*))
+        .join(keyed.select("id"), Seq("id"), "left_semi")
+        .select(col("id"), col("_sig"), col("_nb").cast("long")).collect()
+      if (present.isEmpty) return 0L
+      val presentNbs = present.map(_.getLong(2)).distinct
+        .map(java.lang.Long.valueOf).toSeq
+      val pks = present.flatMap { r =>
+        val sig = r.getSeq[Long](1)
+        (0 until numChunks).map { c =>
+          val chunkVal = (sig(c / perWord) >>> ((c % perWord) * chunkBits)) & mask
+          c * 16L + (chunkVal >>> (chunkBits - 4))
+        }
+      }.distinct.map(java.lang.Long.valueOf).toSeq
+      val (before, after) = PartitionRewrite.dropIds(spark,
+        s"$path/vectors", "_nb", presentNbs, keyed.select("id"))
+      PartitionRewrite.dropIds(spark, s"$path/mih", "_pk", pks,
+        keyed.select("id"))
+      before - after
+    } finally keyed.unpersist()
   }
 }
 

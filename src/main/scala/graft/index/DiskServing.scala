@@ -130,6 +130,48 @@ private[graft] object VectorBuckets {
   }
 }
 
+/** Partition-scoped delete-rewrite over a partitioned layout — the
+  * [[IvfStrategy.deleteFromDisk]] idiom factored for reuse: survivors of
+  * ONLY the named partition directories land in a temp layout and swap
+  * in per directory (never an in-place overwrite of a path being read);
+  * a partition emptied by the delete is removed outright — the edge
+  * dynamic partition overwrite silently skips. */
+private[graft] object PartitionRewrite {
+  import org.apache.spark.sql.functions._
+
+  /** Drop rows whose `id` appears in `deleteIds` from the partitions of
+    * `path` whose `partCol` value is in `partVals`; everything else is
+    * untouched (byte-identical files). Returns (rows before, rows after)
+    * over the affected partitions. */
+  def dropIds(spark: SparkSession, path: String, partCol: String,
+      partVals: Seq[Any], deleteIds: DataFrame): (Long, Long) = {
+    if (partVals.isEmpty) return (0L, 0L)
+    val affected = spark.read.parquet(path)
+      .where(col(partCol).isin(partVals: _*)).cache()
+    val before = affected.count()
+    val survivors = affected
+      .join(deleteIds.select("id"), Seq("id"), "left_anti").cache()
+    val after = survivors.count()
+    val tmp = path + ".delete.tmp"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // clear any leftover temp from a crashed earlier delete FIRST — its
+    // stale partitions must not be promoted (the r12/r13 staging lesson)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+    survivors.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    partVals.foreach { v =>
+      val dst = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v")
+      fs.delete(dst, true)
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$v")
+      if (fs.exists(src)) fs.rename(src, dst)
+    }
+    fs.delete(tmpPath, true)
+    affected.unpersist(); survivors.unpersist()
+    (before, after)
+  }
+}
+
 /** Shared physical helpers for the GRAPH-shaped serving layouts
   * ([[HnswStrategy]]'s layered graph, [[NnDescentStrategy]]'s
   * single-layer k-NN graph): node-bucketed, id-sorted, generation-tagged

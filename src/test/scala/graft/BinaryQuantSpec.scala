@@ -160,4 +160,57 @@ class BinaryQuantSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected broadcast probe join:\n$plan")
   }
+
+  test("disk delete rewrites only the touched vector buckets and MIH " +
+      "partitions; absent ids are no-ops; both query shapes honor it") {
+    val strat = BqStrategy(Metric.Cosine)
+    val prepared = strat.prepare(store)
+    val root = java.nio.file.Files.createTempDirectory("graft_bqdel")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    def dirFiles(sub: String): Map[String, Set[String]] = {
+      val d = new java.io.File(s"$path/$sub")
+      d.listFiles().filter(_.isDirectory).map { p =>
+        p.getName -> p.listFiles().map(_.getName).toSet
+      }.toMap
+    }
+    val vecsBefore = dirFiles("vectors")
+    val mihBefore = dirFiles("mih")
+    // victims 3 and 17 plus an absent id (n + 50): removed must count
+    // only rows that existed
+    val dels = Seq(3L, 17L, n + 50L).toDF("id")
+    val removed = strat.deleteFromDisk(spark, path, dels)
+    assert(removed === 2L, s"expected 2 removed, got $removed")
+    // untouched vector buckets keep byte-identical file sets
+    import graft.index.VectorBuckets
+    val touchedNb = Seq(3L, 17L).toDF("id")
+      .withColumn("_nb", VectorBuckets.nb(64))
+      .select("_nb").distinct().collect().map(r => s"_nb=${r.getLong(0)}")
+      .toSet
+    dirFiles("vectors").foreach { case (dir, files) =>
+      if (!touchedNb(dir))
+        assert(vecsBefore(dir) === files, s"untouched $dir rewritten")
+    }
+    // at least one MIH partition was rewritten, and at most
+    // 2 rows × num_chunks were eligible
+    val mihAfter = dirFiles("mih")
+    val changed = mihAfter.keySet.filter(d =>
+      mihBefore.get(d) != mihAfter.get(d))
+    assert(changed.nonEmpty && changed.size <= 2 * (dim / 8),
+      s"MIH rewrite touched ${changed.size} partitions")
+    // the deleted ids leave BOTH query shapes
+    val q3 = vecs.filter(_._1 == 3L).map { case (i, v) => (i, v) }
+      .toDF("query_id", "qvector")
+    val topk = strat.queryFromDisk(spark, path, q3, 5).collect()
+      .map(_.getLong(1))
+    assert(!topk.contains(3L) && !topk.contains(17L),
+      "deleted id still served by top-k")
+    val ham = strat.queryHammingFromDisk(spark, path, q3, bits = 10,
+      maxK = 50).collect().map(_.getLong(1))
+    assert(!ham.contains(3L) && !ham.contains(17L),
+      "deleted id still served by the MIH radius")
+    // row accounting: vectors side lost exactly the two rows
+    assert(spark.read.parquet(s"$path/vectors").count() === (n - 2).toLong)
+    VerifyIO.deleteRec(root.toFile)
+  }
 }
