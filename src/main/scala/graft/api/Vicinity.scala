@@ -397,17 +397,15 @@ class Vicinity private (
   def insertIntoServing(path: String, items: Seq[String],
       vectors: Seq[Seq[Double]]): Vicinity = {
     val newDf = ingestRows(items, vectors)
+    // capability routing, not per-family instanceof — the DiskServing
+    // trait's founding rule (its scaladoc: "a serving tier routes on
+    // capability flags instead of per-family reflection")
+    val d = diskServing
+    if (!d.supportsDiskAppend) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) has no appendable " +
+        "serving layout.")
     val newStore = store.unionByName(newDf).cache()
-    val newPrepared = (strategy match {
-      case h: graft.index.HnswStrategy =>
-        h.appendGraphIndex(prepared, newDf, path)
-      case l: graft.index.LshStrategy =>
-        l.appendServingIndex(spark, path, newDf)
-        l.prepareIncrement(prepared, newDf, newStore)
-      case _ => throw new UnsupportedOperationException(
-        s"Backend ${backend.name} (${strategy.name}) has no appendable " +
-          "serving layout.")
-    }).cache()
+    val newPrepared = d.appendToServing(spark, path, prepared, newDf).cache()
     grown(newStore, newPrepared, items.length)
   }
 

@@ -321,7 +321,10 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     val numChunks = mihMeta.get("num_chunks").asInt()
     val perWord = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
-    val keyed = rows.select(col("id")).distinct()
+    // cast BEFORE hashing (review r14): xxhash64 hashes int and long
+    // inputs differently, so an IntegerType id frame would probe the
+    // wrong buckets and silently no-op the delete
+    val keyed = rows.select(col("id").cast("long").as("id")).distinct()
       .withColumn("_nb", VectorBuckets.nb(nb)).cache()
     try {
       val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
@@ -345,10 +348,18 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
           c * 16L + (chunkVal >>> (chunkBits - 4))
         }
       }.distinct.map(java.lang.Long.valueOf).toSeq
-      val (before, after) = PartitionRewrite.dropIds(spark,
-        s"$path/vectors", "_nb", presentNbs, keyed.select("id"))
+      // MIH FIRST, vectors LAST (review r14 — replay safety): `present`
+      // is derived from the vectors side, so a crash after the vectors
+      // rewrite would make a re-run see nothing to do and strand the
+      // deleted ids' MIH postings forever; in this order a re-run still
+      // finds the rows and finishes both rewrites (the MIH rewrite is
+      // idempotent). Both rewrites restore the layout's within-file
+      // sort (chunk_val / id) on the touched partitions.
       PartitionRewrite.dropIds(spark, s"$path/mih", "_pk", pks,
-        keyed.select("id"))
+        keyed.select("id"), sortCol = Some("chunk_val"))
+      val (before, after) = PartitionRewrite.dropIds(spark,
+        s"$path/vectors", "_nb", presentNbs, keyed.select("id"),
+        sortCol = Some("id"))
       before - after
     } finally keyed.unpersist()
   }

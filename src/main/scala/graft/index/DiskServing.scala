@@ -84,6 +84,20 @@ trait DiskServing { self: IndexStrategy =>
       rows: DataFrame): Long =
     throw new UnsupportedOperationException(
       s"$name does not delete from disk")
+
+  /** Append an increment to the layout as a committed generation AND
+    * return the grown PREPARED frame (prevPrepared ∪ the prepared
+    * increment) — the one capability behind the facade's
+    * `insertIntoServing`, so the facade routes on a flag instead of
+    * per-family instanceof (review r14; the trait's founding rule).
+    * Families whose layouts take appends through the streaming path
+    * instead (cell families: `StreamOps.appendVectorsToIndex` +
+    * compaction) keep the flag false honestly. */
+  def supportsDiskAppend: Boolean = false
+  def appendToServing(spark: SparkSession, path: String,
+      prevPrepared: DataFrame, newRows: DataFrame): DataFrame =
+    throw new UnsupportedOperationException(
+      s"$name has no appendable serving layout")
 }
 
 /** Shared physical discipline for the id-bucketed RERANK-VECTORS
@@ -141,16 +155,26 @@ private[graft] object PartitionRewrite {
 
   /** Drop rows whose `id` appears in `deleteIds` from the partitions of
     * `path` whose `partCol` value is in `partVals`; everything else is
-    * untouched (byte-identical files). Returns (rows before, rows after)
-    * over the affected partitions. */
+    * untouched (byte-identical files). `sortCol`, when given, restores
+    * the layout's within-file sort discipline on the rewritten
+    * partitions (review r14 — the serving reads' row-group skipping
+    * depends on it). Each partition swaps in via rename-aside with
+    * rollback (the [[graft.core.Generations.swapInto]] protocol, per
+    * directory): a failed rename rolls the live directory back and
+    * throws instead of silently losing survivors. Returns (rows before,
+    * rows after) over the affected partitions. */
   def dropIds(spark: SparkSession, path: String, partCol: String,
-      partVals: Seq[Any], deleteIds: DataFrame): (Long, Long) = {
+      partVals: Seq[Any], deleteIds: DataFrame,
+      sortCol: Option[String] = None): (Long, Long) = {
     if (partVals.isEmpty) return (0L, 0L)
     val affected = spark.read.parquet(path)
       .where(col(partCol).isin(partVals: _*)).cache()
     val before = affected.count()
-    val survivors = affected
-      .join(deleteIds.select("id"), Seq("id"), "left_anti").cache()
+    val survivors0 = affected
+      .join(deleteIds.select("id"), Seq("id"), "left_anti")
+    val survivors = sortCol.fold(survivors0)(s =>
+      survivors0.repartition(col(partCol))
+        .sortWithinPartitions(col(partCol), col(s))).cache()
     val after = survivors.count()
     val tmp = path + ".delete.tmp"
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -162,9 +186,16 @@ private[graft] object PartitionRewrite {
     survivors.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
     partVals.foreach { v =>
       val dst = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v")
-      fs.delete(dst, true)
       val src = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$v")
-      if (fs.exists(src)) fs.rename(src, dst)
+      val old = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v" + "__old")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(dst) && !fs.rename(dst, old))
+        throw new java.io.IOException(s"delete: cannot retire $dst")
+      if (fs.exists(src) && !fs.rename(src, dst)) {
+        fs.rename(old, dst) // roll back the live dir before failing
+        throw new java.io.IOException(s"delete: cannot promote $src")
+      }
+      fs.delete(old, true)
     }
     fs.delete(tmpPath, true)
     affected.unpersist(); survivors.unpersist()

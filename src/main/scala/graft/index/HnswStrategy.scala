@@ -802,6 +802,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * sidecar entry set is recomputed — on a single-layer graph inserted
     * nodes join the entry layer, exactly as the in-memory walk sees them.
     * Returns the new prepared frame (the facade's insert contract). */
+  /** the facade's `insertIntoServing` capability — [[appendGraphIndex]]
+    * behind the uniform [[DiskServing]] flag */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame =
+    appendGraphIndex(prevPrepared, newRows, path)
+
   def appendGraphIndex(prevPrepared: DataFrame, newRows: DataFrame,
       path: String): DataFrame = {
     require(layers != null, "prepare must run before appendGraphIndex")

@@ -224,26 +224,12 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     val cells = del.select("_cell").distinct().collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) 0L
     else {
-      val affected = spark.read.parquet(path)
-        .where(col("_centroid").isInCollection(cells)).cache()
-      val before = affected.count()
-      val survivors = affected.join(del.select("id"), Seq("id"), "left_anti")
-        .cache()
-      // count BEFORE the swap (affected is cached, survivors too — and an
-      // all-deleted cell leaves tmp with no data files to read back)
-      val after = survivors.count()
-      val tmp = path + ".delete.tmp"
-      survivors.write.mode("overwrite").partitionBy("_centroid").parquet(tmp)
-      val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path),
-        spark.sparkContext.hadoopConfiguration)
-      cells.foreach { c =>
-        val dst = new org.apache.hadoop.fs.Path(s"$path/_centroid=$c")
-        fs.delete(dst, true)
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/_centroid=$c")
-        if (fs.exists(src)) fs.rename(src, dst)
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-      affected.unpersist(); survivors.unpersist()
+      // the shared partition-scoped rewrite (review r14: this body WAS
+      // the idiom PartitionRewrite was factored from, and the private
+      // copy had already drifted — it lacked the leftover-temp pre-clear
+      // and the rename-aside rollback the shared helper carries)
+      val (before, after) = PartitionRewrite.dropIds(spark, path,
+        "_centroid", cells, del.select("id"))
       before - after
     }
   }

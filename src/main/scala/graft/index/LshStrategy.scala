@@ -349,8 +349,10 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       s"appended vectors have dim $newDim; the layout at $path was " +
         s"hashed at dim $dim")
     // cached: the increment feeds four actions (dup check, bucket
-    // enumeration, clash check, two generation writes) — hash it once
-    val newKeys = prepare(newRows)
+    // enumeration, clash check, two generation writes) — hash it once.
+    // id cast BEFORE hashing: xxhash64 hashes int and long differently,
+    // and the layout's vectors side is long-typed
+    val newKeys = prepare(newRows.withColumn("id", col("id").cast("long")))
       .withColumn("_nb", VectorBuckets.nb(nb))
       .cache()
     try {
@@ -382,6 +384,18 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
         "_nb", "id", s"$path/vectors", gen = gens)
       writeLshMeta(path, dim, generations = gens + 1) // the commit point
     } finally newKeys.unpersist()
+  }
+
+  /** the facade's `insertIntoServing` capability: land the increment as
+    * a committed generation ([[appendServingIndex]]) and return the
+    * grown prepared frame (the re-hash of the increment is one narrow
+    * deterministic UDF pass — seeded hashing is history-free) */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    appendServingIndex(spark, path, newRows)
+    prevPrepared.unionByName(prepare(newRows))
   }
 
   /** Fail fast on a hash-config mismatch — probing with different
