@@ -187,16 +187,57 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
 
   /** id-hash partition fan of the vectors sub-layout */
   private val vecBuckets = 64
+  /** MIH chunk width of the serving layout's nested chunk table */
+  private val servingChunkBits = 8
 
+  /** Serving layout as GENERATIONS (r15 — the binary family joins the
+    * appendable set): both sub-layouts nest `_gen=N` above their fan key
+    * ([[VectorBuckets.writeGeneration]]), the sidecar records the
+    * committed count, and readers union committed generations only.
+    * Sign quantization is train-free, so appends are philosophically
+    * native here (FAISS `IndexBinaryFlat.add` — no codebook to retrain);
+    * MIH/vector rows are independent per id, so no latest-wins merge is
+    * needed. A fresh (re)write stages + swaps when the path exists. */
   override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
-    VectorBuckets.writeBucketed(prepared, s"$path/vectors", vecBuckets)
-    BqStrategy.writeMihIndex(prepared, s"$path/mih")
+    val dim = prepared.select(F.size(col("vector"))).limit(1)
+      .collect()(0).getInt(0)
+    VectorBuckets.writeFreshGeneration(
+      prepared.withColumn("_nb", VectorBuckets.nb(vecBuckets)),
+      "_nb", "id", s"$path/vectors")
+    VectorBuckets.writeFreshGeneration(
+      BqStrategy.mihRows(prepared, servingChunkBits, dim),
+      "_pk", "chunk_val", s"$path/mih")
+    BqStrategy.writeMihMeta(s"$path/mih", servingChunkBits,
+      (dim + servingChunkBits - 1) / servingChunkBits)
+    writeBqMeta(path, dim, generations = 1)
+  }
+
+  private def writeBqMeta(path: String, dim: Int, generations: Int): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("metric", metric.name)
     root.put("vec_buckets", vecBuckets)
+    root.put("dim", dim)
+    root.put("generations", generations)
     graft.core.FsIO.write(s"$path/_bq_serving_meta.json",
       mapper.writeValueAsString(root))
+  }
+
+  /** committed generation count — pre-generation sidecars (no field)
+    * read as 1, and their layouts carry no `_gen` column anyway */
+  private def committedGens(
+      meta: com.fasterxml.jackson.databind.JsonNode): Int =
+    Option(meta.get("generations")).map(_.asInt()).getOrElse(1)
+
+  /** the vectors sub-layout, committed generations only (an orphan
+    * generation from a crashed append is invisible to every reader;
+    * pre-generation layouts read unchanged) */
+  private def servingVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    val raw = spark.read.parquet(s"$path/vectors")
+    if (!raw.columns.contains("_gen")) raw
+    else raw.where(col("_gen") < committedGens(meta))
   }
 
   /** Fail fast on a missing/foreign layout or metric mismatch — serving
@@ -240,7 +281,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val meta = validateServing(path)
-    val vecs = spark.read.parquet(s"$path/vectors")
+    val vecs = servingVectors(spark, path, meta)
     if (!rerank) coarseTopK(vecs, queries, k)
     else TopK.topKPerGroup(exactFromDisk(vecs, queries,
         coarseCandidates(vecs, queries, k * rerankFactor),
@@ -258,7 +299,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       maxK: Int): DataFrame = {
     if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
     val meta = validateServing(path)
-    val vecs = spark.read.parquet(s"$path/vectors")
+    val vecs = servingVectors(spark, path, meta)
     val exact = exactFromDisk(vecs, queries,
       coarseCandidates(vecs, queries, maxK * rerankFactor),
       meta.get("vec_buckets").asInt())
@@ -278,7 +319,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val meta = validateServing(path)
-    val vecs = spark.read.parquet(s"$path/vectors").where(predicate)
+    val vecs = servingVectors(spark, path, meta).where(predicate)
     if (!rerank) coarseTopK(vecs, queries, k)
     else TopK.topKPerGroup(exactFromDisk(vecs, queries,
         coarseCandidates(vecs, queries, k * rerankFactor),
@@ -294,8 +335,9 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
   override def supportsDiskHamming: Boolean = true
   override def queryHammingFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, bits: Int, maxK: Int): DataFrame = {
-    validateServing(path)
-    BqStrategy.mihRadiusFromDisk(spark, s"$path/mih", queries, bits, maxK)
+    val meta = validateServing(path)
+    BqStrategy.mihRadiusFromDisk(spark, s"$path/mih", queries, bits, maxK,
+      maxGen = committedGens(meta))
   }
 
   /** Partition-scoped DELETE on the serving layout — completes the
@@ -330,24 +372,32 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
         .map(java.lang.Long.valueOf).toSeq
       if (nbs.isEmpty) return 0L
-      // signatures (and buckets) of the rows that actually exist —
-      // bounded by the delete batch (bucket-pruned read, semi-joined to
-      // the batch); ids absent from the layout contribute NOTHING to the
-      // rewrite set, so their buckets keep byte-identical files
-      val present = spark.read.parquet(s"$path/vectors")
+      // signatures (buckets, generations) of the rows that actually
+      // exist — bounded by the delete batch (bucket-pruned read,
+      // semi-joined to the batch); ids absent from the layout contribute
+      // NOTHING to the rewrite set, so their buckets keep byte-identical
+      // files. An id lives in exactly ONE generation (appends refuse
+      // duplicates), so grouping the rewrite by generation keeps I/O
+      // proportional to the batch.
+      val vecsRaw = spark.read.parquet(s"$path/vectors")
+      val hasGen = vecsRaw.columns.contains("_gen")
+      val committed =
+        if (hasGen) vecsRaw.where(col("_gen") < committedGens(meta))
+        else vecsRaw
+      val present = committed
         .where(col("_nb").isin(nbs: _*))
         .join(keyed.select("id"), Seq("id"), "left_semi")
-        .select(col("id"), col("_sig"), col("_nb").cast("long")).collect()
+        .select(col("id"), col("_sig"), col("_nb").cast("long"),
+          (if (hasGen) col("_gen") else lit(0)).cast("int").as("_gen"))
+        .collect()
       if (present.isEmpty) return 0L
-      val presentNbs = present.map(_.getLong(2)).distinct
-        .map(java.lang.Long.valueOf).toSeq
-      val pks = present.flatMap { r =>
+      def pksOf(r: org.apache.spark.sql.Row): Seq[Long] = {
         val sig = r.getSeq[Long](1)
         (0 until numChunks).map { c =>
           val chunkVal = (sig(c / perWord) >>> ((c % perWord) * chunkBits)) & mask
           c * 16L + (chunkVal >>> (chunkBits - 4))
         }
-      }.distinct.map(java.lang.Long.valueOf).toSeq
+      }
       // MIH FIRST, vectors LAST (review r14 — replay safety): `present`
       // is derived from the vectors side, so a crash after the vectors
       // rewrite would make a re-run see nothing to do and strand the
@@ -355,13 +405,136 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       // finds the rows and finishes both rewrites (the MIH rewrite is
       // idempotent). Both rewrites restore the layout's within-file
       // sort (chunk_val / id) on the touched partitions.
-      PartitionRewrite.dropIds(spark, s"$path/mih", "_pk", pks,
-        keyed.select("id"), sortCol = Some("chunk_val"))
-      val (before, after) = PartitionRewrite.dropIds(spark,
-        s"$path/vectors", "_nb", presentNbs, keyed.select("id"),
-        sortCol = Some("id"))
-      before - after
+      val ids = keyed.select("id")
+      if (hasGen) {
+        def grouped(pairs: Array[(Int, Long)]): Map[Int, Seq[Any]] =
+          pairs.groupBy(_._1).map { case (g, vs) =>
+            g -> vs.map(_._2).distinct.toSeq
+              .map(java.lang.Long.valueOf(_): Any) }
+        PartitionRewrite.dropIdsByGen(spark, s"$path/mih", "_pk",
+          grouped(present.flatMap(r => pksOf(r).map(r.getInt(3) -> _))),
+          ids, sortCol = Some("chunk_val"))
+        val (before, after) = PartitionRewrite.dropIdsByGen(spark,
+          s"$path/vectors", "_nb",
+          grouped(present.map(r => r.getInt(3) -> r.getLong(2))),
+          ids, sortCol = Some("id"))
+        before - after
+      } else { // pre-generation layout: flat partition dirs
+        PartitionRewrite.dropIds(spark, s"$path/mih", "_pk",
+          present.flatMap(pksOf).distinct.toSeq
+            .map(java.lang.Long.valueOf(_): Any),
+          ids, sortCol = Some("chunk_val"))
+        val (before, after) = PartitionRewrite.dropIds(spark,
+          s"$path/vectors", "_nb",
+          present.map(_.getLong(2)).distinct.toSeq
+            .map(java.lang.Long.valueOf(_): Any),
+          ids, sortCol = Some("id"))
+        before - after
+      }
     } finally keyed.unpersist()
+  }
+
+  /** Fold the committed append generations back to `_gen=0` (verdict
+    * r14 #3): the LSH fold applied to the (vectors, mih) pair — plain
+    * committed unions through the staging + rename-swap discipline
+    * (rows are independent per id; deletes are physical, so there are
+    * no tombstones to spend), sidecar resets last. Served results are
+    * identical across the fold; a post-compact append lands as
+    * `_gen=1`. */
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val meta = validateServing(path)
+    val gens = committedGens(meta)
+    if (gens <= 1) return // already compact
+    require(meta.get("dim") != null,
+      s"layout at $path has no recorded dim — unrecognized sidecar")
+    // the MIH chunk config rides INSIDE mih/ — capture it before the
+    // swap retires that directory, restore it right after (a crash in
+    // between fails the Hamming readers LOUDLY on the missing sidecar,
+    // and a re-run of this compact rewrites it)
+    require(graft.core.FsIO.exists(s"$path/mih/_mih_meta.json"),
+      s"no MIH sub-layout at $path/mih")
+    val mihMeta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/mih/_mih_meta.json"))
+    def fold(sub: String, partCol: String, sortCol: String): Unit =
+      VectorBuckets.writeFreshGeneration(
+        spark.read.parquet(s"$path/$sub")
+          .where(col("_gen") < gens).drop("_gen"),
+        partCol, sortCol, s"$path/$sub")
+    fold("vectors", "_nb", "id")
+    fold("mih", "_pk", "chunk_val")
+    BqStrategy.writeMihMeta(s"$path/mih",
+      mihMeta.get("chunk_bits").asInt(), mihMeta.get("num_chunks").asInt())
+    writeBqMeta(path, meta.get("dim").asInt(), generations = 1)
+  }
+
+  /** Append an increment to the serving layout as a committed generation
+    * (r15 — the binary family joins HNSW/LSH behind the facade's
+    * `insertIntoServing`): sign quantization is train-free, so the
+    * increment packs independently of history (FAISS binary `add`
+    * parity); its vectors land as `_gen=N` of `vectors/` and its
+    * chunk-exploded signature rows as `_gen=N` of `mih/`, and the
+    * sidecar count commits LAST — a crashed append leaves an invisible
+    * orphan, a replay overwrites its own generation (dynamic partition
+    * overwrite), so at-least-once replay stays exactly-once. Id
+    * freshness is guarded in BOTH directions against a partition-pruned
+    * read (the LSH append discipline). Returns the grown prepared
+    * frame. */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    val meta = validateServing(path)
+    require(meta.get("generations") != null,
+      s"layout at $path predates the generation layout — rewrite it with " +
+        "writeServingIndex before appending")
+    val gens = meta.get("generations").asInt()
+    val fan = meta.get("vec_buckets").asInt()
+    require(meta.get("dim") != null,
+      s"layout at $path has no recorded dim — unrecognized sidecar")
+    val dim = meta.get("dim").asInt()
+    require(graft.core.FsIO.exists(s"$path/mih/_mih_meta.json"),
+      s"no MIH sub-layout at $path/mih")
+    val mihMeta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/mih/_mih_meta.json"))
+    val chunkBits = mihMeta.get("chunk_bits").asInt()
+    // an empty increment is a safe no-op (idle micro-batches)
+    val first = newRows.select(F.size(col("vector"))).limit(1).collect()
+    if (first.isEmpty)
+      return prevPrepared.unionByName(
+        prepare(newRows.withColumn("id", col("id").cast("long"))))
+    require(first.head.getInt(0) == dim,
+      s"appended vectors have dim ${first.head.getInt(0)}; the layout " +
+        s"at $path was packed at dim $dim")
+    // one prepare pass; id cast BEFORE hashing (the xxhash64 typing rule)
+    val inc = prepare(newRows.withColumn("id", col("id").cast("long")))
+      .cache()
+    try {
+      val keyed = inc.withColumn("_nb", VectorBuckets.nb(fan))
+      val selfDup = keyed.groupBy("id").agg(count(lit(1)).as("_c"))
+        .where(col("_c") > 1).limit(1).collect()
+      require(selfDup.isEmpty,
+        s"append batch contains duplicate ids (e.g. id " +
+          s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
+        .map(java.lang.Long.valueOf).toSeq
+      val clash = servingVectors(spark, path, meta)
+        .where(col("_nb").isin(nbs: _*))
+        .select("id")
+        .join(keyed.select("id"), Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"append contains ids already present in the layout at $path " +
+          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      VectorBuckets.writeGeneration(keyed, "_nb", "id",
+        s"$path/vectors", gen = gens)
+      VectorBuckets.writeGeneration(
+        BqStrategy.mihRows(inc, chunkBits, dim), "_pk", "chunk_val",
+        s"$path/mih", gen = gens)
+      writeBqMeta(path, dim, generations = gens + 1) // the commit point
+      prevPrepared.unionByName(inc)
+    } finally inc.unpersist()
   }
 }
 
@@ -440,10 +613,24 @@ object BqStrategy {
     * any radius whose ball fits the chunk width. */
   def writeMihIndex(prepared: DataFrame, path: String,
       chunkBits: Int = 8): Unit = {
-    require(chunkBits > 4 && 64 % chunkBits == 0,
-      s"writeMihIndex: chunkBits must divide 64 and exceed 4, got $chunkBits")
     val dim = prepared.select(F.size(col("vector"))).limit(1)
       .collect()(0).getInt(0)
+    mihRows(prepared, chunkBits, dim)
+      .repartition(col("_pk"))
+      .sortWithinPartitions(col("chunk_val"))
+      .write.mode("overwrite")
+      .partitionBy("_pk").parquet(path)
+    writeMihMeta(path, chunkBits, (dim + chunkBits - 1) / chunkBits)
+  }
+
+  /** the chunk-exploded MIH rows with their `_pk` partition key — ONE
+    * builder for the flat [[writeMihIndex]] layout and the serving
+    * layout's generation writes (an append's chunk extraction must be
+    * bit-identical to the base write's, or probes would miss) */
+  private[graft] def mihRows(prepared: DataFrame, chunkBits: Int,
+      dim: Int): DataFrame = {
+    require(chunkBits > 4 && 64 % chunkBits == 0,
+      s"MIH layout: chunkBits must divide 64 and exceed 4, got $chunkBits")
     val numChunks = (dim + chunkBits - 1) / chunkBits
     val perWord = 64 / chunkBits
     val mask = (1L << chunkBits) - 1
@@ -457,10 +644,10 @@ object BqStrategy {
         posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk_val")))
       .withColumn("_pk", col("chunk_idx") * 16 +
         shiftrightunsigned(col("chunk_val"), chunkBits - 4))
-      .repartition(col("_pk"))
-      .sortWithinPartitions(col("chunk_val"))
-      .write.mode("overwrite")
-      .partitionBy("_pk").parquet(path)
+  }
+
+  private[graft] def writeMihMeta(path: String, chunkBits: Int,
+      numChunks: Int): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     root.put("chunk_bits", chunkBits)
@@ -479,7 +666,8 @@ object BqStrategy {
     * inside surviving partitions. The exact pair equi-join then runs on
     * the pruned remainder only. */
   def mihRadiusFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, bits: Int, maxK: Int): DataFrame = {
+      path: String, queries: DataFrame, bits: Int, maxK: Int,
+      maxGen: Int = Int.MaxValue): DataFrame = {
     require(graft.core.FsIO.exists(s"$path/_mih_meta.json"),
       s"no MIH index at $path (missing _mih_meta.json)")
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -524,7 +712,13 @@ object BqStrategy {
       .map { case (ci, v) => ci * 16L + (v >> (chunkBits - 4)) }
       .distinct.toSeq
 
-    val idx = spark.read.parquet(path)
+    // committed generations only when the layout is generation-nested
+    // (the serving shape since r15); flat standalone layouts unchanged
+    val idxRaw = spark.read.parquet(path)
+    val idxGated =
+      if (idxRaw.columns.contains("_gen")) idxRaw.where(col("_gen") < maxGen)
+      else idxRaw
+    val idx = idxGated
       .where(col("_pk").isin(probePks: _*) &&
         col("chunk_val").isin(probeVals: _*))
     val candidates = idx

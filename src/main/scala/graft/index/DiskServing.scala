@@ -98,6 +98,21 @@ trait DiskServing { self: IndexStrategy =>
       prevPrepared: DataFrame, newRows: DataFrame): DataFrame =
     throw new UnsupportedOperationException(
       s"$name has no appendable serving layout")
+
+  /** Fold the layout's committed append generations — and, for the
+    * tombstone families, spent tombstones — back to a single `_gen=0`
+    * state (verdict r14 #3: the append story went through this trait,
+    * so the fold-generations-back story does too, or a deployment must
+    * special-case per family exactly where the trait promised it
+    * wouldn't). Pure I/O optimization: served results are identical
+    * before and after (spec-pinned per family), appends continue on the
+    * compacted layout. Families whose layouts take appends through the
+    * streaming path instead (cell families: `StreamOps.compactIndex`)
+    * keep the flag false honestly. */
+  def supportsCompaction: Boolean = false
+  def compactServing(spark: SparkSession, path: String): Unit =
+    throw new UnsupportedOperationException(
+      s"$name has no compactable serving layout")
 }
 
 /** Shared physical discipline for the id-bucketed RERANK-VECTORS
@@ -112,18 +127,63 @@ trait DiskServing { self: IndexStrategy =>
 private[graft] object VectorBuckets {
   import org.apache.spark.sql.functions._
 
-  /** the bucket key — write side and join side MUST share it */
+  /** The bucket key — write side and join side MUST share it. The id is
+    * cast to long INSIDE the key (advice r14): xxhash64 hashes
+    * IntegerType and LongType inputs differently, so a layout written
+    * from an int-id frame would otherwise be silently unfindable by the
+    * long-typed delete/append/rerank sides — casting here makes every
+    * side type-insensitive by construction (no-op for long ids, which is
+    * what every existing layout holds). */
   def nb(fan: Int): org.apache.spark.sql.Column =
-    pmod(xxhash64(col("id")), lit(fan))
+    pmod(xxhash64(col("id").cast("long")), lit(fan))
 
-  /** a fresh (non-generation) bucketed write — the BQ layout's shape;
-    * the LSH layout wraps the same key in its generation writes */
+  /** a fresh (non-generation) bucketed write — kept for standalone
+    * layouts; the serving layouts write generations below */
   def writeBucketed(rows: DataFrame, path: String, fan: Int): Unit =
     rows.withColumn("_nb", nb(fan))
       .repartition(col("_nb"))
       .sortWithinPartitions("id")
       .write.mode("overwrite").partitionBy("_nb")
       .parquet(path)
+
+  /** One `_gen=N` generation of a pre-keyed sub-layout (the LSH/BQ
+    * append shape: `partCol` already computed by the caller — postings
+    * `_pk`, vector buckets `_nb`, MIH `_pk`): dynamic partition
+    * overwrite, so a REPLAYED append (crash after the data write,
+    * before the sidecar commit) overwrites its own generation instead
+    * of double-appending; rows are sorted by `sortCol` within files so
+    * the layout's row-group-skipping discipline survives appends. ONE
+    * implementation for both families (the GraphLayout lesson: shared
+    * builders over kept-in-sync copies). */
+  def writeGeneration(rows: DataFrame, partCol: String, sortCol: String,
+      sub: String, gen: Int): Unit =
+    rows.withColumn("_gen", lit(gen))
+      .repartition(col(partCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gen", partCol).parquet(sub)
+
+  /** Fresh (re)write of a generation sub-layout: plain `_gen=0` on a
+    * virgin path; staging + rename swap when the path exists (the
+    * [[GraphLayout.writeFresh]] argument: dynamic partition overwrite
+    * alone keeps stale partitions a rewrite doesn't touch, and a
+    * pre-delete would yank live files from under an input plan reading
+    * the same layout — which is exactly what compaction does). */
+  def writeFreshGeneration(rows: DataFrame, partCol: String,
+      sortCol: String, sub: String): Unit = {
+    val spark = rows.sparkSession
+    val live = new org.apache.hadoop.fs.Path(sub)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) writeGeneration(rows, partCol, sortCol, sub, 0)
+    else {
+      val staging = sub + "__staging"
+      val st = new org.apache.hadoop.fs.Path(staging)
+      if (fs.exists(st)) fs.delete(st, true)
+      writeGeneration(rows, partCol, sortCol, staging, 0)
+      graft.core.Generations.swapInto(spark, sub, staging)
+    }
+  }
 
   /** exact metric scores of (query_id, id) candidates against an
     * id-bucketed vectors frame through the DPP-keyed (_nb, id) join —
@@ -161,8 +221,14 @@ private[graft] object PartitionRewrite {
     * depends on it). Each partition swaps in via rename-aside with
     * rollback (the [[graft.core.Generations.swapInto]] protocol, per
     * directory): a failed rename rolls the live directory back and
-    * throws instead of silently losing survivors. Returns (rows before,
-    * rows after) over the affected partitions. */
+    * throws instead of silently losing survivors. Both the temp layout
+    * and the retired directory use dot-prefixed names (advice r14): a
+    * name like `_pk=5__old` contains '=', so Spark's partition discovery
+    * would read a crash's leftover as a bogus partition VALUE (and flip
+    * the column's inferred type to string); dot-prefixed paths are
+    * hidden from discovery, so every crash window leaves only invisible
+    * leftovers — swept on the next delete of the same path. Returns
+    * (rows before, rows after) over the affected partitions. */
   def dropIds(spark: SparkSession, path: String, partCol: String,
       partVals: Seq[Any], deleteIds: DataFrame,
       sortCol: Option[String] = None): (Long, Long) = {
@@ -176,18 +242,27 @@ private[graft] object PartitionRewrite {
       survivors0.repartition(col(partCol))
         .sortWithinPartitions(col(partCol), col(s))).cache()
     val after = survivors.count()
-    val tmp = path + ".delete.tmp"
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // clear any leftover temp from a crashed earlier delete FIRST — its
-    // stale partitions must not be promoted (the r12/r13 staging lesson)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val livePath = new org.apache.hadoop.fs.Path(path)
+    val fs = livePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // hidden temp: a dot-prefixed SIBLING (never inside the live dir),
+    // with '=' scrubbed from the name so no listing can partition-parse it
+    val tmpPath = new org.apache.hadoop.fs.Path(livePath.getParent,
+      "." + livePath.getName.replace("=", "_") + ".delete.tmp")
+    // clear leftovers from a crashed earlier delete FIRST — the temp's
+    // stale partitions must not be promoted (the r12/r13 staging lesson),
+    // and spent hidden retired dirs are dead weight
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
-    survivors.write.mode("overwrite").partitionBy(partCol).parquet(tmp)
+    if (fs.exists(livePath))
+      fs.listStatus(livePath).map(_.getPath)
+        .filter(_.getName.startsWith(".old_"))
+        .foreach(p => fs.delete(p, true))
+    survivors.write.mode("overwrite").partitionBy(partCol)
+      .parquet(tmpPath.toString)
     partVals.foreach { v =>
       val dst = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v")
-      val src = new org.apache.hadoop.fs.Path(s"$tmp/$partCol=$v")
-      val old = new org.apache.hadoop.fs.Path(s"$path/$partCol=$v" + "__old")
+      val src = new org.apache.hadoop.fs.Path(s"$tmpPath/$partCol=$v")
+      val old = new org.apache.hadoop.fs.Path(livePath,
+        s".old_$partCol=$v")
       if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(dst) && !fs.rename(dst, old))
         throw new java.io.IOException(s"delete: cannot retire $dst")
@@ -201,6 +276,24 @@ private[graft] object PartitionRewrite {
     affected.unpersist(); survivors.unpersist()
     (before, after)
   }
+
+  /** [[dropIds]] over a GENERATION-NESTED layout (`_gen=N/` above the fan
+    * key — the LSH/BQ append shape): each generation's subdir is its own
+    * partitioned layout, so the rewrite recurses per generation with the
+    * same rename-aside discipline, touching only the (generation,
+    * partition) pairs the delete batch maps to. `genToVals` comes from
+    * the caller's pruned read of the layout itself (an id's rows live in
+    * exactly one generation — appends refuse duplicate ids), so I/O
+    * stays proportional to the batch. Returns summed (before, after). */
+  def dropIdsByGen(spark: SparkSession, path: String, partCol: String,
+      genToVals: Map[Int, Seq[Any]], deleteIds: DataFrame,
+      sortCol: Option[String] = None): (Long, Long) =
+    genToVals.toSeq.sortBy(_._1).foldLeft((0L, 0L)) {
+      case ((b, a), (gen, vals)) =>
+        val (db, da) = dropIds(spark, s"$path/_gen=$gen", partCol, vals,
+          deleteIds, sortCol)
+        (b + db, a + da)
+    }
 }
 
 /** Shared physical helpers for the GRAPH-shaped serving layouts

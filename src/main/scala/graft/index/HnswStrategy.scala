@@ -436,10 +436,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       GraphLayout.writeFresh(g.select("src", "dst"), "src",
         s"$path/layer_$l", buckets)
     }
-    // a rewrite shrinks the layer count iff the new graph is shallower:
-    // retire any deeper layer dirs a previous layout left (readers walk
-    // n_layers from the sidecar, so orphans are invisible — this is
-    // hygiene, not correctness)
+    // sidecar FIRST, then retire any deeper layer dirs a previous
+    // (deeper) layout left (advice r14): only once the new n_layers is
+    // committed are those dirs orphans — deleting them under the OLD
+    // sidecar would leave a crash window where readers walk a layer
+    // count whose directories are gone (a loud failure, the opposite of
+    // the invisible-orphan claim). After the commit this is hygiene.
+    writeGraphMeta(path, buckets, generations = 1)
     val fsRoot = new org.apache.hadoop.fs.Path(path)
     val fs = fsRoot.getFileSystem(
       prepared.sparkSession.sparkContext.hadoopConfiguration)
@@ -453,7 +456,6 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         }
         .foreach(p => fs.delete(p, true))
     }
-    writeGraphMeta(path, buckets, generations = 1)
   }
 
   /** one `_gen=N` generation of a graph-layout subdir — the shared
@@ -853,6 +855,12 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * in-memory insert), so only vectors and layer_0 are rewritten. The
     * sidecar keeps its entry set and walk configuration; only the
     * generation count resets. */
+  /** [[compactGraphIndex]] behind the uniform [[DiskServing]] flag
+    * (verdict r14 #3) */
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = compactGraphIndex(spark, path)
+
   def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

@@ -275,6 +275,16 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     query(spark.read.parquet(path), queries, kTop)
   }
 
+  /** Partition-scoped delete delegates to the inner IVF's cell rewrite
+    * (verdict r14 #2 — the layout IS `ivf.writeIndex`'s cell-partitioned
+    * shape; PQ codes ride as ordinary columns through the survivor
+    * rewrite). Deletes arrive as `(id, vector)` — the touched cell is
+    * computed from the vector, never searched. */
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletes: DataFrame): Long =
+    ivf.deleteFromDisk(spark, path, deletes)
+
   /** ADC scans exactly the probed IVF cells */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
     ivf.scanVolume(prepared, queries)

@@ -227,9 +227,10 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   // At 100 TB: a query batch enumerates its probe keys driver-side
   // (bounded by |queries| × nTables × (1+nProbes), never by the store),
   // reads ~|probed buckets|/|all buckets| of the postings table via
-  // directory pruning, and reranks only colliding candidates. Delete
-  // stays unsupported on disk as in memory (family semantics:
-  // hnsw.py:103-105).
+  // directory pruning, and reranks only colliding candidates. Delete is
+  // a serving-layer MAINTENANCE op ([[deleteFromDisk]], the BQ/IVF
+  // convention — the reference's FACADE delete stays BASIC-only,
+  // hnsw.py:103-105, and `Vicinity.delete` enforces that gate).
   //
   // Inserts land as GENERATIONS (verdict r13 #3): each sub-layout is
   // partitioned by (_gen, fan key); [[appendServingIndex]] writes the
@@ -245,56 +246,20 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   /** id-hash partition fan of the vectors sub-layout */
   private val vecBuckets = 64
 
-  /** one `_gen=N` generation of an LSH sub-layout — dynamic partition
-    * overwrite, so a REPLAYED append (crash after the data write, before
-    * the sidecar commit) overwrites its own generation instead of
-    * double-appending (the graph family's replay discipline; postings
-    * rows are independent per id, so readers union committed generations
-    * with no latest-wins merge). */
-  private def writeLshGeneration(rows: DataFrame, partCol: String,
-      sortCol: String, sub: String, gen: Int): Unit =
-    rows.withColumn("_gen", lit(gen))
-      .repartition(col(partCol))
-      .sortWithinPartitions(sortCol)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("_gen", partCol).parquet(sub)
-
   override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
     val dim = prepared.select(size(col("vector"))).limit(1).head.getInt(0)
-    val spark = prepared.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // fresh-write semantics without an in-place delete: the generation
-    // writes below are dynamic-partition-overwrite, which would keep
-    // stale partitions a rewrite doesn't touch — so a REWRITE of an
-    // existing sub-layout lands in a staging dir and swaps in
-    // (Generations.swapInto). That also makes "compaction" safe as
-    // plain rewrite-from-own-read: the staging write finishes reading
-    // the live files before the swap replaces them (deleting the live
-    // dir first would yank files out from under the input plan).
-    def writeSub(sub: String, rows: => DataFrame, partCol: String,
-        sortCol: String): Unit = {
-      val live = s"$path/$sub"
-      val livePath = new org.apache.hadoop.fs.Path(live)
-      if (!fs.exists(livePath))
-        writeLshGeneration(rows, partCol, sortCol, live, gen = 0)
-      else {
-        val staging = live + "__staging"
-        val stPath = new org.apache.hadoop.fs.Path(staging)
-        if (fs.exists(stPath)) fs.delete(stPath, true)
-        writeLshGeneration(rows, partCol, sortCol, staging, gen = 0)
-        graft.core.Generations.swapInto(spark, live, staging)
-      }
-    }
-    writeSub("postings",
+    // fresh-write semantics without an in-place delete
+    // ([[VectorBuckets.writeFreshGeneration]]): a rewrite of an existing
+    // sub-layout lands in a staging dir and swaps in, which also makes
+    // compaction safe as plain rewrite-from-own-read
+    VectorBuckets.writeFreshGeneration(
       postings(prepared).withColumn("_pk",
         col("table") * subBuckets + pmod(col("bucket"), lit(subBuckets))),
-      "_pk", "bucket")
-    writeSub("vectors",
+      "_pk", "bucket", s"$path/postings")
+    VectorBuckets.writeFreshGeneration(
       prepared.drop("_buckets")
         .withColumn("_nb", VectorBuckets.nb(vecBuckets)),
-      "_nb", "id")
+      "_nb", "id", s"$path/vectors")
     writeLshMeta(path, dim, generations = 1)
   }
 
@@ -324,10 +289,14 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * stays exactly-once. Unlike the graph family there is no adjacency to
     * re-cap: postings rows are independent, so readers simply union
     * committed generations — no latest-wins merge, no compaction
-    * required for correctness (compaction remains an I/O optimization a
-    * deployment can run by rewriting with [[writeServingIndex]]). */
+    * required for correctness (compaction remains an I/O optimization —
+    * [[compactServing]] folds the generations back to one). Returns the
+    * PREPARED increment (hashed once, id cast to long — advice r14: the
+    * facade path previously re-prepared the raw rows, paying a second
+    * hash pass and typing the in-memory ids differently from the
+    * layout's). */
   def appendServingIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, newRows: DataFrame): Unit = {
+      path: String, newRows: DataFrame): DataFrame = {
     val meta = readMeta(path) // hash config must match the layout
     require(meta.get("generations") != null,
       s"layout at $path predates the generation layout — rewrite it with " +
@@ -343,7 +312,9 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     // an empty increment is a safe no-op (idle micro-batches must not
     // kill a stream on the dim probe below)
     val first = newRows.select(size(col("vector"))).limit(1).collect()
-    if (first.isEmpty) return
+    if (first.isEmpty) // empty prepared-shaped frame (prepare's dim probe
+      return newRows.withColumn("id", col("id").cast("long")) // would throw)
+        .withColumn("_buckets", array().cast("array<bigint>"))
     val newDim = first.head.getInt(0)
     require(newDim == dim,
       s"appended vectors have dim $newDim; the layout at $path was " +
@@ -376,27 +347,27 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       require(clash.isEmpty,
         s"append contains ids already present in the layout at $path " +
           s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      writeLshGeneration(
+      VectorBuckets.writeGeneration(
         postings(newKeys).withColumn("_pk",
           col("table") * sb + pmod(col("bucket"), lit(sb))),
         "_pk", "bucket", s"$path/postings", gen = gens)
-      writeLshGeneration(newKeys.drop("_buckets"),
+      VectorBuckets.writeGeneration(newKeys.drop("_buckets"),
         "_nb", "id", s"$path/vectors", gen = gens)
       writeLshMeta(path, dim, generations = gens + 1) // the commit point
+      newKeys.drop("_nb")
     } finally newKeys.unpersist()
   }
 
   /** the facade's `insertIntoServing` capability: land the increment as
     * a committed generation ([[appendServingIndex]]) and return the
-    * grown prepared frame (the re-hash of the increment is one narrow
-    * deterministic UDF pass — seeded hashing is history-free) */
+    * grown prepared frame — built from the SAME prepared increment the
+    * append hashed (advice r14: one prepare pass, and the in-memory ids
+    * carry the layout's long typing) */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
       path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
-    appendServingIndex(spark, path, newRows)
-    prevPrepared.unionByName(prepare(newRows))
-  }
+      newRows: DataFrame): DataFrame =
+    prevPrepared.unionByName(appendServingIndex(spark, path, newRows))
 
   /** Fail fast on a hash-config mismatch — probing with different
     * planes/quantization than the layout was hashed with would silently
@@ -547,6 +518,114 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       diskVectors(spark, path, meta).where(predicate), q, cands,
       meta.get("vec_buckets").asInt(), metric)
     TopK.topKPerGroup(scored, Seq("query_id"), "id", "dist", k)
+  }
+
+  /** Fold the committed append generations back to a single `_gen=0`
+    * (verdict r14 #3 — the I/O optimization [[appendServingIndex]]'s
+    * scaladoc promised): each sub-layout's committed union rewrites via
+    * the staging + rename-swap discipline
+    * ([[VectorBuckets.writeFreshGeneration]] — the staging write
+    * finishes READING the live files before the swap replaces them, so
+    * rewrite-from-own-read is safe), and the sidecar's generation count
+    * resets LAST. Postings/vector rows are independent per id, so the
+    * fold is a plain union — no latest-wins merge. A crash anywhere
+    * leaves a servable layout: folded sub-layouts hold every committed
+    * row in `_gen=0`, which the old sidecar's `_gen < N` gate still
+    * admits. Served results are identical across the fold
+    * (spec-pinned); a post-compact append lands as `_gen=1`. */
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val meta = readMeta(path)
+    val gens = Option(meta.get("generations")).map(_.asInt()).getOrElse(1)
+    if (gens <= 1) return // already compact
+    val dim = meta.get("dim").asInt()
+    def fold(sub: String, partCol: String, sortCol: String): Unit =
+      VectorBuckets.writeFreshGeneration(
+        committedGen(spark.read.parquet(s"$path/$sub"), meta).drop("_gen"),
+        partCol, sortCol, s"$path/$sub")
+    fold("postings", "_pk", "bucket")
+    fold("vectors", "_nb", "id")
+    writeLshMeta(path, dim, generations = 1)
+  }
+
+  /** Partition-scoped DELETE on the serving layout (verdict r14 #2 — the
+    * BQ pattern applied to the (postings, vectors) pair): `rows` carries
+    * `id` only. The batch's rows are fetched through the `_nb`-pruned
+    * vectors read (bounded by the batch, never the store), their postings
+    * `_pk` partitions are COMPUTED by re-hashing the fetched vectors with
+    * the layout's own seeded planes (readMeta verified the hash config,
+    * so the recomputed buckets are bit-identical to what the write
+    * hashed), and both sub-layouts rewrite only the touched (generation,
+    * partition) pairs — an id lives in exactly ONE generation (appends
+    * refuse duplicates), so the rewrite set stays proportional to the
+    * batch. POSTINGS rewrite first, vectors last (replay safety, the
+    * `BqStrategy.deleteFromDisk` ordering argument: the batch's rows are
+    * derived FROM the vectors side, so a crash after the vectors rewrite
+    * would leave a re-run nothing to find and strand the postings
+    * forever; in this order a re-run still sees the rows and finishes
+    * both — the postings rewrite is idempotent). Ids absent from the
+    * layout are no-ops. Returns rows removed. */
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Long = {
+    val meta = readMeta(path)
+    val nb = meta.get("vec_buckets").asInt()
+    val sb = meta.get("sub_buckets").asInt()
+    val dim = meta.get("dim").asInt()
+    val keyed = rows.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("_nb", VectorBuckets.nb(nb)).cache()
+    try {
+      val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
+        .map(java.lang.Long.valueOf).toSeq
+      if (nbs.isEmpty) return 0L
+      val vecsRaw = spark.read.parquet(s"$path/vectors")
+      val hasGen = vecsRaw.columns.contains("_gen")
+      val present = committedGen(vecsRaw, meta)
+        .where(col("_nb").isin(nbs: _*))
+        .join(keyed.select("id"), Seq("id"), "left_semi")
+        .select(col("id"), col("vector").cast("array<double>"),
+          col("_nb").cast("long"),
+          (if (hasGen) col("_gen") else lit(0)).cast("int").as("_gen"))
+        .collect()
+      if (present.isEmpty) return 0L
+      // re-hash the present rows driver-side (bounded by the batch) —
+      // base buckets only (np = 0): the STORE posts one bucket per table
+      val isCosine = metric == Metric.Cosine
+      val pl = planes(dim)
+      val off = offsets(dim)
+      val hits = present.map { r =>
+        val bks = LshStrategy.buckets(r.getSeq[Double](1).toArray, pl, off,
+          isCosine, nTables, nBits, w, 0)
+        val pks = bks.zipWithIndex.map { case (b, t) =>
+          t.toLong * sb + Math.floorMod(b, sb.toLong) }
+        (r.getInt(3), r.getLong(2), pks)
+      }
+      val ids = keyed.select("id")
+      def grouped(vals: Array[(Int, Long)]): Map[Int, Seq[Any]] =
+        vals.groupBy(_._1).map { case (g, vs) =>
+          g -> vs.map(_._2).distinct.toSeq
+            .map(java.lang.Long.valueOf(_): Any) }
+      val pkPairs = hits.flatMap { case (g, _, pks) => pks.map(g -> _) }
+      val nbPairs = hits.map { case (g, b, _) => (g, b) }
+      if (hasGen) {
+        PartitionRewrite.dropIdsByGen(spark, s"$path/postings", "_pk",
+          grouped(pkPairs), ids, sortCol = Some("bucket"))
+        val (before, after) = PartitionRewrite.dropIdsByGen(spark,
+          s"$path/vectors", "_nb", grouped(nbPairs), ids,
+          sortCol = Some("id"))
+        before - after
+      } else { // pre-generation layout: flat partition dirs
+        PartitionRewrite.dropIds(spark, s"$path/postings", "_pk",
+          pkPairs.map(_._2).distinct.toSeq.map(java.lang.Long.valueOf(_): Any),
+          ids, sortCol = Some("bucket"))
+        val (before, after) = PartitionRewrite.dropIds(spark,
+          s"$path/vectors", "_nb",
+          nbPairs.map(_._2).distinct.toSeq.map(java.lang.Long.valueOf(_): Any),
+          ids, sortCol = Some("id"))
+        before - after
+      }
+    } finally keyed.unpersist()
   }
 }
 

@@ -585,8 +585,13 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
   // frontier's buckets and only the row groups passing the pushed
   // `src IN` / `id IN` filters — I/O proportional to the frontier, never
   // the store. Reference parity: pynndescent persists and serves its
-  // graph (`pynndescent.py:93-115`); insert/delete stay unsupported on
-  // disk as in memory (`pynndescent.py:75-83`).
+  // graph (`pynndescent.py:93-115`); insert stays unsupported on disk as
+  // in memory (`pynndescent.py:75-77` rejects insertion — the layout is
+  // generation-tagged only for the shared plumbing). Delete is a
+  // serving-layer MAINTENANCE op ([[deleteFromDisk]], verdict r14 #2 —
+  // the HNSW tombstone pattern's single-layer case; the reference's
+  // facade delete stays BASIC-only, `pynndescent.py:79-83`, and
+  // `Vicinity.delete` enforces that gate).
   // --------------------------------------------------------------------
 
   /** node-bucket fan of the serving layout */
@@ -645,6 +650,21 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     meta
   }
 
+  /** committed tombstone set as an `(id)` frame — None when the layout
+    * has none (the HNSW discipline: tombstones live as bucketed `_gen`
+    * generations under `tombstones/`, gated by the sidecar count so a
+    * crashed delete's orphan generation stays invisible). The field is
+    * optional in the sidecar — pre-r15 layouts read as tombstone-free. */
+  private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): Option[DataFrame] = {
+    val node = meta.get("tombstone_generations")
+    val tGens = if (node == null) 0 else node.asInt()
+    if (tGens <= 0) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .where(col("_gen") < tGens).select("id").distinct())
+  }
+
   /** The beam walk served DIRECTLY from a [[writeServingIndex]] layout,
     * with no resident graph: stage for stage [[beamFrom]] (seed scoring →
     * `hops` frontier expansions → top-k), except every adjacency/vector
@@ -694,22 +714,33 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
           diskBeam)
         .select("query_id", "id", "dist").localCheckpoint()
     }
-    TopK.topKPerGroup(beamDf, Seq("query_id"), "id", "dist", k)
+    // tombstones (disk delete): deleted nodes still ROUTE — the walk
+    // traverses them exactly as before (removing a hub would tear the
+    // k-NN graph's connectivity) — but are excluded from served results;
+    // the beam-wide candidate set absorbs the filter
+    val served = tombstoneFrame(spark, path, meta)
+      .fold(beamDf)(t => beamDf.join(t, Seq("id"), "left_anti"))
+    TopK.topKPerGroup(served, Seq("query_id"), "id", "dist", k)
   }
 
   /** [[queryExhaustive]]'s full-seed identity through the layout's
     * vectors side — the family's oracle anchor THROUGH the disk round
     * trip (the adjacency round trip is pinned by the disk ≡ memory
     * walk-equality spec: a diverged edge set would divert the walk). */
-  /** the layout's COMMITTED vector rows — same `_gen < generations` gate
-    * as the walk's pruned reads (review r14: all three entry points must
-    * share one visibility rule, or an orphan generation would be visible
-    * to some and not others) */
+  /** the layout's LIVE vector rows — same `_gen < generations` gate as
+    * the walk's pruned reads (review r14: every entry point shares one
+    * visibility rule, or an orphan generation would be visible to some
+    * and not others), minus tombstones (exact semantics: a deleted row
+    * is GONE here, unlike the walk where it still routes until
+    * compaction) */
   private def committedVectors(spark: org.apache.spark.sql.SparkSession,
       path: String,
-      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame =
-    spark.read.parquet(s"$path/vectors")
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+    val committed = spark.read.parquet(s"$path/vectors")
       .where(col("_gen") < meta.get("generations").asInt())
+    tombstoneFrame(spark, path, meta)
+      .fold(committed)(t => committed.join(t, Seq("id"), "left_anti"))
+  }
 
   def queryExhaustiveFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
@@ -738,6 +769,125 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val pairs = vecs.select("id").crossJoin(q.select("query_id"))
     TopK.topKPerGroup(scoreCandidates(vecs, q, pairs),
       Seq("query_id"), "id", "dist", k)
+  }
+
+  /** Tombstone DELETE on the serving layout (verdict r14 #2 — the HNSW
+    * tombstone pattern's single-layer case): deleted ids land as one
+    * bucketed tombstone generation, no data rewrite, no graph surgery.
+    * Until [[compactServing]] the nodes still ROUTE (tearing a hub out
+    * of the k-NN graph would break connectivity) but are excluded from
+    * every served result. The existence check is partition-pruned to the
+    * candidates' buckets — I/O proportional to the delete batch, never
+    * the store. Returns the number of live rows newly tombstoned. */
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = readServingMeta(path)
+    val buckets = meta.get("buckets").asInt()
+    val gens = meta.get("generations").asInt()
+    val tNode = meta.get("tombstone_generations")
+    val tGens = if (tNode == null) 0 else tNode.asInt()
+    // verify against LIVE rows only, pruned to the candidates' buckets
+    val candIds = ids.select(col("id").cast("long").as("id")).distinct()
+      .collect().map(_.getLong(0))
+    val existing = GraphLayout.prunedRead(spark, path, "vectors", "id",
+      candIds, buckets, Seq("id"), gens)
+    val prior = tombstoneFrame(spark, path, meta)
+    val fresh = prior.fold(existing)(t =>
+      existing.join(t, Seq("id"), "left_anti")).cache()
+    val n = fresh.count()
+    if (n > 0) {
+      // at tGens == 0 any existing tombstones/ dir is an invisible
+      // leftover from a compaction that crashed between its sidecar
+      // commit and its directory delete — clear it FIRST (the HNSW
+      // discipline): the generation write's dynamic partition overwrite
+      // would otherwise keep the leftover's stale partitions, and the
+      // sidecar bump would resurrect SPENT tombstones
+      if (tGens == 0) {
+        val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        val tFs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (tFs.exists(tPath)) tFs.delete(tPath, true)
+      }
+      GraphLayout.writeGeneration(fresh, "id", s"$path/tombstones",
+        buckets, tGens)
+      val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      root.put("tombstone_generations", tGens + 1)
+      graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
+        mapper.writeValueAsString(root))
+    }
+    fresh.unpersist()
+    n
+  }
+
+  /** Fold the layout back to a single tombstone-free `_gen=0` state
+    * (verdict r14 #3 — the HNSW [[HnswStrategy.compactGraphIndex]]
+    * discipline's single-layer case): tombstoned nodes leave PHYSICALLY
+    * — their vectors, their adjacency rows, and the edges POINTING at
+    * them — via staging + rename-swap rewrites (the staging write
+    * finishes reading the live files before the swap, so
+    * rewrite-from-own-read is safe). The sidecar drops dead entry nodes
+    * and resets the tombstone count BEFORE the spent tombstones
+    * directory is deleted (sidecar-commits-first: at
+    * tombstone_generations=0 an orphaned tombstones/ dir is invisible,
+    * and [[deleteFromDisk]] clears such a leftover before its next
+    * generation-0 write). */
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = readServingMeta(path)
+    val gens = meta.get("generations").asInt()
+    val tomb = tombstoneFrame(spark, path, meta)
+    if (gens <= 1 && tomb.isEmpty) return // already compact
+    val buckets = meta.get("buckets").asInt()
+    def fold(sub: String, idCol: String, stripDst: Boolean): Unit = {
+      val rows = spark.read.parquet(s"$path/$sub")
+        .where(col("_gen") < gens)
+      val latest = rows.groupBy(idCol).agg(max("_gen").as("_gen"))
+      val merged = rows.join(latest, Seq(idCol, "_gen"))
+        .drop("_gen", "_nb")
+      val live = tomb.fold(merged)(t => merged.join(
+        t.withColumnRenamed("id", idCol), Seq(idCol), "left_anti"))
+      val state = if (stripDst)
+        tomb.fold(live)(t => live.join(
+          t.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti"))
+      else live
+      val staging = s"$path/$sub" + "__compacting"
+      // clear a crashed earlier compaction's staging FIRST: dynamic
+      // partition overwrite would keep its stale partitions and swapInto
+      // would promote them, resurrecting deleted data
+      val stPath = new org.apache.hadoop.fs.Path(staging)
+      val stFs = stPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (stFs.exists(stPath)) stFs.delete(stPath, true)
+      GraphLayout.writeGeneration(state, idCol, staging, buckets, gen = 0)
+      graft.core.Generations.swapInto(spark, s"$path/$sub", staging)
+    }
+    fold("vectors", "id", stripDst = false)
+    fold("graph", "src", stripDst = true)
+    val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    root.put("generations", 1)
+    if (tomb.nonEmpty) {
+      val eIt = meta.get("entries").elements()
+      val entryArr = Iterator.continually(eIt).takeWhile(_.hasNext)
+        .map(_.next().asLong()).toArray
+      // bounded pull: only tombstones hitting the nSeeds-sized entry
+      // list come back, never the whole delete history
+      val dead = tomb.get
+        .where(col("id").isin(entryArr.map(java.lang.Long.valueOf).toSeq: _*))
+        .collect().map(_.getLong(0)).toSet
+      val kept = entryArr.filterNot(dead)
+      val arr = root.putArray("entries")
+      kept.foreach(arr.add)
+      root.put("tombstone_generations", 0)
+    }
+    graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
+      mapper.writeValueAsString(root))
+    if (tomb.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+    }
   }
 }
 

@@ -168,10 +168,17 @@ class BinaryQuantSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("graft_bqdel")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
+    // the r15 serving layout nests _gen above the fan key: flatten to
+    // "_gen=g/_nb=v" keys so byte-identity is asserted per partition dir
     def dirFiles(sub: String): Map[String, Set[String]] = {
       val d = new java.io.File(s"$path/$sub")
-      d.listFiles().filter(_.isDirectory).map { p =>
-        p.getName -> p.listFiles().map(_.getName).toSet
+      d.listFiles().filter(_.isDirectory).flatMap { g =>
+        if (g.getName.startsWith("_gen="))
+          g.listFiles().filter(_.isDirectory).toSeq.map { p =>
+            s"${g.getName}/${p.getName}" ->
+              p.listFiles().map(_.getName).toSet
+          }
+        else Seq(g.getName -> g.listFiles().map(_.getName).toSet)
       }.toMap
     }
     val vecsBefore = dirFiles("vectors")
@@ -188,7 +195,7 @@ class BinaryQuantSpec extends SparkSpec {
       .select("_nb").distinct().collect().map(r => s"_nb=${r.getLong(0)}")
       .toSet
     dirFiles("vectors").foreach { case (dir, files) =>
-      if (!touchedNb(dir))
+      if (!touchedNb.exists(t => dir == t || dir.endsWith(s"/$t")))
         assert(vecsBefore(dir) === files, s"untouched $dir rewritten")
     }
     // at least one MIH partition was rewritten, and at most

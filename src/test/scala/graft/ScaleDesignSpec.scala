@@ -403,6 +403,268 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("LSH disk delete (r15): postings + vectors drop the batch per " +
+      "generation; untouched vector buckets byte-identical; absent ids " +
+      "no-op; both serving paths see survivors only") {
+    import graft.index.{LshStrategy, VectorBuckets}
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .cache()
+    val strat = LshStrategy(graft.core.Metric.Cosine, nTables = 8, nBits = 5)
+    val prepared = strat.prepare(store).cache()
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_lshdel")
+    val path = root.resolve("index").toString
+    // an APPENDED layout, so the delete must resolve generations too
+    strat.writeServingIndex(prepared.where($"id" < 400), path)
+    strat.appendServingIndex(spark, path, store.where($"id" >= 400))
+    def dirFiles(sub: String): Map[String, Set[String]] = {
+      val d = new java.io.File(s"$path/$sub")
+      d.listFiles().filter(_.isDirectory).flatMap { g =>
+        g.listFiles().filter(_.isDirectory).toSeq.map { p =>
+          s"${g.getName}/${p.getName}" -> p.listFiles().map(_.getName).toSet
+        }
+      }.toMap
+    }
+    val vecsBefore = dirFiles("vectors")
+    // victims from BOTH generations, plus an absent id
+    val removed = strat.deleteFromDisk(spark, path,
+      Seq(7L, 450L, 99999L).toDF("id"))
+    assert(removed === 2L, s"expected 2 removed, got $removed")
+    val touchedNb = Seq(7L, 450L).toDF("id")
+      .withColumn("_nb", VectorBuckets.nb(64))
+      .select("_nb").distinct().collect().map(r => s"_nb=${r.getLong(0)}")
+      .toSet
+    dirFiles("vectors").foreach { case (dir, files) =>
+      if (!touchedNb.exists(t => dir.endsWith(s"/$t")))
+        assert(vecsBefore(dir) === files, s"untouched $dir rewritten")
+    }
+    // exhaustive-exact over the layout == in-memory exact on survivors
+    val surv = prepared.where($"id" =!= 7L && $"id" =!= 450L)
+    val dskEx = strat.queryExhaustiveFromDisk(spark, path, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val memEx = strat.queryExhaustive(surv, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dskEx === memEx, "disk exhaustive != in-memory on survivors")
+    // the ANN path's candidates lose the ids too (postings side dropped)
+    val ann = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(_.getLong(1)).toSet
+    assert(!ann.contains(7L) && !ann.contains(450L),
+      "deleted id still served by the postings path")
+    // a replayed delete of the same batch is a no-op
+    assert(strat.deleteFromDisk(spark, path,
+      Seq(7L, 450L).toDF("id")) === 0L)
+    prepared.unpersist(); store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("LSH compactServing (r15): fold to one generation serves " +
+      "identically; a post-compact append continues as _gen=1") {
+    import graft.index.LshStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .cache()
+    val strat = LshStrategy(graft.core.Metric.Cosine, nTables = 8, nBits = 5)
+    val prepared = strat.prepare(store).cache()
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_lshcmp")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared.where($"id" < 300), path)
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 300 && $"id" < 400))
+    val before = strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+    strat.compactServing(spark, path)
+    // sidecar folded to one generation, and exactly one _gen dir remains
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_lsh_meta.json"))
+    assert(meta.get("generations").asInt() === 1)
+    Seq("postings", "vectors").foreach { sub =>
+      val gens = new java.io.File(s"$path/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_gen="))
+      assert(gens.toSeq === Seq("_gen=0"), s"$sub gens: ${gens.toSeq}")
+    }
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === before, "served results changed across the fold")
+    // append continues on the compacted layout
+    strat.appendServingIndex(spark, path, store.where($"id" >= 400))
+    val mem = strat.query(prepared, queries, 10).collect().toSet
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === mem, "post-compact append not served")
+    // idempotent: compacting a compact layout is a no-op
+    strat.compactServing(spark, path)
+    prepared.unpersist(); store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("NN-descent disk delete + compactServing (r15): tombstoned rows " +
+      "leave every served result; compaction drops them physically") {
+    import graft.index.NnDescentStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .where($"id" < 300).cache()
+    val strat = NnDescentStrategy(graft.core.Metric.Cosine, nNeighbors = 8)
+    val prepared = strat.prepare(store).cache()
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_nndel")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    // tombstone two live ids + an absent one
+    val n1 = strat.deleteFromDisk(spark, path, Seq(0L, 1L, 9999L).toDF("id"))
+    assert(n1 === 2L, s"expected 2 tombstoned, got $n1")
+    // idempotent: re-deleting tombstoned ids adds nothing
+    assert(strat.deleteFromDisk(spark, path, Seq(0L, 1L).toDF("id")) === 0L)
+    val walked = strat.queryFromDisk(spark, path, queries, 5).collect()
+      .map(_.getLong(1)).toSet
+    assert(!walked.contains(0L) && !walked.contains(1L),
+      "tombstoned id still served by the walk")
+    val exDsk = strat.queryExhaustiveFromDisk(spark, path, queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // queryFiltered, NOT queryExhaustive: the exhaustive path serves a
+    // driver-local replica of the FULL store and would ignore the
+    // survivor predicate (the advice-r11 class)
+    val exMem = strat.queryFiltered(
+        prepared.where($"id" > 1), queries, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exDsk === exMem, "disk exhaustive != in-memory on survivors")
+    // compaction: rows physically gone, edges pointing at them stripped,
+    // tombstones spent, served results unchanged
+    val before = strat.queryFromDisk(spark, path, queries, 5).collect().toSet
+    strat.compactServing(spark, path)
+    assert(spark.read.parquet(s"$path/vectors")
+      .where($"id" <= 1).count() === 0L, "compaction kept deleted vectors")
+    assert(spark.read.parquet(s"$path/graph")
+      .where($"src" <= 1 || $"dst" <= 1).count() === 0L,
+      "compaction kept deleted adjacency")
+    assert(!new java.io.File(s"$path/tombstones").exists(),
+      "spent tombstones not dropped")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_nn_serving_meta.json"))
+    assert(meta.get("tombstone_generations").asInt() === 0)
+    assert(strat.queryFromDisk(spark, path, queries, 5).collect().toSet
+      === before, "served results changed across compaction")
+    prepared.unpersist(); store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("IvfSq8/IvfPq disk delete (r15) delegates the IVF cell rewrite: " +
+      "deleted rows leave the served result; survivors intact") {
+    import graft.index.{IvfPqStrategy, IvfSq8Strategy}
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .cache()
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    Seq(
+      IvfSq8Strategy(graft.core.Metric.Cosine, nlist = 8, nprobe = 8),
+      IvfPqStrategy(graft.core.Metric.Cosine, nlist = 8, nprobe = 8,
+        m = 4, nbits = 8, rerank = true, rerankFactor = 8)
+    ).foreach { strat =>
+      val prepared = strat.prepare(store).cache()
+      val root = java.nio.file.Files.createTempDirectory("graft_qdel")
+      val path = root.resolve("index").toString
+      strat.writeIndex(prepared, path)
+      val nBefore = spark.read.parquet(path).count()
+      val removed = strat.deleteFromDisk(spark, path,
+        store.where($"id" === 0L || $"id" === 42L))
+      assert(removed === 2L, s"${strat.name}: expected 2, got $removed")
+      assert(spark.read.parquet(path).count() === nBefore - 2,
+        s"${strat.name}: row accounting")
+      val served = strat.queryFromDisk(spark, path, queries, 5).collect()
+        .map(_.getLong(1)).toSet
+      assert(!served.contains(0L) && !served.contains(42L),
+        s"${strat.name}: deleted id still served")
+      prepared.unpersist()
+      VerifyIO.deleteRec(root.toFile)
+    }
+    store.unpersist()
+  }
+
+  test("BQ disk append (r15): appended generation served == fresh full " +
+      "build across top-k AND Hamming; replay overwrites its own " +
+      "generation; duplicate/dim-mismatch appends refuse; compact folds") {
+    import graft.index.BqStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .cache()
+    val strat = BqStrategy(graft.core.Metric.Cosine)
+    val fullPrepared = strat.prepare(store).cache()
+    val queries = store.where($"id" < 5)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bqapp")
+    val path = root.resolve("grown").toString
+    strat.writeServingIndex(fullPrepared.where($"id" < 400), path)
+    val grownPrep = strat.appendToServing(spark, path,
+      fullPrepared.where($"id" < 400), store.where($"id" >= 400))
+    assert(grownPrep.count() === store.count(),
+      "appendToServing did not return the grown prepared frame")
+    // sign packing is train-free and per-row, so base + appended
+    // generation must serve exactly what a fresh full build serves
+    val memK = strat.query(fullPrepared, queries, 10).collect().toSet
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === memK, "append-grown top-k != in-memory full store")
+    val memH = strat.hammingRadius(fullPrepared, queries, 10, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dskH = strat.queryHammingFromDisk(spark, path, queries, 10, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dskH === memH, "append-grown MIH radius != brute scan")
+    // crash-window replay: rewind the sidecar (as if the append crashed
+    // before its commit) — the orphan generation is invisible…
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+        graft.core.FsIO.read(s"$path/_bq_serving_meta.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    meta.put("generations", 1)
+    graft.core.FsIO.write(s"$path/_bq_serving_meta.json",
+      mapper.writeValueAsString(meta))
+    val baseOnly = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(_.getLong(1)).toSet
+    val memBase = strat.query(fullPrepared.where($"id" < 400), queries, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(baseOnly === memBase,
+      "uncommitted generation leaked into a served result")
+    // …and replaying the SAME append converges (exactly-once)
+    strat.appendToServing(spark, path,
+      fullPrepared.where($"id" < 400), store.where($"id" >= 400))
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === memK, "replayed append did not converge")
+    // duplicate ids refuse; dim mismatch refuses
+    intercept[IllegalArgumentException] {
+      strat.appendToServing(spark, path, fullPrepared,
+        store.where($"id" >= 400))
+    }
+    intercept[IllegalArgumentException] {
+      strat.appendToServing(spark, path, fullPrepared,
+        store.limit(1).select($"id" + 10000 as "id",
+          org.apache.spark.sql.functions.expr("slice(vector, 1, 4)")
+            .as("vector")))
+    }
+    // compaction folds both sub-layouts to _gen=0 and serving is
+    // unchanged — top-k and Hamming
+    strat.compactServing(spark, path)
+    Seq("vectors", "mih").foreach { sub =>
+      val gens = new java.io.File(s"$path/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).filter(_.startsWith("_gen="))
+      assert(gens.toSeq === Seq("_gen=0"), s"$sub gens: ${gens.toSeq}")
+    }
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === memK, "post-compact top-k changed")
+    assert(strat.queryHammingFromDisk(spark, path, queries, 10, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === memH,
+      "post-compact MIH radius changed")
+    // delete still works on the compacted (single-gen) layout
+    assert(strat.deleteFromDisk(spark, path, Seq(450L).toDF("id")) === 1L)
+    fullPrepared.unpersist(); store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("disk-resident IVF delete rewrites only the affected cell partitions") {
     import graft.index.IvfStrategy
     val store = sf("embeddings")
@@ -849,11 +1111,15 @@ class ScaleDesignSpec extends SparkSpec {
       "four top-k disk families; unsupported ops throw") {
     import graft.index._
     import graft.core.Metric
+    // r15: the delete column is TRUE for every family — IvfSq8/IvfPq
+    // delegate the IVF cell rewrite, LSH/NN-descent/BQ are pinned in
+    // their own suites — so the flag matrix below exercises the
+    // remaining honest-false cells (filtered/threshold)
     val fams: Seq[(IndexStrategy with DiskServing, Boolean, Boolean, Boolean)] =
       Seq(
         (IvfStrategy(Metric.Cosine), true, true, true),
-        (IvfSq8Strategy(Metric.Cosine), false, true, false),
-        (IvfPqStrategy(Metric.Cosine), false, false, false),
+        (IvfSq8Strategy(Metric.Cosine), false, true, true),
+        (IvfPqStrategy(Metric.Cosine), false, false, true),
         (HnswStrategy(Metric.Cosine), true, false, true))
     fams.foreach { case (f, filt, thresh, del) =>
       assert(f.supportsDiskFiltered == filt, s"${f.name} filtered flag")
@@ -862,8 +1128,9 @@ class ScaleDesignSpec extends SparkSpec {
     }
     // an unsupported op fails loudly, never silently misroutes
     intercept[UnsupportedOperationException] {
-      IvfPqStrategy(Metric.Cosine)
-        .deleteFromDisk(spark, "/nonexistent", Seq(1L).toDF("id"))
+      IvfPqStrategy(Metric.Cosine).queryThresholdFromDisk(spark,
+        "/nonexistent", Seq((0L, Seq(0.0))).toDF("query_id", "qvector"),
+        0.5, 10)
     }
     intercept[UnsupportedOperationException] {
       IvfSq8Strategy(Metric.Cosine).queryFilteredFromDisk(spark,
