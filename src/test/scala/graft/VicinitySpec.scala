@@ -592,6 +592,10 @@ class VicinitySpec extends SparkSpec {
     roundTrip(build(Backend.Hnsw), "hnsw")
     roundTrip(build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "lsh"))), "lsh")
+    // r15: the binary family joins the appendable set (sign packing is
+    // train-free — FAISS binary `add` parity)
+    roundTrip(build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "binary"))), "binary")
     // reference parity: ANNOY rejects insertion even though its physical
     // strategy (LSH) could append
     val annoy = build(Backend.Annoy)
@@ -633,6 +637,97 @@ class VicinitySpec extends SparkSpec {
     intercept[UnsupportedOperationException] {
       basic.evaluateFromDisk(p, qs)
     }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("evaluateThreshold/evaluateThresholdFromDisk (r15, verdict r14 " +
+      "#4): disk recall == memory recall for a pruned config; a maxK " +
+      "below the true radius set shows up as lost recall; gating honest") {
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 32)))
+    val root = java.nio.file.Files.createTempDirectory("graft_evalth")
+    val p = root.resolve("index").toString
+    ivf.writeServingIndex(p)
+    val qs = vectors.take(8)
+    val th = 0.35 // cosine radius wide enough for non-trivial truth sets
+    val (qpsMem, rMem) = ivf.evaluateThreshold(qs, th, maxK = 1000)
+    val (qpsDsk, rDsk) = ivf.evaluateThresholdFromDisk(p, qs, th,
+      maxK = 1000)
+    assert(qpsMem > 0 && qpsDsk > 0)
+    assert(rDsk === rMem,
+      s"disk threshold recall $rDsk != in-memory recall $rMem")
+    assert(rMem > 0.0)
+    // the cap is the knob under test: a tiny maxK must not report
+    // HIGHER recall than the uncapped run
+    val (_, rCapped) = ivf.evaluateThresholdFromDisk(p, qs, th, maxK = 1)
+    assert(rCapped <= rDsk,
+      s"maxK=1 recall $rCapped exceeds uncapped recall $rDsk")
+    // gated on the family's threshold capability
+    val hnsw = build(Backend.Hnsw)
+    val hp = root.resolve("hnsw").toString
+    hnsw.writeServingIndex(hp)
+    intercept[UnsupportedOperationException] {
+      hnsw.evaluateThresholdFromDisk(hp, qs, th)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("evaluateHammingFromDisk (r15): MIH serving is exact by " +
+      "pigeonhole, so recall == 1.0; qps measured; gating honest") {
+    val bq = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "binary")))
+    val root = java.nio.file.Files.createTempDirectory("graft_evalham")
+    val p = root.resolve("index").toString
+    bq.writeServingIndex(p)
+    val qs = vectors.take(8)
+    val (qps, recall) = bq.evaluateHammingFromDisk(p, qs, bits = 2,
+      maxK = 50)
+    assert(qps > 0)
+    assert(recall === 1.0, s"MIH recall must be exactly 1.0, got $recall")
+    intercept[UnsupportedOperationException] {
+      basic.evaluateHammingFromDisk(p, qs, bits = 2)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("compactServing at the facade (r15, verdict r14 #3): folds an " +
+      "appended layout to one generation, serving unchanged, append " +
+      "continues; cell families and BASIC gate honestly") {
+    val lsh = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "lsh")))
+    val root = java.nio.file.Files.createTempDirectory("graft_cmp_srv")
+    val p = root.resolve("lsh").toString
+    lsh.writeServingIndex(p)
+    val probe = Seq.fill(dim)(0.321)
+    val q = basic.spark.createDataFrame(
+      basic.spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(0L, probe)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("query_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
+    val grown = lsh.insertIntoServing(p, Seq("pre_compact"), Seq(probe))
+    assert(grown.describeServing(p)("generations") === "2")
+    val before = grown.queryFromDiskDf(p, q, 3).collect()
+      .map(_.getLong(1)).toSet
+    grown.compactServing(p)
+    assert(grown.describeServing(p)("generations") === "1",
+      "describeServing generations did not fold back to 1")
+    assert(grown.queryFromDiskDf(p, q, 3).collect()
+      .map(_.getLong(1)).toSet === before,
+      "serving changed across the facade compact")
+    // a post-compact append continues
+    val grown2 = grown.insertIntoServing(p, Seq("post_compact"),
+      Seq(probe.map(_ + 0.01)))
+    assert(grown2.describeServing(p)("generations") === "2")
+    // honest gates: BASIC has no layout at all; the cell families
+    // compact through StreamOps.compactIndex, not this trait
+    intercept[UnsupportedOperationException] { basic.compactServing(p) }
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 4)))
+    intercept[UnsupportedOperationException] { ivf.compactServing(p) }
     VerifyIO.deleteRec(root.toFile)
   }
 
