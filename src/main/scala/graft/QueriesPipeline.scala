@@ -954,11 +954,24 @@ object QueriesPipeline {
     * frames are the only broadcast hints (the accepted bounded shape). */
   private[graft] def skewOf(df: DataFrame, label: String, key: Column): DataFrame = {
     val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_c"))
+    // The count-of-counts histogram is PROVABLY small — distinct
+    // multiplicity values ≤ √(2·rows), ~1.4M rows (~22 MB) at 10¹² — but
+    // its lineage-derived size ESTIMATE is whatever the input's worst
+    // case is, so under a join-heavy input (q_ivf_cell_skew's Lloyd's
+    // assignment) the non-equi cumulative self-join below planned a
+    // CartesianProduct on a cold session (estimate-dependent, flaky —
+    // caught by PlanAuditSpec r15). localCheckpoint severs the lineage
+    // (one materialization serves both join sides instead of recomputing
+    // the input twice), and the explicit broadcast of the b side encodes
+    // the √-bound the planner cannot see — legitimate under the
+    // unbounded-hint net because the checkpointed scan is not a
+    // base-table read.
     val hist = counts.groupBy("_c").agg(count(lit(1)).as("_nk"))
+      .localCheckpoint()
     val tot = counts.agg(count(lit(1)).as("_keys"), sum("_c").as("_rows"),
       max("_c").as("_maxc"))
     val cum = hist.as("a")
-      .join(hist.as("b"), col("b._c") <= col("a._c"))
+      .join(broadcast(hist.as("b")), col("b._c") <= col("a._c"))
       .groupBy(col("a._c").as("_c2")).agg(sum(col("b._nk")).as("_cum"))
     val pct = cum.join(broadcast(tot))
       .agg(

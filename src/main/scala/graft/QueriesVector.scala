@@ -821,7 +821,8 @@ object QueriesVector {
     * produces a hash mismatch. Radius 1.2 sits 6.5e-4 from the nearest
     * quantized distance at sf0.01 — far above cross-engine
     * summation-order noise (~1e-12), so membership is stable. */
-  private def sq8QuantRadiusOracle(nq: Int, radius: Double): String = s"""
+  private def sq8QuantRadiusOracle(nq: Int, radius: Double,
+      extraWhere: String = ""): String = s"""
       WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       dims AS (
@@ -840,6 +841,7 @@ object QueriesVector {
         SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
                sqrt(greatest(sum((d.x - q.v[d.i]) * (d.x - q.v[d.i])), 0)) AS dist
         FROM dec d, (SELECT vec_id, v FROM e WHERE vec_id < $nq) q
+        WHERE TRUE$extraWhere
         GROUP BY 1, 2)
       SELECT query_id, neighbor_id, round(dist, 6) AS dist
       FROM dists WHERE dist < $radius
@@ -933,6 +935,40 @@ object QueriesVector {
         .orderBy("query_id", "neighbor_id")
     },
     Some(sq8QuantRadiusOracle(5, 1.2)))
+
+  /** The composed quantized family's serving DELETE made judge-visible
+    * (r15 — `IvfSq8Strategy.deleteFromDisk` delegates the IVF cell
+    * rewrite, so this pins the delegation end to end): two rows leave
+    * the cell layout by (id, vector) — their cells COMPUTED from the
+    * codebook, survivors (SQ codes included) swapped in per touched
+    * directory — and the quantized range search over the survivors must
+    * match the bit-level quantized oracle restricted to surviving ids.
+    * The SQ ranges were trained on the FULL store before the delete, so
+    * the oracle's decode table stays full-store; only the candidate set
+    * shrinks — exactly the engine's semantics (delete rewrites rows,
+    * never retrains). */
+  val qIvfSq8DeletedRadius = Q("q_ivfsq8_deleted_radius",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "ivfsq8x16-euclidean")(
+        mkIvfSq8(s, dir, Metric.Euclidean, nprobe = 16))
+      val sq = strat.asInstanceOf[IvfSq8Strategy]
+      val path = mapOf(diskIndexCaches, s)
+        .getOrElseUpdate(s"$dir/ivfsq8x16-euclidean/deleted", {
+          val p = java.nio.file.Files.createTempDirectory("graft_sq8del")
+            .resolve("index").toString
+          sq.writeIndex(prepared, p)
+          sq.deleteFromDisk(s, p,
+            cachedStore(s, dir).where(col("id").isin(7L, 11L)))
+          p
+        })
+      sq.queryThresholdFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 1.2, 0)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"))
+        .orderBy("query_id", "neighbor_id")
+    },
+    Some(sq8QuantRadiusOracle(5, 1.2, " AND d.vec_id NOT IN (7, 11)")))
 
   /** ANN top-k via the NN-descent graph index (B4, the genuine graph-based
     * family member — `NnDescentStrategy`): kNN graph built as an iterative
@@ -2480,6 +2516,37 @@ object QueriesVector {
     },
     Some(exactCosineOracle(5)))
 
+  /** The NN-descent serving DELETE made judge-visible (r15 — the HNSW
+    * tombstone pattern's single-layer case, under the same oracle
+    * recipe as q_hnsw_disk_delete): two ids are tombstoned on a fresh
+    * layout — no data rewrite, the walk still routes through them —
+    * and the layout's exact mode must equal the DuckDB ground truth
+    * over the surviving rows; compaction's physical drop of the same
+    * tombstones is spec-pinned (ScaleDesignSpec). Own layout: the
+    * shared `nnd15` serving layout stays unmutated for
+    * q_nndescent_disk_knn_exact. */
+  val qNndescentDeletedKnn = Q("q_nndescent_deleted_knn",
+    (s, dir) => {
+      val (strat, prepared) = preparedIndex(s, dir, "nnd15")(
+        NnDescentStrategy(Metric.Cosine))
+      val nd = strat.asInstanceOf[NnDescentStrategy]
+      val path = mapOf(diskIndexCaches, s)
+        .getOrElseUpdate(s"$dir/nnd15/deleted", {
+          val p = java.nio.file.Files.createTempDirectory("graft_nnd_del")
+            .resolve("index").toString
+          nd.writeServingIndex(prepared, p)
+          import s.implicits._
+          nd.deleteFromDisk(s, p, Seq(0L, 1L).toDF("id"))
+          p
+        })
+      nd.queryExhaustiveFromDisk(s, path,
+        queriesDf(s, dir, 5)
+          .withColumn("qvector", col("qvector").cast("array<double>")), 10)
+        .select(col("query_id"), col("id").as("neighbor_id"),
+          round(col("dist"), 6).as("dist"), col("rank"))
+    },
+    Some(exactCosineOracle(5, " AND s.vec_id > 1")))
+
   /** PCA spectrum of the embedding store ([[graft.prep.Pca]]): top-4
     * covariance eigencomponents by deterministic fixed-budget power
     * iteration, every step rounded to 6 decimals so the DuckDB oracle
@@ -2554,7 +2621,7 @@ object QueriesVector {
     qLshCompactedKnn, qBqDeletedRadius, qFacadeInsertedKnn, qIvfKnn,
     qIvfRadiusExact,
     qSq8Radius, qIvfSq8Radius,
-    qIvfSq8PartitionedRadius,
+    qIvfSq8PartitionedRadius, qIvfSq8DeletedRadius,
     qSq8Knn, qSq8RerankKnn, qBqKnn, qBqRerankKnn, qBqMihRadius,
     qBqMihPartitioned, qBqFactorCurve, qIvfBqKnn, qIvfBqKnnExact,
     qIvfBqPartitionedKnn,
@@ -2562,7 +2629,7 @@ object QueriesVector {
     qPqKnn,
     qPqRerankKnn, qOpqRerankKnn, qIvfpqKnn, qIvfpqrKnn, qIvfpqrPartitionedKnn,
     qNndescentKnn,
-    qNndescentKnnExact, qNndescentDiskKnn,
+    qNndescentKnnExact, qNndescentDiskKnn, qNndescentDeletedKnn,
     qHnswKnn, qHnswKnnExact, qHnswEfCurve, qHnswDiskKnn,
     qHnswDiskKnnExact, qHnswDiskFiltered, qHnswDiskDelete,
     qKnnClassify, qKnnFiltered,
