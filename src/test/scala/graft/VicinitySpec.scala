@@ -588,6 +588,12 @@ class VicinitySpec extends SparkSpec {
       val dsk = v2.queryFromDiskDf(p, q(probe), 1).collect()
       assert(dsk.head.getString(2) == "fresh_item" &&
         dsk.head.getDouble(3) < 1e-9, s"$sub: layout miss")
+      // an EMPTY insert is a safe no-op through the same path (the idle
+      // micro-batch shape, r15): count unchanged, layout still serves
+      val v3 = v2.insertIntoServing(p, Seq.empty, Seq.empty)
+      assert(v3.length === n + 1, s"$sub: empty insert changed count")
+      assert(v3.queryFromDiskDf(p, q(probe), 1).collect()
+        .head.getString(2) == "fresh_item", s"$sub: post-empty-insert miss")
     }
     roundTrip(build(Backend.Hnsw), "hnsw")
     roundTrip(build(Backend.Faiss, args = Some(
