@@ -260,13 +260,18 @@ class Vicinity private (
             (if (gNode == null) "1" else gNode.asInt().toString))
     } else if (FsIO.exists(s"$path/_nn_serving_meta.json")) {
       // the NN-descent layout is the graph template's single-layer case
-      // (vectors/_gen=…/_nb=…, graph/_gen=…/_nb=…)
+      // (vectors/_gen=…/_nb=…, graph/_gen=…/_nb=…); tombstone state
+      // reported like the HNSW branch (r15 — the family now takes
+      // tombstone deletes), null-safe for pre-r15 sidecars
       val meta = new ObjectMapper()
         .readTree(FsIO.read(s"$path/_nn_serving_meta.json"))
+      val tNode = meta.get("tombstone_generations")
       fields(meta, "nn_graph", Seq(
         "buckets" -> asInt, "n_neighbors" -> asInt, "generations" -> asInt,
         "entries" -> ((n: com.fasterxml.jackson.databind.JsonNode) =>
-          n.size().toString)))
+          n.size().toString))) ++
+        Map("tombstone_generations" ->
+          (if (tNode == null) "0" else tNode.asInt().toString))
     } else if (FsIO.exists(s"$path/_bq_serving_meta.json")) {
       // the binary layout nests its partitioning one level down like the
       // LSH layout (mih/_gen=…/_pk=… since the r15 generation layout;

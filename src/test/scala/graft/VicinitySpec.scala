@@ -556,6 +556,14 @@ class VicinitySpec extends SparkSpec {
     assert(desc("family") == "nn_graph" && desc("buckets").toInt > 0 &&
       desc("entries").toInt > 0 && desc("generations").toInt == 1 &&
       desc("bytes").toLong > 0, s"bad nn_graph describe: $desc")
+    // tombstone state rides the dashboard (r15): 0 on a fresh layout,
+    // bumped by a facade delete, back to 0 after the facade compact
+    assert(desc("tombstone_generations") == "0", s"fresh tombstones: $desc")
+    import basic.spark.implicits._
+    assert(nnd.deleteFromDisk(p, Seq(5L).toDF("id")) === 1L)
+    assert(nnd.describeServing(p)("tombstone_generations") == "1")
+    nnd.compactServing(p)
+    assert(nnd.describeServing(p)("tombstone_generations") == "0")
     // the family has no disk-threshold form (graph-family convention)
     intercept[UnsupportedOperationException] {
       nnd.queryThresholdFromDiskDf(p, q, 0.5)
