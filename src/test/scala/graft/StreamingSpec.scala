@@ -347,6 +347,89 @@ class StreamingSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("BQ DISK index freshness mid-stream (r15): micro-batches append " +
+      "generations served immediately — top-k AND the MIH Hamming path; " +
+      "compactServing folds both sub-layouts, service unchanged") {
+    // the LSH composition above applied to the binary family's NEW
+    // appendable layout: streaming inserts land via appendToServing
+    // (the facade capability), so BOTH sub-layouts — the id-bucketed
+    // vectors and the nested MIH chunk table — keep pace with ingest
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.index.BqStrategy
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
+    val strat = BqStrategy(Metric.Cosine)
+    @volatile var prepared = strat.prepare(store)
+    val root = java.nio.file.Files.createTempDirectory("graft_bq_stream")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    @volatile var nextId = 60L
+    @volatile var misses = 0
+    val input = MemoryStream[Seq[Double]]
+    val q = input.toDF().toDF("vector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getSeq[Double](0).toSeq).toSeq
+        if (rows.nonEmpty) {
+          val newRows = rows.zipWithIndex
+            .map { case (x, i) => (nextId + i, x) }.toDF("id", "vector")
+          prepared = strat.appendToServing(spark, path, prepared, newRows)
+          nextId += rows.length
+          val qdf = newRows.select(col("id").as("query_id"),
+            col("vector").as("qvector"))
+          // served the moment the generation commits: own nearest at
+          // distance 0 through the rerank path…
+          val got = strat.queryFromDisk(spark, path, qdf, 1).collect()
+          misses += rows.length -
+            got.count(r => r.getLong(0) == r.getLong(1) &&
+              r.getDouble(2) < 1e-9)
+          // …and its own signature at Hamming radius 0 through the MIH
+          // path (other rows may sign-collide; own id must be present)
+          val ham = strat.queryHammingFromDisk(spark, path, qdf,
+            bits = 0, maxK = 64).collect()
+          val hamOk = ham.groupBy(_.getLong(0))
+            .count { case (qid, rs) => rs.exists(_.getLong(1) == qid) }
+          misses += rows.length - hamOk
+        }
+      }.start()
+    (0 until 3).foreach { _ =>
+      input.addData((0 until 4).map(_ => vec()): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(misses === 0,
+      s"$misses streamed vectors not immediately servable from disk")
+    // base + 3 stream generations on BOTH sub-layouts, 72 live rows
+    Seq("vectors", "mih").foreach { sub =>
+      val gens = new java.io.File(s"$path/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("_gen=")).sorted.toSeq
+      assert(gens === Seq("_gen=0", "_gen=1", "_gen=2", "_gen=3"),
+        s"$sub generations: $gens")
+    }
+    assert(spark.read.parquet(s"$path/vectors").count() === 72L)
+    // compactServing (the r15 trait fold) collapses both sub-layouts to
+    // one generation with service identical — top-k AND Hamming
+    val qdf3 = store.limit(3).select(col("id").as("query_id"),
+      col("vector").as("qvector"))
+    val before = strat.queryFromDisk(spark, path, qdf3, 5).collect().toSet
+    val beforeHam = strat.queryHammingFromDisk(spark, path, qdf3, 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    strat.compactServing(spark, path)
+    Seq("vectors", "mih").foreach { sub =>
+      val gens = new java.io.File(s"$path/$sub").listFiles()
+        .map(_.getName).filter(_.startsWith("_gen=")).toSeq
+      assert(gens === Seq("_gen=0"), s"$sub post-compact: $gens")
+    }
+    assert(strat.queryFromDisk(spark, path, qdf3, 5).collect().toSet
+      === before, "compaction changed served top-k")
+    assert(strat.queryHammingFromDisk(spark, path, qdf3, 4, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === beforeHam,
+      "compaction changed the served Hamming radius")
+    assert(spark.read.parquet(s"$path/vectors").count() === 72L)
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("streaming near-dup maintenance: batches dedup against the growing signature snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.Dedup
