@@ -647,6 +647,38 @@ class Vicinity private (
       q => d.queryHammingFromDisk(spark, path, q, bits, maxK))
   }
 
+  /** Recall/QPS for the FILTERED serving shape — the last of the four
+    * served query shapes under the harness (top-k / radius / Hamming /
+    * filtered): ground truth is the exact top-k over the
+    * PREDICATE-SURVIVING store (pre-filter semantics, the serving
+    * contract), recall@k with the [[evaluate]] epsilon methodology.
+    * The graph families' filtered serving IS an exact scan of the
+    * survivors, so their recall is 1.0 by construction (spec-pinned);
+    * the candidate-pruned families (LSH/BQ) report the real
+    * candidates ∩ survivors recall a deployment would tune against. */
+  def evaluateFiltered(queryVectors: Seq[Seq[Double]], k: Int,
+      predicate: org.apache.spark.sql.Column,
+      epsilon: Double = 1e-3): (Double, Double) =
+    evaluateImpl(queryVectors, k, epsilon,
+      q => strategy.queryFiltered(prepared.where(predicate), q, k),
+      gtStore = store.where(predicate))
+
+  /** [[evaluateFiltered]] grading the DISK-SERVED filtered path;
+    * capability-gated like every disk entry point. The predicate ranges
+    * over the layout's columns (metadata rides in the layout). */
+  def evaluateFilteredFromDisk(path: String,
+      queryVectors: Seq[Seq[Double]], k: Int,
+      predicate: org.apache.spark.sql.Column,
+      epsilon: Double = 1e-3): (Double, Double) = {
+    val d = diskServing
+    if (!d.supportsDiskFiltered) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) does not serve " +
+        "filtered queries from disk.")
+    evaluateImpl(queryVectors, k, epsilon,
+      q => d.queryFilteredFromDisk(spark, path, q, k, predicate),
+      gtStore = store.where(predicate))
+  }
+
   /** uncapped exact strict-`<` radius truth on the facade's metric —
     * the inclusive exact scan masked to `< threshold` (the boundary
     * rows an ANN path's strict contract never returns) */
@@ -695,15 +727,19 @@ class Vicinity private (
     (qps, recall)
   }
 
+  /** `gtStore` lets the filtered shape grade against the
+    * predicate-surviving store; every other shape grades against the
+    * full store (the default). */
   private def evaluateImpl(queryVectors: Seq[Seq[Double]], k: Int,
-      epsilon: Double, run: DataFrame => DataFrame): (Double, Double) = {
+      epsilon: Double, run: DataFrame => DataFrame,
+      gtStore: DataFrame = store): (Double, Double) = {
     if (metric != Metric.Cosine && metric != Metric.Euclidean)
       throw new IllegalArgumentException(
         s"Unsupported metric for evaluation: ${metric.name}")
     val q = queriesDf(queryVectors).cache()
     q.count()
     val exact = ExactStrategy(metric)
-    val exactPrepared = exact.prepare(store).cache()
+    val exactPrepared = exact.prepare(gtStore).cache()
     // cached: referenced by both the hits join and the per-query average
     val gt = exact.query(exactPrepared, q, k)
       .groupBy("query_id").agg(max("dist").as("gt_kth")).cache()

@@ -686,6 +686,36 @@ class VicinitySpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("evaluateFiltered/evaluateFilteredFromDisk (r15): disk recall == " +
+      "memory recall for a pruned config; graph-family filtered serving " +
+      "is exact (recall 1.0); gating honest") {
+    val pred = org.apache.spark.sql.functions.col("id") % 2 === 0
+    val qs = vectors.take(8)
+    val root = java.nio.file.Files.createTempDirectory("graft_evalfl")
+    // pruned IVF: recall may be < 1 and MUST agree memory vs disk
+    val ivf = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "ivf", nlist = 32)))
+    val ip = root.resolve("ivf").toString
+    ivf.writeServingIndex(ip)
+    val (qpsMem, rMem) = ivf.evaluateFiltered(qs, 10, pred)
+    val (qpsDsk, rDsk) = ivf.evaluateFilteredFromDisk(ip, qs, 10, pred)
+    assert(qpsMem > 0 && qpsDsk > 0)
+    assert(rDsk === rMem,
+      s"disk filtered recall $rDsk != in-memory recall $rMem")
+    assert(rMem > 0.0)
+    // the graph family's filtered serving is an exact scan of the
+    // survivors — recall exactly 1.0 through the layout
+    val hnsw = build(Backend.Hnsw)
+    val hp = root.resolve("hnsw").toString
+    hnsw.writeServingIndex(hp)
+    val (_, rGraph) = hnsw.evaluateFilteredFromDisk(hp, qs, 10, pred)
+    assert(rGraph === 1.0, s"graph filtered recall must be 1.0: $rGraph")
+    intercept[UnsupportedOperationException] {
+      basic.evaluateFilteredFromDisk(ip, qs, 10, pred)
+    }
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("evaluateHammingFromDisk (r15): MIH serving is exact by " +
       "pigeonhole, so recall == 1.0; qps measured; gating honest") {
     val bq = build(Backend.Faiss, args = Some(
