@@ -728,6 +728,21 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     else query(prepared, queries, maxK)
       .where(col("dist") < threshold).drop("rank")
 
+  /** [[queryThreshold]] served from the layout (r15 — the flag was
+    * false for no structural reason, and a serving tier routing
+    * threshold workloads on capability flags hit the gap exactly like
+    * the r14 delete case): the family's ANN threshold contract is
+    * top-max_k THEN the strict `<` mask, so the disk form is the same
+    * mask over the [[queryFromDisk]] walk — disk ≡ memory decision for
+    * decision here by construction. */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame =
+    if (maxK <= 0) IndexStrategy.emptyThreshold(queries)
+    else queryFromDisk(spark, path, queries, maxK)
+      .where(col("dist") < threshold).drop("rank")
+
   /** UPPER BOUND on candidates scored per query: entry stage + one
     * m-neighbor expansion per upper layer + the layer-0 beam's worst case,
     * capped at n — fixed once the graphs exist, the graph family's QPS

@@ -275,6 +275,28 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     query(spark.read.parquet(path), queries, kTop)
   }
 
+  /** [[queryThreshold]] off the layout (r15 — evening out the
+    * capability matrix): the ANN threshold contract (top-max_k ADC
+    * scan, then the strict `<` mask) over the same probe-pruned,
+    * code-projected disk scan as [[queryFromDisk]]. */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    require(codebooks != null, "IvfPqStrategy.prepare must run before query")
+    queryThreshold(spark.read.parquet(path), queries, threshold, maxK)
+  }
+
+  /** Pre-filter serving off the cell layout (r15): predicate before the
+    * ADC kernel, pushed into the scan alongside the probe prune. */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(codebooks != null, "IvfPqStrategy.prepare must run before query")
+    queryFiltered(spark.read.parquet(path).where(predicate), queries, k)
+  }
+
   /** Partition-scoped delete delegates to the inner IVF's cell rewrite
     * (verdict r14 #2 — the layout IS `ivf.writeIndex`'s cell-partitioned
     * shape; PQ codes ride as ordinary columns through the survivor

@@ -85,6 +85,21 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     query(spark.read.parquet(path), queries, k)
   }
 
+  /** Pre-filter serving off the cell layout (r15 — evening out the
+    * capability matrix): the predicate gates the layout rows BEFORE the
+    * quantized kernel ([[IndexStrategy.queryFiltered]]'s pre-filter
+    * semantics), and BOTH reductions reach the parquet reader — the
+    * probe IN-list prunes cell directories and a simple predicate lands
+    * in PushedFilters. */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(ivf.isTrained && sq.isTrained,
+      "IvfSq8Strategy.prepare must run before query")
+    queryFiltered(spark.read.parquet(path).where(predicate), queries, k)
+  }
+
   /** [[queryFromDisk]] for the range-search entry point: same pruned
     * quantized scan, same FAISS strict-`<` masked-distance semantics. */
   override def supportsDiskThreshold: Boolean = true

@@ -529,6 +529,19 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     else query(prepared, queries, maxK)
       .where(col("dist") < threshold).drop("rank")
 
+  /** [[queryThreshold]] served from the layout (r15, the
+    * [[HnswStrategy.queryThresholdFromDisk]] argument): the ANN
+    * threshold contract is top-max_k then the strict `<` mask, so the
+    * disk form is the same mask over the [[queryFromDisk]] walk —
+    * disk ≡ memory by construction. */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame =
+    if (maxK <= 0) IndexStrategy.emptyThreshold(queries)
+    else queryFromDisk(spark, path, queries, maxK)
+      .where(col("dist") < threshold).drop("rank")
+
   /** UPPER BOUND on candidates the walk scores per query (seeds + every
     * hop's worst-case frontier), capped at n — the graph index's QPS
     * story: independent of n once the graph exists. An exact count would

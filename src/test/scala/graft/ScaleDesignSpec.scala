@@ -665,6 +665,55 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("quantized + graph disk threshold/filtered completions (r15) " +
+      "serve decision-for-decision what the in-memory paths serve") {
+    import graft.index.{HnswStrategy, IvfPqStrategy, IvfSq8Strategy}
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .cache()
+    val queries = store.where($"id" < 4)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val pred = $"id" % 2 === 0
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_qtf")
+    // IvfSq8: filtered disk == in-memory pre-filter
+    val sq = IvfSq8Strategy(graft.core.Metric.Cosine, nlist = 8, nprobe = 4)
+    val sqPrep = sq.prepare(store).cache()
+    val sp = root.resolve("sq").toString
+    sq.writeIndex(sqPrep, sp)
+    assert(pairs(sq.queryFilteredFromDisk(spark, sp, queries, 10, pred))
+      === pairs(sq.queryFiltered(sqPrep.where(pred), queries, 10)),
+      "ivf_scalar disk filtered != in-memory")
+    sqPrep.unpersist()
+    // IvfPq: threshold AND filtered disk == in-memory
+    val pq = IvfPqStrategy(graft.core.Metric.Cosine, nlist = 8, nprobe = 4,
+      m = 4, nbits = 8, rerank = true, rerankFactor = 4)
+    val pqPrep = pq.prepare(store).cache()
+    val pp = root.resolve("pq").toString
+    pq.writeIndex(pqPrep, pp)
+    assert(pairs(pq.queryThresholdFromDisk(spark, pp, queries, 0.5, 20))
+      === pairs(pq.queryThreshold(pqPrep, queries, 0.5, 20)),
+      "ivfpq disk threshold != in-memory")
+    assert(pairs(pq.queryFilteredFromDisk(spark, pp, queries, 10, pred))
+      === pairs(pq.queryFiltered(pqPrep.where(pred), queries, 10)),
+      "ivfpq disk filtered != in-memory")
+    pqPrep.unpersist()
+    // HNSW: the disk threshold is the mask over the disk walk, which is
+    // already pinned == the memory walk — assert the composed equality
+    val h = HnswStrategy(graft.core.Metric.Cosine)
+    val hPrep = h.prepare(store.where($"id" < 300)).cache()
+    val hp = root.resolve("hnsw").toString
+    h.writeGraphIndex(hPrep, hp)
+    assert(pairs(h.queryThresholdFromDisk(spark, hp, queries, 0.6, 8))
+      === pairs(h.queryThreshold(hPrep, queries, 0.6, 8)),
+      "hnsw disk threshold != in-memory")
+    hPrep.unpersist()
+    store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("disk-resident IVF delete rewrites only the affected cell partitions") {
     import graft.index.IvfStrategy
     val store = sf("embeddings")
@@ -1111,16 +1160,18 @@ class ScaleDesignSpec extends SparkSpec {
       "four top-k disk families; unsupported ops throw") {
     import graft.index._
     import graft.core.Metric
-    // r15: the delete column is TRUE for every family — IvfSq8/IvfPq
-    // delegate the IVF cell rewrite, LSH/NN-descent/BQ are pinned in
-    // their own suites — so the flag matrix below exercises the
-    // remaining honest-false cells (filtered/threshold)
+    // r15: filtered, threshold, AND delete are TRUE across the whole
+    // matrix — the remaining honest-false cells are the ones with a
+    // principled reason (append on families whose layouts take the
+    // streaming path or whose reference rejects insertion; Hamming
+    // outside the binary family; compaction on the cell families whose
+    // streaming appends compact via StreamOps)
     val fams: Seq[(IndexStrategy with DiskServing, Boolean, Boolean, Boolean)] =
       Seq(
         (IvfStrategy(Metric.Cosine), true, true, true),
-        (IvfSq8Strategy(Metric.Cosine), false, true, true),
-        (IvfPqStrategy(Metric.Cosine), false, false, true),
-        (HnswStrategy(Metric.Cosine), true, false, true))
+        (IvfSq8Strategy(Metric.Cosine), true, true, true),
+        (IvfPqStrategy(Metric.Cosine), true, true, true),
+        (HnswStrategy(Metric.Cosine), true, true, true))
     fams.foreach { case (f, filt, thresh, del) =>
       assert(f.supportsDiskFiltered == filt, s"${f.name} filtered flag")
       assert(f.supportsDiskThreshold == thresh, s"${f.name} threshold flag")
@@ -1128,14 +1179,14 @@ class ScaleDesignSpec extends SparkSpec {
     }
     // an unsupported op fails loudly, never silently misroutes
     intercept[UnsupportedOperationException] {
-      IvfPqStrategy(Metric.Cosine).queryThresholdFromDisk(spark,
-        "/nonexistent", Seq((0L, Seq(0.0))).toDF("query_id", "qvector"),
-        0.5, 10)
+      IvfPqStrategy(Metric.Cosine).appendToServing(spark,
+        "/nonexistent", Seq((0L, Seq(0.0))).toDF("id", "vector"),
+        Seq((1L, Seq(0.0))).toDF("id", "vector"))
     }
     intercept[UnsupportedOperationException] {
-      IvfSq8Strategy(Metric.Cosine).queryFilteredFromDisk(spark,
+      IvfStrategy(Metric.Cosine).queryHammingFromDisk(spark,
         "/nonexistent", Seq((0L, Seq(0.0))).toDF("query_id", "qvector"),
-        1, col("id") > 0)
+        2, 10)
     }
   }
 }

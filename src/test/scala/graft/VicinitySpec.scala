@@ -505,10 +505,13 @@ class VicinitySpec extends SparkSpec {
     assert(hDesc("family") == "graph" &&
       hDesc("tombstone_generations").toInt == 1 &&
       hDesc("generations").toInt == 1, s"bad graph describe: $hDesc")
-    // capability gating: the graph family has no disk-threshold form
-    intercept[UnsupportedOperationException] {
-      hnsw.queryThresholdFromDiskDf(hp, q, 0.5)
-    }
+    // disk threshold (r15): the ANN contract — top-max_k walk then the
+    // strict `<` mask — served off the layout, identical to the
+    // in-memory threshold over the post-delete survivors
+    val thDskG = hnsw.queryThresholdFromDiskDf(hp, q, 0.7, 5).collect()
+      .map(_.getLong(1)).toSet
+    assert(!thDskG.contains(victim), "deleted id in disk threshold")
+    assert(thDskG.nonEmpty, "disk threshold served nothing at 0.7")
     // max_k <= 0 is rejected at the facade on BOTH paths: under the
     // reference's top-max_k-then-filter semantics it is an always-empty
     // query on ANN backends while the IVF family ignores the cap — the
@@ -564,10 +567,16 @@ class VicinitySpec extends SparkSpec {
     assert(nnd.describeServing(p)("tombstone_generations") == "1")
     nnd.compactServing(p)
     assert(nnd.describeServing(p)("tombstone_generations") == "0")
-    // the family has no disk-threshold form (graph-family convention)
-    intercept[UnsupportedOperationException] {
-      nnd.queryThresholdFromDiskDf(p, q, 0.5)
-    }
+    // disk threshold (r15): the ANN contract's mask over the disk walk
+    // — the compacted layout dropped id 5 physically, so the strongest
+    // honest check here is mask semantics + survivor exclusion (the
+    // decision-for-decision disk ≡ memory walk equality is pinned on an
+    // unmutated layout in NnDescentSpec/ScaleDesignSpec)
+    val thDsk = nnd.queryThresholdFromDiskDf(p, q, 0.7, 5).collect()
+    assert(thDsk.nonEmpty, "disk threshold served nothing at 0.7")
+    assert(thDsk.forall(_.getDouble(3) < 0.7), "strict < mask violated")
+    assert(!thDsk.map(_.getLong(1)).contains(5L),
+      "deleted id in disk threshold")
     VerifyIO.deleteRec(root.toFile)
   }
 
@@ -676,12 +685,18 @@ class VicinitySpec extends SparkSpec {
     val (_, rCapped) = ivf.evaluateThresholdFromDisk(p, qs, th, maxK = 1)
     assert(rCapped <= rDsk,
       s"maxK=1 recall $rCapped exceeds uncapped recall $rDsk")
-    // gated on the family's threshold capability
+    // the graph family's threshold serving (r15) grades identically
+    // memory vs disk — the disk walk IS the in-memory walk
     val hnsw = build(Backend.Hnsw)
     val hp = root.resolve("hnsw").toString
     hnsw.writeServingIndex(hp)
+    val (_, rgMem) = hnsw.evaluateThreshold(qs, th, maxK = 50)
+    val (_, rgDsk) = hnsw.evaluateThresholdFromDisk(hp, qs, th, maxK = 50)
+    assert(rgDsk === rgMem,
+      s"graph disk threshold recall $rgDsk != memory $rgMem")
+    // gated where no layout exists at all
     intercept[UnsupportedOperationException] {
-      hnsw.evaluateThresholdFromDisk(hp, qs, th)
+      basic.evaluateThresholdFromDisk(hp, qs, th)
     }
     VerifyIO.deleteRec(root.toFile)
   }
