@@ -204,11 +204,14 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     VectorBuckets.writeFreshGeneration(
       prepared.withColumn("_nb", VectorBuckets.nb(vecBuckets)),
       "_nb", "id", s"$path/vectors")
+    // the MIH sidecar rides in the same write as its data (the
+    // writeFreshGeneration hook, advice r15): on a rewrite it lands in
+    // staging BEFORE the swap, so the layout is never live without it
     VectorBuckets.writeFreshGeneration(
       BqStrategy.mihRows(prepared, servingChunkBits, dim),
-      "_pk", "chunk_val", s"$path/mih")
-    BqStrategy.writeMihMeta(s"$path/mih", servingChunkBits,
-      (dim + servingChunkBits - 1) / servingChunkBits)
+      "_pk", "chunk_val", s"$path/mih",
+      st => BqStrategy.writeMihMeta(st, servingChunkBits,
+        (dim + servingChunkBits - 1) / servingChunkBits))
     writeBqMeta(path, dim, generations = 1)
   }
 
@@ -450,22 +453,24 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     require(meta.get("dim") != null,
       s"layout at $path has no recorded dim — unrecognized sidecar")
     // the MIH chunk config rides INSIDE mih/ — capture it before the
-    // swap retires that directory, restore it right after (a crash in
-    // between fails the Hamming readers LOUDLY on the missing sidecar,
-    // and a re-run of this compact rewrites it)
+    // fold and write it INTO THE STAGING DIR before the swap (advice
+    // r15: restoring it after the swap left a window where a crash
+    // bricked Hamming serving AND the recovery re-run, because the
+    // re-run's own reader requires the sidecar it was about to restore;
+    // with the sidecar staged, the promoted directory is born complete)
     require(graft.core.FsIO.exists(s"$path/mih/_mih_meta.json"),
       s"no MIH sub-layout at $path/mih")
     val mihMeta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(s"$path/mih/_mih_meta.json"))
-    def fold(sub: String, partCol: String, sortCol: String): Unit =
+    def fold(sub: String, partCol: String, sortCol: String,
+        withSidecar: String => Unit = _ => ()): Unit =
       VectorBuckets.writeFreshGeneration(
         spark.read.parquet(s"$path/$sub")
           .where(col("_gen") < gens).drop("_gen"),
-        partCol, sortCol, s"$path/$sub")
+        partCol, sortCol, s"$path/$sub", withSidecar)
     fold("vectors", "_nb", "id")
-    fold("mih", "_pk", "chunk_val")
-    BqStrategy.writeMihMeta(s"$path/mih",
-      mihMeta.get("chunk_bits").asInt(), mihMeta.get("num_chunks").asInt())
+    fold("mih", "_pk", "chunk_val", st => BqStrategy.writeMihMeta(st,
+      mihMeta.get("chunk_bits").asInt(), mihMeta.get("num_chunks").asInt()))
     writeBqMeta(path, meta.get("dim").asInt(), generations = 1)
   }
 

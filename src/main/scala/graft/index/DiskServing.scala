@@ -169,18 +169,30 @@ private[graft] object VectorBuckets {
     * [[GraphLayout.writeFresh]] argument: dynamic partition overwrite
     * alone keeps stale partitions a rewrite doesn't touch, and a
     * pre-delete would yank live files from under an input plan reading
-    * the same layout — which is exactly what compaction does). */
+    * the same layout — which is exactly what compaction does).
+    * `withSidecar` runs against the directory the data was just written
+    * into — the live dir on a virgin write, the STAGING dir before the
+    * swap on a rewrite — for sub-layouts whose sidecar lives INSIDE them
+    * (the BQ `mih/_mih_meta.json` case, advice r15): writing the sidecar
+    * into staging means the promoted directory is born complete, so no
+    * crash window ever leaves the layout without its config (a re-run of
+    * a compact that crashed in such a window could not even start — its
+    * own reader fails on the missing sidecar). */
   def writeFreshGeneration(rows: DataFrame, partCol: String,
-      sortCol: String, sub: String): Unit = {
+      sortCol: String, sub: String,
+      withSidecar: String => Unit = _ => ()): Unit = {
     val spark = rows.sparkSession
     val live = new org.apache.hadoop.fs.Path(sub)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) writeGeneration(rows, partCol, sortCol, sub, 0)
-    else {
+    if (!fs.exists(live)) {
+      writeGeneration(rows, partCol, sortCol, sub, 0)
+      withSidecar(sub)
+    } else {
       val staging = sub + "__staging"
       val st = new org.apache.hadoop.fs.Path(staging)
       if (fs.exists(st)) fs.delete(st, true)
       writeGeneration(rows, partCol, sortCol, staging, 0)
+      withSidecar(staging)
       graft.core.Generations.swapInto(spark, sub, staging)
     }
   }

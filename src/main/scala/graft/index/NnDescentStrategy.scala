@@ -890,8 +890,29 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         .where(col("id").isin(entryArr.map(java.lang.Long.valueOf).toSeq: _*))
         .collect().map(_.getLong(0)).toSet
       val kept = entryArr.filterNot(dead)
+      // advice r15: if EVERY entry node was tombstoned, an empty entry
+      // list would seed nothing and the compacted layout would silently
+      // serve empty results forever despite holding live vectors —
+      // re-seed from the surviving ids with the same hash ranking
+      // [[writeServingIndex]] uses (the instance's seed; the sidecar
+      // records no seed, and compaction is a maintenance op on the
+      // owning instance). The folded vectors sub-layout was just
+      // written above, so reading it sees exactly the survivors; a
+      // store with NO survivors keeps the honest empty entry list.
+      val reseeded =
+        if (kept.nonEmpty) kept
+        else {
+          val sd = seed
+          val mixUdf = udf((a: Long, b: Long) =>
+            NnDescentStrategy.mix(a, b, sd))
+          spark.read.parquet(s"$path/vectors").select(col("id"))
+            .withColumn("_h", mixUdf(col("id"), lit(0L)))
+            .orderBy(col("_h"), col("id"))
+            .limit(math.max(entryArr.length, 1))
+            .collect().map(_.getLong(0))
+        }
       val arr = root.putArray("entries")
-      kept.foreach(arr.add)
+      reseeded.foreach(arr.add)
       root.put("tombstone_generations", 0)
     }
     graft.core.FsIO.write(s"$path/_nn_serving_meta.json",

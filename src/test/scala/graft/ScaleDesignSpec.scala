@@ -552,6 +552,50 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("NN-descent compaction re-seeds entries when every entry node was " +
+      "tombstoned (advice r15): live vectors keep serving") {
+    import graft.index.NnDescentStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .where($"id" < 120).cache()
+    // tiny entry set so a small delete batch can cover ALL of it
+    val strat = NnDescentStrategy(graft.core.Metric.Cosine, nNeighbors = 8,
+      nSeeds = 3)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_nnreseed")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta0 = mapper.readTree(graft.core.FsIO.read(
+      s"$path/_nn_serving_meta.json"))
+    val eIt = meta0.get("entries").elements()
+    val entries0 = Iterator.continually(eIt).takeWhile(_.hasNext)
+      .map(_.next().asLong()).toSeq
+    assert(entries0.length === 3)
+    // tombstone EVERY entry node, then compact: before the advice-r15
+    // fix the sidecar's entry list folded to empty and the walk seeded
+    // nothing forever despite 117 live vectors
+    assert(strat.deleteFromDisk(spark, path, entries0.toDF("id")) === 3L)
+    strat.compactServing(spark, path)
+    val meta1 = mapper.readTree(graft.core.FsIO.read(
+      s"$path/_nn_serving_meta.json"))
+    val e1 = meta1.get("entries").elements()
+    val entries1 = Iterator.continually(e1).takeWhile(_.hasNext)
+      .map(_.next().asLong()).toSeq
+    assert(entries1.nonEmpty, "compaction left an empty entry list")
+    assert(entries1.intersect(entries0).isEmpty,
+      "re-seeded entries include tombstoned ids")
+    val queries = store.where($"id" >= 100 && $"id" < 103)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val served = strat.queryFromDisk(spark, path, queries, 5).collect()
+    assert(served.length === 15, "compacted layout stopped serving")
+    assert(!served.map(_.getLong(1)).toSet.exists(entries0.contains),
+      "tombstoned entry id still served")
+    prepared.unpersist(); store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("IvfSq8/IvfPq disk delete (r15) delegates the IVF cell rewrite: " +
       "deleted rows leave the served result; survivors intact") {
     import graft.index.{IvfPqStrategy, IvfSq8Strategy}
