@@ -294,9 +294,26 @@ class Vicinity private (
         Map("mih_partitions" -> nMih.toString,
           "generations" ->
             (if (gNode == null) "1" else gNode.asInt().toString))
+    } else if (FsIO.exists(s"$path/_ivf_serving_meta.json")) {
+      // the cell families' GENERATION serving layout (r16): `_gen=N`
+      // nests above `_centroid=c`, so count distinct cell dirs across
+      // generations (the LSH/BQ nested-count idiom)
+      val meta = new ObjectMapper()
+        .readTree(FsIO.read(s"$path/_ivf_serving_meta.json"))
+      val nCells = fs.listStatus(root).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_gen="))
+          fs.listStatus(st.getPath).map(_.getPath.getName).toSeq
+        else Seq.empty
+      }.filter(_.startsWith("_centroid=")).distinct.length
+      fields(meta, "cells", Seq(
+        "nlist" -> asInt, "generations" -> asInt)) ++
+        Map("partition_key" -> "_centroid",
+          "partitions" -> nCells.toString)
     } else {
-      // cell/bucket layouts: the first directory level IS the partition
-      // key (_centroid= / _pk= / …) — count it without reading data
+      // flat cell/bucket layouts: the first directory level IS the
+      // partition key (_centroid= / _pk= / …) — count it without
+      // reading data
       val parts = fs.listStatus(root).map(_.getPath.getName)
         .filter(_.contains("="))
       val key = parts.headOption.map(_.takeWhile(_ != '=')).getOrElse("")
@@ -420,9 +437,10 @@ class Vicinity private (
     * the moment this returns. Gated by BOTH the insert surface (ANNOY/
     * PYNNDESCENT reject insertion — reference parity — even though
     * their physical strategies could append) and the family's
-    * appendable-layout support (the IVF/quantized cell families take
-    * streaming appends through `StreamOps.appendVectorsToIndex` +
-    * compaction instead; BASIC has no layout). */
+    * appendable-layout support (every layout family appends as of r16 —
+    * graph/LSH/BQ generations since r14/r15, the cell families through
+    * the shared `_gen=N`-per-touched-cell machinery; BASIC has no
+    * layout). */
   def insertIntoServing(path: String, items: Seq[String],
       vectors: Seq[Seq[Double]]): Vicinity = {
     val newDf = ingestRows(items, vectors)

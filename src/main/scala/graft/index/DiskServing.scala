@@ -90,9 +90,10 @@ trait DiskServing { self: IndexStrategy =>
     * increment) — the one capability behind the facade's
     * `insertIntoServing`, so the facade routes on a flag instead of
     * per-family instanceof (review r14; the trait's founding rule).
-    * Families whose layouts take appends through the streaming path
-    * instead (cell families: `StreamOps.appendVectorsToIndex` +
-    * compaction) keep the flag false honestly. */
+    * Every layout family implements it as of r16 — the graph/bucket
+    * families since r14/r15, the cell families through the shared
+    * generation machinery ([[IvfStrategy.appendPreparedCells]]); only
+    * layoutless BASIC keeps the flag false. */
   def supportsDiskAppend: Boolean = false
   def appendToServing(spark: SparkSession, path: String,
       prevPrepared: DataFrame, newRows: DataFrame): DataFrame =
@@ -106,9 +107,9 @@ trait DiskServing { self: IndexStrategy =>
     * special-case per family exactly where the trait promised it
     * wouldn't). Pure I/O optimization: served results are identical
     * before and after (spec-pinned per family), appends continue on the
-    * compacted layout. Families whose layouts take appends through the
-    * streaming path instead (cell families: `StreamOps.compactIndex`)
-    * keep the flag false honestly. */
+    * compacted layout. Implemented by every layout family as of r16
+    * (the cell families fold through
+    * [[IvfStrategy.compactCells]]). */
   def supportsCompaction: Boolean = false
   def compactServing(spark: SparkSession, path: String): Unit =
     throw new UnsupportedOperationException(
@@ -213,6 +214,117 @@ private[graft] object VectorBuckets {
       .join(broadcast(queries.select(col("query_id"), col("qvector"))),
         Seq("query_id"))
       .select(col("query_id"), col("id"), greatest(d, lit(0.0)).as("dist"))
+  }
+}
+
+/** Shared mechanics for the FLAT-CODES serving layouts (r16:
+  * [[PqStrategy]], [[Sq8Strategy]], and [[OpqStrategy]] through PQ):
+  * one id-bucketed generation sub-layout `vectors/_gen=N/_nb=…` holding
+  * the full prepared rows, plus ONE sidecar file at the layout root
+  * carrying the family's entire trained state — so the layout is
+  * self-describing, the commit point is a single sidecar write, and the
+  * maintenance ops (delete by bucket, append as a guarded generation,
+  * compaction fold) are byte-identical in discipline across the
+  * families (the VectorBuckets/GraphLayout lesson: shared builders over
+  * kept-in-sync copies). The family-specific parts — sidecar schema and
+  * the scoring kernels — stay in the strategies. */
+private[graft] object CodesLayout {
+  import org.apache.spark.sql.functions._
+
+  /** fresh write: `_gen=0` data + sidecar, staged WHOLE and swapped
+    * when the path exists — no window where new codes sit under an old
+    * sidecar's trained state */
+  def writeServing(keyed: DataFrame, path: String, metaFile: String,
+      metaJson: String): Unit = {
+    val spark = keyed.sparkSession
+    def writeInto(dir: String): Unit = {
+      VectorBuckets.writeGeneration(keyed, "_nb", "id",
+        s"$dir/vectors", gen = 0)
+      graft.core.FsIO.write(s"$dir/$metaFile", metaJson)
+    }
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) writeInto(path)
+    else {
+      val staging = path + "__staging"
+      val st = new org.apache.hadoop.fs.Path(staging)
+      if (fs.exists(st)) fs.delete(st, true)
+      writeInto(staging)
+      graft.core.Generations.swapInto(spark, path, staging)
+    }
+  }
+
+  /** committed generations of the vectors sub-layout */
+  def committed(spark: SparkSession, path: String, gens: Int): DataFrame =
+    spark.read.parquet(s"$path/vectors").where(col("_gen") < gens)
+
+  /** delete by id: touched `_nb` buckets computed from the ids, the
+    * (generation, bucket) pairs that actually hold them probed with one
+    * bucket-pruned, id-semi-joined read — I/O proportional to the
+    * batch. Returns rows removed. */
+  def deleteIds(spark: SparkSession, path: String, fan: Int, gens: Int,
+      rows: DataFrame): Long = {
+    val keyed = rows.select(col("id").cast("long").as("id")).distinct()
+      .withColumn("_nb", VectorBuckets.nb(fan)).cache()
+    try {
+      val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
+        .map(java.lang.Long.valueOf).toSeq
+      if (nbs.isEmpty) return 0L
+      val present = committed(spark, path, gens)
+        .where(col("_nb").isin(nbs: _*))
+        .join(keyed.select("id"), Seq("id"), "left_semi")
+        .select(col("_gen").cast("int"), col("_nb").cast("long"))
+        .distinct().collect()
+      if (present.isEmpty) return 0L
+      val grouped = present.groupBy(_.getInt(0)).map { case (g, rs) =>
+        g -> rs.map(r => java.lang.Long.valueOf(r.getLong(1)): Any).toSeq
+      }
+      val (before, after) = PartitionRewrite.dropIdsByGen(spark,
+        s"$path/vectors", "_nb", grouped, keyed.select("id"),
+        sortCol = Some("id"))
+      before - after
+    } finally keyed.unpersist()
+  }
+
+  /** append an increment (already `_nb`-keyed) as `_gen=gens`: batch
+    * self-duplicate and cross-layout id-freshness guards through the
+    * bucket-pruned read, dynamic partition overwrite so a replay
+    * overwrites its own generation, then the caller-provided sidecar
+    * commit (`commitMeta` writes the sidecar with generations+1 — the
+    * commit point). */
+  def appendGeneration(spark: SparkSession, path: String, gens: Int,
+      keyed: DataFrame, commitMeta: () => Unit): Unit = {
+    val selfDup = keyed.groupBy("id").agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1).limit(1).collect()
+    require(selfDup.isEmpty,
+      s"append batch contains duplicate ids (e.g. id " +
+        s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+    val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
+      .map(java.lang.Long.valueOf).toSeq
+    val clash = committed(spark, path, gens)
+      .where(col("_nb").isin(nbs: _*))
+      .select("id")
+      .join(keyed.select("id"), Seq("id"), "left_semi")
+      .limit(1).collect()
+    require(clash.isEmpty,
+      s"append contains ids already present in the layout at $path " +
+        s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+    VectorBuckets.writeGeneration(keyed, "_nb", "id",
+      s"$path/vectors", gen = gens)
+    commitMeta()
+  }
+
+  /** fold committed generations back to `_gen=0` (staged + swapped),
+    * then the caller's sidecar rewrite resets the count — a crash
+    * between the two leaves a count HIGHER than the generations
+    * present, which every reader's `_gen <` filter tolerates, and a
+    * re-run heals */
+  def compact(spark: SparkSession, path: String, gens: Int,
+      commitMeta: () => Unit): Unit = {
+    VectorBuckets.writeFreshGeneration(
+      committed(spark, path, gens).drop("_gen"),
+      "_nb", "id", s"$path/vectors")
+    commitMeta()
   }
 }
 

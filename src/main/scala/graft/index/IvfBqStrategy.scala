@@ -75,10 +75,13 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * partitions, the coarse pass projects `(id, _sig)` — 8 bytes of
     * payload per row — and the rerank joins raw vectors for candidates
     * only. */
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    ivf.writeServingCells(prepared, path, name)
+
   override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
-    query(spark.read.parquet(path), queries, k)
+    query(ivf.servingRows(spark, path, name), queries, k)
   }
 
   /** [[queryThreshold]] off the same cell layout — probe cells prune
@@ -89,7 +92,8 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       path: String, queries: DataFrame, threshold: Double,
       maxK: Int): DataFrame = {
     require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
-    queryThreshold(spark.read.parquet(path), queries, threshold, maxK)
+    queryThreshold(ivf.servingRows(spark, path, name), queries, threshold,
+      maxK)
   }
 
   /** Pre-filter serving, the composed-family member of the filtered set
@@ -103,7 +107,7 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(ivf.isTrained, "IvfBqStrategy.prepare must run before query")
-    query(spark.read.parquet(path).where(predicate), queries, k)
+    query(ivf.servingRows(spark, path, name).where(predicate), queries, k)
   }
 
   /** Partition-scoped delete, delegated to the flat family's rewrite
@@ -114,7 +118,24 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame): Long =
-    ivf.deleteFromDisk(spark, path, rows)
+    ivf.deleteCells(spark, path, name, rows)
+
+  /** Append through the shared cell-generation machinery (r16): cells
+    * assign with the trained centroids, signatures quantize train-free
+    * (the family's distinctive property) — FAISS `add` after `train`. */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    require(ivf.isTrained, "IvfBqStrategy.prepare must run before append")
+    val inc = bq.prepare(ivf.prepare(newRows))
+    ivf.appendPreparedCells(spark, path, name, inc)
+    prevPrepared.unionByName(inc)
+  }
+
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = ivf.compactCells(spark, path, name)
 
   /** rows scored = rows in the probed cells, as for the other quantized
     * compositions (bytes per row change, rows do not) */

@@ -269,10 +269,13 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * identical to [[query]] on the in-memory prepared frame
     * (spec-pinned at pruned nprobe; oracle-checked exact through the
     * rerank path at nprobe = nlist). */
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    ivf.writeServingCells(prepared, path, name)
+
   override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, kTop: Int): DataFrame = {
     require(codebooks != null, "IvfPqStrategy.prepare must run before query")
-    query(spark.read.parquet(path), queries, kTop)
+    query(ivf.servingRows(spark, path, name), queries, kTop)
   }
 
   /** [[queryThreshold]] off the layout (r15 — evening out the
@@ -284,7 +287,8 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       path: String, queries: DataFrame, threshold: Double,
       maxK: Int): DataFrame = {
     require(codebooks != null, "IvfPqStrategy.prepare must run before query")
-    queryThreshold(spark.read.parquet(path), queries, threshold, maxK)
+    queryThreshold(ivf.servingRows(spark, path, name), queries, threshold,
+      maxK)
   }
 
   /** Pre-filter serving off the cell layout (r15): predicate before the
@@ -294,7 +298,8 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(codebooks != null, "IvfPqStrategy.prepare must run before query")
-    queryFiltered(spark.read.parquet(path).where(predicate), queries, k)
+    queryFiltered(ivf.servingRows(spark, path, name).where(predicate),
+      queries, k)
   }
 
   /** Partition-scoped delete delegates to the inner IVF's cell rewrite
@@ -305,7 +310,26 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, deletes: DataFrame): Long =
-    ivf.deleteFromDisk(spark, path, deletes)
+    ivf.deleteCells(spark, path, name, deletes)
+
+  /** Append through the shared cell-generation machinery (r16): the
+    * increment assigns to the trained cells and its RESIDUALS encode
+    * with the trained codebooks — FAISS `add` after `train`, nothing
+    * retrains — landing as `_gen=N` of exactly its cells. */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    require(codebooks != null && ivf.isTrained,
+      "IvfPqStrategy.prepare must run before append")
+    val inc = encodeResiduals(ivf.prepare(newRows))
+    ivf.appendPreparedCells(spark, path, name, inc)
+    prevPrepared.unionByName(inc)
+  }
+
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = ivf.compactCells(spark, path, name)
 
   /** ADC scans exactly the probed IVF cells */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =

@@ -78,11 +78,14 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * variant reads the raw vectors of the probed cells in a SECOND,
     * survivor-joined pass — the refine step pays full-precision I/O only
     * for candidates. */
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    ivf.writeServingCells(prepared, path, name)
+
   override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(ivf.isTrained && sq.isTrained,
       "IvfSq8Strategy.prepare must run before query")
-    query(spark.read.parquet(path), queries, k)
+    query(ivf.servingRows(spark, path, name), queries, k)
   }
 
   /** Pre-filter serving off the cell layout (r15 — evening out the
@@ -97,7 +100,8 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(ivf.isTrained && sq.isTrained,
       "IvfSq8Strategy.prepare must run before query")
-    queryFiltered(spark.read.parquet(path).where(predicate), queries, k)
+    queryFiltered(ivf.servingRows(spark, path, name).where(predicate),
+      queries, k)
   }
 
   /** [[queryFromDisk]] for the range-search entry point: same pruned
@@ -108,7 +112,8 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       maxK: Int): DataFrame = {
     require(ivf.isTrained && sq.isTrained,
       "IvfSq8Strategy.prepare must run before query")
-    queryThreshold(spark.read.parquet(path), queries, threshold, maxK)
+    queryThreshold(ivf.servingRows(spark, path, name), queries, threshold,
+      maxK)
   }
 
   /** Partition-scoped delete delegates to the inner IVF's cell rewrite
@@ -120,7 +125,26 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, deletes: DataFrame): Long =
-    ivf.deleteFromDisk(spark, path, deletes)
+    ivf.deleteCells(spark, path, name, deletes)
+
+  /** Append through the shared cell-generation machinery (r16): the
+    * increment assigns to the trained cells AND quantizes with the
+    * trained ranges — FAISS `add` after `train`, neither artifact
+    * retrains — and lands as `_gen=N` of exactly its cells. */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    require(ivf.isTrained && sq.isTrained,
+      "IvfSq8Strategy.prepare must run before append")
+    val inc = sq.prepare(ivf.prepare(newRows))
+    ivf.appendPreparedCells(spark, path, name, inc)
+    prevPrepared.unionByName(inc)
+  }
+
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = ivf.compactCells(spark, path, name)
 
   /** rows actually scored = rows in the probed cells (same cells as the
     * inner IVF — quantization changes bytes per row, not rows) */

@@ -142,6 +142,244 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def writeIndex(prepared: DataFrame, path: String): Unit =
     prepared.write.mode("overwrite").partitionBy("_centroid").parquet(path)
 
+  // --------------------------------------------------------------------
+  // Cell-family SERVING layout as generations (r16, verdict r15 #2 —
+  // the append story unified under `supportsDiskAppend`: the delete
+  // path already proved the idiom of computing a batch's cells from the
+  // codebook and touching only those partitions; append is the same
+  // computation writing a `_gen=N` generation per touched cell). The
+  // serving layout nests `_gen=N` ABOVE `_centroid=c` (the LSH/BQ
+  // discipline): probe pruning still resolves at the directory level,
+  // readers union committed generations only, and the sidecar
+  // `_ivf_serving_meta.json` records {family, metric, nlist, seed,
+  // generations, centroids} — the codebook RIDES IN THE LAYOUT, so
+  // appends/deletes validate they assign with the codebook the layout
+  // was built from (a mismatched codebook would route rows to cells no
+  // probe list ever selects — the silent-divergence class). The
+  // portability format ([[writeIndex]], used by `Vicinity.save`) stays
+  // the flat cell layout; readers serve BOTH shapes (a flat layout is a
+  // single implicit committed generation).
+  //
+  // Honest capability caveat (unchanged from the streaming path this
+  // unifies with): appends NEVER retrain the codebook — FAISS `add`
+  // after `train` parity — so cell balance degrades as the appended
+  // distribution drifts; `q_index_staleness` / `q_ivf_cell_skew` are
+  // the monitors that say when to rebuild.
+  //
+  // All four cell families share this machinery (the composed
+  // strategies delegate with their own `family` tag — a reader
+  // validates the tag so an ivfpq layout is never served by a flat
+  // instance with plausible-looking results). The shared helpers are
+  // family-parameterized rather than duplicated per strategy (the
+  // GraphLayout/VectorBuckets lesson: shared builders over
+  // kept-in-sync copies).
+  // --------------------------------------------------------------------
+
+  private def servingMetaPath(path: String) = s"$path/_ivf_serving_meta.json"
+
+  private def cellMetaJson(family: String, generations: Int): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("family", family)
+    root.put("metric", metric.name)
+    root.put("nlist", nlist)
+    root.put("seed", seed)
+    root.put("generations", generations)
+    val arr = root.putArray("centroids")
+    centroids.foreach { c => val row = arr.addArray(); c.foreach(row.add) }
+    mapper.writeValueAsString(root)
+  }
+
+  /** read + validate the serving sidecar: family tag, metric, and the
+    * CODEBOOK must match this instance (training is deterministic, so
+    * the owning instance — or one trained/loaded identically — matches
+    * bitwise; anything else must fail loudly, never probe wrong cells).
+    * `family` is the caller strategy's name — the composed families
+    * delegate through here with their own tag. */
+  private[index] def validateCellMeta(path: String,
+      family: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(graft.core.FsIO.exists(servingMetaPath(path)),
+      s"no committed cell serving layout at $path (missing " +
+        "_ivf_serving_meta.json — an interrupted writeServingIndex; " +
+        "re-run it)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(servingMetaPath(path)))
+    Seq("family", "metric", "generations", "centroids").foreach { f =>
+      require(meta.get(f) != null,
+        s"layout at $path has no recorded '$f' — unrecognized sidecar")
+    }
+    require(meta.get("family").asText() == family,
+      s"layout at $path was written by family " +
+        s"'${meta.get("family").asText()}'; this instance serves '$family'")
+    require(meta.get("metric").asText() == metric.name,
+      s"layout at $path was built for metric " +
+        s"${meta.get("metric").asText()}; this instance serves ${metric.name}")
+    val arr = meta.get("centroids")
+    val sidecar = (0 until arr.size()).map { i =>
+      val row = arr.get(i)
+      (0 until row.size()).map(j => row.get(j).asDouble()).toArray
+    }.toArray
+    require(centroids != null &&
+        sidecar.length == centroids.length &&
+        sidecar.indices.forall(i =>
+          java.util.Arrays.equals(sidecar(i), centroids(i))),
+      s"layout at $path was built with a different codebook than this " +
+        "instance holds — load the owning index (or retrain with " +
+        "identical store/nlist/seed) before serving or mutating it")
+    meta
+  }
+
+  /** committed rows of a cell serving layout — the one read every
+    * serving entry point goes through. A flat [[writeIndex]] layout (no
+    * `_gen` column) reads unchanged; a generation layout requires its
+    * sidecar and unions committed generations only, so an orphan
+    * generation from a crashed append is invisible. */
+  private[index] def servingRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (!raw.columns.contains("_gen")) raw
+    else {
+      val meta = validateCellMeta(path, family)
+      raw.where(col("_gen") < meta.get("generations").asInt())
+    }
+  }
+
+  /** [[DiskServing.writeServingIndex]] for the cell families: `_gen=0`
+    * of the generation-nested layout plus the sidecar. A rewrite of an
+    * existing path stages and swaps (dynamic partition overwrite alone
+    * would keep stale cells; a pre-delete would yank files from under a
+    * reader), with the sidecar written INTO staging before the swap —
+    * the promoted directory is born complete (the advice-r15 BQ
+    * lesson, applied from birth here). */
+  private[index] def writeServingCells(prepared: DataFrame, path: String,
+      family: String): Unit = {
+    require(centroids != null,
+      "prepare must run before writeServingIndex")
+    val spark = prepared.sparkSession
+    val rows = prepared.withColumn("_gen", lit(0))
+      .repartition(col("_centroid"))
+    def writeInto(dir: String): Unit =
+      rows.write.mode("overwrite").partitionBy("_gen", "_centroid")
+        .parquet(dir)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) {
+      writeInto(path)
+      graft.core.FsIO.write(servingMetaPath(path),
+        cellMetaJson(family, generations = 1))
+    } else {
+      val staging = path + "__staging"
+      val st = new org.apache.hadoop.fs.Path(staging)
+      if (fs.exists(st)) fs.delete(st, true)
+      writeInto(staging)
+      graft.core.FsIO.write(servingMetaPath(staging),
+        cellMetaJson(family, generations = 1))
+      graft.core.Generations.swapInto(spark, path, staging)
+    }
+  }
+
+  /** Append an already-PREPARED increment (assigned `_centroid`, plus
+    * whatever codes the calling family adds) to a generation cell
+    * layout: the increment's rows land as `_gen=N` of exactly the cells
+    * they assign to (dynamic partition overwrite, so a replayed append
+    * overwrites its own generation — at-least-once stays exactly-once)
+    * and the sidecar count commits LAST. Id freshness is guarded within
+    * the batch unconditionally and against the layout through a
+    * CELL-PRUNED read — the layout is cell-partitioned, not id-keyed,
+    * so the cross-layout guard sees exactly the cells the batch touches
+    * (it catches the replay/same-vector duplicate class outright; an id
+    * re-inserted with a vector assigning elsewhere is the caller's
+    * contract violation, and the facade's list-extend ids never collide
+    * by construction). I/O stays proportional to the batch. */
+  private[index] def appendPreparedCells(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String, inc: DataFrame): Unit = {
+    val meta = validateCellMeta(path, family)
+    require(spark.read.parquet(path).columns.contains("_gen"),
+      s"layout at $path predates the generation layout — rewrite it " +
+        "with writeServingIndex before appending")
+    val gens = meta.get("generations").asInt()
+    val keyed = inc.withColumn("id", col("id").cast("long")).cache()
+    try {
+      val first = keyed.select(size(col("vector"))).limit(1).collect()
+      if (first.isEmpty) return // idle micro-batch: a safe no-op
+      require(first.head.getInt(0) == centroids(0).length,
+        s"appended vectors have dim ${first.head.getInt(0)}; the layout " +
+          s"at $path was built at dim ${centroids(0).length}")
+      val selfDup = keyed.groupBy("id").agg(count(lit(1)).as("_c"))
+        .where(col("_c") > 1).limit(1).collect()
+      require(selfDup.isEmpty,
+        s"append batch contains duplicate ids (e.g. id " +
+          s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      val cells = keyed.select("_centroid").distinct().collect()
+        .map(_.getInt(0)).toSeq.map(Integer.valueOf)
+      val clash = spark.read.parquet(path)
+        .where(col("_gen") < gens && col("_centroid").isin(cells: _*))
+        .select(col("id").cast("long").as("id"))
+        .join(keyed.select("id"), Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"append contains ids already present in the layout at $path " +
+          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      keyed.withColumn("_gen", lit(gens))
+        .repartition(col("_centroid"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_gen", "_centroid").parquet(path)
+      graft.core.FsIO.write(servingMetaPath(path),
+        cellMetaJson(family, gens + 1)) // the commit point
+    } finally keyed.unpersist()
+  }
+
+  /** Fold a generation cell layout's committed generations back to
+    * `_gen=0`: committed rows re-land as one generation in a staging
+    * sibling — sidecar included, so the promoted directory is born
+    * complete — and swap in. Served results are identical before and
+    * after; an orphan generation from a crashed append is dropped by
+    * the committed filter; a post-compact append lands as `_gen=1`. */
+  private[index] def compactCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String): Unit = {
+    val meta = validateCellMeta(path, family)
+    val gens = meta.get("generations").asInt()
+    if (gens <= 1) return // already compact
+    val committed = spark.read.parquet(path)
+      .where(col("_gen") < gens).drop("_gen")
+    val staging = path + "__compacting"
+    val st = new org.apache.hadoop.fs.Path(staging)
+    val fs = st.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(st)) fs.delete(st, true)
+    committed.withColumn("_gen", lit(0))
+      .repartition(col("_centroid"))
+      .write.mode("overwrite").partitionBy("_gen", "_centroid")
+      .parquet(staging)
+    graft.core.FsIO.write(servingMetaPath(staging),
+      cellMetaJson(family, generations = 1))
+    graft.core.Generations.swapInto(spark, path, staging)
+  }
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    writeServingCells(prepared, path, name)
+
+  /** The cell families join the appendable set (r16): new rows assign
+    * to the EXISTING codebook — FAISS `add` after `train`
+    * (`faiss.py:157-161`) — and land as a committed generation of
+    * exactly their cells. Returns the grown prepared frame, so the
+    * facade's `insertIntoServing` keeps memory and layout in step. */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    require(centroids != null, "IvfStrategy.prepare must run before append")
+    val inc = prepare(newRows)
+    appendPreparedCells(spark, path, name, inc)
+    prevPrepared.unionByName(inc)
+  }
+
+  /** fold the committed append generations back to one (r16) */
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = compactCells(spark, path, name)
+
   /** Disk-resident serving: answer top-k from the cell-partitioned parquet
     * layout [[writeIndex]] wrote, scanning ONLY the probed cells. The
     * distinct union of the batch's probe cells becomes a `_centroid IN`
@@ -157,7 +395,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
-    val pruned = spark.read.parquet(path)
+    val pruned = servingRows(spark, path, name)
       .where(col("_centroid").isInCollection(probeCells(queries)))
     query(pruned, queries, k)
   }
@@ -179,7 +417,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       path: String, queries: DataFrame, k: Int,
       predicate: org.apache.spark.sql.Column): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
-    val pruned = spark.read.parquet(path)
+    val pruned = servingRows(spark, path, name)
       .where(col("_centroid").isInCollection(probeCells(queries)))
       .where(predicate)
     query(pruned, queries, k)
@@ -194,14 +432,14 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       path: String, queries: DataFrame, threshold: Double,
       maxK: Int): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before query")
-    val pruned = spark.read.parquet(path)
+    val pruned = servingRows(spark, path, name)
       .where(col("_centroid").isInCollection(probeCells(queries)))
     queryThreshold(pruned, queries, threshold, maxK)
   }
 
   /** Partition-scoped DELETE on the disk-resident layout — the maintenance
-    * op completing the serving story (append: `StreamOps.appendVectorsToIndex`,
-    * compact: `StreamOps.compactIndex`, query/range: [[queryFromDisk]] /
+    * op completing the serving story (append: [[appendToServing]],
+    * compact: [[compactServing]], query/range: [[queryFromDisk]] /
     * [[queryThresholdFromDisk]]): remove rows by id, rewriting ONLY the
     * cells that contain them. Deletes arrive as `(id, vector)` — codebook
     * assignment is deterministic, so each delete's cell is COMPUTED from
@@ -215,7 +453,14 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * removed outright. Returns the number of rows removed. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, deletes: DataFrame): Long = {
+      path: String, deletes: DataFrame): Long =
+    deleteCells(spark, path, name, deletes)
+
+  /** family-parameterized body of [[deleteFromDisk]] — the composed
+    * families delegate here with their own tag so a generation layout's
+    * sidecar validation names the right family. */
+  private[index] def deleteCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String, deletes: DataFrame): Long = {
     require(centroids != null, "IvfStrategy.prepare must run before delete")
     val del = maybeNormalize(deletes, "vector")
       .select(col("id"),
@@ -223,14 +468,38 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
           .as("_cell"))
     val cells = del.select("_cell").distinct().collect().map(_.getInt(0)).toSeq
     if (cells.isEmpty) 0L
-    else {
-      // the shared partition-scoped rewrite (review r14: this body WAS
-      // the idiom PartitionRewrite was factored from, and the private
-      // copy had already drifted — it lacked the leftover-temp pre-clear
-      // and the rename-aside rollback the shared helper carries)
+    else if (!spark.read.parquet(path).columns.contains("_gen")) {
+      // flat [[writeIndex]] layout — the shared partition-scoped rewrite
+      // (review r14: this body WAS the idiom PartitionRewrite was
+      // factored from, and the private copy had already drifted — it
+      // lacked the leftover-temp pre-clear and the rename-aside rollback
+      // the shared helper carries)
       val (before, after) = PartitionRewrite.dropIds(spark, path,
         "_centroid", cells, del.select("id"))
       before - after
+    } else {
+      // generation serving layout: the delete's cell is computed from
+      // its vector but its GENERATION is not knowable from the batch, so
+      // probe which committed (generation, cell) pairs actually hold the
+      // ids (one cell-pruned, id-semi-joined read — bounded by the
+      // batch) and rewrite only those directories
+      val meta = validateCellMeta(path, family)
+      val gens = meta.get("generations").asInt()
+      val present = spark.read.parquet(path)
+        .where(col("_gen") < gens &&
+          col("_centroid").isin(cells.map(Integer.valueOf): _*))
+        .join(del.select("id"), Seq("id"), "left_semi")
+        .select(col("_gen").cast("int"), col("_centroid").cast("int"))
+        .distinct().collect()
+      if (present.isEmpty) 0L
+      else {
+        val grouped = present.groupBy(_.getInt(0)).map { case (g, rs) =>
+          g -> rs.map(r => Integer.valueOf(r.getInt(1)): Any).toSeq
+        }
+        val (before, after) = PartitionRewrite.dropIdsByGen(spark, path,
+          "_centroid", grouped, del.select("id"))
+        before - after
+      }
     }
   }
 

@@ -40,7 +40,7 @@ import graft.core.Metric
   */
 case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     rerank: Boolean = false, rerankFactor: Int = 4, seed: Long = 42L)
-  extends IndexStrategy {
+  extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the OPQ backend.")
   val name = "opq"
@@ -80,8 +80,15 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     buckets.flatten.toArray
   }
 
-  private def rotate(df: DataFrame, c: String): DataFrame = {
-    val r = rot
+  private def rotate(df: DataFrame, c: String): DataFrame =
+    rotateWith(df, c, rot)
+
+  /** the row-local matvec parameterized by the matrix — the disk
+    * readers adopt the LAYOUT's rotation (the stored vectors and codes
+    * live in ITS rotated space), the in-memory path passes the
+    * instance's */
+  private def rotateWith(df: DataFrame, c: String,
+      r: Array[Array[Double]]): DataFrame = {
     val rotUdf = udf { (v: Seq[Double]) =>
       val x = v.toArray
       val out = new Array[Double](r.length)
@@ -128,19 +135,105 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     inner.queryThreshold(prepared, rotate(queries, "qvector"), threshold, maxK)
   }
 
+  /** the ONE textual encoding of the rotation, shared by [[saveAux]]
+    * and the serving sidecar (so append's equality guard is a string
+    * compare against exactly what the writer stored) */
+  private def rotationJson(r: Array[Array[Double]]): String =
+    r.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+
+  private def parseRotation(s: String): Array[Array[Double]] =
+    s.trim.stripPrefix("[").stripSuffix("]").split("\\],\\[")
+      .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
+
   override def saveAux(dir: String): Unit = {
     require(rot != null, "nothing to save before prepare")
-    val json = rot.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
-    graft.core.FsIO.write(s"$dir/opq_rotation.json", json)
+    graft.core.FsIO.write(s"$dir/opq_rotation.json", rotationJson(rot))
     inner.saveAux(dir)
   }
 
   override def loadAux(dir: String): Unit = {
     if (graft.core.FsIO.exists(s"$dir/opq_rotation.json")) {
-      val s = graft.core.FsIO.read(s"$dir/opq_rotation.json").trim
-      rot = s.stripPrefix("[").stripSuffix("]").split("\\],\\[")
-        .map(_.stripPrefix("[").stripSuffix("]").split(",").map(_.toDouble))
+      rot = parseRotation(graft.core.FsIO.read(s"$dir/opq_rotation.json"))
       inner.loadAux(dir)
     }
   }
+
+  // --------------------------------------------------------------------
+  // Disk serving (r16, verdict r15 #1 — OPQ was the one index family
+  // with no DiskServing face): the layout IS the inner PQ's flat-codes
+  // layout ([[PqStrategy]]/[[CodesLayout]]) holding ROTATED vectors and
+  // their codes, written under the 'opq' family tag with the rotation
+  // matrix riding in the same one-file sidecar as the codebooks — the
+  // readers-adopt-sidecar discipline (the LSH planes / MIH chunk-config
+  // precedent): a reader rotates queries row-locally with the LAYOUT's
+  // matrix before delegating to the PQ machinery, so the coarse ADC
+  // scan, bucket re-rank, delete, append, and compaction are all the
+  // inner family's — one implementation, two families. Rotation about
+  // the origin preserves distances, so rotated-space results ARE
+  // original-space results (facade output joins by id, vectors never
+  // leave the layout un-rotated).
+  // --------------------------------------------------------------------
+
+  private def servingRotation(path: String): Array[Array[Double]] = {
+    val meta = inner.validatePqServing(path, name)
+    require(meta.get("rotation") != null,
+      s"layout at $path has no recorded rotation — unrecognized sidecar")
+    parseRotation(meta.get("rotation").asText())
+  }
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
+    require(rot != null, "prepare must run before writeServingIndex")
+    // `prepared` is already in rotated space (prepare's output)
+    inner.writeServingAs(prepared, path, name, Some(rotationJson(rot)))
+  }
+
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame =
+    inner.queryFromDiskAs(spark, path, name,
+      rotateWith(queries, "qvector", servingRotation(path)), k)
+
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, threshold: Double, maxK: Int): DataFrame =
+    inner.queryThresholdFromDiskAs(spark, path, name,
+      rotateWith(queries, "qvector", servingRotation(path)), threshold,
+      maxK)
+
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    inner.queryFilteredFromDiskAs(spark, path, name,
+      rotateWith(queries, "qvector", servingRotation(path)), k, predicate)
+
+  /** delete is id-addressed — no rotation involved */
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Long =
+    inner.deleteFromDiskAs(spark, path, name, rows)
+
+  /** append rotates the increment with the INSTANCE matrix, guarded
+    * equal to the layout's (the same string-equality discipline as the
+    * inner codebook guard — the grown prepared frame must score
+    * consistently with both) */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    require(rot != null, "prepare must run before append")
+    val meta = inner.validatePqServing(path, name)
+    require(meta.get("rotation") != null &&
+        meta.get("rotation").asText() == rotationJson(rot),
+      s"layout at $path was rotated with a different matrix than this " +
+        "instance holds — load the owning index before appending")
+    inner.appendToServingAs(spark, path, name, prevPrepared, newRows,
+      rows => inner.prepare(rotate(rows, "vector")),
+      Some(rotationJson(rot)))
+  }
+
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = inner.compactServingAs(spark, path, name)
 }

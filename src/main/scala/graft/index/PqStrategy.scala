@@ -24,7 +24,7 @@ import graft.functions.{TopK, TopKHeap, VectorFunctions}
   */
 case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     rerank: Boolean = false, rerankFactor: Int = 4, seed: Long = 42L)
-  extends IndexStrategy {
+  extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the PQ backend.")
   require(nbits >= 1 && nbits <= 8, s"nbits must be in [1,8], got $nbits")
@@ -78,12 +78,19 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   private def adcTopK(prepared: DataFrame, queries: DataFrame,
       kTop: Int): DataFrame = {
     require(codebooks != null, "PqStrategy.prepare must run before query")
+    adcTopKWith(prepared, queries, kTop, codebooks, subDims)
+  }
+
+  /** the ADC scan parameterized by codebooks — the disk-serving readers
+    * adopt the LAYOUT's codebooks (self-consistent with the codes it
+    * holds), the in-memory path passes the instance's */
+  private def adcTopKWith(prepared: DataFrame, queries: DataFrame,
+      kTop: Int, cb: Array[Array[Array[Double]]],
+      dims: Array[Int]): DataFrame = {
     val spark = prepared.sparkSession
     val q = maybeNormalize(queries, "qvector")
       .select(col("query_id").cast("long"), col("qvector"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val cb = codebooks
-    val dims = subDims
     val isCosine = metric == Metric.Cosine
     // per query: subspace lookup tables (squared L2 or dot per centroid)
     val tables: Array[(Long, Array[Array[Double]])] = q.map { case (qid, qv) =>
@@ -162,4 +169,264 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     val capped = query(prepared, queries, math.max(maxK, 1))
     capped.where(col("dist") < threshold).drop("rank")
   }
+
+  // --------------------------------------------------------------------
+  // FLAT CODES disk serving (r16, verdict r15 #1/#4 — plain PQ was the
+  // transform family with no serving face, which also blocked OPQ's):
+  // ONE id-bucketed sub-layout `vectors/_gen=N/_nb=…` holds the full
+  // prepared rows (id, vector, _pq, extra metadata), so the coarse ADC
+  // scan is the SAME parquet column-pruned to (id, _pq) — m bytes of
+  // payload per row — and the exact re-rank fetches raw vectors through
+  // the DPP-keyed (_nb, id) join (the BQ vectors/ discipline,
+  // [[VectorBuckets]]). The sidecar `_pq_serving_meta.json` carries the
+  // ENTIRE trained state — codebooks included (and the rotation, for
+  // the OPQ family riding this layout) — in ONE file, so the layout is
+  // self-describing (readers ADOPT the sidecar's codebooks: the codes
+  // were encoded with them, and an untrained instance can serve) and
+  // the commit point is a single sidecar write: data first, sidecar
+  // last, a crashed write fails the next reader loudly and a re-run
+  // heals it. Rewrites stage THE WHOLE layout and swap, so there is no
+  // window where new codes sit under old codebooks.
+  //
+  // All maintenance ops are family-parameterized (`*As`) so
+  // [[OpqStrategy]] delegates with its own tag — an OPQ layout (rotated
+  // vectors!) must never be served by a plain PQ instance with
+  // plausible-looking results, and vice versa.
+  // --------------------------------------------------------------------
+
+  /** id-hash partition fan of the vectors sub-layout */
+  private val vecBuckets = 64
+
+  private def pqMetaPath(path: String) = s"$path/_pq_serving_meta.json"
+
+  private def pqMetaJson(family: String, dim: Int, generations: Int,
+      codebooksJson: String, rotationJson: Option[String]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("family", family)
+    root.put("metric", metric.name)
+    root.put("m", m)
+    root.put("nbits", nbits)
+    root.put("dim", dim)
+    root.put("vec_buckets", vecBuckets)
+    root.put("generations", generations)
+    root.put("codebooks", codebooksJson)
+    rotationJson.foreach(root.put("rotation", _))
+    mapper.writeValueAsString(root)
+  }
+
+  /** read + validate the sidecar (family tag and metric; every reader
+    * field present) — returns the parsed node, whose `codebooks` (and
+    * `rotation`, for OPQ) the readers adopt */
+  private[index] def validatePqServing(path: String,
+      family: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(graft.core.FsIO.exists(pqMetaPath(path)),
+      s"no committed codes serving layout at $path (missing " +
+        "_pq_serving_meta.json — an interrupted writeServingIndex; " +
+        "re-run it)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(pqMetaPath(path)))
+    Seq("family", "metric", "dim", "vec_buckets", "generations",
+      "codebooks").foreach { f =>
+      require(meta.get(f) != null,
+        s"layout at $path has no recorded '$f' — unrecognized sidecar")
+    }
+    require(meta.get("family").asText() == family,
+      s"layout at $path was written by family " +
+        s"'${meta.get("family").asText()}'; this instance serves '$family'")
+    require(meta.get("metric").asText() == metric.name,
+      s"layout at $path was built for metric " +
+        s"${meta.get("metric").asText()}; this instance serves ${metric.name}")
+    meta
+  }
+
+  /** committed generations of the vectors sub-layout */
+  private def servingVectors(spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): DataFrame =
+    CodesLayout.committed(spark, path, meta.get("generations").asInt())
+
+  /** [[DiskServing.writeServingIndex]], family-parameterized for the
+    * OPQ delegation: `_gen=0` of the id-bucketed vectors plus the
+    * one-file sidecar (codebooks and the caller's rotation inside),
+    * through the shared [[CodesLayout]] write (rewrites stage the whole
+    * layout — sidecar included — and swap). */
+  private[index] def writeServingAs(prepared: DataFrame, path: String,
+      family: String, rotationJson: Option[String]): Unit = {
+    require(codebooks != null,
+      "prepare must run before writeServingIndex")
+    val dim = prepared.select(size(col("vector"))).limit(1)
+      .collect()(0).getInt(0)
+    CodesLayout.writeServing(
+      prepared.withColumn("_nb", VectorBuckets.nb(vecBuckets)), path,
+      "_pq_serving_meta.json", pqMetaJson(family, dim, generations = 1,
+        PqCore.toJson(codebooks, subDims), rotationJson))
+  }
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit =
+    writeServingAs(prepared, path, name, None)
+
+  /** top-k off the layout with the SIDECAR's codebooks: coarse ADC over
+    * the (id, _pq)-pruned scan; optional exact re-rank through the
+    * (_nb, id) bucket join — decision for decision [[query]] when the
+    * layout was written by an identically-trained instance. `queries`
+    * must already be in the family's query space (OPQ rotates before
+    * delegating). */
+  private[index] def queryFromDiskAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String, queries: DataFrame, kTop: Int): DataFrame = {
+    require(kTop >= 1, s"k must be >= 1, got $kTop")
+    val meta = validatePqServing(path, family)
+    queryOver(servingVectors(spark, path, meta), meta, queries, kTop)
+  }
+
+  /** the two-stage kernel over an arbitrary slice of the layout rows —
+    * shared by the plain, filtered, and threshold disk paths */
+  private def queryOver(vecs: DataFrame,
+      meta: com.fasterxml.jackson.databind.JsonNode, queries: DataFrame,
+      kTop: Int): DataFrame = {
+    val (cb, dims) = PqCore.fromJson(meta.get("codebooks").asText())
+    if (!rerank) adcTopKWith(vecs, queries, kTop, cb, dims)
+    else {
+      val cands = adcTopKWith(vecs, queries, kTop * rerankFactor, cb, dims)
+        .select("query_id", "id")
+      TopK.topKPerGroup(
+        VectorBuckets.rerank(vecs, maybeNormalize(queries, "qvector"),
+          cands, meta.get("vec_buckets").asInt(), metric),
+        Seq("query_id"), "id", "dist", kTop)
+    }
+  }
+
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame =
+    queryFromDiskAs(spark, path, name, queries, k)
+
+  /** [[queryThreshold]] off the layout — the ANN threshold contract
+    * (top-max_k, then the strict `<` mask), mirroring the in-memory
+    * order exactly. */
+  private[index] def queryThresholdFromDiskAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String, queries: DataFrame, threshold: Double,
+      maxK: Int): DataFrame = {
+    if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
+    queryFromDiskAs(spark, path, family, queries, maxK)
+      .where(col("dist") < threshold).drop("rank")
+  }
+
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, threshold: Double, maxK: Int): DataFrame =
+    queryThresholdFromDiskAs(spark, path, name, queries, threshold, maxK)
+
+  /** pre-filter serving: the predicate gates the layout rows BEFORE the
+    * coarse ADC pass (metadata rides in the layout, simple comparisons
+    * push into the scan), and the re-rank joins survivors only —
+    * matching the in-memory `queryFiltered` (= [[query]] of the
+    * filtered frame) decision for decision. */
+  private[index] def queryFilteredFromDiskAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String, queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = validatePqServing(path, family)
+    queryOver(servingVectors(spark, path, meta).where(predicate), meta,
+      queries, k)
+  }
+
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    queryFilteredFromDiskAs(spark, path, name, queries, k, predicate)
+
+  /** delete by id: the layout is id-bucketed, so the touched `_nb`
+    * partitions are COMPUTED from the ids and the (generation, bucket)
+    * pairs that actually hold them come from one bucket-pruned,
+    * id-semi-joined probe — I/O proportional to the batch (the BQ
+    * vectors-side discipline, minus the postings table this layout
+    * doesn't have). */
+  private[index] def deleteFromDiskAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String, rows: DataFrame): Long = {
+    val meta = validatePqServing(path, family)
+    CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
+      meta.get("generations").asInt(), rows)
+  }
+
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Long =
+    deleteFromDiskAs(spark, path, name, rows)
+
+  /** append as a committed `_gen=N` generation — encode-with-trained-
+    * codebooks is FAISS `add` after `train`; the instance's codebooks
+    * must EQUAL the sidecar's (bitwise, via the shared JSON encoding):
+    * the returned grown prepared frame is scored with the instance's
+    * tables, so a mismatch would silently diverge memory from layout.
+    * `mkInc` is the caller family's increment encoder (OPQ rotates
+    * first). Id freshness is guarded in both directions through the
+    * bucket-pruned read; sidecar commits last; replays overwrite their
+    * own generation. */
+  private[index] def appendToServingAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String, prevPrepared: DataFrame, newRows: DataFrame,
+      mkInc: DataFrame => DataFrame,
+      rotationJson: Option[String]): DataFrame = {
+    val meta = validatePqServing(path, family)
+    require(codebooks != null, "prepare must run before append")
+    require(PqCore.toJson(codebooks, subDims)
+        == meta.get("codebooks").asText(),
+      s"layout at $path was built with different codebooks than this " +
+        "instance holds — load the owning index before appending")
+    val gens = meta.get("generations").asInt()
+    val fan = meta.get("vec_buckets").asInt()
+    val dim = meta.get("dim").asInt()
+    val first = newRows.select(size(col("vector"))).limit(1).collect()
+    if (first.isEmpty) // idle micro-batch: a safe no-op
+      return prevPrepared.unionByName(
+        mkInc(newRows.withColumn("id", col("id").cast("long"))))
+    require(first.head.getInt(0) == dim,
+      s"appended vectors have dim ${first.head.getInt(0)}; the layout " +
+        s"at $path was encoded at dim $dim")
+    val inc = mkInc(newRows.withColumn("id", col("id").cast("long")))
+      .cache()
+    try {
+      CodesLayout.appendGeneration(spark, path, gens,
+        inc.withColumn("_nb", VectorBuckets.nb(fan)),
+        () => graft.core.FsIO.write(pqMetaPath(path), pqMetaJson(family,
+          dim, gens + 1, meta.get("codebooks").asText(), rotationJson)))
+      prevPrepared.unionByName(inc)
+    } finally inc.unpersist()
+  }
+
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame =
+    appendToServingAs(spark, path, name, prevPrepared, newRows, prepare,
+      None)
+
+  /** fold committed generations back to `_gen=0`: the data fold stages
+    * and swaps; the sidecar rewrite preserves its trained state
+    * verbatim and only resets the count — a crash between the two
+    * leaves a count HIGHER than the generations present, which every
+    * reader's `_gen <` filter tolerates, and a re-run heals. */
+  private[index] def compactServingAs(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      family: String): Unit = {
+    val meta = validatePqServing(path, family)
+    val gens = meta.get("generations").asInt()
+    if (gens <= 1) return // already compact
+    CodesLayout.compact(spark, path, gens,
+      () => graft.core.FsIO.write(pqMetaPath(path), pqMetaJson(family,
+        meta.get("dim").asInt(), generations = 1,
+        meta.get("codebooks").asText(),
+        Option(meta.get("rotation")).map(_.asText()))))
+  }
+
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = compactServingAs(spark, path, name)
 }

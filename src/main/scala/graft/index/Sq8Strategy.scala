@@ -18,7 +18,7 @@ import graft.functions.{TopK, VectorFunctions}
   * a 4× smaller scan; ranges are a driver-side constant (2·dim doubles).
   */
 case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
-    rerankFactor: Int = 4) extends IndexStrategy {
+    rerankFactor: Int = 4) extends IndexStrategy with DiskServing {
   require(metric == Metric.Cosine || metric == Metric.Euclidean,
     s"Metric '${metric.name}' is not supported by the SQ8 backend.")
   val name = "sq8"
@@ -117,8 +117,13 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
 
   /** asymmetric distance: raw query vs dequantized code
     * (value ≈ lo + (code+0.5)/256·range, the SQ midpoint rule) */
-  private def adcUdf = {
-    val l = lo; val h = hi; val isCosine = metric == Metric.Cosine
+  private def adcUdf = adcUdfWith(lo, hi)
+
+  /** the asymmetric kernel parameterized by ranges — the disk-serving
+    * readers adopt the LAYOUT's ranges (the codes were quantized with
+    * them), the in-memory path passes the instance's */
+  private def adcUdfWith(l: Array[Double], h: Array[Double]) = {
+    val isCosine = metric == Metric.Cosine
     udf { (codes: Array[Byte], q: Seq[Double]) =>
       var acc = 0.0; var nx = 0.0; var nq = 0.0
       var i = 0
@@ -172,11 +177,197 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
   def queryThreshold(prepared: DataFrame, queries: DataFrame,
       threshold: Double, maxK: Int): DataFrame = {
     require(lo != null, "Sq8Strategy.prepare must run before query")
+    thresholdWith(prepared, queries, threshold, lo, hi)
+  }
+
+  private def thresholdWith(prepared: DataFrame, queries: DataFrame,
+      threshold: Double, l: Array[Double], h: Array[Double]): DataFrame = {
     val q = maybeNormalize(queries, "qvector")
     prepared.select(col("id"), col("_codes"))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("id"),
-        greatest(adcUdf(col("_codes"), col("qvector")), lit(0.0)).as("dist"))
+        greatest(adcUdfWith(l, h)(col("_codes"), col("qvector")), lit(0.0))
+          .as("dist"))
       .where(col("dist") < IndexStrategy.faissRangeBound(metric, threshold))
+  }
+
+  // --------------------------------------------------------------------
+  // FLAT CODES disk serving (r16, verdict r15 #4 — plain SQ8's only
+  // serving story was the IVF composition; the flat layout completes
+  // the quantizer matrix): the shared [[CodesLayout]] discipline — one
+  // id-bucketed `vectors/_gen=N/_nb=…` sub-layout, the coarse scan
+  // column-pruned to (id, _codes) at 1 byte/dim, exact re-rank through
+  // the (_nb, id) bucket join, and ONE sidecar
+  // `_sq8_serving_meta.json` carrying the trained ranges — readers
+  // ADOPT them (the codes were quantized with them), so the layout is
+  // self-describing and the commit point is a single file.
+  // --------------------------------------------------------------------
+
+  /** id-hash partition fan of the vectors sub-layout */
+  private val vecBuckets = 64
+
+  private def sqMetaPath(path: String) = s"$path/_sq8_serving_meta.json"
+
+  private def sqMetaJson(generations: Int, l: Array[Double],
+      h: Array[Double]): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("family", name)
+    root.put("metric", metric.name)
+    root.put("dim", l.length)
+    root.put("vec_buckets", vecBuckets)
+    root.put("generations", generations)
+    val loArr = root.putArray("lo"); l.foreach(loArr.add)
+    val hiArr = root.putArray("hi"); h.foreach(hiArr.add)
+    mapper.writeValueAsString(root)
+  }
+
+  private def validateSqServing(
+      path: String): com.fasterxml.jackson.databind.JsonNode = {
+    require(graft.core.FsIO.exists(sqMetaPath(path)),
+      s"no committed SQ8 serving layout at $path (missing " +
+        "_sq8_serving_meta.json — an interrupted writeServingIndex; " +
+        "re-run it)")
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(sqMetaPath(path)))
+    Seq("family", "metric", "dim", "vec_buckets", "generations", "lo",
+      "hi").foreach { f =>
+      require(meta.get(f) != null,
+        s"layout at $path has no recorded '$f' — unrecognized sidecar")
+    }
+    require(meta.get("family").asText() == name,
+      s"layout at $path was written by family " +
+        s"'${meta.get("family").asText()}'; this instance serves '$name'")
+    require(meta.get("metric").asText() == metric.name,
+      s"layout at $path was built for metric " +
+        s"${meta.get("metric").asText()}; this instance serves ${metric.name}")
+    meta
+  }
+
+  private def rangesOf(meta: com.fasterxml.jackson.databind.JsonNode):
+      (Array[Double], Array[Double]) = {
+    def arr(f: String) = {
+      val n = meta.get(f)
+      (0 until n.size()).map(n.get(_).asDouble()).toArray
+    }
+    (arr("lo"), arr("hi"))
+  }
+
+  override def writeServingIndex(prepared: DataFrame, path: String): Unit = {
+    require(lo != null, "prepare must run before writeServingIndex")
+    CodesLayout.writeServing(
+      prepared.withColumn("_nb", VectorBuckets.nb(vecBuckets)), path,
+      "_sq8_serving_meta.json", sqMetaJson(generations = 1, lo, hi))
+  }
+
+  /** the two-stage kernel over an arbitrary slice of the layout rows
+    * with the SIDECAR's ranges — shared by the plain and filtered disk
+    * paths */
+  private def queryOver(vecs: DataFrame,
+      meta: com.fasterxml.jackson.databind.JsonNode, queries: DataFrame,
+      k: Int): DataFrame = {
+    val (l, h) = rangesOf(meta)
+    val q = maybeNormalize(queries, "qvector")
+    val coarse = TopK.topKPerGroup(
+      vecs.select(col("id"), col("_codes"))
+        .crossJoin(broadcast(q))
+        .select(col("query_id"), col("id"),
+          greatest(adcUdfWith(l, h)(col("_codes"), col("qvector")),
+            lit(0.0)).as("dist")),
+      Seq("query_id"), "id", "dist", if (rerank) k * rerankFactor else k)
+    if (!rerank) coarse
+    else TopK.topKPerGroup(
+      VectorBuckets.rerank(vecs, q, coarse.select("query_id", "id"),
+        meta.get("vec_buckets").asInt(), metric),
+      Seq("query_id"), "id", "dist", k)
+  }
+
+  override def queryFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = validateSqServing(path)
+    queryOver(CodesLayout.committed(spark, path,
+      meta.get("generations").asInt()), meta, queries, k)
+  }
+
+  /** [[queryThreshold]] off the layout — the family's UNCAPPED FAISS
+    * range-search contract (quantized mask, strict `<`, max_k ignored)
+    * over the committed (id, _codes) scan with the sidecar's ranges. */
+  override def supportsDiskThreshold: Boolean = true
+  override def queryThresholdFromDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, threshold: Double, maxK: Int): DataFrame = {
+    val meta = validateSqServing(path)
+    val (l, h) = rangesOf(meta)
+    thresholdWith(CodesLayout.committed(spark, path,
+      meta.get("generations").asInt()), queries, threshold, l, h)
+  }
+
+  /** pre-filter serving: predicate before the quantized kernel, pushed
+    * into the column-pruned scan; re-rank joins survivors only. */
+  override def supportsDiskFiltered: Boolean = true
+  override def queryFilteredFromDisk(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, k: Int,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val meta = validateSqServing(path)
+    queryOver(CodesLayout.committed(spark, path,
+      meta.get("generations").asInt()).where(predicate), meta, queries, k)
+  }
+
+  override def supportsDiskDelete: Boolean = true
+  override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
+      path: String, rows: DataFrame): Long = {
+    val meta = validateSqServing(path)
+    CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
+      meta.get("generations").asInt(), rows)
+  }
+
+  /** append as a committed `_gen=N` generation: quantize-with-trained-
+    * ranges is FAISS `add` after `train`; the instance's ranges must
+    * EQUAL the sidecar's — the grown prepared frame is scored with the
+    * instance's kernel, so a mismatch would silently diverge memory
+    * from layout. */
+  override def supportsDiskAppend: Boolean = true
+  override def appendToServing(spark: org.apache.spark.sql.SparkSession,
+      path: String, prevPrepared: DataFrame,
+      newRows: DataFrame): DataFrame = {
+    val meta = validateSqServing(path)
+    require(lo != null, "prepare must run before append")
+    val (l, h) = rangesOf(meta)
+    require(java.util.Arrays.equals(l, lo) &&
+        java.util.Arrays.equals(h, hi),
+      s"layout at $path was quantized with different ranges than this " +
+        "instance holds — load the owning index before appending")
+    val gens = meta.get("generations").asInt()
+    val first = newRows.select(size(col("vector"))).limit(1).collect()
+    if (first.isEmpty) // idle micro-batch: a safe no-op
+      return prevPrepared.unionByName(
+        prepare(newRows.withColumn("id", col("id").cast("long"))))
+    require(first.head.getInt(0) == meta.get("dim").asInt(),
+      s"appended vectors have dim ${first.head.getInt(0)}; the layout " +
+        s"at $path was quantized at dim ${meta.get("dim").asInt()}")
+    val inc = prepare(newRows.withColumn("id", col("id").cast("long")))
+      .cache()
+    try {
+      CodesLayout.appendGeneration(spark, path, gens,
+        inc.withColumn("_nb", VectorBuckets.nb(
+          meta.get("vec_buckets").asInt())),
+        () => graft.core.FsIO.write(sqMetaPath(path),
+          sqMetaJson(gens + 1, l, h)))
+      prevPrepared.unionByName(inc)
+    } finally inc.unpersist()
+  }
+
+  override def supportsCompaction: Boolean = true
+  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val meta = validateSqServing(path)
+    val gens = meta.get("generations").asInt()
+    if (gens <= 1) return // already compact
+    val (l, h) = rangesOf(meta)
+    CodesLayout.compact(spark, path, gens,
+      () => graft.core.FsIO.write(sqMetaPath(path), sqMetaJson(1, l, h)))
   }
 }

@@ -1200,16 +1200,105 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("flat-codes serving lifecycle (r16, verdict r15 #1/#4): PQ, OPQ, " +
+      "and SQ8 serve/filter/threshold/append/delete/compact off the " +
+      "CodesLayout, disk == memory at every step") {
+    import graft.index.{DiskServing, IndexStrategy, OpqStrategy, PqStrategy, Sq8Strategy}
+    import graft.core.Metric
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .where($"id" < 200).cache()
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.select("query_id", "id", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def lifecycle(strat: IndexStrategy with DiskServing, tag: String,
+        threshold: Double): Unit = {
+      val base = store.where($"id" < 160)
+      val prepared = strat.prepare(base).cache()
+      val root = java.nio.file.Files.createTempDirectory(s"graft_codes_$tag")
+      val path = root.resolve("index").toString
+      strat.writeServingIndex(prepared, path)
+      // disk == memory, all three query shapes (the reader re-derives
+      // its kernel from the SIDECAR's recorded state — equality proves
+      // the trained-state round trip, not just the data round trip)
+      assert(rows(strat.queryFromDisk(spark, path, queries, 5))
+        === rows(strat.query(prepared, queries, 5)), s"$tag: topk disk!=mem")
+      assert(rows(strat.queryThresholdFromDisk(spark, path, queries,
+          threshold, 50))
+        === rows(strat.queryThreshold(prepared, queries, threshold, 50)),
+        s"$tag: threshold disk!=mem")
+      assert(rows(strat.queryFilteredFromDisk(spark, path, queries, 5,
+          $"id" % 2 === 0))
+        === rows(strat.queryFiltered(prepared.where($"id" % 2 === 0),
+          queries, 5)), s"$tag: filtered disk!=mem")
+      // append the held-out slice as _gen=1; served immediately
+      val grown = strat.appendToServing(spark, path, prepared,
+        store.where($"id" >= 160)).cache()
+      assert(rows(strat.queryFromDisk(spark, path, queries, 5))
+        === rows(strat.query(grown, queries, 5)),
+        s"$tag: post-append disk!=mem")
+      // an empty append is a safe no-op (idle micro-batch)
+      strat.appendToServing(spark, path, grown, store.where($"id" < 0))
+      // duplicate ids are refused in both directions
+      intercept[IllegalArgumentException] {
+        strat.appendToServing(spark, path, grown, store.where($"id" === 170))
+      }
+      // delete one base row and one appended row (cross-generation)
+      assert(strat.deleteFromDisk(spark, path,
+        Seq(5L, 170L).toDF("id")) === 2L)
+      val survivors = grown.where(!$"id".isin(5L, 170L))
+      assert(rows(strat.queryFromDisk(spark, path, queries, 5))
+        === rows(strat.queryFiltered(survivors, queries, 5)),
+        s"$tag: post-delete disk!=mem")
+      // compact folds to _gen=0, service unchanged, append continues
+      val before = rows(strat.queryFromDisk(spark, path, queries, 5))
+      strat.compactServing(spark, path)
+      val gens = new java.io.File(s"$path/vectors").listFiles()
+        .map(_.getName).filter(_.startsWith("_gen=")).toSeq
+      assert(gens === Seq("_gen=0"), s"$tag post-compact: $gens")
+      assert(rows(strat.queryFromDisk(spark, path, queries, 5)) === before,
+        s"$tag: compaction changed served results")
+      strat.appendToServing(spark, path, survivors,
+        Seq((500L, Seq.fill(64)(0.25))).toDF("id", "vector"))
+      assert(new java.io.File(s"$path/vectors").listFiles()
+        .map(_.getName).filter(_.startsWith("_gen=")).sorted.toSeq
+        === Seq("_gen=0", "_gen=1"), s"$tag: post-compact append")
+      prepared.unpersist(); grown.unpersist()
+      VerifyIO.deleteRec(root.toFile)
+    }
+    lifecycle(PqStrategy(Metric.Cosine, m = 4, nbits = 8, rerank = true),
+      "pq", threshold = 0.4)
+    lifecycle(OpqStrategy(Metric.Cosine, m = 4, nbits = 8, rerank = true),
+      "opq", threshold = 0.4)
+    lifecycle(Sq8Strategy(Metric.Euclidean), "sq8", threshold = 1.2)
+    // cross-family confusion fails LOUDLY: a plain PQ instance must not
+    // serve an OPQ layout (rotated vectors) with plausible results
+    val opq = OpqStrategy(Metric.Cosine, m = 4, nbits = 8)
+    val opqPrep = opq.prepare(store.where($"id" < 50))
+    val root = java.nio.file.Files.createTempDirectory("graft_codes_x")
+    val xPath = root.resolve("index").toString
+    opq.writeServingIndex(opqPrep, xPath)
+    val err = intercept[IllegalArgumentException] {
+      PqStrategy(Metric.Cosine, m = 4, nbits = 8)
+        .queryFromDisk(spark, xPath, queries, 5)
+    }
+    assert(err.getMessage.contains("family"), err.getMessage)
+    store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("DiskServing contract: capability flags route honestly across the " +
       "four top-k disk families; unsupported ops throw") {
     import graft.index._
     import graft.core.Metric
-    // r15: filtered, threshold, AND delete are TRUE across the whole
-    // matrix — the remaining honest-false cells are the ones with a
-    // principled reason (append on families whose layouts take the
-    // streaming path or whose reference rejects insertion; Hamming
-    // outside the binary family; compaction on the cell families whose
-    // streaming appends compact via StreamOps)
+    // r16: filtered, threshold, delete, APPEND, and COMPACTION are TRUE
+    // across the whole matrix — the remaining honest-false cells are
+    // the ones with a principled reason (Hamming outside the binary
+    // family; everything on layoutless BASIC; the facade-level insert
+    // gate for the backends whose reference rejects insertion)
     val fams: Seq[(IndexStrategy with DiskServing, Boolean, Boolean, Boolean)] =
       Seq(
         (IvfStrategy(Metric.Cosine), true, true, true),
@@ -1221,16 +1310,35 @@ class ScaleDesignSpec extends SparkSpec {
       assert(f.supportsDiskThreshold == thresh, s"${f.name} threshold flag")
       assert(f.supportsDiskDelete == del, s"${f.name} delete flag")
     }
-    // an unsupported op fails loudly, never silently misroutes
-    intercept[UnsupportedOperationException] {
-      IvfPqStrategy(Metric.Cosine).appendToServing(spark,
-        "/nonexistent", Seq((0L, Seq(0.0))).toDF("id", "vector"),
-        Seq((1L, Seq(0.0))).toDF("id", "vector"))
+    Seq[IndexStrategy with DiskServing](IvfStrategy(Metric.Cosine),
+      IvfSq8Strategy(Metric.Cosine), IvfPqStrategy(Metric.Cosine),
+      IvfBqStrategy(Metric.Cosine)).foreach { f =>
+      assert(f.supportsDiskAppend, s"${f.name} append flag (r16)")
+      assert(f.supportsCompaction, s"${f.name} compaction flag (r16)")
     }
+    // an unsupported op fails loudly, never silently misroutes — and an
+    // append against a FLAT (pre-generation) layout fails with the
+    // rewrite-first message, never a silent file-level append
     intercept[UnsupportedOperationException] {
       IvfStrategy(Metric.Cosine).queryHammingFromDisk(spark,
         "/nonexistent", Seq((0L, Seq(0.0))).toDF("query_id", "qvector"),
         2, 10)
     }
+    val flatRoot = java.nio.file.Files.createTempDirectory("graft_flatapp")
+    val flat = flatRoot.resolve("index").toString
+    val st = sf("embeddings")
+      .select($"vec_id".as("id"),
+        $"embedding".cast("array<double>").as("vector"))
+      .where($"id" < 60)
+    val ivf = IvfStrategy(Metric.Cosine, nlist = 4, nprobe = 4)
+    val prep = ivf.prepare(st)
+    ivf.writeIndex(prep, flat) // the portability layout, no sidecar
+    val err = intercept[IllegalArgumentException] {
+      ivf.appendToServing(spark, flat, prep,
+        st.where($"id" < 0)) // content irrelevant: the gate fires first
+    }
+    assert(err.getMessage.contains("writeServingIndex"),
+      s"flat-layout append error must name the fix, got: ${err.getMessage}")
+    VerifyIO.deleteRec(flatRoot.toFile)
   }
 }

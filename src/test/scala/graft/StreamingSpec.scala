@@ -430,6 +430,84 @@ class StreamingSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("IVF CELL index freshness mid-stream (r16, verdict r15 #2): " +
+      "micro-batches land as cell generations served immediately; " +
+      "delete reaches appended generations; compactServing folds") {
+    // the cell family joins the appendable set: streaming inserts
+    // assign to the TRAINED codebook (never retrain — FAISS add-after-
+    // train) and land as `_gen=N` of exactly their cells via
+    // appendToServing; nlist=4 with the nprobe floor probes every cell,
+    // so each freshness check is exact
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.index.IvfStrategy
+    val rnd = new scala.util.Random(23)
+    def vec() = Seq.fill(16)(rnd.nextDouble() - 0.5)
+    val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
+    val strat = IvfStrategy(Metric.Cosine, nlist = 4, nprobe = 4)
+    @volatile var prepared = strat.prepare(store)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    @volatile var nextId = 60L
+    @volatile var misses = 0
+    val input = MemoryStream[Seq[Double]]
+    val q = input.toDF().toDF("vector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.collect().map(_.getSeq[Double](0).toSeq).toSeq
+        if (rows.nonEmpty) {
+          val newRows = rows.zipWithIndex
+            .map { case (x, i) => (nextId + i, x) }.toDF("id", "vector")
+          prepared = strat.appendToServing(spark, path, prepared, newRows)
+          nextId += rows.length
+          // served the moment the generation commits: own nearest at
+          // distance 0 (exhaustive probing → exact kernel)
+          val got = strat.queryFromDisk(spark, path,
+            newRows.select(col("id").as("query_id"),
+              col("vector").as("qvector")), 1).collect()
+          misses += rows.length -
+            got.count(r => r.getLong(0) == r.getLong(1) &&
+              r.getDouble(2) < 1e-9)
+        }
+      }.start()
+    (0 until 3).foreach { _ =>
+      input.addData((0 until 4).map(_ => vec()): _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    assert(misses === 0,
+      s"$misses streamed vectors not immediately servable from disk")
+    // base + 3 stream generations, 72 live rows
+    val gens = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).sorted.toSeq
+    assert(gens === Seq("_gen=0", "_gen=1", "_gen=2", "_gen=3"))
+    assert(spark.read.parquet(path).count() === 72L)
+    // delete reaches an APPENDED generation (the dropIdsByGen route):
+    // id 61 arrived in the first streamed batch
+    val victim = prepared.where(col("id") === 61L).select("id", "vector")
+    assert(strat.deleteFromDisk(spark, path, victim) === 1L)
+    val qdf3 = store.limit(3).select(col("id").as("query_id"),
+      col("vector").as("qvector"))
+    assert(strat.queryFromDisk(spark, path, qdf3, 71).collect()
+      .forall(_.getLong(1) != 61L), "deleted appended row still served")
+    // compactServing folds to one generation, service identical
+    val before = strat.queryFromDisk(spark, path, qdf3, 5).collect().toSet
+    strat.compactServing(spark, path)
+    val gensAfter = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).toSeq
+    assert(gensAfter === Seq("_gen=0"), s"post-compact: $gensAfter")
+    assert(spark.read.parquet(path).count() === 71L)
+    assert(strat.queryFromDisk(spark, path, qdf3, 5).collect().toSet
+      === before, "compaction changed served results")
+    // a post-compact append continues as _gen=1
+    strat.appendToServing(spark, path, prepared,
+      Seq((999L, vec())).toDF("id", "vector"))
+    assert(new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith("_gen=")).sorted.toSeq
+      === Seq("_gen=0", "_gen=1"))
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("streaming near-dup maintenance: batches dedup against the growing signature snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.Dedup
