@@ -294,6 +294,29 @@ class Vicinity private (
         Map("mih_partitions" -> nMih.toString,
           "generations" ->
             (if (gNode == null) "1" else gNode.asInt().toString))
+    } else if (FsIO.exists(s"$path/_pq_serving_meta.json") ||
+        FsIO.exists(s"$path/_sq8_serving_meta.json")) {
+      // the flat-codes layouts (r16): one id-bucketed vectors/ sub-layout
+      // nesting _gen above _nb — count distinct buckets across
+      // generations (the LSH/BQ nested-count idiom)
+      val metaFile = if (FsIO.exists(s"$path/_pq_serving_meta.json"))
+        "_pq_serving_meta.json" else "_sq8_serving_meta.json"
+      val meta = new ObjectMapper().readTree(FsIO.read(s"$path/$metaFile"))
+      val vecRoot = new org.apache.hadoop.fs.Path(s"$path/vectors")
+      val nB =
+        if (fs.exists(vecRoot))
+          fs.listStatus(vecRoot).flatMap { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("_gen="))
+              fs.listStatus(st.getPath).map(_.getPath.getName).toSeq
+            else Seq(n)
+          }.filter(_.startsWith("_nb=")).distinct.length
+        else 0
+      fields(meta, "codes", Seq(
+        "vec_buckets" -> asInt, "generations" -> asInt, "dim" -> asInt)) ++
+        Map("codes_family" ->
+          Option(meta.get("family")).map(_.asText()).getOrElse("?"),
+          "vector_partitions" -> nB.toString)
     } else if (FsIO.exists(s"$path/_ivf_serving_meta.json")) {
       // the cell families' GENERATION serving layout (r16): `_gen=N`
       // nests above `_centroid=c`, so count distinct cell dirs across

@@ -219,8 +219,10 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       val row = arr.get(i)
       (0 until row.size()).map(j => row.get(j).asDouble()).toArray
     }.toArray
-    require(centroids != null &&
-        sidecar.length == centroids.length &&
+    require(centroids != null,
+      "prepare (or loadAux) must run before touching a generation cell " +
+        "layout — the instance holds no codebook to validate against")
+    require(sidecar.length == centroids.length &&
         sidecar.indices.forall(i =>
           java.util.Arrays.equals(sidecar(i), centroids(i))),
       s"layout at $path was built with a different codebook than this " +

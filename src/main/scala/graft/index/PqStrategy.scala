@@ -307,11 +307,11 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   private[index] def queryThresholdFromDiskAs(
       spark: org.apache.spark.sql.SparkSession, path: String,
       family: String, queries: DataFrame, threshold: Double,
-      maxK: Int): DataFrame = {
-    if (maxK <= 0) return IndexStrategy.emptyThreshold(queries)
-    queryFromDiskAs(spark, path, family, queries, maxK)
+      maxK: Int): DataFrame =
+    // max(maxK, 1), NOT an empty early-return: mirrors the in-memory
+    // [[queryThreshold]] exactly (the facade gates maxK >= 1 anyway)
+    queryFromDiskAs(spark, path, family, queries, math.max(maxK, 1))
       .where(col("dist") < threshold).drop("rank")
-  }
 
   override def supportsDiskThreshold: Boolean = true
   override def queryThresholdFromDisk(

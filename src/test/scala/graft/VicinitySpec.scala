@@ -450,6 +450,9 @@ class VicinitySpec extends SparkSpec {
         BackendArgs.FaissArgs(indexType = it)))
       val (mem, dsk) = served(v, it)
       assert(dsk == mem, s"facade $it disk serving != in-memory")
+      val d = v.describeServing(root.resolve(it).toString)
+      assert(d("family") === "codes" && d("generations") === "1",
+        s"describeServing for $it: $d")
     }
     // no layout for the exact backend — gated like insert/delete
     intercept[UnsupportedOperationException] {
