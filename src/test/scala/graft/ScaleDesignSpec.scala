@@ -908,6 +908,69 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("flat-codes disk serving (r16): the coarse scan reads codes, never " +
+      "the raw vectors; the layout scans as a (_gen, _nb)-partitioned table") {
+    import graft.index.{CodesLayout, Sq8Strategy}
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+      .where($"id" < 200)
+    // rerank = false: the whole served query is the quantized coarse
+    // pass, so the executed plan's scan IS the I/O claim under test
+    val strat = Sq8Strategy(graft.core.Metric.Euclidean, rerank = false)
+    val prepared = strat.prepare(store).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_codes_plan")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val served = strat.queryFromDisk(spark, path, queries, 5)
+    assert(served.collect().toSet
+      === strat.query(prepared, queries, 5).collect().toSet)
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val scans = fileScans(served.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("_nb"))
+    assert(scans.nonEmpty, "no bucketed scan of the codes layout found")
+    scans.foreach { sc =>
+      // the generation gate is a PARTITION filter, not a data read
+      assert(sc.relation.partitionSchema.fieldNames.toSet
+        === Set("_gen", "_nb"), "layout partition schema")
+      // column-pruned: 1 byte/dim codes, never the 8-byte/dim vectors —
+      // the 8x I/O claim of SQ8 serving, visible in ReadSchema
+      val readCols = sc.requiredSchema.fieldNames.toSet
+      assert(readCols.contains("_codes"), s"scan missing codes: $readCols")
+      assert(!readCols.contains("vector"),
+        s"coarse disk scan reads raw vectors: $readCols")
+    }
+    // the PQ family's ADC projects (id, _pq) through the same committed
+    // read before its partition-local scan — assert the projection's
+    // scan shape on the committed frame the reader builds
+    import graft.index.PqStrategy
+    val pq = PqStrategy(graft.core.Metric.Cosine, m = 4)
+    val pqPrep = pq.prepare(store).cache()
+    val pqPath = root.resolve("pq").toString
+    pq.writeServingIndex(pqPrep, pqPath)
+    val proj = CodesLayout.committed(spark, pqPath, 1).select("id", "_pq")
+    proj.collect()
+    val pqScans = fileScans(proj.queryExecution.executedPlan)
+    assert(pqScans.nonEmpty)
+    pqScans.foreach { sc =>
+      val readCols = sc.requiredSchema.fieldNames.toSet
+      assert(readCols === Set("id", "_pq"),
+        s"PQ coarse projection reads extra columns: $readCols")
+    }
+    prepared.unpersist(); pqPrep.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("MIH disk serving: probe buckets prune partitions, values push into the scan") {
     import graft.core.Metric
     import graft.index.BqStrategy
