@@ -908,6 +908,48 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("generation cell layout (r16): probe pruning still resolves at the " +
+      "directory level with _gen nested above _centroid; appends only " +
+      "widen the probed cells") {
+    import graft.index.IvfStrategy
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 4)
+    val base = store.where($"id" < 400)
+    val prepared = strat.prepare(base).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_gencell_plan")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    // append a second generation so the layout genuinely nests
+    strat.appendToServing(spark, path, prepared, store.where($"id" >= 400))
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val served = strat.queryFromDisk(spark, path, queries, 5)
+    served.collect()
+    def fileScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        fileScans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(fileScans) ++
+        other.subqueries.flatMap(fileScans)
+    }
+    val scans = fileScans(served.queryExecution.executedPlan)
+      .filter(_.relation.partitionSchema.fieldNames.contains("_centroid"))
+    assert(scans.nonEmpty, "no cell-partitioned scan found")
+    // leaf partitions are (_gen, _centroid) pairs: 2 generations of at
+    // most 16 cells each = 32 leaves; the 3-query batch at nprobe=4
+    // probes <= 12 distinct cells, so a pruned scan touches <= 24
+    // leaves — an unpruned one would touch all ~32
+    val leaves = scans.map(_.selectedPartitions.partitionCount).sum
+    assert(leaves <= 24, s"probe pruning lost on the generation layout: " +
+      s"$leaves leaf partitions scanned")
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("flat-codes disk serving (r16): the coarse scan reads codes, never " +
       "the raw vectors; the layout scans as a (_gen, _nb)-partitioned table") {
     import graft.index.{CodesLayout, Sq8Strategy}
