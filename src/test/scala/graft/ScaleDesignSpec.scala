@@ -908,6 +908,37 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("flat-codes layout is self-describing (r16): an UNTRAINED instance " +
+      "serves it — readers rebuild their kernels from the sidecar alone") {
+    import graft.index.{OpqStrategy, PqStrategy, Sq8Strategy}
+    import graft.core.Metric
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+      .where($"id" < 150).cache()
+    val queries = store.where($"id" < 3)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    val root = java.nio.file.Files.createTempDirectory("graft_codes_fresh")
+    def pin(tag: String, trained: graft.index.IndexStrategy
+        with graft.index.DiskServing, fresh: graft.index.IndexStrategy
+        with graft.index.DiskServing): Unit = {
+      val prepared = trained.prepare(store)
+      val p = root.resolve(tag).toString
+      trained.writeServingIndex(prepared, p)
+      val want = trained.queryFromDisk(spark, p, queries, 5).collect().toSet
+      // the fresh instance has never seen a store: codebooks / ranges /
+      // rotation all come from the layout's one-file sidecar
+      val got = fresh.queryFromDisk(spark, p, queries, 5).collect().toSet
+      assert(got === want, s"$tag: untrained reader diverged")
+    }
+    pin("pq", PqStrategy(Metric.Cosine, m = 4, rerank = true),
+      PqStrategy(Metric.Cosine, m = 4, rerank = true))
+    pin("opq", OpqStrategy(Metric.Cosine, m = 4, rerank = true),
+      OpqStrategy(Metric.Cosine, m = 4, rerank = true))
+    pin("sq8", Sq8Strategy(Metric.Euclidean), Sq8Strategy(Metric.Euclidean))
+    store.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("generation cell layout (r16): probe pruning still resolves at the " +
       "directory level with _gen nested above _centroid; appends only " +
       "widen the probed cells") {

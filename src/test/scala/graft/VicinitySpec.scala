@@ -670,6 +670,24 @@ class VicinitySpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("evaluateFromDisk grades a codes-family layout (r16): OPQ disk " +
+      "recall == in-memory recall, qps > 0") {
+    val opq = build(Backend.Faiss, args = Some(
+      BackendArgs.FaissArgs(indexType = "opq")))
+    val root = java.nio.file.Files.createTempDirectory("graft_evalopq")
+    val p = root.resolve("index").toString
+    opq.writeServingIndex(p)
+    val qs = vectors.take(8)
+    val (qpsMem, recallMem) = opq.evaluate(qs, k = 5)
+    val (qpsDsk, recallDsk) = opq.evaluateFromDisk(p, qs, k = 5)
+    assert(qpsMem > 0 && qpsDsk > 0)
+    // same coarse ADC decisions (the layout's sidecar codebooks equal
+    // the instance's — deterministic training), so recall must agree
+    assert(recallDsk === recallMem,
+      s"OPQ disk recall $recallDsk != in-memory $recallMem")
+    VerifyIO.deleteRec(root.toFile)
+  }
+
   test("evaluateFromDisk grades a disk-served layout: recall == the " +
       "in-memory evaluate for the same pruned IVF config, qps > 0 " +
       "(verdict r13 #6)") {
