@@ -2288,21 +2288,7 @@ object QueriesVector {
     * facade's item join — which also pins that join against the layout. */
   private val qFacadeDiskRadius = Q("q_facade_disk_radius",
     (s, dir) => {
-      val (vic, path) = mapOf(facadeCaches, s)
-        .getOrElseUpdate(s"$dir/facade-ivf4-euclid", {
-          val emb = t(s, dir, "embeddings").select(
-            col("vec_id").cast("string").as("item"),
-            col("embedding").cast("array<double>").as("vector"))
-          val v = graft.api.Vicinity.fromDataFrame(emb, "item", "vector",
-            graft.core.Backend.Faiss,
-            Some(graft.core.BackendArgs.FaissArgs(Metric.Euclidean,
-              indexType = "ivf", nlist = 4)))
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_facade_ivf4")
-            .resolve("index").toString
-          v.writeServingIndex(p)
-          (v, p)
-        })
+      val (vic, path) = facadeIvfEuclid(s, dir)
       // cap far above the store: the IVF family's threshold path ignores
       // max_k (FAISS range-search parity), so any positive cap returns
       // identical rows — and the facade now rejects max_k <= 0 outright
@@ -2323,6 +2309,77 @@ object QueriesVector {
         AND list_distance(CAST(s.embedding AS DOUBLE[]),
                           CAST(q.embedding AS DOUBLE[])) < 1.2
       ORDER BY query_id, neighbor_id
+    """))
+
+  /** one euclidean exact-probing IVF facade (nlist = 4 → the engine's
+    * nprobe floor covers every cell) per (session, sf dir), shared by
+    * the facade radius query and the threshold-shape evaluate query */
+  private def facadeIvfEuclid(s: SparkSession,
+      dir: String): (graft.api.Vicinity, String) =
+    mapOf(facadeCaches, s).getOrElseUpdate(s"$dir/facade-ivf4-euclid", {
+      val emb = t(s, dir, "embeddings").select(
+        col("vec_id").cast("string").as("item"),
+        col("embedding").cast("array<double>").as("vector"))
+      val v = graft.api.Vicinity.fromDataFrame(emb, "item", "vector",
+        graft.core.Backend.Faiss,
+        Some(graft.core.BackendArgs.FaissArgs(Metric.Euclidean,
+          indexType = "ivf", nlist = 4)))
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_facade_ivf4")
+        .resolve("index").toString
+      v.writeServingIndex(p)
+      (v, p)
+    })
+
+  /** The evaluate harness's THRESHOLD shape made judge-visible (r16 —
+    * the companion to [[qEvaluateHamming]], so two of the four served
+    * shapes now carry queries): `Vicinity.evaluateThresholdFromDisk`
+    * grades the disk-served radius path against the UNCAPPED exact
+    * strict-`<` truth at two radius points. On the exact-probing IVF
+    * facade the served set provably EQUALS the truth set (exhaustive
+    * probing + exact kernel + the family's uncapped FAISS range
+    * contract), so recall is exactly the literal 1.0 the oracle asserts
+    * and the per-point result counts recompute relationally — a
+    * complete oracle over the real harness, not a rows-only grade. */
+  private val qEvaluateThreshold = Q("q_evaluate_threshold",
+    (s, dir) => {
+      import s.implicits._
+      val (vic, path) = facadeIvfEuclid(s, dir)
+      val qvecs = t(s, dir, "embeddings").where(col("vec_id") < 5)
+        .orderBy("vec_id")
+        .select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+      val rows = Seq(1.1, 1.2).map { th =>
+        val (_, recall) = vic.evaluateThresholdFromDisk(path, qvecs, th,
+          maxK = Int.MaxValue)
+        val n = vic.queryThresholdFromDiskDf(path,
+          queriesDf(s, dir, 5)
+            .withColumn("qvector", col("qvector").cast("array<double>")),
+          th, Int.MaxValue).count()
+        (th,
+          BigDecimal(recall).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble, n)
+      }
+      rows.toDF("threshold", "recall", "n_results")
+    },
+    Some("""
+      WITH pairs AS (
+        SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id,
+               list_distance(CAST(s.embedding AS DOUBLE[]),
+                             CAST(q.embedding AS DOUBLE[])) AS d
+        FROM embeddings s, embeddings q
+        WHERE q.vec_id < 5
+      ), grid AS (
+        SELECT CAST(unnest([1.1, 1.2]) AS DOUBLE) AS threshold
+      ), counts AS (
+        SELECT g.threshold, count(*) AS n
+        FROM pairs p JOIN grid g ON p.d < g.threshold
+        GROUP BY g.threshold
+      )
+      SELECT g.threshold, CAST(1.0 AS DOUBLE) AS recall,
+             coalesce(c.n, 0) AS n_results
+      FROM grid g LEFT JOIN counts c USING (threshold)
+      ORDER BY g.threshold
     """))
 
   /** one cosine BINARY facade (store + serving layout) per (session, sf
@@ -2808,5 +2865,5 @@ object QueriesVector {
     qIvfPartitionedRadius, qFacadeDiskRadius, qFacadeBqRadius, qFacadeBqKnn,
     qIvfFilteredKnn,
     qIvfNprobeCurve,
-    qEvaluate, qEvaluateHamming)
+    qEvaluate, qEvaluateHamming, qEvaluateThreshold)
 }
