@@ -155,15 +155,39 @@ private[graft] object VectorBuckets {
     * of double-appending; rows are sorted by `sortCol` within files so
     * the layout's row-group-skipping discipline survives appends. ONE
     * implementation for both families (the GraphLayout lesson: shared
-    * builders over kept-in-sync copies). */
+    * builders over kept-in-sync copies).
+    *
+    * For `gen > 0` the target generation directory is CLEARED first
+    * (r16 second review pass): every caller writes at gen = the
+    * sidecar's committed count, so `_gen=gen` can never hold committed
+    * rows — anything already there is a crashed DIFFERENT-batch append's
+    * orphan, and dynamic partition overwrite alone would keep its
+    * untouched partitions, which the sidecar bump after this write
+    * would then resurrect as committed rows (the same class as the
+    * HNSW spent-tombstone leftover, `HnswStrategy.deleteFromDisk`).
+    * Same-batch replays are unaffected: delete-then-rewrite of
+    * identical content. Orphans are invisible to readers (`_gen <`
+    * committed), so the clear races with no scan. */
   def writeGeneration(rows: DataFrame, partCol: String, sortCol: String,
-      sub: String, gen: Int): Unit =
+      sub: String, gen: Int): Unit = {
+    if (gen > 0) clearOrphanGeneration(rows.sparkSession, sub, gen)
     rows.withColumn("_gen", lit(gen))
       .repartition(col(partCol))
       .sortWithinPartitions(sortCol)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_gen", partCol).parquet(sub)
+  }
+
+  /** delete an UNCOMMITTED generation's directory if present — callers
+    * guarantee `gen` ≥ the sidecar's committed count, so the directory
+    * can only be a crashed append's leftover */
+  def clearOrphanGeneration(spark: SparkSession, sub: String,
+      gen: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$sub/_gen=$gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
 
   /** Fresh (re)write of a generation sub-layout: plain `_gen=0` on a
     * virgin path; staging + rename swap when the path exists (the
@@ -436,13 +460,19 @@ private[graft] object GraphLayout {
     * replayed append REPLACES its own generation (the sketch-snapshot
     * replay discipline). */
   def writeGeneration(rows: DataFrame, idCol: String, sub: String,
-      buckets: Int, gen: Int): Unit =
+      buckets: Int, gen: Int): Unit = {
+    // gen > 0: clear a crashed different-batch append's orphan first —
+    // the [[VectorBuckets.writeGeneration]] argument (the sidecar bump
+    // after this write would resurrect the orphan's untouched partitions)
+    if (gen > 0) VectorBuckets.clearOrphanGeneration(
+      rows.sparkSession, sub, gen)
     rows.withColumn("_gen", lit(gen))
       .withColumn("_nb", pmod(col(idCol), lit(buckets)).cast("int"))
       .repartition(col("_nb")).sortWithinPartitions("_nb", idCol)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("_gen", "_nb").parquet(sub)
+  }
 
   /** Fresh (re)write of a bucketed subdir: a plain generation-0 write on
     * a virgin path; a staging write + rename swap when the path exists

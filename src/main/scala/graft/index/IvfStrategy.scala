@@ -323,6 +323,11 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       require(clash.isEmpty,
         s"append contains ids already present in the layout at $path " +
           s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      // clear a crashed DIFFERENT-batch append's orphan at _gen=gens
+      // first (r16 second review pass — the VectorBuckets.writeGeneration
+      // argument): dynamic partition overwrite alone keeps the orphan's
+      // untouched cells, and the sidecar bump below would resurrect them
+      VectorBuckets.clearOrphanGeneration(spark, path, gens)
       keyed.withColumn("_gen", lit(gens))
         .repartition(col("_centroid"))
         .write.mode("overwrite")

@@ -981,6 +981,86 @@ class ScaleDesignSpec extends SparkSpec {
     VerifyIO.deleteRec(root.toFile)
   }
 
+  test("generation appends clear a crashed different-batch orphan (r16 " +
+      "second review pass): an uncommitted _gen=N from a died append is " +
+      "never resurrected by the next append's sidecar commit") {
+    import graft.index.IvfStrategy
+    val store = sf("embeddings")
+      .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
+    val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 16)
+    val base = store.where($"id" < 400)
+    val prepared = strat.prepare(base).cache()
+    val root = java.nio.file.Files.createTempDirectory("graft_orphan_gen")
+    val path = root.resolve("index").toString
+    strat.writeServingIndex(prepared, path)
+    // the batch that WILL commit next, and the cells it assigns to
+    val incRows = store.where($"id" >= 400 && $"id" < 403)
+    val incCells = strat.prepare(incRows).select("_centroid")
+      .distinct().collect().map(_.getInt(0)).toSet
+    // a crashed append's orphan: one poisoned row at _gen=1 in a cell the
+    // next batch does NOT touch — dynamic partition overwrite alone would
+    // keep this partition, and the next commit would make it visible
+    val victim = prepared
+      .where(!$"_centroid".isin(incCells.toSeq.map(Integer.valueOf): _*))
+      .limit(1).withColumn("id", lit(999999L))
+    victim.withColumn("_gen", lit(1))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_gen", "_centroid").parquet(path)
+    val queries = store.where($"id" < 2)
+      .select($"id".as("query_id"), $"vector".as("qvector"))
+    // the orphan is invisible while uncommitted
+    assert(!strat.queryFromDisk(spark, path, queries, 500).collect()
+      .map(_.getAs[Long]("id")).contains(999999L),
+      "uncommitted orphan generation served")
+    // the real append commits generation 1 — the orphan must have been
+    // cleared by the pre-write hygiene, not resurrected by the commit
+    strat.appendToServing(spark, path, prepared, incRows)
+    val served = strat.queryFromDisk(spark, path, queries, 500).collect()
+      .map(_.getAs[Long]("id"))
+    assert(!served.contains(999999L),
+      "crashed different-batch orphan resurrected by the next append")
+    assert(Seq(400L, 401L, 402L).forall(served.contains),
+      "the real append's rows must serve")
+    prepared.unpersist()
+    VerifyIO.deleteRec(root.toFile)
+  }
+
+  test("shared generation writers clear the target generation before a " +
+      "gen>0 write — VectorBuckets and GraphLayout orphan hygiene") {
+    import graft.index.{GraphLayout, VectorBuckets}
+    // VectorBuckets (LSH/BQ/codes sub-layouts): pre-keyed _nb
+    val rootV = java.nio.file.Files.createTempDirectory("graft_orphan_vb")
+    val subV = rootV.resolve("vectors").toString
+    VectorBuckets.writeGeneration(
+      Seq((1L, "base")).toDF("id", "payload").withColumn("_nb", lit(0L)),
+      "_nb", "id", subV, 0)
+    VectorBuckets.writeGeneration( // the orphan: bucket 0 at gen 1
+      Seq((999L, "poison")).toDF("id", "payload").withColumn("_nb", lit(0L)),
+      "_nb", "id", subV, 1)
+    VectorBuckets.writeGeneration( // the real batch: bucket 1 at gen 1
+      Seq((2L, "real")).toDF("id", "payload").withColumn("_nb", lit(1L)),
+      "_nb", "id", subV, 1)
+    val gen1V = spark.read.parquet(subV).where($"_gen" === 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gen1V == Set(2L),
+      s"VectorBuckets gen-1 should hold only the real batch, got $gen1V")
+    VerifyIO.deleteRec(rootV.toFile)
+    // GraphLayout (graph vectors/adjacency/tombstones): _nb = id % buckets
+    val rootG = java.nio.file.Files.createTempDirectory("graft_orphan_gl")
+    val subG = rootG.resolve("vectors").toString
+    GraphLayout.writeGeneration(Seq((4L, "base")).toDF("id", "payload"),
+      "id", subG, buckets = 4, gen = 0)
+    GraphLayout.writeGeneration( // orphan in bucket 0
+      Seq((8L, "poison")).toDF("id", "payload"), "id", subG, 4, 1)
+    GraphLayout.writeGeneration( // real batch in bucket 1
+      Seq((5L, "real")).toDF("id", "payload"), "id", subG, 4, 1)
+    val gen1G = spark.read.parquet(subG).where($"_gen" === 1)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(gen1G == Set(5L),
+      s"GraphLayout gen-1 should hold only the real batch, got $gen1G")
+    VerifyIO.deleteRec(rootG.toFile)
+  }
+
   test("flat-codes disk serving (r16): the coarse scan reads codes, never " +
       "the raw vectors; the layout scans as a (_gen, _nb)-partitioned table") {
     import graft.index.{CodesLayout, Sq8Strategy}
