@@ -347,6 +347,46 @@ class Vicinity private (
     }
   }
 
+  /** Retrain a serving layout's LEARNED state (codebook, ranges,
+    * rotation, graph) on its CURRENT live rows and atomically swap the
+    * retrained layout in — the actuator the staleness monitors point at
+    * (`q_index_staleness` / `q_ivf_cell_skew` say WHEN; appends
+    * deliberately never retrain, FAISS add-after-train parity, so this
+    * is the one operation that acts on their reading). Returns the NEW
+    * facade handle, whose strategy holds the retrained state matching
+    * the new sidecar; THIS instance's next serving call against the
+    * layout is rejected by the codebook guard — by design, exactly one
+    * instance owns a layout's current state. Capability-gated like
+    * every disk entry point: LSH/BQ refuse with a targeted message
+    * (their hash state is seed-deterministic — nothing to retrain;
+    * compactServing is their complete maintenance story). */
+  def rebuildServing(path: String): Vicinity = {
+    val d = diskServing
+    val r = d.rebuildServing(spark, path)
+    require(r.store.columns.contains("item"),
+      s"layout at $path carries no 'item' column — it was written at " +
+        "the strategy level, not by this facade; rebuild it through " +
+        "the owning strategy's rebuildServing")
+    val cached = r.store
+      .select(col("id").cast("long").as("id"), col("item"), col("vector"))
+      .cache()
+    val n = cached.count()
+    val dm = if (n == 0) 0
+      else cached.select(size(col("vector"))).head.getInt(0)
+    new Vicinity(spark, cached, backend, args, metadata, storeVectors,
+      r.strategy, r.prepared.cache(), n, dm)
+  }
+
+  /** Layout doctor ([[graft.index.ServingFsck]]): verify the serving
+    * layout's crash-window invariants — sidecar present and recognized,
+    * orphan generations invisible, staged/retired leftovers hidden,
+    * no duplicate ids, cross-sub-layout row accounting, a live entry
+    * set — against the actual directory tree, one row per check:
+    * (component, check, status ok|warn|fail, observed). Diagnosis only;
+    * the mutation paths sweep their own leftovers. */
+  def fsckServing(path: String): DataFrame =
+    diskServing.fsckServing(spark, path)
+
   /** Driver-side result, one list per query vector of (item, dist) pairs —
     * the reference's `SimilarityResult` shape (`datatypes.py:12-16`).
     */

@@ -541,6 +541,42 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       prevPrepared.unionByName(inc)
     } finally inc.unpersist()
   }
+
+  /** the doctor's extra BQ invariant: the MIH chunk table explodes each
+    * stored signature into exactly num_chunks rows (appends write both
+    * sub-layouts in one batch, deletes prune both), so mih rows ==
+    * vectors rows × num_chunks — a drift means a partially-applied
+    * mutation */
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import ServingFsck._
+    val sc = sidecar(spark, s"$path/_bq_serving_meta.json",
+      Seq("metric", "vec_buckets", "dim", "generations"))
+    val scMih = sidecar(spark, s"$path/mih/_mih_meta.json",
+      Seq("chunk_bits", "num_chunks"), component = "mih_sidecar")
+    if ((sc ++ scMih).exists(_.status == Fail))
+      return toDf(spark, sc ++ scMih ++ crashLeftovers(spark, path))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_bq_serving_meta.json"))
+    val mihMeta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/mih/_mih_meta.json"))
+    val gens = committedGens(meta)
+    val vecs = committedOrAll(spark, s"$path/vectors", gens)
+      .select("id").cache()
+    try {
+      val mih = committedOrAll(spark, s"$path/mih", gens)
+      val nVec = vecs.count()
+      toDf(spark, sc ++ scMih ++
+        generations(spark, s"$path/vectors", gens, "vectors") ++
+        generations(spark, s"$path/mih", gens, "mih") ++
+        Seq(Check("vectors", "rows", Ok, nVec),
+          duplicateIds(vecs, "vectors"),
+          rowCount(mih, "mih"),
+          consistent("mih_rows_per_vector", mih.count(),
+            nVec * mihMeta.get("num_chunks").asInt())) ++
+        crashLeftovers(spark, path))
+    } finally vecs.unpersist()
+  }
 }
 
 object BqStrategy {

@@ -114,6 +114,47 @@ trait DiskServing { self: IndexStrategy =>
   def compactServing(spark: SparkSession, path: String): Unit =
     throw new UnsupportedOperationException(
       s"$name has no compactable serving layout")
+
+  /** Retrain the layout's LEARNED state (codebooks, ranges, rotation,
+    * graph) on its CURRENT live rows and atomically swap the retrained
+    * layout in — the actuator the staleness monitors point at
+    * (`q_index_staleness` / `q_ivf_cell_skew` report drift; appends
+    * deliberately never retrain, FAISS add-after-train parity, so
+    * without this every "your codebook is stale" reading is advice a
+    * deployment cannot act on through the serving surface). Returns the
+    * freshly-trained strategy with the rows it trained on and its
+    * prepared frame; the CALLING instance's trained state no longer
+    * matches the new sidecar, so its next serving call is rejected by
+    * the codebook guard — by design: exactly one instance serves a
+    * layout's current state.
+    *
+    * True only for the families with data-learned state. LSH and BQ
+    * stay false honestly: their hash state (planes seed, sign
+    * signatures) is data-independent, nothing ever goes stale, and
+    * [[compactServing]] is already their complete maintenance story. */
+  def supportsRebuild: Boolean = false
+  def rebuildServing(spark: SparkSession, path: String): DiskServing.Rebuilt =
+    throw new UnsupportedOperationException(
+      s"$name has no retrainable serving state — its layout never goes " +
+        "stale under appends/deletes (hash planes/signatures are " +
+        "seed-deterministic); compactServing is its maintenance operation")
+
+  /** Layout doctor ([[ServingFsck]]): verify the layout's crash-window
+    * invariants against the actual directory tree and report one row
+    * per check — (component, check, status ok|warn|fail, observed).
+    * Diagnosis only: never repairs (the mutation paths sweep their own
+    * leftovers), never throws on a recognized layout (a monitoring tier
+    * wants rows, not exceptions — a missing sidecar is a `fail` row). */
+  def fsckServing(spark: SparkSession, path: String): DataFrame
+}
+
+object DiskServing {
+  /** result of [[DiskServing.rebuildServing]]: the freshly-trained
+    * strategy that now owns the layout, the live store rows the retrain
+    * ran on, and the retrained prepared frame (what the swapped-in
+    * layout holds) */
+  final case class Rebuilt(strategy: IndexStrategy with DiskServing,
+      store: DataFrame, prepared: DataFrame)
 }
 
 /** Shared physical discipline for the id-bucketed RERANK-VECTORS

@@ -990,4 +990,34 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       kernel = k0
     }
   }
+
+  /** The graph family's staleness is structural rather than a codebook:
+    * tombstoned nodes still ROUTE until compaction, and even compaction
+    * never relearns the survivors' neighborhoods — append deltas learned
+    * their edges against the store AS OF their insert, so a long
+    * mutation history erodes the beam walk's recall. A rebuild relearns
+    * the whole layer stack from the LIVE rows (committed generations
+    * minus tombstones) and swaps the fresh layout in. */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt = {
+    // drop the layout's own partition columns: writeGeneration would
+    // overwrite them anyway, but the returned store/prepared frames are
+    // the caller's in-memory state and must not carry stale layout ids.
+    // localCheckpoint, not cache: the rewrite below replaces this
+    // frame's source files ([[IvfStrategy.rebuildCells]] argument)
+    val rows = committedVectors(spark, path).drop("_gen", "_nb")
+      .localCheckpoint()
+    val fresh = this.copy()
+    val prepared = fresh.prepare(rows)
+    fresh.writeGraphIndex(prepared, path)
+    DiskServing.Rebuilt(fresh, rows, prepared)
+  }
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ServingFsck.graphLayout(spark, path, "_graph_meta.json",
+      Seq("buckets", "n_layers", "metric", "m", "ef_search", "hops",
+        "descent_width", "generations", "entries"),
+      nLayers => (0 until nLayers).map(l => s"layer_$l"))
 }

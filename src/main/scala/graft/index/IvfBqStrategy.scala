@@ -137,6 +137,17 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def compactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = ivf.compactCells(spark, path, name)
 
+  /** retrain the coarse codebook on the layout's live rows; the sign
+    * signatures (`_sig`) are data-independent and re-derived by the
+    * fresh prepare ([[IvfStrategy.rebuildCells]]) */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt =
+    ivf.rebuildCells(spark, path, name, Seq("_sig"), this.copy())
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = ivf.fsckCells(spark, path, name)
+
   /** rows scored = rows in the probed cells, as for the other quantized
     * compositions (bytes per row change, rows do not) */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =

@@ -331,6 +331,17 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def compactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = ivf.compactCells(spark, path, name)
 
+  /** retrain the coarse codebook AND the residual PQ codebooks on the
+    * layout's live rows ([[IvfStrategy.rebuildCells]]; `_pq` is this
+    * family's aux column, re-encoded by the fresh prepare) */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt =
+    ivf.rebuildCells(spark, path, name, Seq("_pq"), this.copy())
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = ivf.fsckCells(spark, path, name)
+
   /** ADC scans exactly the probed IVF cells */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =
     ivf.scanVolume(prepared, queries)

@@ -146,6 +146,17 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def compactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = ivf.compactCells(spark, path, name)
 
+  /** retrain BOTH learned artifacts — the codebook and the SQ ranges —
+    * on the layout's live rows ([[IvfStrategy.rebuildCells]]; `_codes`
+    * is this family's aux column, re-derived by the fresh prepare) */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt =
+    ivf.rebuildCells(spark, path, name, Seq("_codes"), this.copy())
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = ivf.fsckCells(spark, path, name)
+
   /** rows actually scored = rows in the probed cells (same cells as the
     * inner IVF — quantization changes bytes per row, not rows) */
   override def scanVolume(prepared: DataFrame, queries: DataFrame): Long =

@@ -364,6 +364,84 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     graft.core.Generations.swapInto(spark, path, staging)
   }
 
+  /** [[DiskServing.rebuildServing]] for the cell families, family-
+    * parameterized like every other cell op: the layout's live rows
+    * (committed generations only, family aux columns stripped) retrain
+    * a FRESH instance's codebook — the one thing appends deliberately
+    * never touch (FAISS add-after-train) — and the retrained layout
+    * stages + swaps in through [[writeServingCells]]. The calling
+    * instance keeps its old codebook and is rejected by
+    * [[validateCellMeta]] on its next serving call — by design: exactly
+    * one codebook owns a layout's current state, and the returned fresh
+    * strategy holds it. */
+  private[index] def rebuildCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String, auxCols: Seq[String],
+      fresh: IndexStrategy with DiskServing): DiskServing.Rebuilt = {
+    // localCheckpoint, not cache (second review pass): the swap below
+    // REWRITES this frame's source files, so a recompute after block
+    // eviction would silently read the new layout's generations —
+    // truncating the lineage makes the pin load-bearing, not best-effort
+    val rows = servingRows(spark, path, family)
+      .drop(("_gen" +: "_centroid" +: auxCols): _*).localCheckpoint()
+    val prepared = fresh.prepare(rows)
+    fresh.writeServingIndex(prepared, path)
+    DiskServing.Rebuilt(fresh, rows, prepared)
+  }
+
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt =
+    rebuildCells(spark, path, name, Nil, this.copy())
+
+  /** [[DiskServing.fsckServing]] for the cell families. Works untrained
+    * (a doctor examines any layout, so the sidecar is parsed directly —
+    * no codebook-equality gate); `family` is the calling family's tag,
+    * checked against the sidecar's. The extra cell-specific invariant:
+    * every committed `_centroid` value must be addressable by the
+    * sidecar's codebook (`< nlist`) — an out-of-range cell would never
+    * be probed, which is silent row loss, so `fail`. */
+  private[index] def fsckCells(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String): DataFrame = {
+    import ServingFsck._
+    val (fs0, p0) = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+    if (!fs0.exists(p0)) // nothing at the path at all: one loud fail row
+      return toDf(spark, Seq(Check("layout", "present", Fail, 0L)))
+    val raw = spark.read.parquet(path)
+    if (!raw.columns.contains("_gen"))
+      // flat pre-generation layout ([[writeIndex]]): no sidecar, no
+      // generations — the data-level invariants still hold
+      return toDf(spark, Seq(rowCount(raw, "cells"),
+        duplicateIds(raw, "cells")) ++ crashLeftovers(spark, path))
+    val sc = sidecar(spark, servingMetaPath(path),
+      Seq("family", "metric", "generations", "centroids"))
+    if (sc.exists(_.status == Fail))
+      return toDf(spark, sc ++ crashLeftovers(spark, path))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(servingMetaPath(path)))
+    val gens = meta.get("generations").asInt()
+    val nlist = meta.get("centroids").size()
+    val committed = raw.where(col("_gen") < gens)
+    val cellsSeen = committed.select("_centroid").distinct()
+    val outOfRange = cellsSeen.where(col("_centroid") >= nlist ||
+      col("_centroid") < 0).count()
+    toDf(spark, sc ++
+      Seq(Check("sidecar", "family_matches",
+        if (meta.get("family").asText() == family) Ok else Fail,
+        if (meta.get("family").asText() == family) 1L else 0L)) ++
+      generations(spark, path, gens, "cells") ++
+      Seq(rowCount(committed, "cells"),
+        duplicateIds(committed, "cells"),
+        Check("cells", "cells_within_nlist",
+          if (outOfRange == 0) Ok else Fail, cellsSeen.count())) ++
+      crashLeftovers(spark, path))
+  }
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = fsckCells(spark, path, name)
+
   override def writeServingIndex(prepared: DataFrame, path: String): Unit =
     writeServingCells(prepared, path, name)
 

@@ -627,6 +627,39 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       }
     } finally keyed.unpersist()
   }
+
+  /** the doctor's extra LSH invariant: every stored id posts to every
+    * table exactly once (appends hash the increment into all tables,
+    * deletes remove a batch's postings from all tables), so postings
+    * rows == vectors rows × n_tables — a drift means a partially-applied
+    * mutation */
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import ServingFsck._
+    val file = s"$path/_lsh_meta.json"
+    val sc = sidecar(spark, file, Seq("metric", "n_tables", "n_bits", "w",
+      "seed", "dim", "sub_buckets", "vec_buckets", "generations"))
+    if (sc.exists(_.status == Fail))
+      return toDf(spark, sc ++ crashLeftovers(spark, path))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(file))
+    val gens = meta.get("generations").asInt()
+    val vecs = committedOrAll(spark, s"$path/vectors", gens)
+      .select("id").cache()
+    try {
+      val posts = committedOrAll(spark, s"$path/postings", gens)
+      val nVec = vecs.count()
+      toDf(spark, sc ++
+        generations(spark, s"$path/vectors", gens, "vectors") ++
+        generations(spark, s"$path/postings", gens, "postings") ++
+        Seq(Check("vectors", "rows", Ok, nVec),
+          duplicateIds(vecs, "vectors"),
+          rowCount(posts, "postings"),
+          consistent("postings_rows_per_table", posts.count(),
+            nVec * meta.get("n_tables").asInt())) ++
+        crashLeftovers(spark, path))
+    } finally vecs.unpersist()
+  }
 }
 
 object LshStrategy {

@@ -923,6 +923,32 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     }
   }
+
+  /** relearn the k-NN graph from the LIVE rows (the [[HnswStrategy
+    * .rebuildServing]] argument, single-layer case): tombstoned nodes
+    * stop routing AND the survivors' neighborhoods are relearned
+    * against the current store */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt = {
+    val meta = readServingMeta(path)
+    // dropped partition columns + localCheckpoint: same reasons as
+    // [[HnswStrategy.rebuildServing]] — the returned frames are
+    // in-memory state, and the rewrite replaces their source files
+    val rows = committedVectors(spark, path, meta).drop("_gen", "_nb")
+      .localCheckpoint()
+    val fresh = this.copy()
+    val prepared = fresh.prepare(rows)
+    fresh.writeServingIndex(prepared, path)
+    DiskServing.Rebuilt(fresh, rows, prepared)
+  }
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ServingFsck.graphLayout(spark, path, "_nn_serving_meta.json",
+      Seq("metric", "buckets", "n_neighbors", "beam", "hops",
+        "generations", "entries"),
+      _ => Seq("graph"))
 }
 
 object NnDescentStrategy {

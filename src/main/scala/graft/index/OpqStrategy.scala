@@ -236,4 +236,25 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   override def supportsCompaction: Boolean = true
   override def compactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = inner.compactServingAs(spark, path, name)
+
+  /** Retrain rotation AND codebooks on the layout's live rows. The
+    * stored rows live in ROTATED space (prepare's output), so they are
+    * un-rotated with the LAYOUT's matrix transpose (orthonormal
+    * inverse) before the fresh prepare — retraining directly on rotated
+    * rows would compose the new rotation onto the old one while queries
+    * are rotated from raw space exactly once, silently mis-scoring
+    * every query against the rebuilt codes. */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt = {
+    val rOld = servingRotation(path)
+    val inv = Array.tabulate(rOld(0).length, rOld.length)(
+      (i, j) => rOld(j)(i))
+    inner.rebuildServingAs(spark, path, name, this.copy(),
+      rows => rotateWith(rows, "vector", inv))
+  }
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = // rotation: the field OPQ readers adopt
+    inner.fsckCodesAs(spark, path, name, extraFields = Seq("rotation"))
 }

@@ -266,6 +266,43 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   override def writeServingIndex(prepared: DataFrame, path: String): Unit =
     writeServingAs(prepared, path, name, None)
 
+  /** [[DiskServing.rebuildServing]] for the codes layouts, family-
+    * parameterized for the OPQ delegation: the layout's live rows (aux
+    * columns stripped, `unrotate` mapping them back to the space the
+    * fresh prepare expects — identity here, the rotation inverse for
+    * OPQ) retrain a FRESH instance's codebooks, and the retrained
+    * layout stages + swaps in whole through the family's own
+    * writeServingIndex (sidecar included — the new trained state rides
+    * with the new codes). */
+  private[index] def rebuildServingAs(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String, fresh: IndexStrategy with DiskServing,
+      unrotate: DataFrame => DataFrame): DiskServing.Rebuilt = {
+    val meta = validatePqServing(path, family)
+    // localCheckpoint, not cache: the swap rewrites this frame's source
+    // files ([[IvfStrategy.rebuildCells]] argument)
+    val rows = unrotate(CodesLayout.committed(spark, path,
+        meta.get("generations").asInt()).drop("_gen", "_nb", "_pq"))
+      .localCheckpoint()
+    val prepared = fresh.prepare(rows)
+    fresh.writeServingIndex(prepared, path)
+    DiskServing.Rebuilt(fresh, rows, prepared)
+  }
+
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt =
+    rebuildServingAs(spark, path, name, this.copy(), identity)
+
+  private[index] def fsckCodesAs(spark: org.apache.spark.sql.SparkSession,
+      path: String, family: String,
+      extraFields: Seq[String] = Nil): DataFrame =
+    ServingFsck.codesLayout(spark, path, "_pq_serving_meta.json",
+      Seq("family", "metric", "dim", "vec_buckets", "generations",
+        "codebooks") ++ extraFields, family)
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = fsckCodesAs(spark, path, name)
+
   /** top-k off the layout with the SIDECAR's codebooks: coarse ADC over
     * the (id, _pq)-pruned scan; optional exact re-rank through the
     * (_nb, id) bucket join — decision for decision [[query]] when the

@@ -1,0 +1,242 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared checks for the serving-layout doctor
+  * ([[DiskServing.fsckServing]]): every crash-window discipline the
+  * writers argue in comments — orphan generations are invisible and get
+  * swept, staged/retired directories are hidden from partition
+  * discovery, sidecars commit last, appends never duplicate ids — is a
+  * layout INVARIANT, and this module verifies each one against an
+  * actual directory tree instead of trusting the argument. The doctor
+  * REPORTS, it never repairs and never throws on a recognized layout:
+  * repairs are the mutation paths' own job (the next append sweeps its
+  * orphan, the next delete sweeps retired dirs), and a monitoring tier
+  * wants rows, not exceptions.
+  *
+  * Row schema: (component, check, status, observed) where `status` is
+  *  - `ok`    — the invariant holds;
+  *  - `warn`  — a benign crash leftover (invisible to every reader by
+  *              the writers' own discipline; swept by the next mutation
+  *              of the same sub-layout). A deployment alerts on
+  *              persistent warns (a crash happened; nothing swept it);
+  *  - `fail`  — a broken invariant a reader would trip on (missing or
+  *              unrecognized sidecar, duplicate ids, a dead entry set).
+  * `observed` is the measured count (1/0 for presence checks), so a
+  * monitoring query can trend it without parsing strings.
+  */
+private[graft] object ServingFsck {
+
+  final case class Check(component: String, check: String, status: String,
+      observed: Long)
+
+  val Ok = "ok"
+  val Warn = "warn"
+  val Fail = "fail"
+
+  def toDf(spark: SparkSession, checks: Seq[Check]): DataFrame = {
+    import spark.implicits._
+    checks.map(c => (c.component, c.check, c.status, c.observed))
+      .toDF("component", "check", "status", "observed")
+      .orderBy("component", "check")
+  }
+
+  private def hfs(spark: SparkSession, p: String) = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    (path.getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** sidecar present + parses + carries every field its readers adopt —
+    * the commit point of every write/append/compact, so a missing or
+    * truncated one means an interrupted FIRST write (re-run it); a
+    * missing FIELD means a foreign or hand-edited file */
+  def sidecar(spark: SparkSession, file: String, fields: Seq[String],
+      component: String = "sidecar"): Seq[Check] = {
+    if (!graft.core.FsIO.exists(file))
+      return Seq(Check(component, "present", Fail, 0L),
+        Check(component, "fields", Fail, 0L))
+    val parsed =
+      try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.core.FsIO.read(file)))
+      catch { case _: Exception => None }
+    val good = parsed.exists(m => fields.forall(m.get(_) != null))
+    Seq(Check(component, "present", Ok, 1L),
+      Check(component, "fields", if (good) Ok else Fail,
+        parsed.map(m => fields.count(m.get(_) != null).toLong)
+          .getOrElse(0L)))
+  }
+
+  /** generation accounting of one `_gen=N`-nested sub-layout: any
+    * directory at or above the sidecar's committed count is a crashed
+    * append's orphan — invisible to every reader (`_gen <` committed)
+    * and cleared by the next append at that slot
+    * ([[VectorBuckets.writeGeneration]]), so `warn`, not `fail`.
+    * Committed directories may legitimately be missing (a delete that
+    * emptied a whole generation removes its partitions), so only the
+    * present count is reported, never compared. */
+  def generations(spark: SparkSession, sub: String, committed: Int,
+      component: String): Seq[Check] = {
+    val (fs, p) = hfs(spark, sub)
+    val gens: Seq[Int] =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSeq
+        .filter(_.startsWith("_gen="))
+        .map(_.stripPrefix("_gen=").toInt)
+    val orphans = gens.count(_ >= committed)
+    Seq(
+      Check(component, "committed_generations", Ok,
+        gens.count(_ < committed).toLong),
+      Check(component, "orphan_generations",
+        if (orphans == 0) Ok else Warn, orphans.toLong))
+  }
+
+  /** crash-window leftovers anywhere under the layout root: staging
+    * dirs a swap never promoted (`__staging`), retired dirs a swap
+    * never deleted (`__old`), and the partition rewrites' dot-hidden
+    * temp/retired dirs (`.old_*`, `.*.tmp`). All are invisible to
+    * readers by construction (hidden from partition discovery, or never
+    * pointed at by a sidecar) and swept by the next mutation of the
+    * same sub-layout — so their presence is `warn`: evidence of a
+    * crash, not of damage. Counted without descending inside them. */
+  def crashLeftovers(spark: SparkSession, root: String): Seq[Check] = {
+    val (fs, p) = hfs(spark, root)
+    def isLeftover(name: String): Boolean =
+      name.endsWith("__staging") || name.endsWith("__old") ||
+        name.startsWith(".old_") ||
+        (name.startsWith(".") && name.endsWith(".tmp"))
+    def walk(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir).map { st =>
+        if (!st.isDirectory) 0L
+        else if (isLeftover(st.getPath.getName)) 1L
+        else walk(st.getPath)
+      }.sum
+    // whole-root swaps stage at SIBLINGS of the root (`<root>__staging`,
+    // `<root>__old` — [[graft.core.Generations.swapInto]]), so the walk
+    // inside the root never meets them; probe the two names directly
+    val siblings = Seq("__staging", "__old").count(suf =>
+      fs.exists(new org.apache.hadoop.fs.Path(
+        root.stripSuffix("/") + suf)))
+    val n = (if (fs.exists(p)) walk(p) else 0L) + siblings
+    Seq(Check("layout", "crash_leftovers", if (n == 0) Ok else Warn, n))
+  }
+
+  /** no id appears twice in the frame — the append guards' invariant
+    * (a violated one would double-count a row in every scan family) */
+  def duplicateIds(rows: DataFrame, component: String): Check = {
+    val d = rows.select(col("id")).groupBy("id")
+      .agg(count(lit(1)).as("_c")).where(col("_c") > 1).count()
+    Check(component, "duplicate_ids", if (d == 0) Ok else Fail, d)
+  }
+
+  /** plain committed row count — trendable, and the cross-sub-layout
+    * consistency checks build on it */
+  def rowCount(rows: DataFrame, component: String,
+      check: String = "rows"): Check =
+    Check(component, check, Ok, rows.count())
+
+  /** a derived equality between two sub-layouts (e.g. MIH rows ==
+    * vectors × chunks): `observed` carries the left side so the ratio
+    * is trendable even when it fails */
+  def consistent(check: String, left: Long, right: Long): Check =
+    Check("consistency", check, if (left == right) Ok else Fail, left)
+
+  /** committed rows of a generation-nested sub-layout, tolerating the
+    * pre-generation shape (no `_gen` column → everything is committed) —
+    * the doctor's read mirrors every reader's visibility rule */
+  def committedOrAll(spark: SparkSession, sub: String,
+      gens: Int): DataFrame = {
+    val df = spark.read.parquet(sub)
+    if (df.columns.contains("_gen")) df.where(col("_gen") < gens) else df
+  }
+
+  /** the graph-shaped layouts' full check set ([[GraphLayout]]:
+    * HNSW's layered graph, NN-descent's single-layer graph): sidecar,
+    * generation accounting of the vectors and every adjacency
+    * sub-layout, tombstone accounting (tombstoned ids must reference
+    * stored ids), duplicate vector ids (vector appends are append-only
+    * NEW ids; adjacency generations are latest-wins so they get no dup
+    * check), and — the advice-r15 lesson as an invariant — the sidecar
+    * entry set must RESOLVE: at least one entry id present in the stored
+    * vectors, or every walk seeds nothing and the layout silently serves
+    * empty forever. Membership is checked against the STORED rows, not
+    * the live (tombstone-surviving) ones: a tombstoned entry still
+    * routes until compaction (the delete paths' documented semantics),
+    * so it is healthy — the dead state is an entry the walk cannot even
+    * score, which is what an un-re-seeded compaction would leave. */
+  def graphLayout(spark: SparkSession, path: String, metaFile: String,
+      fields: Seq[String], adjacencySubs: Int => Seq[String]): DataFrame = {
+    val sc = sidecar(spark, s"$path/$metaFile", fields)
+    if (sc.exists(_.status == Fail))
+      return toDf(spark, sc ++ crashLeftovers(spark, path))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/$metaFile"))
+    val gens = Option(meta.get("generations")).map(_.asInt()).getOrElse(1)
+    val tGens = Option(meta.get("tombstone_generations"))
+      .map(_.asInt()).getOrElse(0)
+    val nLayers = Option(meta.get("n_layers")).map(_.asInt()).getOrElse(1)
+    val vecs = committedOrAll(spark, s"$path/vectors", gens)
+      .select("id").cache()
+    var ts: Option[DataFrame] = None
+    try {
+      val adjChecks = adjacencySubs(nLayers).flatMap(sub =>
+        generations(spark, s"$path/$sub", gens, sub))
+      val (tombChecks, live) =
+        if (tGens <= 0) (Seq.empty[Check], vecs)
+        else {
+          val t = committedOrAll(spark, s"$path/tombstones", tGens)
+            .select("id").cache()
+          ts = Some(t)
+          val dangling = t.join(vecs, Seq("id"), "left_anti").count()
+          val liveRows = vecs.join(t, Seq("id"), "left_anti")
+          (Seq(rowCount(t, "tombstones"),
+            generations(spark, s"$path/tombstones", tGens,
+              "tombstones").find(_.check == "orphan_generations").get,
+            Check("tombstones", "reference_stored_ids",
+              if (dangling == 0) Ok else Fail, dangling)), liveRows)
+        }
+      val entryIds = Option(meta.get("entries")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asLong())
+      }.getOrElse(Seq.empty)
+      val liveEntries =
+        if (entryIds.isEmpty) 0L
+        else vecs.where(col("id").isin(
+          entryIds.map(java.lang.Long.valueOf): _*)).count()
+      toDf(spark, sc ++
+        generations(spark, s"$path/vectors", gens, "vectors") ++
+        adjChecks ++ tombChecks ++
+        Seq(rowCount(vecs, "vectors"),
+          Check("vectors", "live_rows", Ok, live.count()),
+          duplicateIds(vecs, "vectors"),
+          Check("entries", "resolvable",
+            if (liveEntries > 0) Ok else Fail, liveEntries)) ++
+        crashLeftovers(spark, path))
+    } finally {
+      vecs.unpersist()
+      ts.foreach(_.unpersist())
+    }
+  }
+
+  /** the flat-codes layouts' full check set (PQ and SQ8 share the ONE
+    * [[CodesLayout]] discipline, so they share the one doctor): sidecar
+    * + family tag, generation accounting of the `vectors/` sub-layout,
+    * committed rows, duplicate ids, crash leftovers */
+  def codesLayout(spark: SparkSession, path: String, metaFile: String,
+      fields: Seq[String], family: String): DataFrame = {
+    val sc = sidecar(spark, s"$path/$metaFile", fields)
+    if (sc.exists(_.status == Fail))
+      return toDf(spark, sc ++ crashLeftovers(spark, path))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/$metaFile"))
+    val gens = meta.get("generations").asInt()
+    val committed = CodesLayout.committed(spark, path, gens)
+    toDf(spark, sc ++
+      Seq(Check("sidecar", "family_matches",
+        if (meta.get("family").asText() == family) Ok else Fail,
+        if (meta.get("family").asText() == family) 1L else 0L)) ++
+      generations(spark, s"$path/vectors", gens, "vectors") ++
+      Seq(rowCount(committed, "vectors"),
+        duplicateIds(committed, "vectors")) ++
+      crashLeftovers(spark, path))
+  }
+}

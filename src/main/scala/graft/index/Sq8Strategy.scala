@@ -370,4 +370,28 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     CodesLayout.compact(spark, path, gens,
       () => graft.core.FsIO.write(sqMetaPath(path), sqMetaJson(1, l, h)))
   }
+
+  /** retrain the per-dimension ranges on the layout's live rows (the
+    * one learned artifact — `_codes` is re-quantized by the fresh
+    * prepare); same shape as [[PqStrategy.rebuildServingAs]] */
+  override def supportsRebuild: Boolean = true
+  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DiskServing.Rebuilt = {
+    val meta = validateSqServing(path)
+    // localCheckpoint, not cache: the swap rewrites this frame's source
+    // files ([[IvfStrategy.rebuildCells]] argument)
+    val rows = CodesLayout.committed(spark, path,
+        meta.get("generations").asInt())
+      .drop("_gen", "_nb", "_codes").localCheckpoint()
+    val fresh = this.copy()
+    val prepared = fresh.prepare(rows)
+    fresh.writeServingIndex(prepared, path)
+    DiskServing.Rebuilt(fresh, rows, prepared)
+  }
+
+  override def fsckServing(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    ServingFsck.codesLayout(spark, path, "_sq8_serving_meta.json",
+      Seq("family", "metric", "dim", "vec_buckets", "generations",
+        "lo", "hi"), name)
 }
