@@ -78,10 +78,15 @@ private[graft] object ServingFsck {
   def generations(spark: SparkSession, sub: String, committed: Int,
       component: String): Seq[Check] = {
     val (fs, p) = hfs(spark, sub)
+    // digit-gated before toInt: a foreign `_gen=x` name must surface as
+    // a reader problem elsewhere, not crash the doctor (never-throw
+    // contract on recognized layouts)
     val gens: Seq[Int] =
       if (!fs.exists(p)) Seq.empty
       else fs.listStatus(p).map(_.getPath.getName).toSeq
-        .filter(_.startsWith("_gen="))
+        .filter(n => n.startsWith("_gen=") &&
+          n.stripPrefix("_gen=").nonEmpty &&
+          n.stripPrefix("_gen=").forall(_.isDigit))
         .map(_.stripPrefix("_gen=").toInt)
     val orphans = gens.count(_ >= committed)
     Seq(
