@@ -210,7 +210,11 @@ class Vicinity private (
       "path" -> path,
       "index" -> strategy.name,
       "bytes" -> sum.getLength.toString,
-      "files" -> sum.getFileCount.toString)
+      "files" -> sum.getFileCount.toString,
+      // the maintenance dashboard's routing fact (r16): whether the
+      // staleness monitors' reading is actionable via rebuildServing on
+      // this family, or compactServing is the whole maintenance story
+      "supports_rebuild" -> diskServing.supportsRebuild.toString)
     // Sidecar fields are read null-safely (advice r13: a foreign or
     // hand-edited sidecar must produce a marked generic answer, not an
     // NPE): a sidecar missing any expected field degrades to the base map

@@ -341,6 +341,8 @@ class ServingDoctorSpec extends SparkSpec {
     val path = tmp("facadereb")
     v.writeServingIndex(path)
     assertAllOk(v.fsckServing(path), "facade hnsw layout")
+    // the maintenance dashboard can route on the describe fact
+    assert(v.describeServing(path)("supports_rebuild") === "true")
     val v2 = v.rebuildServing(path)
     assert(v2.length === v.length)
     // the new owner serves off the rebuilt layout, items re-joined
@@ -354,6 +356,7 @@ class ServingDoctorSpec extends SparkSpec {
       vectors.take(50), Backend.Annoy)
     val p2 = tmp("facaderefuse")
     lshV.writeServingIndex(p2)
+    assert(lshV.describeServing(p2)("supports_rebuild") === "false")
     val e = intercept[UnsupportedOperationException] {
       lshV.rebuildServing(p2)
     }
