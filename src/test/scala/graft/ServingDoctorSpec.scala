@@ -184,6 +184,64 @@ class ServingDoctorSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("fsck lifecycle: a crashed append's warn is swept by the next real append") {
+    // the doctor's documented recovery story, end to end: warn means "a
+    // crash happened, the next mutation of this sub-layout sweeps it" —
+    // prove the sweep actually happens rather than trusting the comment
+    val strat = LshStrategy(Metric.Cosine, nTables = 8, nBits = 5)
+    val prepared = strat.prepare(store.where($"id" < 400)).cache()
+    val path = tmp("sweep")
+    strat.writeServingIndex(prepared, path)
+    // crashed append: one sub-layout got its _gen=1 data, no sidecar bump
+    VectorBuckets.writeGeneration(
+      prepared.limit(5).withColumn("id", $"id" + 100000)
+        .withColumn("_nb", VectorBuckets.nb(4)),
+      "_nb", "id", s"$path/vectors", gen = 1)
+    assert(checks(strat.fsckServing(spark, path))(
+      ("vectors", "orphan_generations")) === ("warn", 1L))
+    // the next REAL append writes at gen = the committed count = 1,
+    // clearing the orphan first, then commits the sidecar
+    strat.appendServingIndex(spark, path, store.where($"id" >= 400))
+    val c = checks(strat.fsckServing(spark, path))
+    assert(c(("vectors", "orphan_generations")) === ("ok", 0L))
+    assert(c(("vectors", "committed_generations")) === ("ok", 2L))
+    assert(c(("vectors", "rows"))._2 === store.count())
+    assert(c(("consistency", "postings_rows_per_table"))._1 === "ok")
+    prepared.unpersist()
+  }
+
+  test("rebuild lifecycle: appends continue against the new owner after a rebuild") {
+    // rebuild must not end the layout's mutation lifecycle: the returned
+    // fresh strategy owns the retrained state and its appends assign to
+    // the NEW codebook, land as a committed generation, and serve
+    val old = IvfStrategy(Metric.Cosine, nlist = 8, nprobe = 8)
+    val prep = old.prepare(store.where($"id" < 400)).cache()
+    prep.count()
+    val path = tmp("reblife")
+    old.writeServingIndex(prep, path)
+    val r = old.rebuildServing(spark, path)
+    val fresh = r.strategy.asInstanceOf[IvfStrategy]
+    // the old owner's append is rejected like its reads (one owner)
+    val e = intercept[IllegalArgumentException] {
+      old.appendToServing(spark, path, prep, store.where($"id" >= 400))
+    }
+    assert(e.getMessage.contains("different codebook"))
+    // the new owner's append lands and serves exactly at nprobe = nlist
+    fresh.appendToServing(spark, path, r.prepared,
+      store.where($"id" >= 400))
+    assert(meta(path, "_ivf_serving_meta.json")
+      .get("generations").asInt() === 2)
+    val got = fresh.queryFromDisk(spark, path, queries, 10)
+      .select("query_id", "id").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    val exact = graft.operators.Knn.query(store, queries, 10, Metric.Cosine)
+      .select("query_id", "id").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    assert(got === exact)
+    assertAllOk(fresh.fsckServing(spark, path), "rebuilt+appended ivf")
+    r.store.unpersist(); prep.unpersist()
+  }
+
   // ------------------------------------------------------------- rebuild
 
   test("rebuild: IVF retrains the codebook on the grown store; the old owner is rejected") {
