@@ -135,6 +135,18 @@ object PrepCache {
     * once per (session, dir) to a temp directory and READ BACK, so every
     * consumer downstream provably works from the persisted form, not the
     * in-memory lineage. */
+  private val sigPaths =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+
+  /** where [[persistedHistorySignatures]] wrote its snapshot for this
+    * (session, dir) — the doctor query fscks the REAL persisted store,
+    * not a fresh one (zero extra build; either caller materializes it) */
+  def persistedSignaturePath(s: SparkSession, dir: String): String = {
+    persistedHistorySignatures(s, dir) // ensure written
+    sigPaths.synchronized(sigPaths.get(s))(s"sigtable/$dir")
+  }
+
   def persistedHistorySignatures(s: SparkSession, dir: String): DataFrame =
     cacheOf(s).getOrElseUpdate(s"sigtable/$dir", {
       val hist = flaggedShingledDocs(s, dir).where(!col("is_new"))
@@ -145,6 +157,14 @@ object PrepCache {
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         VerifyIO.deleteRec(new java.io.File(path))))
       Dedup.saveSignatureTable(hist, "doc_id", "shingles", path)
+      sigPaths.synchronized {
+        var m = sigPaths.get(s)
+        if (m == null) {
+          m = scala.collection.concurrent.TrieMap.empty[String, String]
+          sigPaths.put(s, m)
+        }
+        m.put(s"sigtable/$dir", path)
+      }
       val loaded = Dedup.loadSignatureTable(s, path).cache()
       loaded.count()
       loaded

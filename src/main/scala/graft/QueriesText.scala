@@ -477,6 +477,36 @@ object QueriesText {
     },
     Some(incrementalDedupOracle))
 
+  /** The SNAPSHOT-STORE doctor made judge-visible (r16 — the streaming
+    * state stores argue the same crash-window disciplines as the serving
+    * layouts, so they get the same doctor,
+    * [[graft.prep.Dedup.fsckSignatureTable]] over
+    * [[graft.index.ServingFsck.snapshotStore]]): the REAL persisted
+    * signature table [[qIncrementalDedupPersisted]] works from (zero
+    * extra build — either query materializes the shared snapshot) is
+    * verified against its invariants — the `_sig_meta.json` commit point
+    * present with every stamp-checked field, exactly the one `_batch`
+    * generation `saveSignatureTable` writes, no content outside the
+    * batch namespace (a generation read would miss it silently), no
+    * compaction crash leftovers. Every expected (status, observed) is a
+    * constant of the writer, so the oracle is complete and literal. The
+    * warn/fail paths (an accumulating-generations reading, a planted
+    * `__compacting` sibling, foreign content, a missing sidecar) are
+    * spec-pinned (ServingDoctorSpec). */
+  val qSnapshotFsck = Q("q_snapshot_fsck",
+    (s, dir) => Dedup.fsckSignatureTable(s,
+      PrepCache.persistedSignaturePath(s, dir)),
+    Some("""
+      SELECT * FROM (
+        SELECT 'layout' AS component, 'crash_leftovers' AS "check",
+               'ok' AS status, CAST(0 AS BIGINT) AS observed
+        UNION ALL SELECT 'sidecar', 'fields', 'ok', 5
+        UNION ALL SELECT 'sidecar', 'present', 'ok', 1
+        UNION ALL SELECT 'store', 'batch_generations', 'ok', 1
+        UNION ALL SELECT 'store', 'foreign_children', 'ok', 0
+      ) ORDER BY component, "check"
+    """))
+
   /** The deduped corpus itself — the end artifact every near-dup pipeline
     * actually ships: all documents with NO smaller-id near-duplicate
     * (first-occurrence-keep over the exact-verified pair set, matching
@@ -1674,6 +1704,7 @@ object QueriesText {
     qFingerprint, qDedupExact,
     qLineDedup,
     qMinhashDedup, qIncrementalDedup, qIncrementalDedupPersisted,
+    qSnapshotFsck,
     qNeardupSurvivors, qNgramJaccard,
     qSimhashPairs, qEditNeardup, qBinaryMeta, qFrameSample,
     qTokenCount, qCurationFunnel, qGopherRules, qUnigramPpl, qBigramPpl,

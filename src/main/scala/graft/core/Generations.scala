@@ -32,13 +32,20 @@ object Generations {
     * `_batch=<tag>` generation. `state` must be the fully merged state
     * READ FROM `path` (the family's loadState); `partitionCols` are any
     * extra partition columns below `_batch` (e.g. the signature table's
-    * `_band`). */
+    * `_band`). `withStaging` runs against the STAGING dir after the data
+    * write and before the swap — stores whose sidecar lives at the root
+    * (the signature table's `_sig_meta.json`) must write it here, so the
+    * promoted directory is born complete and no crash window exists
+    * where the live store lacks its sidecar (the advice-r15 BQ
+    * compaction lesson, applied to the snapshot stores). */
   def compact(spark: SparkSession, path: String, state: DataFrame,
-      tag: String = "compact", partitionCols: Seq[String] = Nil): Unit = {
+      tag: String = "compact", partitionCols: Seq[String] = Nil,
+      withStaging: String => Unit = _ => ()): Unit = {
     val staging = path.stripSuffix("/") + "__compacting"
     state.withColumn("_batch", lit(tag))
       .write.mode("overwrite")
       .partitionBy(("_batch" +: partitionCols): _*).parquet(staging)
+    withStaging(staging)
     swapInto(spark, path, staging)
   }
 

@@ -117,10 +117,12 @@ private[graft] object ServingFsck {
         else walk(st.getPath)
       }.sum
     // whole-root swaps stage at SIBLINGS of the root (`<root>__staging`,
-    // `<root>__old` — [[graft.core.Generations.swapInto]]), so the walk
-    // inside the root never meets them; probe the two names directly
-    val siblings = Seq("__staging", "__old").count(suf =>
-      fs.exists(new org.apache.hadoop.fs.Path(
+    // `<root>__old` — [[graft.core.Generations.swapInto]] — plus the
+    // snapshot stores' `<root>__compacting` and the streaming index
+    // rewrite's `<root>.compact.tmp`), so the walk inside the root never
+    // meets them; probe the names directly
+    val siblings = Seq("__staging", "__old", "__compacting", ".compact.tmp")
+      .count(suf => fs.exists(new org.apache.hadoop.fs.Path(
         root.stripSuffix("/") + suf)))
     val n = (if (fs.exists(p)) walk(p) else 0L) + siblings
     Seq(Check("layout", "crash_leftovers", if (n == 0) Ok else Warn, n))
@@ -220,6 +222,43 @@ private[graft] object ServingFsck {
       vecs.unpersist()
       ts.foreach(_.unpersist())
     }
+  }
+
+  /** The `_batch=`-generation SNAPSHOT stores' check set
+    * ([[graft.core.Generations]]: count-min / HLL / bloom / bottom-k /
+    * segment-df sketches, the MinHash and BQ signature tables) — the
+    * streaming state stores argue the same crash disciplines as the
+    * serving layouts, so they get the same doctor. Batches are
+    * self-committing (dynamic partition overwrite; replays overwrite
+    * their own generation), so there is no orphan class here — instead
+    * `batch_generations` is the trendable COMPACTION-PRESSURE reading
+    * (reads stay correct as generations accumulate, listing/footer cost
+    * grows; the family's compact folds them back to one) — zero batches
+    * is Ok, not fail: an EMPTY snapshot is first-class (the day-1
+    * bootstrap case [[graft.core.Generations.hasGenerations]] and the
+    * signature table's empty-write both honor); the corrupt/foreign
+    * case hasGenerations fails loudly on is real content OUTSIDE the
+    * `_batch=` namespace, which is exactly `foreign_children` (fail —
+    * generation reads would miss such content silently). `sidecar`
+    * checks run when the family carries one (the signature table's
+    * `_sig_meta.json`). */
+  def snapshotStore(spark: SparkSession, path: String,
+      sidecarFile: Option[(String, Seq[String])] = None): DataFrame = {
+    val (fs, p) = hfs(spark, path)
+    if (!fs.exists(p))
+      return toDf(spark, Seq(Check("store", "present", Fail, 0L)))
+    val kids = fs.listStatus(p).map(_.getPath.getName).toSeq
+    val batches = kids.count(_.startsWith("_batch="))
+    val foreign = kids.count(n => !n.startsWith("_batch=") &&
+      !n.startsWith("_") && !n.startsWith("."))
+    val sc = sidecarFile.toSeq.flatMap { case (file, fields) =>
+      sidecar(spark, s"$path/$file", fields)
+    }
+    toDf(spark, sc ++ Seq(
+      Check("store", "batch_generations", Ok, batches.toLong),
+      Check("store", "foreign_children",
+        if (foreign == 0) Ok else Fail, foreign.toLong)) ++
+      crashLeftovers(spark, path))
   }
 
   /** the flat-codes layouts' full check set (PQ and SQ8 share the ONE

@@ -957,16 +957,29 @@ object Dedup {
   /** Fold every signature-table generation into one. Signature rows are
     * per-doc with disjoint ids across generations, so the merged state is
     * the plain union; the `_band` sub-partitioning and the `_sig_meta.json`
-    * sidecar (which lives at the store root and would vanish in the dir
-    * swap) are preserved. */
+    * sidecar are preserved — the sidecar is written INTO the staging dir
+    * before the swap (r16, the advice-r15 BQ compaction lesson: restoring
+    * it after the swap left a crash window where the live store lacked
+    * the sidecar its own readers — and a compact re-run — require). */
   def compactSignatureTable(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val meta = graft.core.FsIO.read(s"$path/_sig_meta.json")
     val state = spark.read.parquet(path).drop("_batch")
     graft.core.Generations.compact(spark, path, state,
-      partitionCols = Seq("_band"))
-    graft.core.FsIO.write(s"$path/_sig_meta.json", meta)
+      partitionCols = Seq("_band"),
+      withStaging = st => graft.core.FsIO.write(s"$st/_sig_meta.json", meta))
   }
+
+  /** Layout doctor for a [[saveSignatureTable]] snapshot (the
+    * [[graft.index.ServingFsck]] snapshot-store checks plus this
+    * family's sidecar fields — everything [[loadSignatureTable]]'s
+    * stamp check adopts): one (component, check, ok|warn|fail,
+    * observed) row per invariant; diagnosis only. */
+  def fsckSignatureTable(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.index.ServingFsck.snapshotStore(spark, path,
+      Some(("_sig_meta.json",
+        Seq("bands", "rows_per_band", "seed", "id_col", "id_type"))))
 
   /** Rewrite `batch` docs against a combined history+batch df table —
     * the streaming-prefix form of [[lineDedup]] (history segments count

@@ -343,6 +343,17 @@ object StreamOps {
       .option("path", indexDir)
       .option("checkpointLocation", checkpointDir)
 
+  /** Layout doctor for the `_batch=`-generation snapshot stores this
+    * module's ingest paths maintain (count-min / HLL / bloom / bottom-k
+    * / segment-df / BQ-admission signatures) —
+    * [[graft.index.ServingFsck.snapshotStore]]: batch-generation count
+    * (the trendable compaction-pressure reading), foreign children,
+    * crash leftovers incl. the `__compacting`/`.compact.tmp` siblings.
+    * The MinHash signature table's sidecar-aware variant is
+    * [[graft.prep.Dedup.fsckSignatureTable]]. */
+  def fsckSnapshot(spark: SparkSession, path: String): DataFrame =
+    graft.index.ServingFsck.snapshotStore(spark, path)
+
   /** Compact a streaming-append parquet index: micro-batches leave one
     * small file each, and scan cost at 100 TB is dominated by file-open
     * overhead once files outnumber rows-per-file. Rewrites the index into

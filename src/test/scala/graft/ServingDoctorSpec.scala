@@ -242,6 +242,89 @@ class ServingDoctorSpec extends SparkSpec {
     r.store.unpersist(); prep.unpersist()
   }
 
+  test("snapshot doctor: generation pressure trends, compaction folds it, sidecar survives the swap") {
+    import graft.prep.{Dedup, TextFunctions => TF}
+    val docs = sf("documents")
+      .select($"doc_id",
+        TF.shinglesOfWords(TF.words($"text"), 3).as("shingles"))
+      .cache()
+    val path = java.nio.file.Files.createTempDirectory("graft_doc_snap")
+      .toString
+    Dedup.saveSignatureTable(docs.where($"doc_id" < 30), "doc_id",
+      "shingles", path)
+    def c() = checks(Dedup.fsckSignatureTable(spark, path))
+    assert(c()(("store", "batch_generations")) === ("ok", 1L))
+    assert(c()(("sidecar", "fields")) === ("ok", 5L))
+    // streaming-shaped second batch: pressure reading climbs
+    Dedup.writeSignatures(docs.where($"doc_id" >= 30), "doc_id",
+      "shingles", path, "stream-1", bands = 24, rowsPerBand = 4, seed = 42L)
+    assert(c()(("store", "batch_generations")) === ("ok", 2L))
+    val before = Dedup.loadSignatureTable(spark, path).collect().toSet
+    // compaction folds to one generation; the sidecar rides the staging
+    // dir through the swap (r16 crash-window fix), so the store is never
+    // sidecar-less and the loaded state is bit-identical
+    Dedup.compactSignatureTable(spark, path)
+    val after = c()
+    assert(after(("store", "batch_generations")) === ("ok", 1L))
+    assert(after(("sidecar", "present")) === ("ok", 1L))
+    assert(after(("layout", "crash_leftovers")) === ("ok", 0L))
+    assert(Dedup.loadSignatureTable(spark, path).collect().toSet === before)
+    // warn/fail paths: a crashed compaction's sibling, foreign content
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__compacting"))
+    assert(c()(("layout", "crash_leftovers")) === ("warn", 1L))
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__compacting"), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/stray_dir"))
+    assert(c()(("store", "foreign_children")) === ("fail", 1L))
+    docs.unpersist()
+  }
+
+  test("snapshot doctor: an empty bootstrap store is first-class; a missing one fails") {
+    import graft.streaming.StreamOps
+    val empty = java.nio.file.Files.createTempDirectory("graft_doc_empty")
+      .toString
+    val c = checks(StreamOps.fsckSnapshot(spark, empty))
+    assert(c(("store", "batch_generations")) === ("ok", 0L))
+    assert(c(("store", "foreign_children")) === ("ok", 0L))
+    val missing = checks(StreamOps.fsckSnapshot(spark, s"$empty/nothere"))
+    assert(missing(("store", "present")) === ("fail", 0L))
+  }
+
+  test("Generations.compact: a crash after staging leaves the live store whole (sidecar included)") {
+    import graft.prep.{Dedup, TextFunctions => TF}
+    val docs = sf("documents")
+      .select($"doc_id",
+        TF.shinglesOfWords(TF.words($"text"), 3).as("shingles"))
+    val path = java.nio.file.Files.createTempDirectory("graft_doc_crash")
+      .toString
+    Dedup.saveSignatureTable(docs.where($"doc_id" < 20), "doc_id",
+      "shingles", path)
+    val before = Dedup.loadSignatureTable(spark, path).collect().toSet
+    // a compact whose staging step dies BEFORE the swap: the live store
+    // (data + sidecar) must be untouched and a re-run must succeed
+    intercept[RuntimeException] {
+      val meta = graft.core.FsIO.read(s"$path/_sig_meta.json")
+      graft.core.Generations.compact(spark, path,
+        spark.read.parquet(path).drop("_batch"),
+        partitionCols = Seq("_band"),
+        withStaging = { st =>
+          graft.core.FsIO.write(s"$st/_sig_meta.json", meta)
+          throw new RuntimeException("simulated crash before swap")
+        })
+    }
+    assert(Dedup.loadSignatureTable(spark, path).collect().toSet === before,
+      "crash before swap disturbed the live store")
+    // the leftover staging sibling is the doctor's warn, then the re-run
+    // (which deletes stale staging first) heals and serves identically
+    assert(checks(Dedup.fsckSignatureTable(spark, path))(
+      ("layout", "crash_leftovers")) === ("warn", 1L))
+    Dedup.compactSignatureTable(spark, path)
+    assert(Dedup.loadSignatureTable(spark, path).collect().toSet === before)
+    assert(checks(Dedup.fsckSignatureTable(spark, path))(
+      ("layout", "crash_leftovers")) === ("ok", 0L))
+  }
+
   // ------------------------------------------------------------- rebuild
 
   test("rebuild: IVF retrains the codebook on the grown store; the old owner is rejected") {
