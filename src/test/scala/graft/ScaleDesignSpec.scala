@@ -1436,7 +1436,16 @@ class ScaleDesignSpec extends SparkSpec {
       val prepared = strat.prepare(base).cache()
       val root = java.nio.file.Files.createTempDirectory(s"graft_codes_$tag")
       val path = root.resolve("index").toString
+      // the doctor rides the whole lifecycle (r16): every mutation must
+      // leave a layout with NO fail/warn rows — mutations sweep their
+      // own leftovers, so a residual warn here is a broken discipline
+      def doctored(who: IndexStrategy with DiskServing, at: String): Unit = {
+        val bad = who.fsckServing(spark, path)
+          .where($"status" =!= "ok").collect()
+        assert(bad.isEmpty, s"$tag $at: non-ok fsck rows ${bad.mkString(",")}")
+      }
       strat.writeServingIndex(prepared, path)
+      doctored(strat, "post-write")
       // disk == memory, all three query shapes (the reader re-derives
       // its kernel from the SIDECAR's recorded state — equality proves
       // the trained-state round trip, not just the data round trip)
@@ -1469,6 +1478,7 @@ class ScaleDesignSpec extends SparkSpec {
       assert(rows(strat.queryFromDisk(spark, path, queries, 5))
         === rows(strat.queryFiltered(survivors, queries, 5)),
         s"$tag: post-delete disk!=mem")
+      doctored(strat, "post-append+delete")
       // compact folds to _gen=0, service unchanged, append continues
       val before = rows(strat.queryFromDisk(spark, path, queries, 5))
       strat.compactServing(spark, path)
@@ -1482,6 +1492,21 @@ class ScaleDesignSpec extends SparkSpec {
       assert(new java.io.File(s"$path/vectors").listFiles()
         .map(_.getName).filter(_.startsWith("_gen=")).sorted.toSeq
         === Seq("_gen=0", "_gen=1"), s"$tag: post-compact append")
+      doctored(strat, "post-compact+append")
+      // rebuild after the full CRUD history: the retrained layout serves
+      // disk == memory for its OWN fresh state and the doctor still sees
+      // a clean layout. (No old-owner lock-out here: the codes READERS
+      // deliberately adopt the sidecar's trained state — an untrained
+      // instance can serve — so the old instance reads the NEW sidecar
+      // and stays correct; the instance-guarded families are the cell
+      // layouts, lock-out pinned in ServingDoctorSpec.)
+      val r = strat.rebuildServing(spark, path)
+      val freshOwner = r.strategy
+      assert(rows(freshOwner.queryFromDisk(spark, path, queries, 5))
+        === rows(freshOwner.asInstanceOf[IndexStrategy]
+          .query(r.prepared, queries, 5)),
+        s"$tag: post-rebuild disk!=mem")
+      doctored(freshOwner, "post-rebuild")
       prepared.unpersist(); grown.unpersist()
       VerifyIO.deleteRec(root.toFile)
     }
