@@ -366,11 +366,27 @@ class Vicinity private (
     * compactServing is their complete maintenance story). */
   def rebuildServing(path: String): Vicinity = {
     val d = diskServing
+    // Probe the layout's committed rows for the facade's 'item' column
+    // BEFORE retraining (advice r16): d.rebuildServing atomically swaps
+    // the retrained layout in, so a post-mutation check on a
+    // strategy-written layout would rebuild it anyway, discard the
+    // freshly-trained owner strategy (for the cell/codes families no
+    // live instance would then hold the new codebook), and claim
+    // nothing happened. A parquet schema probe is footer-only — cheap.
+    if (d.supportsRebuild) {
+      val rowsDir = {
+        val vp = new org.apache.hadoop.fs.Path(s"$path/vectors")
+        val fs = vp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(vp)) s"$path/vectors" else path
+      }
+      require(spark.read.parquet(rowsDir).schema.fieldNames
+          .contains("item"),
+        s"layout at $path carries no 'item' column — it was written at " +
+          "the strategy level, not by this facade; rebuild it through " +
+          "the owning strategy's rebuildServing (refused before " +
+          "mutating the layout)")
+    } // capability refusals fall through to d.rebuildServing's message
     val r = d.rebuildServing(spark, path)
-    require(r.store.columns.contains("item"),
-      s"layout at $path carries no 'item' column — it was written at " +
-        "the strategy level, not by this facade; rebuild it through " +
-        "the owning strategy's rebuildServing")
     val cached = r.store
       .select(col("id").cast("long").as("id"), col("item"), col("vector"))
       .cache()
@@ -507,9 +523,13 @@ class Vicinity private (
     * appendable-layout support (every layout family appends as of r16 —
     * graph/LSH/BQ generations since r14/r15, the cell families through
     * the shared `_gen=N`-per-touched-cell machinery; BASIC has no
-    * layout). */
+    * layout). `writerTag`, when given, names the logical writer for the
+    * append's generation claim (r17 multi-writer safety,
+    * [[graft.core.Generations.claimAppendGeneration]]) — a fleet of
+    * facade writers appending to one layout each pass their own stable
+    * identity; omitted, the per-JVM default applies. */
   def insertIntoServing(path: String, items: Seq[String],
-      vectors: Seq[Seq[Double]]): Vicinity = {
+      vectors: Seq[Seq[Double]], writerTag: Option[String] = None): Vicinity = {
     val newDf = ingestRows(items, vectors)
     // capability routing, not per-family instanceof — the DiskServing
     // trait's founding rule (its scaladoc: "a serving tier routes on
@@ -518,6 +538,7 @@ class Vicinity private (
     if (!d.supportsDiskAppend) throw new UnsupportedOperationException(
       s"Backend ${backend.name} (${strategy.name}) has no appendable " +
         "serving layout.")
+    writerTag.foreach(d.appendWriterTag = _)
     val newStore = store.unionByName(newDf).cache()
     val newPrepared = d.appendToServing(spark, path, prepared, newDf).cache()
     grown(newStore, newPrepared, items.length)

@@ -70,6 +70,183 @@ object Generations {
     fs.delete(old, true)
   }
 
+  // ------------------------------------------------------------------
+  // Append-generation claims (verdict r16 #1 — multi-writer safety).
+  //
+  // The append discipline every layout family shares — read the
+  // sidecar's committed count N, write `_gen=N`, bump the sidecar to
+  // N+1 — is exactly-once for ONE writer (replays overwrite their own
+  // generation), but two CONCURRENT writers both read N, both write
+  // `_gen=N` with dynamic partition overwrite, and silently clobber
+  // each other's partitions before both "commit" — rows lost under a
+  // sidecar that claims them. The claim protocol serializes the slot:
+  // before writing `_gen=N`, a writer must atomically create the claim
+  // file `<layout>/_claims/gen-N` carrying its writer tag.
+  //
+  //  - creation uses the filesystem's create-exclusive primitive
+  //    (atomic on HDFS and on object stores with conditional create;
+  //    on a local FS the exists-then-create window is nanoseconds and
+  //    single-machine — the contract that carries to a fleet is the
+  //    HDFS one);
+  //  - the SAME tag re-claiming its own slot succeeds — a replay of a
+  //    crashed append (crash after the data write, before the sidecar
+  //    commit) reuses its claim and overwrites its own generation, so
+  //    the at-least-once-stays-exactly-once discipline is unchanged;
+  //  - a DIFFERENT tag finding the slot claimed re-reads the sidecar:
+  //    if it advanced, the holder committed — retry at the new slot;
+  //    if not, the holder is in-flight or crashed — fail loudly with
+  //    both tags named (the caller retries later, replays under the
+  //    holder's tag, or breaks the claim after operator inspection);
+  //  - spent claims (gen < committed) stay behind as an audit trail —
+  //    one tiny file per append, reported by the doctor, swept by
+  //    compaction / fresh rewrites (which reset the generation count,
+  //    so stale claims MUST not survive them).
+  //
+  // A writer tag names ONE logical writer; concurrency WITHIN a tag is
+  // the caller's serialization responsibility (the reference is a
+  // single-process mutable store — vicinity.py:236-283 — so one tag ==
+  // one reference-equivalent owner).
+  // ------------------------------------------------------------------
+
+  /** default claim identity: stable for this JVM's lifetime (pid@host),
+    * so a same-process replay reclaims its own slot while a different
+    * process's claim is a detected conflict */
+  lazy val defaultWriterTag: String =
+    "writer-" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+
+  private def claimsDir(path: String): String =
+    path.stripSuffix("/") + "/_claims"
+
+  private def claimFile(path: String, gen: Int): Path =
+    new Path(claimsDir(path), s"gen-$gen")
+
+  /** Atomically claim generation `gen` of the layout at `path` for
+    * `tag`. Returns None on success (fresh claim or own-tag reclaim),
+    * Some(holderTag) when a different writer holds the slot. */
+  private def tryClaim(spark: SparkSession, path: String, gen: Int,
+      tag: String): Option[String] = {
+    val f = claimFile(path, gen)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(f.getParent)
+    try {
+      val out = fs.create(f, false) // create-exclusive: the atomic claim
+      try out.write(tag.getBytes("UTF-8")) finally out.close()
+      None
+    } catch {
+      case e: java.io.IOException =>
+        if (!fs.exists(f)) throw e // a real IO failure, not a lost race
+        val holder =
+          try {
+            val in = fs.open(f)
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        if (holder == tag) None else Some(holder)
+    }
+  }
+
+  /** Claim the next append slot: claim at the sidecar's committed count,
+    * and when another writer holds that slot, re-read the sidecar —
+    * advanced means the holder committed (retry at the new slot),
+    * unchanged means in-flight-or-crashed (fail loudly, both tags
+    * named). Returns the claimed generation number; the caller writes
+    * `_gen=<returned>` and commits the sidecar at `<returned>+1`.
+    * On a failure AFTER the claim and BEFORE the sidecar commit the
+    * caller should [[releaseClaim]] so other writers are not blocked —
+    * any partial `_gen=N` data is an orphan the next claimant's write
+    * clears ([[graft.index.VectorBuckets.writeGeneration]]). */
+  def claimAppendGeneration(spark: SparkSession, path: String,
+      tag: String, readGens: () => Int, maxAttempts: Int = 8): Int = {
+    var gens = readGens()
+    var attempts = 0
+    while (attempts < maxAttempts) {
+      tryClaim(spark, path, gens, tag) match {
+        case None => return gens
+        case Some(holder) =>
+          val cur = readGens()
+          if (cur == gens)
+            throw new IllegalStateException(
+              s"append generation $gens of $path is claimed by writer " +
+                s"'$holder' (this writer: '$tag') and the sidecar has " +
+                "not advanced — the holder is in-flight or crashed. " +
+                "Retry after its commit, replay the crashed append " +
+                "under its own tag, or break the claim " +
+                "(graft.core.Generations.breakClaim) after confirming " +
+                "the holder is dead; compactServing also resets claims.")
+          gens = cur // holder committed: contend for the fresh slot
+          attempts += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"could not claim an append generation of $path after " +
+        s"$maxAttempts attempts — the layout is under persistent " +
+        "concurrent append load; serialize writers or batch increments")
+  }
+
+  /** Release `tag`'s claim on `gen` — the cleanup for a FAILED append
+    * (guard refusal or write error after the claim): the slot reopens,
+    * and any partial `_gen=N` data is an orphan the next claimant
+    * clears. Only removes the claim when `tag` actually holds it. */
+  def releaseClaim(spark: SparkSession, path: String, gen: Int,
+      tag: String): Unit = {
+    val f = claimFile(path, gen)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(f)) {
+      val holder =
+        try {
+          val in = fs.open(f)
+          try new String(
+            org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+          finally in.close()
+        } catch { case _: java.io.IOException => return }
+      if (holder == tag) fs.delete(f, false)
+    }
+  }
+
+  /** Operator override: remove a claim regardless of holder — for a
+    * confirmed-dead writer whose crashed claim blocks the slot. The
+    * orphaned `_gen=N` data (if any) stays invisible (`_gen <`
+    * committed) and is cleared by the next claimant's write. */
+  def breakClaim(spark: SparkSession, path: String, gen: Int): Unit = {
+    val f = claimFile(path, gen)
+    val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(f)) fs.delete(f, false)
+  }
+
+  /** every (generation, holderTag) claim at `path` — the doctor's view */
+  def listClaims(spark: SparkSession, path: String): Seq[(Int, String)] = {
+    val d = new Path(claimsDir(path))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return Seq.empty
+    fs.listStatus(d).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith("gen-") &&
+        p.getName.stripPrefix("gen-").nonEmpty &&
+        p.getName.stripPrefix("gen-").forall(_.isDigit))
+      .map { p =>
+        val tag =
+          try {
+            val in = fs.open(p)
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            finally in.close()
+          } catch { case _: java.io.IOException => "<unreadable>" }
+        (p.getName.stripPrefix("gen-").toInt, tag)
+      }.sortBy(_._1)
+  }
+
+  /** Drop the whole claims ledger — called by every compaction / fresh
+    * rewrite that RESETS the layout's generation count (a stale spent
+    * claim at `gen-1` would otherwise block the first post-compact
+    * append forever). The cell families' whole-root swaps drop the
+    * ledger implicitly; the sub-layout-swapping families call this. */
+  def clearClaims(spark: SparkSession, path: String): Unit = {
+    val d = new Path(claimsDir(path))
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+
   /** True iff `path` holds at least one `_batch=` generation. Exists so
     * ingest paths can distinguish the legitimate first-batch case (no
     * store written yet → empty history) from everything else WITHOUT a

@@ -213,6 +213,9 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       st => BqStrategy.writeMihMeta(st, servingChunkBits,
         (dim + servingChunkBits - 1) / servingChunkBits))
     writeBqMeta(path, dim, generations = 1)
+    // a REWRITE of an existing layout resets the generation count while
+    // swapping only the sub-layouts — stale claims must go with it
+    graft.core.Generations.clearClaims(prepared.sparkSession, path)
   }
 
   private def writeBqMeta(path: String, dim: Int, generations: Int): Unit = {
@@ -472,6 +475,9 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     fold("mih", "_pk", "chunk_val", st => BqStrategy.writeMihMeta(st,
       mihMeta.get("chunk_bits").asInt(), mihMeta.get("num_chunks").asInt()))
     writeBqMeta(path, meta.get("dim").asInt(), generations = 1)
+    // the count reset: spent claims must not outlive it, or the first
+    // post-compact append's slot would read as foreign-claimed forever
+    graft.core.Generations.clearClaims(spark, path)
   }
 
   /** Append an increment to the serving layout as a committed generation
@@ -494,7 +500,6 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     require(meta.get("generations") != null,
       s"layout at $path predates the generation layout — rewrite it with " +
         "writeServingIndex before appending")
-    val gens = meta.get("generations").asInt()
     val fan = meta.get("vec_buckets").asInt()
     require(meta.get("dim") != null,
       s"layout at $path has no recorded dim — unrecognized sidecar")
@@ -522,22 +527,37 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       require(selfDup.isEmpty,
         s"append batch contains duplicate ids (e.g. id " +
           s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
-        .map(java.lang.Long.valueOf).toSeq
-      val clash = servingVectors(spark, path, meta)
-        .where(col("_nb").isin(nbs: _*))
-        .select("id")
-        .join(keyed.select("id"), Seq("id"), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"append contains ids already present in the layout at $path " +
-          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      VectorBuckets.writeGeneration(keyed, "_nb", "id",
-        s"$path/vectors", gen = gens)
-      VectorBuckets.writeGeneration(
-        BqStrategy.mihRows(inc, chunkBits, dim), "_pk", "chunk_val",
-        s"$path/mih", gen = gens)
-      writeBqMeta(path, dim, generations = gens + 1) // the commit point
+      // claim the append slot, then re-read the sidecar so the clash
+      // guard sees everything committed up to the claimed slot
+      // (verdict r16 #1)
+      val claimed = graft.core.Generations.claimAppendGeneration(spark,
+        path, appendWriterTag,
+        () => validateServing(path).get("generations").asInt())
+      try {
+        val freshMeta = validateServing(path)
+        val nbs = keyed.select("_nb").distinct().collect()
+          .map(_.getLong(0)).map(java.lang.Long.valueOf).toSeq
+        val clash = servingVectors(spark, path, freshMeta)
+          .where(col("_nb").isin(nbs: _*))
+          .select("id")
+          .join(keyed.select("id"), Seq("id"), "left_semi")
+          .limit(1).collect()
+        require(clash.isEmpty,
+          s"append contains ids already present in the layout at $path " +
+            s"(e.g. id " +
+            s"${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+        VectorBuckets.writeGeneration(keyed, "_nb", "id",
+          s"$path/vectors", gen = claimed)
+        VectorBuckets.writeGeneration(
+          BqStrategy.mihRows(inc, chunkBits, dim), "_pk", "chunk_val",
+          s"$path/mih", gen = claimed)
+        writeBqMeta(path, dim, generations = claimed + 1) // commit point
+      } catch {
+        case e: Throwable =>
+          graft.core.Generations.releaseClaim(spark, path, claimed,
+            appendWriterTag)
+          throw e
+      }
       prevPrepared.unionByName(inc)
     } finally inc.unpersist()
   }
@@ -574,6 +594,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
           rowCount(mih, "mih"),
           consistent("mih_rows_per_vector", mih.count(),
             nVec * mihMeta.get("num_chunks").asInt())) ++
+        claims(spark, path, gens) ++
         crashLeftovers(spark, path))
     } finally vecs.unpersist()
   }

@@ -30,6 +30,19 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 trait DiskServing { self: IndexStrategy =>
 
+  /** Identity under which this instance claims append generations
+    * ([[graft.core.Generations.claimAppendGeneration]] — verdict r16
+    * #1: two concurrent appenders must not dynamic-overwrite each
+    * other's `_gen=N`). Defaults to a per-JVM tag (pid@host), so a
+    * same-process replay of a crashed append reclaims its own slot
+    * while another process's append on the same slot is a detected
+    * conflict. A deployment with deterministic replay (a streaming job
+    * re-running a micro-batch in a NEW process) sets this to its own
+    * stable identity — e.g. `stream-<queryId>` — before appending. One
+    * tag names ONE logical writer; calls under the same tag must be
+    * serialized by the caller. */
+  var appendWriterTag: String = graft.core.Generations.defaultWriterTag
+
   /** Write the family's serving layout — the cell families' partitioned
     * [[IndexStrategy.writeIndex]] by default; the graph family overrides
     * to its bucketed graph layout. The one write a serving tier performs
@@ -351,32 +364,44 @@ private[graft] object CodesLayout {
     } finally keyed.unpersist()
   }
 
-  /** append an increment (already `_nb`-keyed) as `_gen=gens`: batch
-    * self-duplicate and cross-layout id-freshness guards through the
-    * bucket-pruned read, dynamic partition overwrite so a replay
-    * overwrites its own generation, then the caller-provided sidecar
-    * commit (`commitMeta` writes the sidecar with generations+1 — the
-    * commit point). */
-  def appendGeneration(spark: SparkSession, path: String, gens: Int,
-      keyed: DataFrame, commitMeta: () => Unit): Unit = {
+  /** append an increment (already `_nb`-keyed) as a CLAIMED `_gen=N`
+    * (verdict r16 #1 — `readGens` re-reads the family sidecar so a
+    * contended slot retries at the committed count; `tag` names the
+    * logical writer): batch self-duplicate and cross-layout
+    * id-freshness guards through the bucket-pruned read, dynamic
+    * partition overwrite so a same-tag replay overwrites its own
+    * generation, then the caller-provided sidecar commit (`commitMeta`
+    * receives the CLAIMED generation count + 1 — the commit point). A
+    * failure after the claim and before the commit releases the slot. */
+  def appendGeneration(spark: SparkSession, path: String, tag: String,
+      readGens: () => Int, keyed: DataFrame,
+      commitMeta: Int => Unit): Unit = {
     val selfDup = keyed.groupBy("id").agg(count(lit(1)).as("_c"))
       .where(col("_c") > 1).limit(1).collect()
     require(selfDup.isEmpty,
       s"append batch contains duplicate ids (e.g. id " +
         s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-    val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
-      .map(java.lang.Long.valueOf).toSeq
-    val clash = committed(spark, path, gens)
-      .where(col("_nb").isin(nbs: _*))
-      .select("id")
-      .join(keyed.select("id"), Seq("id"), "left_semi")
-      .limit(1).collect()
-    require(clash.isEmpty,
-      s"append contains ids already present in the layout at $path " +
-        s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-    VectorBuckets.writeGeneration(keyed, "_nb", "id",
-      s"$path/vectors", gen = gens)
-    commitMeta()
+    val gens = graft.core.Generations.claimAppendGeneration(spark, path,
+      tag, readGens)
+    try {
+      val nbs = keyed.select("_nb").distinct().collect().map(_.getLong(0))
+        .map(java.lang.Long.valueOf).toSeq
+      val clash = committed(spark, path, gens)
+        .where(col("_nb").isin(nbs: _*))
+        .select("id")
+        .join(keyed.select("id"), Seq("id"), "left_semi")
+        .limit(1).collect()
+      require(clash.isEmpty,
+        s"append contains ids already present in the layout at $path " +
+          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+      VectorBuckets.writeGeneration(keyed, "_nb", "id",
+        s"$path/vectors", gen = gens)
+      commitMeta(gens + 1)
+    } catch {
+      case e: Throwable =>
+        graft.core.Generations.releaseClaim(spark, path, gens, tag)
+        throw e
+    }
   }
 
   /** fold committed generations back to `_gen=0` (staged + swapped),
@@ -390,6 +415,9 @@ private[graft] object CodesLayout {
       committed(spark, path, gens).drop("_gen"),
       "_nb", "id", s"$path/vectors")
     commitMeta()
+    // the count reset: spent claims must not outlive it, or the first
+    // post-compact append's slot would read as foreign-claimed forever
+    graft.core.Generations.clearClaims(spark, path)
   }
 }
 

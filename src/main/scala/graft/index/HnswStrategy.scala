@@ -443,6 +443,9 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // count whose directories are gone (a loud failure, the opposite of
     // the invisible-orphan claim). After the commit this is hygiene.
     writeGraphMeta(path, buckets, generations = 1)
+    // a REWRITE of an existing layout resets the generation count while
+    // swapping only the sub-layouts — stale claims must go with it
+    graft.core.Generations.clearClaims(prepared.sparkSession, path)
     val fsRoot = new org.apache.hadoop.fs.Path(path)
     val fs = fsRoot.getFileSystem(
       prepared.sparkSession.sparkContext.hadoopConfiguration)
@@ -849,16 +852,31 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         s"this instance prepared ${layers.length} — the prepared store " +
         "does not match the layout")
     val buckets = meta.get("buckets").asInt()
-    val gens = meta.get("generations").asInt()
     val tNode = meta.get("tombstone_generations")
     val tGens = if (tNode == null) 0 else tNode.asInt()
-    val (newPrepared, deltaVecs, deltaAdj) =
-      prepareIncrementDelta(prevPrepared, newRows)
-    writeGeneration(deltaVecs, "id", s"$path/vectors", buckets, gens)
-    writeGeneration(deltaAdj, "src", s"$path/layer_0", buckets, gens)
-    writeGraphMeta(path, buckets, generations = gens + 1,
-      tombstoneGenerations = tGens)
-    newPrepared
+    val spark = prevPrepared.sparkSession
+    // claim the append slot BEFORE the in-memory graph mutation
+    // (verdict r16 #1): a conflicting concurrent writer must be
+    // detected while this instance's layers are still untouched
+    val gens = graft.core.Generations.claimAppendGeneration(spark,
+      path, appendWriterTag,
+      () => new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
+        .get("generations").asInt())
+    try {
+      val (newPrepared, deltaVecs, deltaAdj) =
+        prepareIncrementDelta(prevPrepared, newRows)
+      writeGeneration(deltaVecs, "id", s"$path/vectors", buckets, gens)
+      writeGeneration(deltaAdj, "src", s"$path/layer_0", buckets, gens)
+      writeGraphMeta(path, buckets, generations = gens + 1,
+        tombstoneGenerations = tGens)
+      newPrepared
+    } catch {
+      case e: Throwable =>
+        graft.core.Generations.releaseClaim(spark, path, gens,
+          appendWriterTag)
+        throw e
+    }
   }
 
   /** Fold a generation-layered graph layout back to a single `_gen=0`
@@ -956,6 +974,9 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     }
+    // the count reset: spent claims must not outlive it, or the first
+    // post-compact append's slot would read as foreign-claimed forever
+    graft.core.Generations.clearClaims(spark, path)
   }
 
   /** persist every layer's adjacency + meta so load never retrains

@@ -295,12 +295,11 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * by construction). I/O stays proportional to the batch. */
   private[index] def appendPreparedCells(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      family: String, inc: DataFrame): Unit = {
-    val meta = validateCellMeta(path, family)
+      family: String, inc: DataFrame, tag: String): Unit = {
+    validateCellMeta(path, family)
     require(spark.read.parquet(path).columns.contains("_gen"),
       s"layout at $path predates the generation layout — rewrite it " +
         "with writeServingIndex before appending")
-    val gens = meta.get("generations").asInt()
     val keyed = inc.withColumn("id", col("id").cast("long")).cache()
     try {
       val first = keyed.select(size(col("vector"))).limit(1).collect()
@@ -313,28 +312,47 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       require(selfDup.isEmpty,
         s"append batch contains duplicate ids (e.g. id " +
           s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      val cells = keyed.select("_centroid").distinct().collect()
-        .map(_.getInt(0)).toSeq.map(Integer.valueOf)
-      val clash = spark.read.parquet(path)
-        .where(col("_gen") < gens && col("_centroid").isin(cells: _*))
-        .select(col("id").cast("long").as("id"))
-        .join(keyed.select("id"), Seq("id"), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"append contains ids already present in the layout at $path " +
-          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      // clear a crashed DIFFERENT-batch append's orphan at _gen=gens
-      // first (r16 second review pass — the VectorBuckets.writeGeneration
-      // argument): dynamic partition overwrite alone keeps the orphan's
-      // untouched cells, and the sidecar bump below would resurrect them
-      VectorBuckets.clearOrphanGeneration(spark, path, gens)
-      keyed.withColumn("_gen", lit(gens))
-        .repartition(col("_centroid"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("_gen", "_centroid").parquet(path)
-      graft.core.FsIO.write(servingMetaPath(path),
-        cellMetaJson(family, gens + 1)) // the commit point
+      // claim the append slot BEFORE reading the committed state the
+      // guards depend on (verdict r16 #1): two concurrent appenders
+      // would otherwise both write `_gen=N` and dynamic-overwrite each
+      // other. The claimed slot may be LATER than the first sidecar
+      // read if a contender committed meanwhile — every use of `gens`
+      // below is the claimed value.
+      val gens = graft.core.Generations.claimAppendGeneration(spark,
+        path, tag,
+        () => validateCellMeta(path, family).get("generations").asInt())
+      try {
+        val cells = keyed.select("_centroid").distinct().collect()
+          .map(_.getInt(0)).toSeq.map(Integer.valueOf)
+        val clash = spark.read.parquet(path)
+          .where(col("_gen") < gens && col("_centroid").isin(cells: _*))
+          .select(col("id").cast("long").as("id"))
+          .join(keyed.select("id"), Seq("id"), "left_semi")
+          .limit(1).collect()
+        require(clash.isEmpty,
+          s"append contains ids already present in the layout at $path " +
+            s"(e.g. id " +
+            s"${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+        // clear a crashed DIFFERENT-batch append's orphan at _gen=gens
+        // first (r16 second review pass — the
+        // VectorBuckets.writeGeneration argument): dynamic partition
+        // overwrite alone keeps the orphan's untouched cells, and the
+        // sidecar bump below would resurrect them
+        VectorBuckets.clearOrphanGeneration(spark, path, gens)
+        keyed.withColumn("_gen", lit(gens))
+          .repartition(col("_centroid"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_gen", "_centroid").parquet(path)
+        graft.core.FsIO.write(servingMetaPath(path),
+          cellMetaJson(family, gens + 1)) // the commit point
+      } catch {
+        case e: Throwable =>
+          // reopen the slot on a pre-commit failure: partial `_gen=N`
+          // data is an orphan the next claimant's write clears
+          graft.core.Generations.releaseClaim(spark, path, gens, tag)
+          throw e
+      }
     } finally keyed.unpersist()
   }
 
@@ -409,7 +427,20 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     }
     if (!fs0.exists(p0)) // nothing at the path at all: one loud fail row
       return toDf(spark, Seq(Check("layout", "present", Fail, 0L)))
-    val raw = spark.read.parquet(path)
+    // Guarded raw read (advice r16): flat-layout detection needs schema
+    // inference over the directory, but an interrupted FIRST write —
+    // directory present holding only `_temporary`/partial files, no
+    // parquet footers — makes that read throw AnalysisException, which
+    // would break the doctor's never-throw contract exactly where a
+    // doctor is most needed. Degrade to a fail row plus the leftover
+    // accounting (which surfaces the `_temporary` evidence itself).
+    val raw =
+      try spark.read.parquet(path)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          return toDf(spark, Seq(Check("layout", "readable", Fail, 0L)) ++
+            crashLeftovers(spark, path))
+      }
     if (!raw.columns.contains("_gen"))
       // flat pre-generation layout ([[writeIndex]]): no sidecar, no
       // generations — the data-level invariants still hold
@@ -436,6 +467,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
         duplicateIds(committed, "cells"),
         Check("cells", "cells_within_nlist",
           if (outOfRange == 0) Ok else Fail, cellsSeen.count())) ++
+      claims(spark, path, gens) ++
       crashLeftovers(spark, path))
   }
 
@@ -456,7 +488,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       newRows: DataFrame): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before append")
     val inc = prepare(newRows)
-    appendPreparedCells(spark, path, name, inc)
+    appendPreparedCells(spark, path, name, inc, appendWriterTag)
     prevPrepared.unionByName(inc)
   }
 

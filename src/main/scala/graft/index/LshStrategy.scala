@@ -261,6 +261,9 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
         .withColumn("_nb", VectorBuckets.nb(vecBuckets)),
       "_nb", "id", s"$path/vectors")
     writeLshMeta(path, dim, generations = 1)
+    // a REWRITE of an existing layout resets the generation count while
+    // swapping only the sub-layouts — stale claims must go with it
+    graft.core.Generations.clearClaims(prepared.sparkSession, path)
   }
 
   private def writeLshMeta(path: String, dim: Int, generations: Int): Unit = {
@@ -301,7 +304,6 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     require(meta.get("generations") != null,
       s"layout at $path predates the generation layout — rewrite it with " +
         "writeServingIndex before appending")
-    val gens = meta.get("generations").asInt()
     val dim = meta.get("dim").asInt()
     // partition fans come FROM THE SIDECAR, like every read path
     // (review r14): appending under the instance constants onto a layout
@@ -335,25 +337,39 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       require(selfDup.isEmpty,
         s"append batch contains duplicate ids (e.g. id " +
           s"${selfDup.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      // …vs the layout: partition-pruned existence check — the read
-      // touches only the append batch's buckets, never the store
-      val nbs = newKeys.select("_nb").distinct().collect().map(_.getLong(0))
-        .map(java.lang.Long.valueOf).toSeq
-      val clash = spark.read.parquet(s"$path/vectors")
-        .where(col("_gen") < gens && col("_nb").isin(nbs: _*))
-        .select("id")
-        .join(newKeys.select("id"), Seq("id"), "left_semi")
-        .limit(1).collect()
-      require(clash.isEmpty,
-        s"append contains ids already present in the layout at $path " +
-          s"(e.g. id ${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
-      VectorBuckets.writeGeneration(
-        postings(newKeys).withColumn("_pk",
-          col("table") * sb + pmod(col("bucket"), lit(sb))),
-        "_pk", "bucket", s"$path/postings", gen = gens)
-      VectorBuckets.writeGeneration(newKeys.drop("_buckets"),
-        "_nb", "id", s"$path/vectors", gen = gens)
-      writeLshMeta(path, dim, generations = gens + 1) // the commit point
+      // claim the append slot before reading the committed state the
+      // clash guard depends on (verdict r16 #1 — two concurrent
+      // appenders must not dynamic-overwrite the same `_gen=N`)
+      val gens = graft.core.Generations.claimAppendGeneration(spark,
+        path, appendWriterTag,
+        () => readMeta(path).get("generations").asInt())
+      try {
+        // …vs the layout: partition-pruned existence check — the read
+        // touches only the append batch's buckets, never the store
+        val nbs = newKeys.select("_nb").distinct().collect()
+          .map(_.getLong(0)).map(java.lang.Long.valueOf).toSeq
+        val clash = spark.read.parquet(s"$path/vectors")
+          .where(col("_gen") < gens && col("_nb").isin(nbs: _*))
+          .select("id")
+          .join(newKeys.select("id"), Seq("id"), "left_semi")
+          .limit(1).collect()
+        require(clash.isEmpty,
+          s"append contains ids already present in the layout at $path " +
+            s"(e.g. id " +
+            s"${clash.headOption.map(_.getLong(0)).getOrElse(-1L)})")
+        VectorBuckets.writeGeneration(
+          postings(newKeys).withColumn("_pk",
+            col("table") * sb + pmod(col("bucket"), lit(sb))),
+          "_pk", "bucket", s"$path/postings", gen = gens)
+        VectorBuckets.writeGeneration(newKeys.drop("_buckets"),
+          "_nb", "id", s"$path/vectors", gen = gens)
+        writeLshMeta(path, dim, generations = gens + 1) // the commit point
+      } catch {
+        case e: Throwable =>
+          graft.core.Generations.releaseClaim(spark, path, gens,
+            appendWriterTag)
+          throw e
+      }
       newKeys.drop("_nb")
     } finally newKeys.unpersist()
   }
@@ -547,6 +563,9 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     fold("postings", "_pk", "bucket")
     fold("vectors", "_nb", "id")
     writeLshMeta(path, dim, generations = 1)
+    // the count reset: spent claims must not outlive it, or the first
+    // post-compact append's slot would read as foreign-claimed forever
+    graft.core.Generations.clearClaims(spark, path)
   }
 
   /** Partition-scoped DELETE on the serving layout (verdict r14 #2 — the
@@ -657,6 +676,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
           rowCount(posts, "postings"),
           consistent("postings_rows_per_table", posts.count(),
             nVec * meta.get("n_tables").asInt())) ++
+        claims(spark, path, gens) ++
         crashLeftovers(spark, path))
     } finally vecs.unpersist()
   }

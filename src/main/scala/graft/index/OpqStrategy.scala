@@ -228,6 +228,9 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
         meta.get("rotation").asText() == rotationJson(rot),
       s"layout at $path was rotated with a different matrix than this " +
         "instance holds — load the owning index before appending")
+    // the claim is made under THIS instance's writer identity, not the
+    // delegate's per-JVM default (verdict r16 #1)
+    inner.appendWriterTag = appendWriterTag
     inner.appendToServingAs(spark, path, name, prevPrepared, newRows,
       rows => inner.prepare(rotate(rows, "vector")),
       Some(rotationJson(rot)))

@@ -417,7 +417,6 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
         == meta.get("codebooks").asText(),
       s"layout at $path was built with different codebooks than this " +
         "instance holds — load the owning index before appending")
-    val gens = meta.get("generations").asInt()
     val fan = meta.get("vec_buckets").asInt()
     val dim = meta.get("dim").asInt()
     val first = newRows.select(size(col("vector"))).limit(1).collect()
@@ -430,10 +429,12 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     val inc = mkInc(newRows.withColumn("id", col("id").cast("long")))
       .cache()
     try {
-      CodesLayout.appendGeneration(spark, path, gens,
+      CodesLayout.appendGeneration(spark, path, appendWriterTag,
+        () => validatePqServing(path, family).get("generations").asInt(),
         inc.withColumn("_nb", VectorBuckets.nb(fan)),
-        () => graft.core.FsIO.write(pqMetaPath(path), pqMetaJson(family,
-          dim, gens + 1, meta.get("codebooks").asText(), rotationJson)))
+        newGens => graft.core.FsIO.write(pqMetaPath(path),
+          pqMetaJson(family, dim, newGens,
+            meta.get("codebooks").asText(), rotationJson)))
       prevPrepared.unionByName(inc)
     } finally inc.unpersist()
   }

@@ -99,16 +99,21 @@ private[graft] object ServingFsck {
   /** crash-window leftovers anywhere under the layout root: staging
     * dirs a swap never promoted (`__staging`), retired dirs a swap
     * never deleted (`__old`), and the partition rewrites' dot-hidden
-    * temp/retired dirs (`.old_*`, `.*.tmp`). All are invisible to
-    * readers by construction (hidden from partition discovery, or never
-    * pointed at by a sidecar) and swept by the next mutation of the
-    * same sub-layout — so their presence is `warn`: evidence of a
-    * crash, not of damage. Counted without descending inside them. */
+    * temp/retired dirs (`.old_*`, `.*.tmp`), and Spark's own `_temporary`
+    * output directories — the most common artifact of an in-place first
+    * write or dynamic-partition-overwrite append that died mid-job
+    * (advice r16: a crashed append that never materialized its `_gen=N`
+    * partition leaves `_temporary` as the ONLY evidence). All are
+    * invisible to readers by construction (hidden from partition
+    * discovery, or never pointed at by a sidecar) and swept by the next
+    * mutation of the same sub-layout — so their presence is `warn`:
+    * evidence of a crash, not of damage. Counted without descending
+    * inside them. */
   def crashLeftovers(spark: SparkSession, root: String): Seq[Check] = {
     val (fs, p) = hfs(spark, root)
     def isLeftover(name: String): Boolean =
       name.endsWith("__staging") || name.endsWith("__old") ||
-        name.startsWith(".old_") ||
+        name.startsWith(".old_") || name == "_temporary" ||
         (name.startsWith(".") && name.endsWith(".tmp"))
     def walk(dir: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(dir).map { st =>
@@ -126,6 +131,26 @@ private[graft] object ServingFsck {
         root.stripSuffix("/") + suf)))
     val n = (if (fs.exists(p)) walk(p) else 0L) + siblings
     Seq(Check("layout", "crash_leftovers", if (n == 0) Ok else Warn, n))
+  }
+
+  /** Append-claim ledger accounting (verdict r16 #1 — the multi-writer
+    * protocol [[graft.core.Generations.claimAppendGeneration]]): claims
+    * BELOW the sidecar's committed count are SPENT — the audit trail of
+    * past appends, swept by compaction (`ok`, count trendable). A claim
+    * AT or ABOVE the committed count is UNRESOLVED: an appender in
+    * flight right now, or a crashed one still holding the slot — every
+    * other writer's append fails loudly until the holder commits, the
+    * crashed append is replayed under its own tag, or an operator
+    * breaks the claim. `warn`, not `fail`: readers are unaffected
+    * either way (the slot's data, if any, is an invisible orphan). */
+  def claims(spark: SparkSession, root: String,
+      committed: Int): Seq[Check] = {
+    val cs = graft.core.Generations.listClaims(spark, root)
+    val unresolved = cs.count(_._1 >= committed)
+    Seq(
+      Check("claims", "spent", Ok, cs.count(_._1 < committed).toLong),
+      Check("claims", "unresolved",
+        if (unresolved == 0) Ok else Warn, unresolved.toLong))
   }
 
   /** no id appears twice in the frame — the append guards' invariant
@@ -217,6 +242,7 @@ private[graft] object ServingFsck {
           duplicateIds(vecs, "vectors"),
           Check("entries", "resolvable",
             if (liveEntries > 0) Ok else Fail, liveEntries)) ++
+        claims(spark, path, gens) ++
         crashLeftovers(spark, path))
     } finally {
       vecs.unpersist()
@@ -281,6 +307,7 @@ private[graft] object ServingFsck {
       generations(spark, s"$path/vectors", gens, "vectors") ++
       Seq(rowCount(committed, "vectors"),
         duplicateIds(committed, "vectors")) ++
+      claims(spark, path, gens) ++
       crashLeftovers(spark, path))
   }
 }

@@ -340,7 +340,6 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
         java.util.Arrays.equals(h, hi),
       s"layout at $path was quantized with different ranges than this " +
         "instance holds — load the owning index before appending")
-    val gens = meta.get("generations").asInt()
     val first = newRows.select(size(col("vector"))).limit(1).collect()
     if (first.isEmpty) // idle micro-batch: a safe no-op
       return prevPrepared.unionByName(
@@ -351,11 +350,12 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     val inc = prepare(newRows.withColumn("id", col("id").cast("long")))
       .cache()
     try {
-      CodesLayout.appendGeneration(spark, path, gens,
+      CodesLayout.appendGeneration(spark, path, appendWriterTag,
+        () => validateSqServing(path).get("generations").asInt(),
         inc.withColumn("_nb", VectorBuckets.nb(
           meta.get("vec_buckets").asInt())),
-        () => graft.core.FsIO.write(sqMetaPath(path),
-          sqMetaJson(gens + 1, l, h)))
+        newGens => graft.core.FsIO.write(sqMetaPath(path),
+          sqMetaJson(newGens, l, h)))
       prevPrepared.unionByName(inc)
     } finally inc.unpersist()
   }

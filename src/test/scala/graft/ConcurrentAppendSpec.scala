@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.core.{Generations, Metric}
+import graft.index.{IvfStrategy, LshStrategy}
+
+/** The multi-writer append protocol (r17, verdict r16 #1 —
+  * [[Generations.claimAppendGeneration]]): every layout family's append
+  * reads the sidecar's committed count N, writes `_gen=N`, and bumps the
+  * sidecar — exactly-once for ONE writer, but two CONCURRENT writers
+  * would both claim slot N and dynamic-overwrite each other's
+  * partitions before both "commit". The claim protocol serializes the
+  * slot with a create-exclusive claim file per generation:
+  *
+  *  - distinct writers landing sequentially contend-and-advance — the
+  *    second writer's claim of the spent slot is refused, it re-reads
+  *    the advanced sidecar, and claims the next slot (both generations
+  *    commit distinctly; the `q_ivf_concurrent_append` oracle pins the
+  *    served completeness of exactly this sequence);
+  *  - an IN-FLIGHT (or crashed) foreign claim whose sidecar has not
+  *    advanced fails loudly with both tags named — in either
+  *    interleaving order;
+  *  - a same-tag replay of a crashed append reclaims its own slot (the
+  *    at-least-once-stays-exactly-once discipline is unchanged);
+  *  - a failure after the claim and before the sidecar commit releases
+  *    the slot, so a refused batch never wedges the layout;
+  *  - compaction resets the generation count AND the claim ledger;
+  *  - the doctor reports the ledger: spent claims ok, unresolved warn.
+  */
+class ConcurrentAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val store: DataFrame = sf("embeddings")
+    .select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("vector"))
+    .cache()
+  private lazy val queries: DataFrame = store.where($"id" < 5)
+    .select($"id".as("query_id"), $"vector".as("qvector"))
+
+  private def tmp(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_conc_$tag").resolve("index").toString
+
+  private def lsh() = LshStrategy(Metric.Cosine, nTables = 8, nBits = 5)
+
+  test("two distinct-tag writers commit distinct generations; reads " +
+      "see both; the ledger records both claims as spent") {
+    val strat = lsh()
+    val prepared = strat.prepare(store).cache()
+    val path = tmp("seq")
+    strat.writeServingIndex(prepared.where($"id" < 300), path)
+    strat.appendWriterTag = "writer-A"
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 300 && $"id" < 400))
+    strat.appendWriterTag = "writer-B"
+    strat.appendServingIndex(spark, path, store.where($"id" >= 400))
+    assert(Generations.listClaims(spark, path)
+      === Seq((1, "writer-A"), (2, "writer-B")))
+    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(graft.core.FsIO.read(s"$path/_lsh_meta.json"))
+    assert(meta.get("generations").asInt() === 3)
+    // both writers' rows serve: grown layout == fresh full-store build
+    val mem = strat.query(prepared, queries, 10).collect().toSet
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === mem, "a concurrent-writer generation was lost or clobbered")
+    // doctor: two spent claims, zero unresolved — all ok
+    val fsck = strat.fsckServing(spark, path).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getString(2), r.getLong(3)))).toMap
+    assert(fsck(("claims", "spent")) === (("ok", 2L)))
+    assert(fsck(("claims", "unresolved")) === (("ok", 0L)))
+    prepared.unpersist()
+  }
+
+  test("contend-and-advance: a writer that read a stale sidecar retries " +
+      "at the committed slot instead of failing") {
+    val path = tmp("advance")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 100)).cache()
+    strat.writeServingIndex(prepared, path)
+    strat.appendWriterTag = "writer-A"
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 100 && $"id" < 150))
+    // writer B's first sidecar read predates A's commit: readGens serves
+    // the stale value once, then the real sidecar — the claim must land
+    // on slot 2, not fail on A's spent claim of slot 1
+    var calls = 0
+    val got = Generations.claimAppendGeneration(spark, path, "writer-B",
+      () => { calls += 1; if (calls == 1) 1 else 2 })
+    assert(got === 2)
+    Generations.releaseClaim(spark, path, 2, "writer-B")
+    prepared.unpersist()
+  }
+
+  test("in-flight foreign claim fails loudly with both tags, in both " +
+      "interleaving orders; breakClaim reopens the slot") {
+    Seq(("writer-X", "writer-Y"), ("writer-Y", "writer-X")).foreach {
+      case (holder, contender) =>
+        val path = tmp("conflict")
+        val strat = lsh()
+        val prepared = strat.prepare(store.where($"id" < 200)).cache()
+        strat.writeServingIndex(prepared, path)
+        // the holder claims the next slot and is still in flight
+        assert(Generations.claimAppendGeneration(spark, path, holder,
+          () => 1) === 1)
+        strat.appendWriterTag = contender
+        val e = intercept[IllegalStateException] {
+          strat.appendServingIndex(spark, path,
+            store.where($"id" >= 200 && $"id" < 250))
+        }
+        assert(e.getMessage.contains(holder) &&
+          e.getMessage.contains(contender),
+          "the conflict must name both writers")
+        // the doctor sees the unresolved claim as a warn
+        val fsck = strat.fsckServing(spark, path).collect()
+          .map(r => ((r.getString(0), r.getString(1)),
+            (r.getString(2), r.getLong(3)))).toMap
+        assert(fsck(("claims", "unresolved")) === (("warn", 1L)))
+        // operator override: break the dead holder's claim → the
+        // contender's append goes through at the reopened slot
+        Generations.breakClaim(spark, path, 1)
+        strat.appendServingIndex(spark, path,
+          store.where($"id" >= 200 && $"id" < 250))
+        assert(Generations.listClaims(spark, path)
+          === Seq((1, contender)))
+        prepared.unpersist()
+    }
+  }
+
+  test("same-tag replay of a crashed append reclaims its own slot; a " +
+      "foreign tag is refused until the replay or a break") {
+    val path = tmp("replay")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 300)).cache()
+    strat.writeServingIndex(prepared, path)
+    strat.appendWriterTag = "writer-A"
+    val delta = store.where($"id" >= 300 && $"id" < 400)
+    strat.appendServingIndex(spark, path, delta)
+    // simulate the crash window: data + claim written, sidecar commit
+    // lost — rewind generations to 1 (the ScaleDesignSpec idiom)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(graft.core.FsIO.read(s"$path/_lsh_meta.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    meta.put("generations", 1)
+    graft.core.FsIO.write(s"$path/_lsh_meta.json",
+      mapper.writeValueAsString(meta))
+    // a DIFFERENT writer cannot take the half-committed slot…
+    val other = lsh()
+    other.appendWriterTag = "writer-B"
+    intercept[IllegalStateException] {
+      other.appendServingIndex(spark, path,
+        store.where($"id" >= 400 && $"id" < 450))
+    }
+    // …but the owner's replay reclaims it and converges exactly-once
+    strat.appendServingIndex(spark, path, delta)
+    val mem = strat.query(strat.prepare(store.where($"id" < 400)),
+      queries, 10).collect().toSet
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === mem, "replayed append did not converge to the full answer")
+    prepared.unpersist()
+  }
+
+  test("a guard-refused append releases its claim — the slot is not " +
+      "wedged for other writers") {
+    val path = tmp("release")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 300)).cache()
+    strat.writeServingIndex(prepared, path)
+    strat.appendWriterTag = "writer-A"
+    // ids already present → the freshness guard refuses AFTER the claim
+    intercept[IllegalArgumentException] {
+      strat.appendServingIndex(spark, path, store.where($"id" < 50))
+    }
+    assert(Generations.listClaims(spark, path).isEmpty,
+      "a refused append must not leave its claim behind")
+    // a different writer appends fresh rows at the same slot
+    strat.appendWriterTag = "writer-B"
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 300 && $"id" < 350))
+    assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
+    prepared.unpersist()
+  }
+
+  test("compaction folds generations AND resets the claim ledger; the " +
+      "first post-compact append claims slot 1 cleanly") {
+    val path = tmp("compact")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 300)).cache()
+    strat.writeServingIndex(prepared, path)
+    strat.appendWriterTag = "writer-A"
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 300 && $"id" < 400))
+    assert(Generations.listClaims(spark, path).nonEmpty)
+    strat.compactServing(spark, path)
+    assert(Generations.listClaims(spark, path).isEmpty,
+      "compaction must sweep the spent claims with the count reset")
+    strat.appendWriterTag = "writer-B"
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 400 && $"id" < 450))
+    assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
+    val mem = strat.query(strat.prepare(store.where($"id" < 450)),
+      queries, 10).collect().toSet
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === mem)
+    prepared.unpersist()
+  }
+
+  test("cell family (IVF): distinct writers commit distinct generations " +
+      "through the shared claim path; conflict detected") {
+    val path = tmp("ivf")
+    val strat = IvfStrategy(Metric.Cosine, nlist = 8, nprobe = 8)
+    val prep = strat.prepare(store.where($"id" < 300)).cache()
+    prep.count()
+    strat.writeServingIndex(prep, path)
+    strat.appendWriterTag = "writer-A"
+    val grown = strat.appendToServing(spark, path, prep,
+      store.where($"id" >= 300 && $"id" < 400))
+    strat.appendWriterTag = "writer-B"
+    strat.appendToServing(spark, path, grown,
+      store.where($"id" >= 400 && $"id" < 450))
+    assert(Generations.listClaims(spark, path)
+      === Seq((1, "writer-A"), (2, "writer-B")))
+    // nprobe = nlist → provably exact: both increments fully served
+    val exact = strat.query(strat.prepare(store.where($"id" < 450)),
+      queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val disk = strat.queryFromDisk(spark, path, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(disk === exact)
+    // an in-flight foreign claim blocks the cell append loudly too
+    assert(Generations.claimAppendGeneration(spark, path, "writer-C",
+      () => 3) === 3)
+    strat.appendWriterTag = "writer-D"
+    val e = intercept[IllegalStateException] {
+      strat.appendToServing(spark, path, grown,
+        store.where($"id" >= 450 && $"id" < 500))
+    }
+    assert(e.getMessage.contains("writer-C"))
+    prep.unpersist()
+  }
+}
