@@ -804,6 +804,69 @@ class Vicinity private (
     * (query_id, id, …) frames; recall = per-query overlap fraction
     * driven from the truth side, QPS timed around `run` only (the
     * [[evaluateImpl]] timing discipline) */
+  /** The Hamming-radius evaluate GRID (r17 — the harness-cost shave):
+    * semantically `bitsGrid.map(b => evaluateHammingFromDisk(path, _,
+    * b, maxK))` plus each point's served result COUNT, but paying ONE
+    * brute signature pass at `max(bitsGrid)` — every grid point's
+    * ground truth is that pair set filtered to `dist <= bits` and
+    * re-cut at maxK (radius truths nest) — and ONE timed served read
+    * per point, reused for both its recall and its count (the
+    * per-point entry pays a fresh brute scan per radius and a second
+    * served read for the count). Returns
+    * `(bits, qps, recall, nResults)` per grid point. */
+  def evaluateHammingGridFromDisk(path: String,
+      queryVectors: Seq[Seq[Double]], bitsGrid: Seq[Int],
+      maxK: Int = 100): Seq[(Int, Double, Double, Long)] = {
+    require(bitsGrid.nonEmpty, "empty bits grid")
+    val d = diskServing
+    if (!d.supportsDiskHamming) throw new UnsupportedOperationException(
+      s"Backend ${backend.name} (${strategy.name}) does not serve " +
+        "Hamming-radius queries from disk.")
+    val q = queriesDf(queryVectors).cache()
+    q.count()
+    val pairs = store
+      .select(col("id"),
+        graft.functions.VectorFunctions.pack_sign_bits(
+          col("vector").cast("array<double>")).as("_sig"))
+      .crossJoin(broadcast(q.select(col("query_id"),
+        graft.functions.VectorFunctions.pack_sign_bits(
+          col("qvector").cast("array<double>")).as("_qsig"))))
+      .select(col("query_id"), col("id"),
+        graft.functions.VectorFunctions.hamming_packed(
+          col("_sig"), col("_qsig")).cast("double").as("dist"))
+      .where(col("dist") <= bitsGrid.max)
+      .cache()
+    pairs.count()
+    val cnt = org.apache.spark.sql.functions.count(lit(1))
+    val res = bitsGrid.map { bits =>
+      val truth = graft.functions.TopK.topKPerGroup(
+        pairs.where(col("dist") <= bits), Seq("query_id"), "id",
+        "dist", maxK).select("query_id", "id").cache()
+      truth.count()
+      val t0 = System.nanoTime()
+      val approx = d.queryHammingFromDisk(spark, path, q, bits, maxK)
+        .cache()
+      val n = approx.count()
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      val qps = queryVectors.length / math.max(elapsed, 1e-9)
+      val perQ = truth.groupBy("query_id").agg(cnt.as("t"))
+      val hits = approx.select("query_id", "id")
+        .join(truth, Seq("query_id", "id"), "left_semi")
+        .groupBy("query_id").agg(cnt.as("h"))
+      val recall = q.select("query_id")
+        .join(perQ, Seq("query_id"), "left")
+        .join(hits, Seq("query_id"), "left")
+        .select(when(coalesce(col("t"), lit(0L)) === 0L, lit(1.0))
+          .otherwise(coalesce(col("h"), lit(0L)).cast("double") / col("t"))
+          .as("r"))
+        .agg(avg("r")).head.getDouble(0)
+      truth.unpersist(); approx.unpersist()
+      (bits, qps, recall, n)
+    }
+    pairs.unpersist(); q.unpersist()
+    res
+  }
+
   private def evaluateSetImpl(queryVectors: Seq[Seq[Double]],
       truthFor: DataFrame => DataFrame,
       run: DataFrame => DataFrame): (Double, Double) = {
@@ -872,6 +935,16 @@ class Vicinity private (
 }
 
 object Vicinity {
+
+  /** The FLEET doctor (r17): walk every serving layout and snapshot
+    * store directly under `root` — the deployment's serving directory —
+    * and emit one long frame `(layout, family, component, check,
+    * status, observed)`, dispatching each child on its own sidecar
+    * marker ([[graft.index.ServingFsck.fleet]]). The monitoring scrape
+    * that trends what the per-layout [[Vicinity.fsckServing]] reports
+    * point-in-time; unrecognized children surface as loud fail rows. */
+  def fsckAll(spark: SparkSession, root: String): DataFrame =
+    graft.index.ServingFsck.fleet(spark, root)
 
   /** one Jackson mapper per executor JVM (readTree is thread-safe) instead
     * of one per validated row */

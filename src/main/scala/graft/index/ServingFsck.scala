@@ -287,6 +287,98 @@ private[graft] object ServingFsck {
       crashLeftovers(spark, path))
   }
 
+  /** The FLEET doctor (r17, verdict r16 #4): walk every layout and
+    * snapshot store directly under `root` and emit ONE long frame —
+    * `(layout, family, component, check, status, observed)` — the
+    * monitoring scrape a deployment trends across its whole serving
+    * tier, where the per-layout doctors report point-in-time. Dispatch
+    * is on each child directory's OWN sidecar marker (the
+    * reader-adopts-writer-config discipline at fleet level: the
+    * directory says what it is; no instance registry is consulted), so
+    * facade-written and strategy-written layouts are covered alike:
+    *
+    *  - `_ivf_serving_meta.json` → the cell families (the sidecar's
+    *    `family` field routes ivf / ivf_scalar / ivfpq / ivf_binary);
+    *  - `_pq_serving_meta.json` → the flat-codes families (pq / opq);
+    *  - `_sq8_serving_meta.json` / `_lsh_meta.json` /
+    *    `_bq_serving_meta.json` / `_graph_meta.json` /
+    *    `_nn_serving_meta.json` → their owning family's doctor;
+    *  - `_sig_meta.json` or `_batch=` children → the snapshot-store
+    *    doctor ([[snapshotStore]]);
+    *  - anything else → one loud `recognized: fail` row, never a
+    *    silent skip (a foreign or half-written directory in the
+    *    serving root is exactly what a fleet scrape must surface).
+    *
+    * Diagnosis only, never throws on a recognized root (absent root →
+    * one fail row); cost is each child's own doctor — bounded listing
+    * plus column-pruned accounting scans. */
+  def fleet(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (fs, p) = hfs(spark, root)
+    def tag(layout: String, family: String, df: DataFrame): DataFrame =
+      df.select(lit(layout).as("layout"), lit(family).as("family"),
+        col("component"), col("check"), col("status"), col("observed"))
+    if (!fs.exists(p))
+      return tag("", "", toDf(spark, Seq(Check("root", "present", Fail, 0L))))
+    val children = fs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath).sortBy(_.getName)
+    val frames = children.map { c => dispatchChild(spark, c) match {
+      case (family, df) => tag(c.getName, family, df)
+    } }
+    if (frames.isEmpty)
+      tag("", "", toDf(spark, Seq(Check("root", "children", Ok, 0L))))
+    else frames.reduce(_ unionByName _)
+      .orderBy("layout", "component", "check")
+  }
+
+  /** one child's (family, doctor frame) — the marker-file dispatch */
+  private def dispatchChild(spark: SparkSession,
+      child: org.apache.hadoop.fs.Path): (String, DataFrame) = {
+    val dir = child.toString
+    val cos = graft.core.Metric.Cosine
+    def has(f: String) = graft.core.FsIO.exists(s"$dir/$f")
+    def field(f: String, k: String): Option[String] =
+      try Option(new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(graft.core.FsIO.read(s"$dir/$f")).get(k)).map(_.asText())
+      catch { case _: Exception => None }
+    if (has("_ivf_serving_meta.json")) {
+      val fam = field("_ivf_serving_meta.json", "family").getOrElse("ivf")
+      val strat: DiskServing = fam match {
+        case "ivf_scalar" => IvfSq8Strategy(cos)
+        case "ivfpq" => IvfPqStrategy(cos)
+        case "ivf_binary" => IvfBqStrategy(cos)
+        case _ => IvfStrategy(cos)
+      }
+      (fam, strat.fsckServing(spark, dir))
+    } else if (has("_pq_serving_meta.json")) {
+      val fam = field("_pq_serving_meta.json", "family").getOrElse("pq")
+      val strat: DiskServing =
+        if (fam == "opq") OpqStrategy(cos) else PqStrategy(cos)
+      (fam, strat.fsckServing(spark, dir))
+    } else if (has("_sq8_serving_meta.json"))
+      ("sq8", Sq8Strategy(cos).fsckServing(spark, dir))
+    else if (has("_lsh_meta.json"))
+      ("lsh", LshStrategy(cos).fsckServing(spark, dir))
+    else if (has("_bq_serving_meta.json"))
+      ("bq", BqStrategy(cos).fsckServing(spark, dir))
+    else if (has("_graph_meta.json"))
+      ("hnsw", HnswStrategy(cos).fsckServing(spark, dir))
+    else if (has("_nn_serving_meta.json"))
+      ("nndescent", NnDescentStrategy(cos).fsckServing(spark, dir))
+    else if (has("_sig_meta.json"))
+      ("signatures", snapshotStore(spark, dir, Some(("_sig_meta.json",
+        Seq("bands", "rows_per_band", "seed", "id_col", "id_type")))))
+    else {
+      val kids = child.getFileSystem(
+        spark.sparkContext.hadoopConfiguration).listStatus(child)
+        .map(_.getPath.getName)
+      if (kids.exists(_.startsWith("_batch=")))
+        ("snapshot", snapshotStore(spark, dir))
+      else ("unknown",
+        toDf(spark, Seq(Check("layout", "recognized", Fail, 0L))))
+    }
+  }
+
   /** the flat-codes layouts' full check set (PQ and SQ8 share the ONE
     * [[CodesLayout]] discipline, so they share the one doctor): sidecar
     * + family tag, generation accounting of the `vectors/` sub-layout,
