@@ -1540,11 +1540,32 @@ object QueriesVector {
     * `IvfStrategy.selfJoin`). Approximate by probe coverage, so rows-only;
     * exactness at nprobe = nlist is spec-asserted AND oracle-checked by
     * `q_knn_selfjoin_ivf_exact` below. */
+  /** IVF self-join config scaled to the store (r17 — the sf1 lesson): a
+    * FIXED nlist makes cell populations grow linearly with the store,
+    * so the cell equi-join's within-cell candidate set grows
+    * QUADRATICALLY — at sf1 (20k vectors) the 16-cell self-join cost
+    * ~200× its sf0.1 time while even the brute blocked kernel grew
+    * linearly-in-pairs. The classic IVF sizing rule bounds the cell
+    * population instead: nlist = max(16, n/128) keeps candidates per
+    * query ≈ nprobe × 128 (linear total), and leaves every driver
+    * scale (n ≤ 2048 → nlist 16, the shared `ivf16x8` registry entry)
+    * bit-identical to the fixed config earlier rounds pinned. The
+    * exact sibling stays exact at ANY nlist: probes = nlist covers all
+    * cells. */
+  private def selfJoinIvf(s: SparkSession,
+      dir: String): (IvfStrategy, DataFrame, Int) = {
+    val n = cachedStore(s, dir).count()
+    val nlist = math.max(16, (n / 128L).toInt)
+    val key = if (nlist == 16) "ivf16x8" else s"ivfsj${nlist}x8"
+    val (strat, prepared) = preparedIndex(s, dir, key)(
+      IvfStrategy(Metric.Cosine, nlist = nlist, nprobe = 8))
+    (strat.asInstanceOf[IvfStrategy], prepared, nlist)
+  }
+
   val qKnnSelfjoinIvf = Q("q_knn_selfjoin_ivf",
     (s, dir) => {
-      val (strat, prepared) = preparedIndex(s, dir, "ivf16x8")(
-        IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8))
-      strat.asInstanceOf[IvfStrategy].selfJoin(prepared, 1)
+      val (strat, prepared, _) = selfJoinIvf(s, dir)
+      strat.selfJoin(prepared, 1)
         .select(col("query_id").as("vec_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"), col("rank"))
         .orderBy("vec_id")
@@ -1562,10 +1583,8 @@ object QueriesVector {
     * trained ivf16x8 index — zero extra build cost. */
   val qKnnSelfjoinIvfExact = Q("q_knn_selfjoin_ivf_exact",
     (s, dir) => {
-      val (strat, prepared) = preparedIndex(s, dir, "ivf16x8")(
-        IvfStrategy(Metric.Cosine, nlist = 16, nprobe = 8))
-      strat.asInstanceOf[IvfStrategy]
-        .selfJoin(prepared.where(col("id") < 400), 1, probes = 16)
+      val (strat, prepared, nlist) = selfJoinIvf(s, dir)
+      strat.selfJoin(prepared.where(col("id") < 400), 1, probes = nlist)
         .select(col("query_id").as("vec_id"), col("id").as("neighbor_id"),
           round(col("dist"), 6).as("dist"))
         .orderBy("vec_id")

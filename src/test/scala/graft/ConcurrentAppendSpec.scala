@@ -206,6 +206,54 @@ class ConcurrentAppendSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("facade insertIntoServing carries the writer tag to the claim; " +
+      "fleet doctor surfaces the ledger per layout") {
+    import graft.api.Vicinity
+    import graft.core.Backend
+    val rnd = new scala.util.Random(11)
+    val vectors = Seq.fill(60)(Seq.fill(8)(rnd.nextDouble()))
+    val items = (0 until 60).map(i => s"item$i")
+    val v = Vicinity.fromVectorsAndItems(spark, items.take(50),
+      vectors.take(50), Backend.Hnsw)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_conc_fleet").toString
+    val path = s"$root/serving_hnsw"
+    v.writeServingIndex(path)
+    val v2 = v.insertIntoServing(path, items.slice(50, 55),
+      vectors.slice(50, 55), writerTag = Some("ingest-1"))
+    v2.insertIntoServing(path, items.slice(55, 60),
+      vectors.slice(55, 60), writerTag = Some("ingest-2"))
+    assert(Generations.listClaims(spark, path)
+      === Seq((1, "ingest-1"), (2, "ingest-2")))
+    // the fleet doctor reports the same layout's ledger in its frame
+    val fleet = Vicinity.fsckAll(spark, root).collect()
+      .map(r => ((r.getString(0), r.getString(2), r.getString(3)),
+        (r.getString(4), r.getLong(5)))).toMap
+    assert(fleet(("serving_hnsw", "claims", "spent")) === (("ok", 2L)))
+    assert(fleet(("serving_hnsw", "claims", "unresolved")) === (("ok", 0L)))
+  }
+
+  test("fleet doctor: a conflicted layout's unresolved claim rides the " +
+      "fleet frame as warn; a foreign child is a loud fail row") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_conc_fleet2").toString
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 100)).cache()
+    strat.writeServingIndex(prepared, s"$root/lshA")
+    // an in-flight (or crashed) claim on the next slot
+    Generations.claimAppendGeneration(spark, s"$root/lshA", "ghost",
+      () => 1)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "not_a_layout"))
+    val fleet = graft.api.Vicinity.fsckAll(spark, root).collect()
+      .map(r => ((r.getString(0), r.getString(2), r.getString(3)),
+        (r.getString(4), r.getLong(5)))).toMap
+    assert(fleet(("lshA", "claims", "unresolved")) === (("warn", 1L)))
+    assert(fleet(("not_a_layout", "layout", "recognized"))
+      === (("fail", 0L)))
+    prepared.unpersist()
+  }
+
   test("cell family (IVF): distinct writers commit distinct generations " +
       "through the shared claim path; conflict detected") {
     val path = tmp("ivf")
