@@ -1237,10 +1237,10 @@ object QueriesVector {
           .resolve("index").toString
         val prep = mapOf(indexCaches, s)(key)._2
         ivf.writeServingIndex(prep, p)
-        ivf.appendWriterTag = "writer-A"
+        ivf.writerTag = "writer-A"
         val grownA = ivf.appendToServing(s, p, prep,
           cachedStore(s, dir).where(col("id") % 10 === 8))
-        ivf.appendWriterTag = "writer-B"
+        ivf.writerTag = "writer-B"
         ivf.appendToServing(s, p, grownA,
           cachedStore(s, dir).where(col("id") % 10 === 9))
         p

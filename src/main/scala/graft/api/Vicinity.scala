@@ -538,7 +538,7 @@ class Vicinity private (
     if (!d.supportsDiskAppend) throw new UnsupportedOperationException(
       s"Backend ${backend.name} (${strategy.name}) has no appendable " +
         "serving layout.")
-    writerTag.foreach(d.appendWriterTag = _)
+    writerTag.foreach(d.writerTag = _)
     val newStore = store.unionByName(newDf).cache()
     val newPrepared = d.appendToServing(spark, path, prepared, newDf).cache()
     grown(newStore, newPrepared, items.length)

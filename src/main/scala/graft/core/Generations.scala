@@ -118,15 +118,19 @@ object Generations {
   private def claimsDir(path: String): String =
     path.stripSuffix("/") + "/_claims"
 
-  private def claimFile(path: String, gen: Int): Path =
-    new Path(claimsDir(path), s"gen-$gen")
+  /** `slot` namespaces independent generation counters of one layout:
+    * "gen" = append generations (every family), "tomb" = tombstone
+    * generations (the graph families' deletes — two concurrent deleters
+    * race the tombstone slot exactly as appenders race `_gen=N`). */
+  private def claimFile(path: String, gen: Int, slot: String): Path =
+    new Path(claimsDir(path), s"$slot-$gen")
 
   /** Atomically claim generation `gen` of the layout at `path` for
     * `tag`. Returns None on success (fresh claim or own-tag reclaim),
     * Some(holderTag) when a different writer holds the slot. */
   private def tryClaim(spark: SparkSession, path: String, gen: Int,
-      tag: String): Option[String] = {
-    val f = claimFile(path, gen)
+      tag: String, slot: String): Option[String] = {
+    val f = claimFile(path, gen, slot)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(f.getParent)
     try {
@@ -158,17 +162,18 @@ object Generations {
     * any partial `_gen=N` data is an orphan the next claimant's write
     * clears ([[graft.index.VectorBuckets.writeGeneration]]). */
   def claimAppendGeneration(spark: SparkSession, path: String,
-      tag: String, readGens: () => Int, maxAttempts: Int = 8): Int = {
+      tag: String, readGens: () => Int, maxAttempts: Int = 8,
+      slot: String = "gen"): Int = {
     var gens = readGens()
     var attempts = 0
     while (attempts < maxAttempts) {
-      tryClaim(spark, path, gens, tag) match {
+      tryClaim(spark, path, gens, tag, slot) match {
         case None => return gens
         case Some(holder) =>
           val cur = readGens()
           if (cur == gens)
             throw new IllegalStateException(
-              s"append generation $gens of $path is claimed by writer " +
+              s"$slot generation $gens of $path is claimed by writer " +
                 s"'$holder' (this writer: '$tag') and the sidecar has " +
                 "not advanced — the holder is in-flight or crashed. " +
                 "Retry after its commit, replay the crashed append " +
@@ -190,8 +195,8 @@ object Generations {
     * and any partial `_gen=N` data is an orphan the next claimant
     * clears. Only removes the claim when `tag` actually holds it. */
   def releaseClaim(spark: SparkSession, path: String, gen: Int,
-      tag: String): Unit = {
-    val f = claimFile(path, gen)
+      tag: String, slot: String = "gen"): Unit = {
+    val f = claimFile(path, gen, slot)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(f)) {
       val holder =
@@ -209,21 +214,24 @@ object Generations {
     * confirmed-dead writer whose crashed claim blocks the slot. The
     * orphaned `_gen=N` data (if any) stays invisible (`_gen <`
     * committed) and is cleared by the next claimant's write. */
-  def breakClaim(spark: SparkSession, path: String, gen: Int): Unit = {
-    val f = claimFile(path, gen)
+  def breakClaim(spark: SparkSession, path: String, gen: Int,
+      slot: String = "gen"): Unit = {
+    val f = claimFile(path, gen, slot)
     val fs = f.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(f)) fs.delete(f, false)
   }
 
   /** every (generation, holderTag) claim at `path` — the doctor's view */
-  def listClaims(spark: SparkSession, path: String): Seq[(Int, String)] = {
+  def listClaims(spark: SparkSession, path: String,
+      slot: String = "gen"): Seq[(Int, String)] = {
     val d = new Path(claimsDir(path))
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(d)) return Seq.empty
+    val pre = slot + "-"
     fs.listStatus(d).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("gen-") &&
-        p.getName.stripPrefix("gen-").nonEmpty &&
-        p.getName.stripPrefix("gen-").forall(_.isDigit))
+      .filter(p => p.getName.startsWith(pre) &&
+        p.getName.stripPrefix(pre).nonEmpty &&
+        p.getName.stripPrefix(pre).forall(_.isDigit))
       .map { p =>
         val tag =
           try {
@@ -232,7 +240,7 @@ object Generations {
               org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
             finally in.close()
           } catch { case _: java.io.IOException => "<unreadable>" }
-        (p.getName.stripPrefix("gen-").toInt, tag)
+        (p.getName.stripPrefix(pre).toInt, tag)
       }.sortBy(_._1)
   }
 

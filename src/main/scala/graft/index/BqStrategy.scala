@@ -531,7 +531,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       // guard sees everything committed up to the claimed slot
       // (verdict r16 #1)
       val claimed = graft.core.Generations.claimAppendGeneration(spark,
-        path, appendWriterTag,
+        path, writerTag,
         () => validateServing(path).get("generations").asInt())
       try {
         val freshMeta = validateServing(path)
@@ -555,7 +555,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       } catch {
         case e: Throwable =>
           graft.core.Generations.releaseClaim(spark, path, claimed,
-            appendWriterTag)
+            writerTag)
           throw e
       }
       prevPrepared.unionByName(inc)

@@ -41,7 +41,7 @@ trait DiskServing { self: IndexStrategy =>
     * stable identity — e.g. `stream-<queryId>` — before appending. One
     * tag names ONE logical writer; calls under the same tag must be
     * serialized by the caller. */
-  var appendWriterTag: String = graft.core.Generations.defaultWriterTag
+  var writerTag: String = graft.core.Generations.defaultWriterTag
 
   /** Write the family's serving layout — the cell families' partitioned
     * [[IndexStrategy.writeIndex]] by default; the graph family overrides

@@ -688,40 +688,67 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(meta.get("generations") != null,
       s"index at $path predates the generation layout")
     val buckets = meta.get("buckets").asInt()
-    val tNode = meta.get("tombstone_generations")
-    val tGens = if (tNode == null) 0 else tNode.asInt()
     val gens = meta.get("generations").asInt()
-    // verify against LIVE rows only, pruned to the candidates' buckets
-    val cand = ids.select("id").distinct()
-    val candIds = cand.collect().map(_.getLong(0))
-    val existing = prunedRead(spark, path, "vectors", "id", candIds,
-      buckets, Seq("id"), gens)
-    val prior = tombstoneFrame(spark, path, meta)
-    val fresh = prior.fold(existing)(t =>
-      existing.join(t, Seq("id"), "left_anti")).cache()
-    val n = fresh.count()
-    if (n > 0) {
-      // at tGens == 0 any existing tombstones/ dir is an invisible
-      // leftover from a compaction that crashed between its sidecar
-      // commit and its directory delete — clear it FIRST (the staging-dir
-      // pre-delete discipline): writeGeneration's dynamic partition
-      // overwrite would otherwise keep the leftover's stale (_gen=0, _nb)
-      // partitions, and the sidecar bump below would make every reader
-      // see those SPENT tombstones again, silently hiding any id that
-      // was re-inserted since the compaction
-      if (tGens == 0) {
-        val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-        val tFs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (tFs.exists(tPath)) tFs.delete(tPath, true)
+    // claim the TOMBSTONE slot before reading the prior tombstone state
+    // (r17 — the delete-side twin of the append claims: two concurrent
+    // deleters would both write tombstones `_gen=T` and dynamic-
+    // overwrite each other, resurrecting deleted rows). Same-tag replay
+    // reclaims; a foreign in-flight claim fails loudly.
+    val tGens = graft.core.Generations.claimAppendGeneration(spark, path,
+      writerTag, () => {
+        val m = mapper.readTree(
+          graft.core.FsIO.read(s"$path/_graph_meta.json"))
+        val t = m.get("tombstone_generations")
+        if (t == null) 0 else t.asInt()
+      }, slot = "tomb")
+    try {
+      // verify against LIVE rows only, pruned to the candidates' buckets;
+      // the tombstone frame re-reads the sidecar AFTER the claim so it
+      // covers everything committed up to the claimed slot
+      val cand = ids.select("id").distinct()
+      val candIds = cand.collect().map(_.getLong(0))
+      val existing = prunedRead(spark, path, "vectors", "id", candIds,
+        buckets, Seq("id"), gens)
+      val freshMeta = mapper.readTree(
+        graft.core.FsIO.read(s"$path/_graph_meta.json"))
+      val prior = tombstoneFrame(spark, path, freshMeta)
+      val fresh = prior.fold(existing)(t =>
+        existing.join(t, Seq("id"), "left_anti")).cache()
+      val n = fresh.count()
+      if (n > 0) {
+        // at tGens == 0 any existing tombstones/ dir is an invisible
+        // leftover from a compaction that crashed between its sidecar
+        // commit and its directory delete — clear it FIRST (the
+        // staging-dir pre-delete discipline): writeGeneration's dynamic
+        // partition overwrite would otherwise keep the leftover's stale
+        // (_gen=0, _nb) partitions, and the sidecar bump below would make
+        // every reader see those SPENT tombstones again, silently hiding
+        // any id that was re-inserted since the compaction
+        if (tGens == 0) {
+          val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+          val tFs = tPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (tFs.exists(tPath)) tFs.delete(tPath, true)
+        }
+        writeGeneration(fresh, "id", s"$path/tombstones", buckets, tGens)
+        val root = freshMeta
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.put("tombstone_generations", tGens + 1)
+        graft.core.FsIO.write(s"$path/_graph_meta.json",
+          mapper.writeValueAsString(root))
+      } else {
+        // a no-op delete must not leave an unresolved claim behind
+        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+          slot = "tomb")
       }
-      writeGeneration(fresh, "id", s"$path/tombstones", buckets, tGens)
-      val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      root.put("tombstone_generations", tGens + 1)
-      graft.core.FsIO.write(s"$path/_graph_meta.json",
-        mapper.writeValueAsString(root))
+      fresh.unpersist()
+      n
+    } catch {
+      case e: Throwable =>
+        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+          slot = "tomb")
+        throw e
     }
-    fresh.unpersist()
-    n
   }
 
   /** ANN threshold semantics: top-max_k then strict `<` (hnsw.py:107-114) */
@@ -859,7 +886,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // (verdict r16 #1): a conflicting concurrent writer must be
     // detected while this instance's layers are still untouched
     val gens = graft.core.Generations.claimAppendGeneration(spark,
-      path, appendWriterTag,
+      path, writerTag,
       () => new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
         .get("generations").asInt())
@@ -874,7 +901,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     } catch {
       case e: Throwable =>
         graft.core.Generations.releaseClaim(spark, path, gens,
-          appendWriterTag)
+          writerTag)
         throw e
     }
   }

@@ -129,7 +129,7 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       newRows: DataFrame): DataFrame = {
     require(ivf.isTrained, "IvfBqStrategy.prepare must run before append")
     val inc = bq.prepare(ivf.prepare(newRows))
-    ivf.appendPreparedCells(spark, path, name, inc, appendWriterTag)
+    ivf.appendPreparedCells(spark, path, name, inc, writerTag)
     prevPrepared.unionByName(inc)
   }
 

@@ -323,7 +323,7 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     require(codebooks != null && ivf.isTrained,
       "IvfPqStrategy.prepare must run before append")
     val inc = encodeResiduals(ivf.prepare(newRows))
-    ivf.appendPreparedCells(spark, path, name, inc, appendWriterTag)
+    ivf.appendPreparedCells(spark, path, name, inc, writerTag)
     prevPrepared.unionByName(inc)
   }
 

@@ -138,7 +138,7 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     require(ivf.isTrained && sq.isTrained,
       "IvfSq8Strategy.prepare must run before append")
     val inc = sq.prepare(ivf.prepare(newRows))
-    ivf.appendPreparedCells(spark, path, name, inc, appendWriterTag)
+    ivf.appendPreparedCells(spark, path, name, inc, writerTag)
     prevPrepared.unionByName(inc)
   }
 

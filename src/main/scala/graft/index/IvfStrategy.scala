@@ -488,7 +488,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       newRows: DataFrame): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before append")
     val inc = prepare(newRows)
-    appendPreparedCells(spark, path, name, inc, appendWriterTag)
+    appendPreparedCells(spark, path, name, inc, writerTag)
     prevPrepared.unionByName(inc)
   }
 

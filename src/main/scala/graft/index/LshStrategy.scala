@@ -341,7 +341,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       // clash guard depends on (verdict r16 #1 — two concurrent
       // appenders must not dynamic-overwrite the same `_gen=N`)
       val gens = graft.core.Generations.claimAppendGeneration(spark,
-        path, appendWriterTag,
+        path, writerTag,
         () => readMeta(path).get("generations").asInt())
       try {
         // …vs the layout: partition-pruned existence check — the read
@@ -367,7 +367,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       } catch {
         case e: Throwable =>
           graft.core.Generations.releaseClaim(spark, path, gens,
-            appendWriterTag)
+            writerTag)
           throw e
       }
       newKeys.drop("_nb")

@@ -799,38 +799,62 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val meta = readServingMeta(path)
     val buckets = meta.get("buckets").asInt()
     val gens = meta.get("generations").asInt()
-    val tNode = meta.get("tombstone_generations")
-    val tGens = if (tNode == null) 0 else tNode.asInt()
-    // verify against LIVE rows only, pruned to the candidates' buckets
-    val candIds = ids.select(col("id").cast("long").as("id")).distinct()
-      .collect().map(_.getLong(0))
-    val existing = GraphLayout.prunedRead(spark, path, "vectors", "id",
-      candIds, buckets, Seq("id"), gens)
-    val prior = tombstoneFrame(spark, path, meta)
-    val fresh = prior.fold(existing)(t =>
-      existing.join(t, Seq("id"), "left_anti")).cache()
-    val n = fresh.count()
-    if (n > 0) {
-      // at tGens == 0 any existing tombstones/ dir is an invisible
-      // leftover from a compaction that crashed between its sidecar
-      // commit and its directory delete — clear it FIRST (the HNSW
-      // discipline): the generation write's dynamic partition overwrite
-      // would otherwise keep the leftover's stale partitions, and the
-      // sidecar bump would resurrect SPENT tombstones
-      if (tGens == 0) {
-        val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-        val tFs = tPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (tFs.exists(tPath)) tFs.delete(tPath, true)
+    // claim the TOMBSTONE slot before reading the prior tombstone state
+    // (r17 — the delete-side twin of the append claims, the HNSW
+    // discipline): two concurrent deleters would both write tombstones
+    // `_gen=T` and dynamic-overwrite each other, resurrecting deleted
+    // rows. Same-tag replay reclaims; a foreign in-flight claim fails.
+    val tGens = graft.core.Generations.claimAppendGeneration(spark, path,
+      writerTag, () => {
+        val t = readServingMeta(path).get("tombstone_generations")
+        if (t == null) 0 else t.asInt()
+      }, slot = "tomb")
+    try {
+      // verify against LIVE rows only, pruned to the candidates' buckets;
+      // the tombstone frame re-reads the sidecar AFTER the claim so it
+      // covers everything committed up to the claimed slot
+      val candIds = ids.select(col("id").cast("long").as("id")).distinct()
+        .collect().map(_.getLong(0))
+      val existing = GraphLayout.prunedRead(spark, path, "vectors", "id",
+        candIds, buckets, Seq("id"), gens)
+      val freshMeta = readServingMeta(path)
+      val prior = tombstoneFrame(spark, path, freshMeta)
+      val fresh = prior.fold(existing)(t =>
+        existing.join(t, Seq("id"), "left_anti")).cache()
+      val n = fresh.count()
+      if (n > 0) {
+        // at tGens == 0 any existing tombstones/ dir is an invisible
+        // leftover from a compaction that crashed between its sidecar
+        // commit and its directory delete — clear it FIRST (the HNSW
+        // discipline): the generation write's dynamic partition overwrite
+        // would otherwise keep the leftover's stale partitions, and the
+        // sidecar bump would resurrect SPENT tombstones
+        if (tGens == 0) {
+          val tPath = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+          val tFs = tPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          if (tFs.exists(tPath)) tFs.delete(tPath, true)
+        }
+        GraphLayout.writeGeneration(fresh, "id", s"$path/tombstones",
+          buckets, tGens)
+        val root = freshMeta
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        root.put("tombstone_generations", tGens + 1)
+        graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
+          mapper.writeValueAsString(root))
+      } else {
+        // a no-op delete must not leave an unresolved claim behind
+        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+          slot = "tomb")
       }
-      GraphLayout.writeGeneration(fresh, "id", s"$path/tombstones",
-        buckets, tGens)
-      val root = meta.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-      root.put("tombstone_generations", tGens + 1)
-      graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
-        mapper.writeValueAsString(root))
+      fresh.unpersist()
+      n
+    } catch {
+      case e: Throwable =>
+        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+          slot = "tomb")
+        throw e
     }
-    fresh.unpersist()
-    n
   }
 
   /** Fold the layout back to a single tombstone-free `_gen=0` state
@@ -917,6 +941,10 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     }
     graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
       mapper.writeValueAsString(root))
+    // the count resets (gen AND tomb slots): spent claims must not
+    // outlive them, or the first post-compact append/delete slot would
+    // read as foreign-claimed forever
+    graft.core.Generations.clearClaims(spark, path)
     if (tomb.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)

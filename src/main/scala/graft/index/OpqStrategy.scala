@@ -230,7 +230,7 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
         "instance holds — load the owning index before appending")
     // the claim is made under THIS instance's writer identity, not the
     // delegate's per-JVM default (verdict r16 #1)
-    inner.appendWriterTag = appendWriterTag
+    inner.writerTag = writerTag
     inner.appendToServingAs(spark, path, name, prevPrepared, newRows,
       rows => inner.prepare(rotate(rows, "vector")),
       Some(rotationJson(rot)))

@@ -429,7 +429,7 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     val inc = mkInc(newRows.withColumn("id", col("id").cast("long")))
       .cache()
     try {
-      CodesLayout.appendGeneration(spark, path, appendWriterTag,
+      CodesLayout.appendGeneration(spark, path, writerTag,
         () => validatePqServing(path, family).get("generations").asInt(),
         inc.withColumn("_nb", VectorBuckets.nb(fan)),
         newGens => graft.core.FsIO.write(pqMetaPath(path),

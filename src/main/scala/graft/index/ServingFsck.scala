@@ -143,13 +143,13 @@ private[graft] object ServingFsck {
     * crashed append is replayed under its own tag, or an operator
     * breaks the claim. `warn`, not `fail`: readers are unaffected
     * either way (the slot's data, if any, is an invisible orphan). */
-  def claims(spark: SparkSession, root: String,
-      committed: Int): Seq[Check] = {
-    val cs = graft.core.Generations.listClaims(spark, root)
+  def claims(spark: SparkSession, root: String, committed: Int,
+      slot: String = "gen", component: String = "claims"): Seq[Check] = {
+    val cs = graft.core.Generations.listClaims(spark, root, slot)
     val unresolved = cs.count(_._1 >= committed)
     Seq(
-      Check("claims", "spent", Ok, cs.count(_._1 < committed).toLong),
-      Check("claims", "unresolved",
+      Check(component, "spent", Ok, cs.count(_._1 < committed).toLong),
+      Check(component, "unresolved",
         if (unresolved == 0) Ok else Warn, unresolved.toLong))
   }
 
@@ -243,6 +243,8 @@ private[graft] object ServingFsck {
           Check("entries", "resolvable",
             if (liveEntries > 0) Ok else Fail, liveEntries)) ++
         claims(spark, path, gens) ++
+        claims(spark, path, tGens, slot = "tomb",
+          component = "tomb_claims") ++
         crashLeftovers(spark, path))
     } finally {
       vecs.unpersist()

@@ -350,7 +350,7 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     val inc = prepare(newRows.withColumn("id", col("id").cast("long")))
       .cache()
     try {
-      CodesLayout.appendGeneration(spark, path, appendWriterTag,
+      CodesLayout.appendGeneration(spark, path, writerTag,
         () => validateSqServing(path).get("generations").asInt(),
         inc.withColumn("_nb", VectorBuckets.nb(
           meta.get("vec_buckets").asInt())),

@@ -50,10 +50,10 @@ class ConcurrentAppendSpec extends SparkSpec {
     val prepared = strat.prepare(store).cache()
     val path = tmp("seq")
     strat.writeServingIndex(prepared.where($"id" < 300), path)
-    strat.appendWriterTag = "writer-A"
+    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
       store.where($"id" >= 300 && $"id" < 400))
-    strat.appendWriterTag = "writer-B"
+    strat.writerTag = "writer-B"
     strat.appendServingIndex(spark, path, store.where($"id" >= 400))
     assert(Generations.listClaims(spark, path)
       === Seq((1, "writer-A"), (2, "writer-B")))
@@ -79,7 +79,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 100)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.appendWriterTag = "writer-A"
+    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
       store.where($"id" >= 100 && $"id" < 150))
     // writer B's first sidecar read predates A's commit: readGens serves
@@ -104,7 +104,7 @@ class ConcurrentAppendSpec extends SparkSpec {
         // the holder claims the next slot and is still in flight
         assert(Generations.claimAppendGeneration(spark, path, holder,
           () => 1) === 1)
-        strat.appendWriterTag = contender
+        strat.writerTag = contender
         val e = intercept[IllegalStateException] {
           strat.appendServingIndex(spark, path,
             store.where($"id" >= 200 && $"id" < 250))
@@ -134,7 +134,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.appendWriterTag = "writer-A"
+    strat.writerTag = "writer-A"
     val delta = store.where($"id" >= 300 && $"id" < 400)
     strat.appendServingIndex(spark, path, delta)
     // simulate the crash window: data + claim written, sidecar commit
@@ -147,7 +147,7 @@ class ConcurrentAppendSpec extends SparkSpec {
       mapper.writeValueAsString(meta))
     // a DIFFERENT writer cannot take the half-committed slot…
     val other = lsh()
-    other.appendWriterTag = "writer-B"
+    other.writerTag = "writer-B"
     intercept[IllegalStateException] {
       other.appendServingIndex(spark, path,
         store.where($"id" >= 400 && $"id" < 450))
@@ -167,7 +167,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.appendWriterTag = "writer-A"
+    strat.writerTag = "writer-A"
     // ids already present → the freshness guard refuses AFTER the claim
     intercept[IllegalArgumentException] {
       strat.appendServingIndex(spark, path, store.where($"id" < 50))
@@ -175,7 +175,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     assert(Generations.listClaims(spark, path).isEmpty,
       "a refused append must not leave its claim behind")
     // a different writer appends fresh rows at the same slot
-    strat.appendWriterTag = "writer-B"
+    strat.writerTag = "writer-B"
     strat.appendServingIndex(spark, path,
       store.where($"id" >= 300 && $"id" < 350))
     assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
@@ -188,14 +188,14 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.appendWriterTag = "writer-A"
+    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
       store.where($"id" >= 300 && $"id" < 400))
     assert(Generations.listClaims(spark, path).nonEmpty)
     strat.compactServing(spark, path)
     assert(Generations.listClaims(spark, path).isEmpty,
       "compaction must sweep the spent claims with the count reset")
-    strat.appendWriterTag = "writer-B"
+    strat.writerTag = "writer-B"
     strat.appendServingIndex(spark, path,
       store.where($"id" >= 400 && $"id" < 450))
     assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
@@ -254,6 +254,53 @@ class ConcurrentAppendSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("graph deletes: concurrent deleters race the TOMBSTONE slot — " +
+      "claims serialize it; no-op deletes release; doctor reports") {
+    import graft.index.HnswStrategy
+    val path = tmp("tomb")
+    val strat = HnswStrategy(Metric.Cosine, m = 4)
+    val prepared = strat.prepare(store.where($"id" < 200)).cache()
+    prepared.count()
+    strat.writeGraphIndex(prepared, path)
+    strat.writerTag = "deleter-A"
+    val n1 = strat.deleteFromDisk(spark, path,
+      store.where($"id" < 3).select($"id"))
+    assert(n1 === 3)
+    assert(Generations.listClaims(spark, path, slot = "tomb")
+      === Seq((0, "deleter-A")))
+    // an in-flight foreign claim on the next tombstone slot blocks
+    // deleter B loudly, naming the slot kind and the holder
+    Generations.claimAppendGeneration(spark, path, "ghost", () => 1,
+      slot = "tomb")
+    strat.writerTag = "deleter-B"
+    val e = intercept[IllegalStateException] {
+      strat.deleteFromDisk(spark, path,
+        store.where($"id" >= 3 && $"id" < 5).select($"id"))
+    }
+    assert(e.getMessage.contains("ghost") &&
+      e.getMessage.contains("tomb"))
+    Generations.breakClaim(spark, path, 1, slot = "tomb")
+    val n2 = strat.deleteFromDisk(spark, path,
+      store.where($"id" >= 3 && $"id" < 5).select($"id"))
+    assert(n2 === 2)
+    assert(Generations.listClaims(spark, path, slot = "tomb")
+      === Seq((0, "deleter-A"), (1, "deleter-B")))
+    // a delete of already-tombstoned ids is a no-op and must not leave
+    // an unresolved claim wedging the slot
+    val n3 = strat.deleteFromDisk(spark, path,
+      store.where($"id" < 5).select($"id"))
+    assert(n3 === 0)
+    assert(Generations.listClaims(spark, path, slot = "tomb").length === 2)
+    // both slots' ledgers ride the doctor frame, all spent
+    val fsck = strat.fsckServing(spark, path).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getString(2), r.getLong(3)))).toMap
+    assert(fsck(("tomb_claims", "spent")) === (("ok", 2L)))
+    assert(fsck(("tomb_claims", "unresolved")) === (("ok", 0L)))
+    assert(fsck(("claims", "spent")) === (("ok", 0L)))
+    prepared.unpersist()
+  }
+
   test("cell family (IVF): distinct writers commit distinct generations " +
       "through the shared claim path; conflict detected") {
     val path = tmp("ivf")
@@ -261,10 +308,10 @@ class ConcurrentAppendSpec extends SparkSpec {
     val prep = strat.prepare(store.where($"id" < 300)).cache()
     prep.count()
     strat.writeServingIndex(prep, path)
-    strat.appendWriterTag = "writer-A"
+    strat.writerTag = "writer-A"
     val grown = strat.appendToServing(spark, path, prep,
       store.where($"id" >= 300 && $"id" < 400))
-    strat.appendWriterTag = "writer-B"
+    strat.writerTag = "writer-B"
     strat.appendToServing(spark, path, grown,
       store.where($"id" >= 400 && $"id" < 450))
     assert(Generations.listClaims(spark, path)
@@ -279,7 +326,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     // an in-flight foreign claim blocks the cell append loudly too
     assert(Generations.claimAppendGeneration(spark, path, "writer-C",
       () => 3) === 3)
-    strat.appendWriterTag = "writer-D"
+    strat.writerTag = "writer-D"
     val e = intercept[IllegalStateException] {
       strat.appendToServing(spark, path, grown,
         store.where($"id" >= 450 && $"id" < 500))
