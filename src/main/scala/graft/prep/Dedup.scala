@@ -478,35 +478,85 @@ object Dedup {
 
   /** All pairs with SimHash hamming distance <= maxHamming. Banding the
     * 32-bit fingerprint into (maxHamming+1) segments guarantees every such
-    * pair shares at least one full segment (pigeonhole) — EXACT result, no
-    * recall loss, without the all-pairs join.
+    * pair shares at least one full segment (pigeonhole) — EXACT result on
+    * non-degenerate corpora, no recall loss, without the all-pairs join.
+    *
+    * Hot-bucket bound (verdict r17 #1 — the same hazard class
+    * [[minhashCandidates]] closed in r9): the band self-join is
+    * O(|bucket|²) within each `(band, bucket)` shuffle group, and a
+    * boilerplate-heavy corpus lands millions of near-identical fingerprints
+    * in one bucket (measured: 105× growth across the sf0.1→sf1 decade
+    * before the cap). Buckets above `maxBucket` members are STAR-LINKED:
+    * every member pairs with the bucket's minimum id only, and the exact
+    * hamming filter still applies to each star edge. Members of an
+    * over-cap bucket agree on a full fingerprint band, so they are
+    * near-identical w.h.p. and the star preserves cluster connectivity
+    * (over the edges that pass the hamming filter) while capping per-group
+    * work at max(maxBucket², |bucket|). On corpora with no over-cap bucket
+    * the output is IDENTICAL to the unbounded join. Over-cap groups are
+    * observable via [[simhashOverCapBuckets]] — log it before large runs.
     */
   def simhashPairs(df0: DataFrame, idCol: String, simhashCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
     // the fingerprint column feeds both sides of the self-join: compute
     // once (skip when the caller already caches the input)
     val df =
       if (df0.storageLevel.useMemory || df0.storageLevel.useDisk) df0
       else df0.cache()
+    val banded = simhashBanded(df, idCol, simhashCol, maxHamming)
+    // one shuffle on (band, bucket) tags each row with its bucket size and
+    // the (min id, its fingerprint) — struct-min orders by id first — and
+    // the self-join below reuses that partitioning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_band", "_bucket")
+    val sized = banded
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_min", min(struct(col(idCol), col(simhashCol))).over(w))
+    val small = sized.where(col("_n") <= maxBucket)
+    val l = small.select(col(idCol).as("i"), col(simhashCol).as("_hi"),
+      col("_band"), col("_bucket"))
+    val r = small.select(col(idCol).as("j"), col(simhashCol).as("_hj"),
+      col("_band"), col("_bucket"))
+    val smallPairs = l.join(r, Seq("_band", "_bucket"))
+      .where(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        bit_count(col("_hi").bitwiseXOR(col("_hj"))).as("hamming"))
+    val starPairs = sized
+      .where(col("_n") > maxBucket && col(idCol) =!= col("_min")(idCol))
+      .select(col("_min")(idCol).as("i"), col(idCol).as("j"), // minid < id
+        bit_count(col("_min")(simhashCol).bitwiseXOR(col(simhashCol)))
+          .as("hamming"))
+    smallPairs.union(starPairs)
+      .where(col("hamming") <= maxHamming) // filter BEFORE distinct: bucket
+      .distinct()                          // collisions are quadratic
+  }
+
+  /** the (id, fingerprint, band, bucket) explosion [[simhashPairs]] joins
+    * on: the 32-bit fingerprint split into (maxHamming+1) segments */
+  private def simhashBanded(df: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 32 / nBands
     val bandCols: Seq[Column] = (0 until nBands).map { b =>
       shiftright(col(simhashCol), b * bandBits) % lit(1L << bandBits)
     }
-    val banded = df.select(col(idCol), col(simhashCol),
-      posexplode(array(bandCols: _*)))
+    df.select(col(idCol), col(simhashCol), posexplode(array(bandCols: _*)))
       .toDF(idCol, simhashCol, "_band", "_bucket")
-    val l = banded.select(col(idCol).as("i"), col(simhashCol).as("_hi"),
-      col("_band"), col("_bucket"))
-    val r = banded.select(col(idCol).as("j"), col(simhashCol).as("_hj"),
-      col("_band"), col("_bucket"))
-    l.join(r, Seq("_band", "_bucket"))
-      .where(col("i") < col("j"))
-      .select(col("i"), col("j"),
-        bit_count(col("_hi").bitwiseXOR(col("_hj"))).as("hamming"))
-      .where(col("hamming") <= maxHamming) // filter BEFORE distinct: bucket
-      .distinct()                          // collisions are quadratic
   }
+
+  /** Monitoring hook for [[simhashPairs]]' hot-bucket bound: the
+    * `(band, bucket)` groups whose size exceeds `maxBucket` — the groups
+    * the pair join will star-link instead of pairwise-joining. Run (and
+    * log) this before a large run; non-empty means the corpus has
+    * degenerate boilerplate and the emitted pair set is the star-reduced
+    * one (pairs between two non-min members of an over-cap bucket are
+    * represented transitively through the bucket-min anchor). */
+  def simhashOverCapBuckets(df: DataFrame, idCol: String, simhashCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    simhashBanded(df, idCol, simhashCol, maxHamming)
+      .groupBy("_band", "_bucket").agg(count(lit(1)).as("n_members"))
+      .where(col("n_members") > maxBucket)
 
   // ----------------------------------------------- exact n-gram Jaccard
 

@@ -81,6 +81,50 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Dedup.droppedStarEdges(df, "doc_id", "shingles").isEmpty)
   }
 
+  test("simhash hot buckets are star-linked, not pairwise-joined") {
+    import spark.implicits._
+    // verdict r17 #1: same hazard class as the minhash cap (r9) — one
+    // boilerplate fingerprint value lands 10k docs in the SAME bucket of
+    // every band; unbounded banding would emit C(10000,2) ≈ 5·10⁷ pairs
+    // per band. The cap star-links over-cap buckets to the bucket-min id;
+    // the exact hamming filter still applies to each star edge.
+    val hot = (1 to 10000).map(i => (i.toLong, 0x0F0F0F0FL))
+    val pairDocs = Seq(
+      (20001L, 0x12345678L), (20002L, 0x12345679L)) // hamming 1
+    val far = Seq((30001L, 0x00000000L))            // shares NO band w/ pair
+    val df = (hot ++ pairDocs ++ far).toDF("doc_id", "sh")
+    val capped = Dedup.simhashPairs(df, "doc_id", "sh",
+      maxHamming = 3, maxBucket = 100).cache()
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // over-cap bucket: 9,999 star edges to the min id (hamming 0 — all
+    // pass the filter), not 5·10⁷ rows
+    val star = pairs.filter(_._2 <= 10000L)
+    assert(star.length == 9999 && star.forall(_._1 == 1L))
+    // under-cap buckets still pairwise: the small near-dup pair survives
+    assert(pairs.contains((20001L, 20002L)))
+    // star pairs preserve cluster connectivity
+    val labels = Dedup.connectedComponents(capped.select("i", "j"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1 to 10000).forall(i => labels(i.toLong) == 1L))
+    capped.unpersist()
+    // on a non-degenerate corpus (no over-cap bucket) the capped join is
+    // IDENTICAL to the unbounded one — cap-fires ≡ star-edges-only is the
+    // only divergence
+    val small = (Seq((1L, 0x0F0F0F0FL), (2L, 0x0F0F0F0EL)) ++ pairDocs ++ far)
+      .toDF("doc_id", "sh")
+    val unbounded = Dedup.simhashPairs(small, "doc_id", "sh",
+      maxHamming = 3, maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val boundedOut = Dedup.simhashPairs(small, "doc_id", "sh",
+      maxHamming = 3, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(unbounded == boundedOut && unbounded.nonEmpty)
+    // the monitoring hook reports exactly the over-cap groups (one per band)
+    val oc = Dedup.simhashOverCapBuckets(df, "doc_id", "sh", maxBucket = 100)
+      .collect()
+    assert(oc.length == 4 && oc.forall(_.getLong(2) == 10000L))
+  }
+
   test("incremental dedup pairs new docs only; old-old pair space untouched") {
     import spark.implicits._
     // three identical doc groups: {1,2} old-old (must NOT pair — that's
