@@ -448,7 +448,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     * identical across the fold; a post-compact append lands as
     * `_gen=1`. */
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val meta = validateServing(path)
     val gens = committedGens(meta)
@@ -567,6 +567,12 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     * sub-layouts in one batch, deletes prune both), so mih rows ==
     * vectors rows × num_chunks — a drift means a partially-applied
     * mutation */
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] =
+    Map("gen" -> graft.core.Generations.sidecarCount(
+      s"$path/_bq_serving_meta.json", "generations"))
+
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     import ServingFsck._

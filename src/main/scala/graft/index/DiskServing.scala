@@ -124,9 +124,45 @@ trait DiskServing { self: IndexStrategy =>
     * (the cell families fold through
     * [[IvfStrategy.compactCells]]). */
   def supportsCompaction: Boolean = false
-  def compactServing(spark: SparkSession, path: String): Unit =
+  final def compactServing(spark: SparkSession, path: String): Unit = {
+    if (!supportsCompaction)
+      throw new UnsupportedOperationException(
+        s"$name has no compactable serving layout")
+    maintained(spark, path)(doCompactServing(spark, path))
+  }
+
+  /** the family's compaction body, run under the maintenance fence */
+  protected def doCompactServing(spark: SparkSession, path: String): Unit =
     throw new UnsupportedOperationException(
       s"$name has no compactable serving layout")
+
+  /** Maintenance fence (verdict r17 #2): compaction and rebuild sweep
+    * the claims ledger and swap directories under the assumption that
+    * no writer is in flight — this makes the assumption CHECKED rather
+    * than hoped. The fence takes the layout's single `maint` marker
+    * (refusing while any unresolved writer claim exists) and every
+    * writer's claim checks the marker after winning its slot
+    * ([[graft.core.Generations.claimAppendGeneration]]), so a
+    * maintenance-vs-writer race fails loudly on whichever side arrives
+    * second. Success path: the maintenance body's own ledger sweep
+    * removes the marker; failure path: the finally releases it, so a
+    * thrown (not crashed) maintenance never wedges writers. A CRASHED
+    * maintenance leaves the marker blocking writers loudly — the safe
+    * direction; the re-run reclaims it under the same tag. */
+  protected final def maintained[A](spark: SparkSession, path: String)(
+      body: => A): A = {
+    graft.core.Generations.beginMaintenance(spark, path, writerTag,
+      committedCounts(spark, path))
+    try body
+    finally graft.core.Generations.endMaintenance(spark, path, writerTag)
+  }
+
+  /** Committed generation count per claim slot, read leniently from the
+    * family's sidecar (absent layout/sidecar → 0, making EVERY claim
+    * count as unresolved — the safe direction). The maintenance fence's
+    * spent-vs-unresolved predicate; families with a second counter (the
+    * graph families' tombstones) add their `tomb` slot. */
+  def committedCounts(spark: SparkSession, path: String): Map[String, Int]
 
   /** Retrain the layout's LEARNED state (codebooks, ranges, rotation,
     * graph) on its CURRENT live rows and atomically swap the retrained
@@ -146,11 +182,21 @@ trait DiskServing { self: IndexStrategy =>
     * signatures) is data-independent, nothing ever goes stale, and
     * [[compactServing]] is already their complete maintenance story. */
   def supportsRebuild: Boolean = false
-  def rebuildServing(spark: SparkSession, path: String): DiskServing.Rebuilt =
+  final def rebuildServing(spark: SparkSession,
+      path: String): DiskServing.Rebuilt = {
+    if (!supportsRebuild)
+      throw new UnsupportedOperationException(
+        s"$name has no retrainable serving state — its layout never goes " +
+          "stale under appends/deletes (hash planes/signatures are " +
+          "seed-deterministic); compactServing is its maintenance operation")
+    maintained(spark, path)(doRebuildServing(spark, path))
+  }
+
+  /** the family's rebuild body, run under the maintenance fence */
+  protected def doRebuildServing(spark: SparkSession,
+      path: String): DiskServing.Rebuilt =
     throw new UnsupportedOperationException(
-      s"$name has no retrainable serving state — its layout never goes " +
-        "stale under appends/deletes (hash planes/signatures are " +
-        "seed-deterministic); compactServing is its maintenance operation")
+      s"$name has no retrainable serving state")
 
   /** Layout doctor ([[ServingFsck]]): verify the layout's crash-window
     * invariants against the actual directory tree and report one row

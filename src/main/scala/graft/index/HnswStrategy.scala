@@ -918,7 +918,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
   /** [[compactGraphIndex]] behind the uniform [[DiskServing]] flag
     * (verdict r14 #3) */
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = compactGraphIndex(spark, path)
 
   def compactGraphIndex(spark: org.apache.spark.sql.SparkSession,
@@ -1047,7 +1047,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * the whole layer stack from the LIVE rows (committed generations
     * minus tombstones) and swaps the fresh layout in. */
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt = {
     // drop the layout's own partition columns: writeGeneration would
     // overwrite them anyway, but the returned store/prepared frames are
@@ -1061,6 +1061,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     fresh.writeGraphIndex(prepared, path)
     DiskServing.Rebuilt(fresh, rows, prepared)
   }
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] = Map(
+    "gen" -> graft.core.Generations.sidecarCount(
+      s"$path/_graph_meta.json", "generations"),
+    "tomb" -> graft.core.Generations.sidecarCount(
+      s"$path/_graph_meta.json", "tombstone_generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =

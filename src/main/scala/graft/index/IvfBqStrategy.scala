@@ -134,16 +134,20 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   }
 
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = ivf.compactCells(spark, path, name)
 
   /** retrain the coarse codebook on the layout's live rows; the sign
     * signatures (`_sig`) are data-independent and re-derived by the
     * fresh prepare ([[IvfStrategy.rebuildCells]]) */
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt =
     ivf.rebuildCells(spark, path, name, Seq("_sig"), this.copy())
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] = ivf.committedCounts(spark, path)
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = ivf.fsckCells(spark, path, name)

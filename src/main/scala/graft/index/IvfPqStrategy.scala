@@ -328,16 +328,20 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   }
 
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = ivf.compactCells(spark, path, name)
 
   /** retrain the coarse codebook AND the residual PQ codebooks on the
     * layout's live rows ([[IvfStrategy.rebuildCells]]; `_pq` is this
     * family's aux column, re-encoded by the fresh prepare) */
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt =
     ivf.rebuildCells(spark, path, name, Seq("_pq"), this.copy())
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] = ivf.committedCounts(spark, path)
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = ivf.fsckCells(spark, path, name)

@@ -407,7 +407,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   }
 
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt =
     rebuildCells(spark, path, name, Nil, this.copy())
 
@@ -471,6 +471,12 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
       crashLeftovers(spark, path))
   }
 
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] =
+    Map("gen" -> graft.core.Generations.sidecarCount(
+      servingMetaPath(path), "generations"))
+
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = fsckCells(spark, path, name)
 
@@ -494,7 +500,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
 
   /** fold the committed append generations back to one (r16) */
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = compactCells(spark, path, name)
 
   /** Disk-resident serving: answer top-k from the cell-partitioned parquet

@@ -550,7 +550,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * admits. Served results are identical across the fold
     * (spec-pinned); a post-compact append lands as `_gen=1`. */
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val meta = readMeta(path)
     val gens = Option(meta.get("generations")).map(_.asInt()).getOrElse(1)
@@ -652,6 +652,12 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * deletes remove a batch's postings from all tables), so postings
     * rows == vectors rows × n_tables — a drift means a partially-applied
     * mutation */
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] =
+    Map("gen" -> graft.core.Generations.sidecarCount(
+      s"$path/_lsh_meta.json", "generations"))
+
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     import ServingFsck._

@@ -870,7 +870,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     * and [[deleteFromDisk]] clears such a leftover before its next
     * generation-0 write). */
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = readServingMeta(path)
@@ -957,7 +957,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     * stop routing AND the survivors' neighborhoods are relearned
     * against the current store */
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt = {
     val meta = readServingMeta(path)
     // dropped partition columns + localCheckpoint: same reasons as
@@ -970,6 +970,14 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     fresh.writeServingIndex(prepared, path)
     DiskServing.Rebuilt(fresh, rows, prepared)
   }
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] = Map(
+    "gen" -> graft.core.Generations.sidecarCount(
+      s"$path/_nn_serving_meta.json", "generations"),
+    "tomb" -> graft.core.Generations.sidecarCount(
+      s"$path/_nn_serving_meta.json", "tombstone_generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =

@@ -237,7 +237,7 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   }
 
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = inner.compactServingAs(spark, path, name)
 
   /** Retrain rotation AND codebooks on the layout's live rows. The
@@ -248,7 +248,7 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     * are rotated from raw space exactly once, silently mis-scoring
     * every query against the rebuilt codes. */
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt = {
     val rOld = servingRotation(path)
     val inv = Array.tabulate(rOld(0).length, rOld.length)(
@@ -256,6 +256,10 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     inner.rebuildServingAs(spark, path, name, this.copy(),
       rows => rotateWith(rows, "vector", inv))
   }
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] = inner.committedCounts(spark, path)
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = // rotation: the field OPQ readers adopt

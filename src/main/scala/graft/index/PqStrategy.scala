@@ -289,7 +289,7 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   }
 
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt =
     rebuildServingAs(spark, path, name, this.copy(), identity)
 
@@ -299,6 +299,12 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     ServingFsck.codesLayout(spark, path, "_pq_serving_meta.json",
       Seq("family", "metric", "dim", "vec_buckets", "generations",
         "codebooks") ++ extraFields, family)
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] =
+    Map("gen" -> graft.core.Generations.sidecarCount(
+      s"$path/_pq_serving_meta.json", "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = fsckCodesAs(spark, path, name)
@@ -465,6 +471,6 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   }
 
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = compactServingAs(spark, path, name)
 }

@@ -147,10 +147,21 @@ private[graft] object ServingFsck {
       slot: String = "gen", component: String = "claims"): Seq[Check] = {
     val cs = graft.core.Generations.listClaims(spark, root, slot)
     val unresolved = cs.count(_._1 >= committed)
+    // the maintenance marker rides with the DEFAULT slot's rows so each
+    // family's doctor reports it exactly once: present = a compaction/
+    // rebuild in flight right now, or a crashed one still fencing out
+    // writers (verdict r17 #2) — `warn` either way, an operator alerts
+    // on persistence (endMaintenance under the holder's tag clears it)
+    val maint =
+      if (slot != "gen") Seq.empty
+      else Seq(Check(component, "maintenance_marker",
+        if (graft.core.Generations.maintenanceHolder(spark, root).isEmpty)
+          Ok else Warn,
+        graft.core.Generations.maintenanceHolder(spark, root).size.toLong))
     Seq(
       Check(component, "spent", Ok, cs.count(_._1 < committed).toLong),
       Check(component, "unresolved",
-        if (unresolved == 0) Ok else Warn, unresolved.toLong))
+        if (unresolved == 0) Ok else Warn, unresolved.toLong)) ++ maint
   }
 
   /** no id appears twice in the frame — the append guards' invariant

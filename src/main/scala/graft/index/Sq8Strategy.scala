@@ -361,7 +361,7 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
   }
 
   override def supportsCompaction: Boolean = true
-  override def compactServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doCompactServing(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     val meta = validateSqServing(path)
     val gens = meta.get("generations").asInt()
@@ -375,7 +375,7 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     * one learned artifact — `_codes` is re-quantized by the fresh
     * prepare); same shape as [[PqStrategy.rebuildServingAs]] */
   override def supportsRebuild: Boolean = true
-  override def rebuildServing(spark: org.apache.spark.sql.SparkSession,
+  override protected def doRebuildServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DiskServing.Rebuilt = {
     val meta = validateSqServing(path)
     // localCheckpoint, not cache: the swap rewrites this frame's source
@@ -388,6 +388,12 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     fresh.writeServingIndex(prepared, path)
     DiskServing.Rebuilt(fresh, rows, prepared)
   }
+
+  /** the maintenance fence's committed counters ([[DiskServing]]) */
+  override def committedCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, Int] =
+    Map("gen" -> graft.core.Generations.sidecarCount(
+      s"$path/_sq8_serving_meta.json", "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =

@@ -334,4 +334,98 @@ class ConcurrentAppendSpec extends SparkSpec {
     assert(e.getMessage.contains("writer-C"))
     prep.unpersist()
   }
+
+  test("maintenance fence: compact refuses while a writer claim is " +
+      "unresolved; append refuses while the marker is held — both " +
+      "orders fail loudly; doctor reports the marker") {
+    val path = tmp("fence")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 300)).cache()
+    strat.writeServingIndex(prepared, path)
+    strat.writerTag = "writer-A"
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 300 && $"id" < 400))
+    // order 1: append (claim) first, then maintenance — compact refuses
+    Generations.claimAppendGeneration(spark, path, "ghost", () => 2)
+    val e1 = intercept[IllegalStateException] {
+      strat.compactServing(spark, path)
+    }
+    assert(e1.getMessage.contains("ghost") &&
+      e1.getMessage.contains("unresolved"),
+      "the refusal must name the in-flight writer")
+    assert(Generations.maintenanceHolder(spark, path).isEmpty,
+      "a refused maintenance must not leave its marker behind")
+    Generations.breakClaim(spark, path, 2)
+    // order 2: maintenance first, then append — the writer refuses
+    Generations.beginMaintenance(spark, path, "maintainer",
+      Map("gen" -> 2))
+    val e2 = intercept[IllegalStateException] {
+      strat.appendServingIndex(spark, path,
+        store.where($"id" >= 400 && $"id" < 450))
+    }
+    assert(e2.getMessage.contains("maintainer") &&
+      e2.getMessage.contains("maintenance"))
+    assert(Generations.listClaims(spark, path).map(_._1) === Seq(1),
+      "the fenced-out append must release its slot claim")
+    // a second maintainer is refused while the marker is held; the SAME
+    // tag reclaims it (a crashed maintenance's re-run)
+    val e3 = intercept[IllegalStateException] {
+      Generations.beginMaintenance(spark, path, "maintainer-2",
+        Map("gen" -> 2))
+    }
+    assert(e3.getMessage.contains("maintainer"))
+    Generations.beginMaintenance(spark, path, "maintainer",
+      Map("gen" -> 2)) // same-tag reclaim succeeds
+    // the doctor reports the held marker as a warn
+    val fsck = strat.fsckServing(spark, path).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getString(2), r.getLong(3)))).toMap
+    assert(fsck(("claims", "maintenance_marker")) === (("warn", 1L)))
+    Generations.endMaintenance(spark, path, "maintainer")
+    // fence clear: compact folds and sweeps; the append lands cleanly
+    strat.compactServing(spark, path)
+    assert(Generations.listClaims(spark, path).isEmpty)
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 400 && $"id" < 450))
+    val mem = strat.query(strat.prepare(store.where($"id" < 450)),
+      queries, 10).collect().toSet
+    assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
+      === mem)
+    prepared.unpersist()
+  }
+
+  test("claim identity rides the file NAME: an empty crashed claim is " +
+      "reclaimable by its own tag and names its holder to a rival") {
+    val path = tmp("atomic")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 100)).cache()
+    strat.writeServingIndex(prepared, path)
+    // simulate the old protocol's fatal crash window: a claim file on
+    // disk with NO content — under the name-carries-identity format the
+    // tag survives any write crash because there is nothing to write
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_claims")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir,
+      "gen-1.writer-A"), false).close()
+    // a rival sees the crashed holder BY NAME
+    val e = intercept[IllegalStateException] {
+      Generations.claimAppendGeneration(spark, path, "writer-B", () => 1)
+    }
+    assert(e.getMessage.contains("writer-A"))
+    // the owner's replay reclaims it — the exact guarantee the old
+    // content-carries-identity format broke on an empty claim
+    assert(Generations.claimAppendGeneration(spark, path, "writer-A",
+      () => 1) === 1)
+    // tags with filesystem-hostile characters round-trip through the
+    // URL encoding (the default tag is pid@host)
+    val odd = "stream-4/2 q?x@host"
+    assert(Generations.claimAppendGeneration(spark, path, odd,
+      () => 2) === 2)
+    assert(Generations.listClaims(spark, path)
+      === Seq((1, "writer-A"), (2, odd)))
+    Generations.releaseClaim(spark, path, 2, odd)
+    assert(Generations.listClaims(spark, path) === Seq((1, "writer-A")))
+    prepared.unpersist()
+  }
 }
