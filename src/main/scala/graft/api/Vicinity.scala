@@ -230,14 +230,15 @@ class Vicinity private (
       n.asInt().toString
     if (FsIO.exists(s"$path/_graph_meta.json")) {
       val meta = new ObjectMapper().readTree(FsIO.read(s"$path/_graph_meta.json"))
-      val tNode = meta.get("tombstone_generations")
       fields(meta, "graph", Seq(
         "buckets" -> asInt, "n_layers" -> asInt, "generations" -> asInt,
         "entries" -> ((n: com.fasterxml.jackson.databind.JsonNode) =>
           n.size().toString),
         "m" -> asInt, "ef_search" -> asInt)) ++
+        // the tombstone counter lives in its own sidecar (advice r17:
+        // split so append and delete commits never rewrite each other)
         Map("tombstone_generations" ->
-          (if (tNode == null) "0" else tNode.asInt().toString))
+          graft.index.GraphLayout.tombstoneGens(path).toString)
     } else if (FsIO.exists(s"$path/_lsh_meta.json")) {
       // the LSH layout nests its partitioning one level down
       // (postings/_pk=…, vectors/_nb=…), so the flat first-level count
@@ -269,13 +270,12 @@ class Vicinity private (
       // tombstone deletes), null-safe for pre-r15 sidecars
       val meta = new ObjectMapper()
         .readTree(FsIO.read(s"$path/_nn_serving_meta.json"))
-      val tNode = meta.get("tombstone_generations")
       fields(meta, "nn_graph", Seq(
         "buckets" -> asInt, "n_neighbors" -> asInt, "generations" -> asInt,
         "entries" -> ((n: com.fasterxml.jackson.databind.JsonNode) =>
           n.size().toString))) ++
         Map("tombstone_generations" ->
-          (if (tNode == null) "0" else tNode.asInt().toString))
+          graft.index.GraphLayout.tombstoneGens(path).toString)
     } else if (FsIO.exists(s"$path/_bq_serving_meta.json")) {
       // the binary layout nests its partitioning one level down like the
       // LSH layout (mih/_gen=…/_pk=… since the r15 generation layout;

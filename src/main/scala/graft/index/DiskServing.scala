@@ -569,6 +569,44 @@ private[graft] object PartitionRewrite {
 private[graft] object GraphLayout {
   import org.apache.spark.sql.functions._
 
+  /** The tombstone counter's OWN sidecar, split from the graph meta
+    * (advice r17): an append's commit rewrites the graph meta
+    * (generations + recomputed entries) and a delete's commit rewrites
+    * ONLY this file, so concurrent cross-kind writers never
+    * read-modify-write each other's counter — the previous shared-file
+    * commit let an append (serialized only against other appends)
+    * silently revert a delete's tombstone count committed in between,
+    * resurrecting the deleted rows, and symmetrically let a delete
+    * revert an append's generation count, hiding its rows. Absent file
+    * = no tombstones, so pre-delete layouts and fresh rewrites read as
+    * tombstone-free without a write. */
+  def tombstoneGens(path: String): Int =
+    graft.core.Generations.sidecarCount(s"$path/_tomb_meta.json",
+      "tombstone_generations")
+
+  def writeTombstoneGens(path: String, tGens: Int): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("tombstone_generations", tGens)
+    graft.core.FsIO.write(s"$path/_tomb_meta.json",
+      mapper.writeValueAsString(root))
+  }
+
+  /** committed tombstone set as an `(id)` frame — None when the layout
+    * has none. Tombstones live as their own `_gen` generations under
+    * `tombstones/`, bucketed like everything else so a membership check
+    * against a bounded candidate set prunes directories; the sidecar
+    * count gates uncommitted generations exactly as for data. ONE
+    * implementation for both graph families (the module's founding
+    * rule), reading the split counter above. */
+  def tombstoneFrame(spark: SparkSession,
+      path: String): Option[DataFrame] = {
+    val tGens = tombstoneGens(path)
+    if (tGens <= 0) None
+    else Some(spark.read.parquet(s"$path/tombstones")
+      .where(col("_gen") < tGens).select("id").distinct())
+  }
+
   /** one `_gen=N` generation of a bucketed subdir — id-sorted within
     * each bucket (row-group min/max stats on the node id become tight
     * ranges for the pushed `IN` lists), DYNAMIC partition overwrite so a

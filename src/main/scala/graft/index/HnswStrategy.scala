@@ -443,6 +443,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // count whose directories are gone (a loud failure, the opposite of
     // the invisible-orphan claim). After the commit this is hygiene.
     writeGraphMeta(path, buckets, generations = 1)
+    GraphLayout.writeTombstoneGens(path, 0) // fresh layout: no tombstones
     // a REWRITE of an existing layout resets the generation count while
     // swapping only the sub-layouts — stale claims must go with it
     graft.core.Generations.clearClaims(prepared.sparkSession, path)
@@ -475,9 +476,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * append replay guard: readers ignore `_gen >= generations`, so a
     * crash between a generation write and this sidecar update leaves the
     * orphan invisible), and the CURRENT entry set (recomputed on append —
-    * on a single-layer graph the inserted nodes join the entry layer). */
+    * on a single-layer graph the inserted nodes join the entry layer).
+    * The TOMBSTONE counter deliberately does NOT live here (advice r17):
+    * it has its own sidecar ([[GraphLayout.writeTombstoneGens]]) so an
+    * append's meta rewrite can never revert a concurrently committed
+    * delete's counter, and vice versa. */
   private def writeGraphMeta(path: String, buckets: Int,
-      generations: Int, tombstoneGenerations: Int = 0): Unit = {
+      generations: Int): Unit = {
     val entries = entryIds.collect().map(_.getLong(0))
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -489,26 +494,10 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     root.put("hops", hops)
     root.put("descent_width", descentWidth)
     root.put("generations", generations)
-    root.put("tombstone_generations", tombstoneGenerations)
     val arr = root.putArray("entries")
     entries.foreach(arr.add)
     graft.core.FsIO.write(s"$path/_graph_meta.json",
       mapper.writeValueAsString(root))
-  }
-
-  /** committed tombstone set as an `(id)` frame — None when the layout
-    * has none. Tombstones live as their own `_gen` generations under
-    * `tombstones/`, bucketed like everything else so a membership check
-    * against a bounded candidate set prunes directories; the sidecar
-    * count gates uncommitted generations exactly as for data. */
-  private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
-      path: String,
-      meta: com.fasterxml.jackson.databind.JsonNode): Option[DataFrame] = {
-    val node = meta.get("tombstone_generations")
-    val tGens = if (node == null) 0 else node.asInt()
-    if (tGens <= 0) None
-    else Some(spark.read.parquet(s"$path/tombstones")
-      .where(col("_gen") < tGens).select("id").distinct())
   }
 
   /** The hierarchical walk served DIRECTLY from a [[writeGraphIndex]]
@@ -587,7 +576,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // traverses them exactly as before, the hnswlib mark-deleted
     // semantics — but are excluded from the served results; the ef-wide
     // beam is what absorbs the filter (up to ef candidates survive it)
-    val served = tombstoneFrame(spark, path, meta)
+    val served = GraphLayout.tombstoneFrame(spark, path)
       .fold(beam)(t => beam.join(t, Seq("id"), "left_anti"))
     TopK.topKPerGroup(served, Seq("query_id"), "id", "dist", k)
   }
@@ -639,7 +628,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       val g = meta.get("generations")
       val committed = if (g == null) vecs0
         else vecs0.where(col("_gen") < g.asInt())
-      tombstoneFrame(spark, path, meta)
+      GraphLayout.tombstoneFrame(spark, path)
         .fold(committed)(t => committed.join(t, Seq("id"), "left_anti"))
     }
   }
@@ -688,30 +677,29 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(meta.get("generations") != null,
       s"index at $path predates the generation layout")
     val buckets = meta.get("buckets").asInt()
-    val gens = meta.get("generations").asInt()
     // claim the TOMBSTONE slot before reading the prior tombstone state
     // (r17 — the delete-side twin of the append claims: two concurrent
     // deleters would both write tombstones `_gen=T` and dynamic-
     // overwrite each other, resurrecting deleted rows). Same-tag replay
     // reclaims; a foreign in-flight claim fails loudly.
     val tGens = graft.core.Generations.claimAppendGeneration(spark, path,
-      writerTag, () => {
-        val m = mapper.readTree(
-          graft.core.FsIO.read(s"$path/_graph_meta.json"))
-        val t = m.get("tombstone_generations")
-        if (t == null) 0 else t.asInt()
-      }, slot = "tomb")
+      writerTag, () => GraphLayout.tombstoneGens(path), slot = "tomb")
     try {
-      // verify against LIVE rows only, pruned to the candidates' buckets;
-      // the tombstone frame re-reads the sidecar AFTER the claim so it
-      // covers everything committed up to the claimed slot
+      // verify against LIVE rows only, pruned to the candidates' buckets.
+      // BOTH counters are re-read AFTER the claim (advice r17): the
+      // tombstone frame so it covers everything committed up to the
+      // claimed slot, and the append-generation count so rows a
+      // concurrent appender committed between this method's entry and
+      // the claim are seen as existing (the pre-claim `gens` silently
+      // no-op'd a delete of a just-appended id)
       val cand = ids.select("id").distinct()
       val candIds = cand.collect().map(_.getLong(0))
-      val existing = prunedRead(spark, path, "vectors", "id", candIds,
-        buckets, Seq("id"), gens)
-      val freshMeta = mapper.readTree(
+      val freshGens = mapper.readTree(
         graft.core.FsIO.read(s"$path/_graph_meta.json"))
-      val prior = tombstoneFrame(spark, path, freshMeta)
+        .get("generations").asInt()
+      val existing = prunedRead(spark, path, "vectors", "id", candIds,
+        buckets, Seq("id"), freshGens)
+      val prior = GraphLayout.tombstoneFrame(spark, path)
       val fresh = prior.fold(existing)(t =>
         existing.join(t, Seq("id"), "left_anti")).cache()
       val n = fresh.count()
@@ -731,11 +719,10 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
           if (tFs.exists(tPath)) tFs.delete(tPath, true)
         }
         writeGeneration(fresh, "id", s"$path/tombstones", buckets, tGens)
-        val root = freshMeta
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        root.put("tombstone_generations", tGens + 1)
-        graft.core.FsIO.write(s"$path/_graph_meta.json",
-          mapper.writeValueAsString(root))
+        // the commit touches ONLY the tombstone counter's own sidecar
+        // (advice r17): rewriting the shared graph meta here could
+        // revert a generation count an appender committed concurrently
+        GraphLayout.writeTombstoneGens(path, tGens + 1)
       } else {
         // a no-op delete must not leave an unresolved claim behind
         graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
@@ -879,8 +866,6 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         s"this instance prepared ${layers.length} — the prepared store " +
         "does not match the layout")
     val buckets = meta.get("buckets").asInt()
-    val tNode = meta.get("tombstone_generations")
-    val tGens = if (tNode == null) 0 else tNode.asInt()
     val spark = prevPrepared.sparkSession
     // claim the append slot BEFORE the in-memory graph mutation
     // (verdict r16 #1): a conflicting concurrent writer must be
@@ -895,8 +880,11 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         prepareIncrementDelta(prevPrepared, newRows)
       writeGeneration(deltaVecs, "id", s"$path/vectors", buckets, gens)
       writeGeneration(deltaAdj, "src", s"$path/layer_0", buckets, gens)
-      writeGraphMeta(path, buckets, generations = gens + 1,
-        tombstoneGenerations = tGens)
+      // the commit rewrites the graph meta (generations + entries) and
+      // NOTHING of the tombstone counter, which lives in its own
+      // sidecar (advice r17): a delete committing concurrently with
+      // this append can no longer be reverted by this write
+      writeGraphMeta(path, buckets, generations = gens + 1)
       newPrepared
     } catch {
       case e: Throwable =>
@@ -928,7 +916,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     require(meta.get("generations") != null,
       s"index at $path predates the generation layout")
     val gens = meta.get("generations").asInt()
-    val tomb = tombstoneFrame(spark, path, meta)
+    val tomb = GraphLayout.tombstoneFrame(spark, path)
     if (gens <= 1 && tomb.isEmpty) return // already compact
     val buckets = meta.get("buckets").asInt()
     // tombstoned nodes leave PHYSICALLY here: their vectors and adjacency
@@ -983,17 +971,22 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       val kept = entryArr.filterNot(dead)
       val arr = root.putArray("entries")
       kept.foreach(arr.add)
-      root.put("tombstone_generations", 0)
     }
-    // sidecar commits BEFORE the tombstones dir is deleted (advice r12):
+    // sidecars commit BEFORE the tombstones dir is deleted (advice r12):
     // at tombstone_generations=0 an orphaned tombstones/ dir is invisible
     // to every reader, so a crash in this window leaves a servable layout
     // — the reverse order left a sidecar pointing at a missing directory,
     // bricking every subsequent disk read. Same sidecar-commits-last
-    // discipline as the append path. The leftover is NOT writable-over,
-    // though: [[deleteFromDisk]] clears it before writing a fresh
-    // generation 0 (dynamic partition overwrite would keep its stale
-    // partitions and resurrect the spent tombstones).
+    // discipline as the append path. Counter order: the tombstone reset
+    // lands FIRST — between the two writes a reader sees folded data
+    // with no tombstones (correct: the fold already dropped the rows)
+    // and a crash there re-runs the fold idempotently; the reverse order
+    // would leave spent tombstones visible over data that can re-admit
+    // their ids. The leftover tombstones dir is NOT writable-over:
+    // [[deleteFromDisk]] clears it before writing a fresh generation 0
+    // (dynamic partition overwrite would keep its stale partitions and
+    // resurrect the spent tombstones).
+    if (tomb.nonEmpty) GraphLayout.writeTombstoneGens(path, 0)
     graft.core.FsIO.write(s"$path/_graph_meta.json",
       mapper.writeValueAsString(root))
     if (tomb.nonEmpty) {
@@ -1067,8 +1060,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       path: String): Map[String, Int] = Map(
     "gen" -> graft.core.Generations.sidecarCount(
       s"$path/_graph_meta.json", "generations"),
-    "tomb" -> graft.core.Generations.sidecarCount(
-      s"$path/_graph_meta.json", "tombstone_generations"))
+    "tomb" -> GraphLayout.tombstoneGens(path))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =

@@ -638,6 +638,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     entries.foreach(arr.add)
     graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
       mapper.writeValueAsString(root))
+    GraphLayout.writeTombstoneGens(path, 0) // fresh layout: no tombstones
   }
 
   private def readServingMeta(
@@ -661,21 +662,6 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         s"layout at $path has no recorded '$f' — unrecognized sidecar")
     }
     meta
-  }
-
-  /** committed tombstone set as an `(id)` frame — None when the layout
-    * has none (the HNSW discipline: tombstones live as bucketed `_gen`
-    * generations under `tombstones/`, gated by the sidecar count so a
-    * crashed delete's orphan generation stays invisible). The field is
-    * optional in the sidecar — pre-r15 layouts read as tombstone-free. */
-  private def tombstoneFrame(spark: org.apache.spark.sql.SparkSession,
-      path: String,
-      meta: com.fasterxml.jackson.databind.JsonNode): Option[DataFrame] = {
-    val node = meta.get("tombstone_generations")
-    val tGens = if (node == null) 0 else node.asInt()
-    if (tGens <= 0) None
-    else Some(spark.read.parquet(s"$path/tombstones")
-      .where(col("_gen") < tGens).select("id").distinct())
   }
 
   /** The beam walk served DIRECTLY from a [[writeServingIndex]] layout,
@@ -731,7 +717,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     // traverses them exactly as before (removing a hub would tear the
     // k-NN graph's connectivity) — but are excluded from served results;
     // the beam-wide candidate set absorbs the filter
-    val served = tombstoneFrame(spark, path, meta)
+    val served = GraphLayout.tombstoneFrame(spark, path)
       .fold(beamDf)(t => beamDf.join(t, Seq("id"), "left_anti"))
     TopK.topKPerGroup(served, Seq("query_id"), "id", "dist", k)
   }
@@ -751,7 +737,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       meta: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
     val committed = spark.read.parquet(s"$path/vectors")
       .where(col("_gen") < meta.get("generations").asInt())
-    tombstoneFrame(spark, path, meta)
+    GraphLayout.tombstoneFrame(spark, path)
       .fold(committed)(t => committed.join(t, Seq("id"), "left_anti"))
   }
 
@@ -798,27 +784,26 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = readServingMeta(path)
     val buckets = meta.get("buckets").asInt()
-    val gens = meta.get("generations").asInt()
     // claim the TOMBSTONE slot before reading the prior tombstone state
     // (r17 — the delete-side twin of the append claims, the HNSW
     // discipline): two concurrent deleters would both write tombstones
     // `_gen=T` and dynamic-overwrite each other, resurrecting deleted
     // rows. Same-tag replay reclaims; a foreign in-flight claim fails.
     val tGens = graft.core.Generations.claimAppendGeneration(spark, path,
-      writerTag, () => {
-        val t = readServingMeta(path).get("tombstone_generations")
-        if (t == null) 0 else t.asInt()
-      }, slot = "tomb")
+      writerTag, () => GraphLayout.tombstoneGens(path), slot = "tomb")
     try {
-      // verify against LIVE rows only, pruned to the candidates' buckets;
-      // the tombstone frame re-reads the sidecar AFTER the claim so it
-      // covers everything committed up to the claimed slot
+      // verify against LIVE rows only, pruned to the candidates' buckets.
+      // BOTH counters are re-read AFTER the claim (advice r17): the
+      // tombstone frame so it covers everything committed up to the
+      // claimed slot, and the append-generation count so rows a
+      // concurrent appender committed since this method's entry are
+      // seen as existing
       val candIds = ids.select(col("id").cast("long").as("id")).distinct()
         .collect().map(_.getLong(0))
+      val freshGens = readServingMeta(path).get("generations").asInt()
       val existing = GraphLayout.prunedRead(spark, path, "vectors", "id",
-        candIds, buckets, Seq("id"), gens)
-      val freshMeta = readServingMeta(path)
-      val prior = tombstoneFrame(spark, path, freshMeta)
+        candIds, buckets, Seq("id"), freshGens)
+      val prior = GraphLayout.tombstoneFrame(spark, path)
       val fresh = prior.fold(existing)(t =>
         existing.join(t, Seq("id"), "left_anti")).cache()
       val n = fresh.count()
@@ -837,11 +822,10 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         }
         GraphLayout.writeGeneration(fresh, "id", s"$path/tombstones",
           buckets, tGens)
-        val root = freshMeta
-          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
-        root.put("tombstone_generations", tGens + 1)
-        graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
-          mapper.writeValueAsString(root))
+        // the commit touches ONLY the tombstone counter's own sidecar
+        // (advice r17): rewriting the shared serving meta here could
+        // revert state another writer committed concurrently
+        GraphLayout.writeTombstoneGens(path, tGens + 1)
       } else {
         // a no-op delete must not leave an unresolved claim behind
         graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
@@ -875,7 +859,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = readServingMeta(path)
     val gens = meta.get("generations").asInt()
-    val tomb = tombstoneFrame(spark, path, meta)
+    val tomb = GraphLayout.tombstoneFrame(spark, path)
     if (gens <= 1 && tomb.isEmpty) return // already compact
     val buckets = meta.get("buckets").asInt()
     def fold(sub: String, idCol: String, stripDst: Boolean): Unit = {
@@ -937,8 +921,11 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         }
       val arr = root.putArray("entries")
       reseeded.foreach(arr.add)
-      root.put("tombstone_generations", 0)
     }
+    // counter order: the tombstone reset lands FIRST (its own sidecar —
+    // advice r17); between the two writes a reader sees folded data
+    // with no tombstones, which is correct (the fold dropped the rows)
+    if (tomb.nonEmpty) GraphLayout.writeTombstoneGens(path, 0)
     graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
       mapper.writeValueAsString(root))
     // the count resets (gen AND tomb slots): spent claims must not
@@ -976,8 +963,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
       path: String): Map[String, Int] = Map(
     "gen" -> graft.core.Generations.sidecarCount(
       s"$path/_nn_serving_meta.json", "generations"),
-    "tomb" -> graft.core.Generations.sidecarCount(
-      s"$path/_nn_serving_meta.json", "tombstone_generations"))
+    "tomb" -> GraphLayout.tombstoneGens(path))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =

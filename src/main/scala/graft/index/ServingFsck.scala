@@ -215,8 +215,8 @@ private[graft] object ServingFsck {
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(s"$path/$metaFile"))
     val gens = Option(meta.get("generations")).map(_.asInt()).getOrElse(1)
-    val tGens = Option(meta.get("tombstone_generations"))
-      .map(_.asInt()).getOrElse(0)
+    // the tombstone counter's own sidecar (advice r17 split)
+    val tGens = GraphLayout.tombstoneGens(path)
     val nLayers = Option(meta.get("n_layers")).map(_.asInt()).getOrElse(1)
     val vecs = committedOrAll(spark, s"$path/vectors", gens)
       .select("id").cache()

@@ -394,6 +394,52 @@ class ConcurrentAppendSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("cross-kind commits are disjoint: an append never touches the " +
+      "tombstone sidecar, a delete never touches the graph meta — so " +
+      "neither can revert the other's concurrent commit") {
+    import graft.index.{GraphLayout, HnswStrategy}
+    val path = tmp("crosskind")
+    val strat = HnswStrategy(Metric.Cosine, m = 4)
+    val prepared = strat.prepare(store.where($"id" < 200)).cache()
+    prepared.count()
+    strat.writeGraphIndex(prepared, path)
+    // a delete commits first (tombstone counter -> 1)
+    strat.writerTag = "deleter"
+    assert(strat.deleteFromDisk(spark, path,
+      store.where($"id" < 3).select($"id")) === 3)
+    val tombBytes = graft.core.FsIO.read(s"$path/_tomb_meta.json")
+    // the append's commit must leave the tombstone sidecar BYTE-IDENTICAL
+    // (the advice-r17 race: the old shared-file commit rewrote the
+    // tombstone counter captured BEFORE the append's claim, silently
+    // reverting any delete committed in between)
+    strat.writerTag = "appender"
+    strat.appendGraphIndex(prepared,
+      store.where($"id" >= 200 && $"id" < 220), path)
+    assert(graft.core.FsIO.read(s"$path/_tomb_meta.json") === tombBytes,
+      "an append rewrote the tombstone sidecar")
+    assert(GraphLayout.tombstoneGens(path) === 1,
+      "the delete's committed counter was reverted")
+    // and symmetrically: a delete's commit must leave the graph meta
+    // byte-identical (generations + entries are the append side's)
+    val metaBytes = graft.core.FsIO.read(s"$path/_graph_meta.json")
+    strat.writerTag = "deleter"
+    // delete one JUST-APPENDED id: the live-row read must see the fresh
+    // append generation (the advice-r17 stale-gens read silently
+    // no-op'd exactly this delete)
+    assert(strat.deleteFromDisk(spark, path,
+      store.where($"id" === 205).select($"id")) === 1,
+      "a just-appended id was invisible to the delete's live-row read")
+    assert(graft.core.FsIO.read(s"$path/_graph_meta.json") === metaBytes,
+      "a delete rewrote the graph meta")
+    // served state reflects BOTH kinds of commit
+    val dsk = strat.queryExhaustiveFromDisk(spark, path, queries, 300)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!dsk.exists(id => id < 3 || id == 205L),
+      "a deleted id is still served")
+    assert(dsk.contains(201L), "an appended row was lost")
+    prepared.unpersist()
+  }
+
   test("claim identity rides the file NAME: an empty crashed claim is " +
       "reclaimable by its own tag and names its holder to a rival") {
     val path = tmp("atomic")

@@ -543,9 +543,7 @@ class ScaleDesignSpec extends SparkSpec {
       "compaction kept deleted adjacency")
     assert(!new java.io.File(s"$path/tombstones").exists(),
       "spent tombstones not dropped")
-    val meta = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(graft.core.FsIO.read(s"$path/_nn_serving_meta.json"))
-    assert(meta.get("tombstone_generations").asInt() === 0)
+    assert(graft.index.GraphLayout.tombstoneGens(path) === 0)
     assert(strat.queryFromDisk(spark, path, queries, 5).collect().toSet
       === before, "served results changed across compaction")
     prepared.unpersist(); store.unpersist()
@@ -1389,7 +1387,7 @@ class ScaleDesignSpec extends SparkSpec {
     //    reader hide the stale ids again.
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
-    assert(meta.get("tombstone_generations").asInt() == 0)
+    assert(graft.index.GraphLayout.tombstoneGens(path) == 0)
     val nb = meta.get("buckets").asInt()
     val live5 = 5L // a live id the "crashed" compaction had already spent
     Seq(live5).toDF("id")

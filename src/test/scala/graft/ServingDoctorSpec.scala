@@ -438,13 +438,11 @@ class ServingDoctorSpec extends SparkSpec {
     old.writeServingIndex(prep, path)
     val removed = old.deleteFromDisk(spark, path, store.where($"id" < 10))
     assert(removed === 10L)
-    assert(meta(path, "_graph_meta.json")
-      .get("tombstone_generations").asInt() > 0)
+    assert(graft.index.GraphLayout.tombstoneGens(path) > 0)
     val r = old.rebuildServing(spark, path)
     val fresh = r.strategy.asInstanceOf[HnswStrategy]
     // the rebuilt layout is tombstone-free and holds only survivors
-    assert(meta(path, "_graph_meta.json")
-      .get("tombstone_generations").asInt() === 0)
+    assert(graft.index.GraphLayout.tombstoneGens(path) === 0)
     assert(r.store.count() === store.count() - 10)
     // exhaustive mode off the rebuilt layout == exact over survivors
     val got = fresh.queryExhaustiveFromDisk(spark, path, queries, 10)
