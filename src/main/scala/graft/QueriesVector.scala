@@ -1240,12 +1240,10 @@ object QueriesVector {
           .resolve("index").toString
         val prep = mapOf(indexCaches, s)(key)._2
         ivf.writeServingIndex(prep, p)
-        ivf.writerTag = "writer-A"
         val grownA = ivf.appendToServing(s, p, prep,
-          cachedStore(s, dir).where(col("id") % 10 === 8))
-        ivf.writerTag = "writer-B"
+          cachedStore(s, dir).where(col("id") % 10 === 8), "writer-A")
         ivf.appendToServing(s, p, grownA,
-          cachedStore(s, dir).where(col("id") % 10 === 9))
+          cachedStore(s, dir).where(col("id") % 10 === 9), "writer-B")
         p
       })
       ivf.queryFromDisk(s, path, queriesDf(s, dir, 5)
@@ -1290,9 +1288,8 @@ object QueriesVector {
           .resolve("index").toString
         val prep = mapOf(indexCaches, s)(key)._2
         ivf.writeServingIndex(prep, p)
-        ivf.writerTag = "fence-writer"
         val grown = ivf.appendToServing(s, p, prep,
-          cachedStore(s, dir).where(col("id") % 10 === 8))
+          cachedStore(s, dir).where(col("id") % 10 === 8), "fence-writer")
         // (1) an unresolved foreign claim fences maintenance out
         graft.core.Generations.claimAppendGeneration(s, p, "ghost",
           () => 2)
@@ -1308,7 +1305,8 @@ object QueriesVector {
         val appendRefused =
           try {
             ivf.appendToServing(s, p, grown,
-              cachedStore(s, dir).where(col("id") % 10 === 9))
+              cachedStore(s, dir).where(col("id") % 10 === 9),
+              "fence-writer")
             false
           } catch { case _: IllegalStateException => true }
         require(appendRefused,
@@ -1317,7 +1315,7 @@ object QueriesVector {
         // (3) fence clear: fold, ledger reset, post-compact append lands
         ivf.compactServing(s, p)
         ivf.appendToServing(s, p, grown,
-          cachedStore(s, dir).where(col("id") % 10 === 9))
+          cachedStore(s, dir).where(col("id") % 10 === 9), "fence-writer")
         p
       })
       ivf.queryFromDisk(s, path, queriesDf(s, dir, 5)

@@ -538,9 +538,9 @@ class Vicinity private (
     if (!d.supportsDiskAppend) throw new UnsupportedOperationException(
       s"Backend ${backend.name} (${strategy.name}) has no appendable " +
         "serving layout.")
-    writerTag.foreach(d.writerTag = _)
     val newStore = store.unionByName(newDf).cache()
-    val newPrepared = d.appendToServing(spark, path, prepared, newDf).cache()
+    val newPrepared = d.appendToServing(spark, path, prepared, newDf,
+      writerTag.getOrElse(graft.core.Generations.defaultWriterTag)).cache()
     grown(newStore, newPrepared, items.length)
   }
 

@@ -358,7 +358,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     * layout are no-ops. Returns rows removed. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame): Long = {
+      path: String, rows: DataFrame, tag: String): Long = {
     val meta = validateServing(path)
     val nb = meta.get("vec_buckets").asInt()
     require(graft.core.FsIO.exists(s"$path/mih/_mih_meta.json"),
@@ -494,8 +494,8 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     * frame. */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     val meta = validateServing(path)
     require(meta.get("generations") != null,
       s"layout at $path predates the generation layout — rewrite it with " +
@@ -531,7 +531,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
       // guard sees everything committed up to the claimed slot
       // (verdict r16 #1)
       val claimed = graft.core.Generations.claimAppendGeneration(spark,
-        path, writerTag,
+        path, tag,
         () => validateServing(path).get("generations").asInt())
       try {
         val freshMeta = validateServing(path)
@@ -554,8 +554,7 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
         writeBqMeta(path, dim, generations = claimed + 1) // commit point
       } catch {
         case e: Throwable =>
-          graft.core.Generations.releaseClaim(spark, path, claimed,
-            writerTag)
+          graft.core.Generations.releaseClaim(spark, path, claimed, tag)
           throw e
       }
       prevPrepared.unionByName(inc)

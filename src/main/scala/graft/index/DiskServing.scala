@@ -30,18 +30,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 trait DiskServing { self: IndexStrategy =>
 
-  /** Identity under which this instance claims append generations
-    * ([[graft.core.Generations.claimAppendGeneration]] — verdict r16
-    * #1: two concurrent appenders must not dynamic-overwrite each
-    * other's `_gen=N`). Defaults to a per-JVM tag (pid@host), so a
-    * same-process replay of a crashed append reclaims its own slot
-    * while another process's append on the same slot is a detected
-    * conflict. A deployment with deterministic replay (a streaming job
-    * re-running a micro-batch in a NEW process) sets this to its own
-    * stable identity — e.g. `stream-<queryId>` — before appending. One
-    * tag names ONE logical writer; calls under the same tag must be
-    * serialized by the caller. */
-  var writerTag: String = graft.core.Generations.defaultWriterTag
+  // Writer identity is an explicit `tag` parameter on every mutating
+  // entry point, NOT instance state (advice r17: a tag passed once to
+  // the facade stuck to the shared strategy instance for every later
+  // append, and concurrent callers on one instance cross-contaminated
+  // tags). The default is the per-JVM tag (pid@host) — a same-process
+  // replay of a crashed append reclaims its own slot while another
+  // process's claim of the same slot is a detected conflict. A
+  // deployment with deterministic replay (a streaming job re-running a
+  // micro-batch in a NEW process) passes its own stable identity, e.g.
+  // `stream-<batchId>`. One tag names ONE logical writer; calls under
+  // the same tag must be serialized by the caller.
 
   /** Write the family's serving layout — the cell families' partitioned
     * [[IndexStrategy.writeIndex]] by default; the graph family overrides
@@ -93,8 +92,8 @@ trait DiskServing { self: IndexStrategy =>
     * compute the touched partition FROM the vector (IVF) require
     * `vector` too — see each implementation's scaladoc. */
   def supportsDiskDelete: Boolean = false
-  def deleteFromDisk(spark: SparkSession, path: String,
-      rows: DataFrame): Long =
+  def deleteFromDisk(spark: SparkSession, path: String, rows: DataFrame,
+      tag: String = graft.core.Generations.defaultWriterTag): Long =
     throw new UnsupportedOperationException(
       s"$name does not delete from disk")
 
@@ -109,7 +108,8 @@ trait DiskServing { self: IndexStrategy =>
     * layoutless BASIC keeps the flag false. */
   def supportsDiskAppend: Boolean = false
   def appendToServing(spark: SparkSession, path: String,
-      prevPrepared: DataFrame, newRows: DataFrame): DataFrame =
+      prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String = graft.core.Generations.defaultWriterTag): DataFrame =
     throw new UnsupportedOperationException(
       s"$name has no appendable serving layout")
 
@@ -124,11 +124,12 @@ trait DiskServing { self: IndexStrategy =>
     * (the cell families fold through
     * [[IvfStrategy.compactCells]]). */
   def supportsCompaction: Boolean = false
-  final def compactServing(spark: SparkSession, path: String): Unit = {
+  final def compactServing(spark: SparkSession, path: String,
+      tag: String = graft.core.Generations.defaultWriterTag): Unit = {
     if (!supportsCompaction)
       throw new UnsupportedOperationException(
         s"$name has no compactable serving layout")
-    maintained(spark, path)(doCompactServing(spark, path))
+    maintained(spark, path, tag)(doCompactServing(spark, path))
   }
 
   /** the family's compaction body, run under the maintenance fence */
@@ -149,12 +150,12 @@ trait DiskServing { self: IndexStrategy =>
     * thrown (not crashed) maintenance never wedges writers. A CRASHED
     * maintenance leaves the marker blocking writers loudly — the safe
     * direction; the re-run reclaims it under the same tag. */
-  protected final def maintained[A](spark: SparkSession, path: String)(
-      body: => A): A = {
-    graft.core.Generations.beginMaintenance(spark, path, writerTag,
+  protected final def maintained[A](spark: SparkSession, path: String,
+      tag: String)(body: => A): A = {
+    graft.core.Generations.beginMaintenance(spark, path, tag,
       committedCounts(spark, path))
     try body
-    finally graft.core.Generations.endMaintenance(spark, path, writerTag)
+    finally graft.core.Generations.endMaintenance(spark, path, tag)
   }
 
   /** Committed generation count per claim slot, read leniently from the
@@ -182,14 +183,14 @@ trait DiskServing { self: IndexStrategy =>
     * signatures) is data-independent, nothing ever goes stale, and
     * [[compactServing]] is already their complete maintenance story. */
   def supportsRebuild: Boolean = false
-  final def rebuildServing(spark: SparkSession,
-      path: String): DiskServing.Rebuilt = {
+  final def rebuildServing(spark: SparkSession, path: String,
+      tag: String = graft.core.Generations.defaultWriterTag): DiskServing.Rebuilt = {
     if (!supportsRebuild)
       throw new UnsupportedOperationException(
         s"$name has no retrainable serving state — its layout never goes " +
           "stale under appends/deletes (hash planes/signatures are " +
           "seed-deterministic); compactServing is its maintenance operation")
-    maintained(spark, path)(doRebuildServing(spark, path))
+    maintained(spark, path, tag)(doRebuildServing(spark, path))
   }
 
   /** the family's rebuild body, run under the maintenance fence */

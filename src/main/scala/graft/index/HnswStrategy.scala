@@ -671,7 +671,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * number of live rows newly tombstoned. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: DataFrame): Long = {
+      path: String, ids: DataFrame, tag: String): Long = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = mapper.readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
     require(meta.get("generations") != null,
@@ -683,7 +683,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // overwrite each other, resurrecting deleted rows). Same-tag replay
     // reclaims; a foreign in-flight claim fails loudly.
     val tGens = graft.core.Generations.claimAppendGeneration(spark, path,
-      writerTag, () => GraphLayout.tombstoneGens(path), slot = "tomb")
+      tag, () => GraphLayout.tombstoneGens(path), slot = "tomb")
     try {
       // verify against LIVE rows only, pruned to the candidates' buckets.
       // BOTH counters are re-read AFTER the claim (advice r17): the
@@ -725,14 +725,14 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
         GraphLayout.writeTombstoneGens(path, tGens + 1)
       } else {
         // a no-op delete must not leave an unresolved claim behind
-        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+        graft.core.Generations.releaseClaim(spark, path, tGens, tag,
           slot = "tomb")
       }
       fresh.unpersist()
       n
     } catch {
       case e: Throwable =>
-        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+        graft.core.Generations.releaseClaim(spark, path, tGens, tag,
           slot = "tomb")
         throw e
     }
@@ -840,12 +840,13 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     * behind the uniform [[DiskServing]] flag */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame =
-    appendGraphIndex(prevPrepared, newRows, path)
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame =
+    appendGraphIndex(prevPrepared, newRows, path, tag)
 
   def appendGraphIndex(prevPrepared: DataFrame, newRows: DataFrame,
-      path: String): DataFrame = {
+      path: String,
+      tag: String = graft.core.Generations.defaultWriterTag): DataFrame = {
     require(layers != null, "prepare must run before appendGraphIndex")
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
@@ -871,7 +872,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     // (verdict r16 #1): a conflicting concurrent writer must be
     // detected while this instance's layers are still untouched
     val gens = graft.core.Generations.claimAppendGeneration(spark,
-      path, writerTag,
+      path, tag,
       () => new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(graft.core.FsIO.read(s"$path/_graph_meta.json"))
         .get("generations").asInt())
@@ -888,8 +889,7 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       newPrepared
     } catch {
       case e: Throwable =>
-        graft.core.Generations.releaseClaim(spark, path, gens,
-          writerTag)
+        graft.core.Generations.releaseClaim(spark, path, gens, tag)
         throw e
     }
   }

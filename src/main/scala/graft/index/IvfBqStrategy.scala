@@ -117,7 +117,7 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * batch reads and rewrites only those cell directories. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame): Long =
+      path: String, rows: DataFrame, tag: String): Long =
     ivf.deleteCells(spark, path, name, rows)
 
   /** Append through the shared cell-generation machinery (r16): cells
@@ -125,11 +125,11 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * (the family's distinctive property) — FAISS `add` after `train`. */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     require(ivf.isTrained, "IvfBqStrategy.prepare must run before append")
     val inc = bq.prepare(ivf.prepare(newRows))
-    ivf.appendPreparedCells(spark, path, name, inc, writerTag)
+    ivf.appendPreparedCells(spark, path, name, inc, tag)
     prevPrepared.unionByName(inc)
   }
 

@@ -309,7 +309,7 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * computed from the vector, never searched. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, deletes: DataFrame): Long =
+      path: String, deletes: DataFrame, tag: String): Long =
     ivf.deleteCells(spark, path, name, deletes)
 
   /** Append through the shared cell-generation machinery (r16): the
@@ -318,12 +318,12 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * retrains — landing as `_gen=N` of exactly its cells. */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     require(codebooks != null && ivf.isTrained,
       "IvfPqStrategy.prepare must run before append")
     val inc = encodeResiduals(ivf.prepare(newRows))
-    ivf.appendPreparedCells(spark, path, name, inc, writerTag)
+    ivf.appendPreparedCells(spark, path, name, inc, tag)
     prevPrepared.unionByName(inc)
   }
 

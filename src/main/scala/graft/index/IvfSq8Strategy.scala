@@ -124,7 +124,7 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * byte-identical files). Deletes arrive as `(id, vector)`. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, deletes: DataFrame): Long =
+      path: String, deletes: DataFrame, tag: String): Long =
     ivf.deleteCells(spark, path, name, deletes)
 
   /** Append through the shared cell-generation machinery (r16): the
@@ -133,12 +133,12 @@ case class IvfSq8Strategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * retrains — and lands as `_gen=N` of exactly its cells. */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     require(ivf.isTrained && sq.isTrained,
       "IvfSq8Strategy.prepare must run before append")
     val inc = sq.prepare(ivf.prepare(newRows))
-    ivf.appendPreparedCells(spark, path, name, inc, writerTag)
+    ivf.appendPreparedCells(spark, path, name, inc, tag)
     prevPrepared.unionByName(inc)
   }
 

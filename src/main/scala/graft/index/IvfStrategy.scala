@@ -490,11 +490,11 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * facade's `insertIntoServing` keeps memory and layout in step. */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     require(centroids != null, "IvfStrategy.prepare must run before append")
     val inc = prepare(newRows)
-    appendPreparedCells(spark, path, name, inc, writerTag)
+    appendPreparedCells(spark, path, name, inc, tag)
     prevPrepared.unionByName(inc)
   }
 
@@ -576,7 +576,7 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
     * removed outright. Returns the number of rows removed. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, deletes: DataFrame): Long =
+      path: String, deletes: DataFrame, tag: String): Long =
     deleteCells(spark, path, name, deletes)
 
   /** family-parameterized body of [[deleteFromDisk]] — the composed

@@ -299,7 +299,8 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * hash pass and typing the in-memory ids differently from the
     * layout's). */
   def appendServingIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, newRows: DataFrame): DataFrame = {
+      path: String, newRows: DataFrame,
+      tag: String = graft.core.Generations.defaultWriterTag): DataFrame = {
     val meta = readMeta(path) // hash config must match the layout
     require(meta.get("generations") != null,
       s"layout at $path predates the generation layout — rewrite it with " +
@@ -341,7 +342,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
       // clash guard depends on (verdict r16 #1 — two concurrent
       // appenders must not dynamic-overwrite the same `_gen=N`)
       val gens = graft.core.Generations.claimAppendGeneration(spark,
-        path, writerTag,
+        path, tag,
         () => readMeta(path).get("generations").asInt())
       try {
         // …vs the layout: partition-pruned existence check — the read
@@ -366,8 +367,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
         writeLshMeta(path, dim, generations = gens + 1) // the commit point
       } catch {
         case e: Throwable =>
-          graft.core.Generations.releaseClaim(spark, path, gens,
-            writerTag)
+          graft.core.Generations.releaseClaim(spark, path, gens, tag)
           throw e
       }
       newKeys.drop("_nb")
@@ -381,9 +381,9 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * carry the layout's long typing) */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame =
-    prevPrepared.unionByName(appendServingIndex(spark, path, newRows))
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame =
+    prevPrepared.unionByName(appendServingIndex(spark, path, newRows, tag))
 
   /** Fail fast on a hash-config mismatch — probing with different
     * planes/quantization than the layout was hashed with would silently
@@ -587,7 +587,7 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * layout are no-ops. Returns rows removed. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame): Long = {
+      path: String, rows: DataFrame, tag: String): Long = {
     val meta = readMeta(path)
     val nb = meta.get("vec_buckets").asInt()
     val sb = meta.get("sub_buckets").asInt()

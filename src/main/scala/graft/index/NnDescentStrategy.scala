@@ -780,7 +780,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     * the store. Returns the number of live rows newly tombstoned. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, ids: DataFrame): Long = {
+      path: String, ids: DataFrame, tag: String): Long = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val meta = readServingMeta(path)
     val buckets = meta.get("buckets").asInt()
@@ -790,7 +790,7 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     // `_gen=T` and dynamic-overwrite each other, resurrecting deleted
     // rows. Same-tag replay reclaims; a foreign in-flight claim fails.
     val tGens = graft.core.Generations.claimAppendGeneration(spark, path,
-      writerTag, () => GraphLayout.tombstoneGens(path), slot = "tomb")
+      tag, () => GraphLayout.tombstoneGens(path), slot = "tomb")
     try {
       // verify against LIVE rows only, pruned to the candidates' buckets.
       // BOTH counters are re-read AFTER the claim (advice r17): the
@@ -828,14 +828,14 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
         GraphLayout.writeTombstoneGens(path, tGens + 1)
       } else {
         // a no-op delete must not leave an unresolved claim behind
-        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+        graft.core.Generations.releaseClaim(spark, path, tGens, tag,
           slot = "tomb")
       }
       fresh.unpersist()
       n
     } catch {
       case e: Throwable =>
-        graft.core.Generations.releaseClaim(spark, path, tGens, writerTag,
+        graft.core.Generations.releaseClaim(spark, path, tGens, tag,
           slot = "tomb")
         throw e
     }

@@ -211,7 +211,7 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   /** delete is id-addressed — no rotation involved */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame): Long =
+      path: String, rows: DataFrame, tag: String): Long =
     inner.deleteFromDiskAs(spark, path, name, rows)
 
   /** append rotates the increment with the INSTANCE matrix, guarded
@@ -220,20 +220,19 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     * consistently with both) */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     require(rot != null, "prepare must run before append")
     val meta = inner.validatePqServing(path, name)
     require(meta.get("rotation") != null &&
         meta.get("rotation").asText() == rotationJson(rot),
       s"layout at $path was rotated with a different matrix than this " +
         "instance holds — load the owning index before appending")
-    // the claim is made under THIS instance's writer identity, not the
-    // delegate's per-JVM default (verdict r16 #1)
-    inner.writerTag = writerTag
+    // the caller's tag threads through to the delegate's claim
+    // (verdict r16 #1 / advice r17: no instance state)
     inner.appendToServingAs(spark, path, name, prevPrepared, newRows,
       rows => inner.prepare(rotate(rows, "vector")),
-      Some(rotationJson(rot)))
+      Some(rotationJson(rot)), tag)
   }
 
   override def supportsCompaction: Boolean = true

@@ -400,7 +400,7 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
 
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame): Long =
+      path: String, rows: DataFrame, tag: String): Long =
     deleteFromDiskAs(spark, path, name, rows)
 
   /** append as a committed `_gen=N` generation — encode-with-trained-
@@ -416,7 +416,7 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
       spark: org.apache.spark.sql.SparkSession, path: String,
       family: String, prevPrepared: DataFrame, newRows: DataFrame,
       mkInc: DataFrame => DataFrame,
-      rotationJson: Option[String]): DataFrame = {
+      rotationJson: Option[String], tag: String): DataFrame = {
     val meta = validatePqServing(path, family)
     require(codebooks != null, "prepare must run before append")
     require(PqCore.toJson(codebooks, subDims)
@@ -435,7 +435,7 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     val inc = mkInc(newRows.withColumn("id", col("id").cast("long")))
       .cache()
     try {
-      CodesLayout.appendGeneration(spark, path, writerTag,
+      CodesLayout.appendGeneration(spark, path, tag,
         () => validatePqServing(path, family).get("generations").asInt(),
         inc.withColumn("_nb", VectorBuckets.nb(fan)),
         newGens => graft.core.FsIO.write(pqMetaPath(path),
@@ -447,10 +447,10 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
 
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame =
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame =
     appendToServingAs(spark, path, name, prevPrepared, newRows, prepare,
-      None)
+      None, tag)
 
   /** fold committed generations back to `_gen=0`: the data fold stages
     * and swaps; the sidecar rewrite preserves its trained state

@@ -318,7 +318,7 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
 
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame): Long = {
+      path: String, rows: DataFrame, tag: String): Long = {
     val meta = validateSqServing(path)
     CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
       meta.get("generations").asInt(), rows)
@@ -331,8 +331,8 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     * from layout. */
   override def supportsDiskAppend: Boolean = true
   override def appendToServing(spark: org.apache.spark.sql.SparkSession,
-      path: String, prevPrepared: DataFrame,
-      newRows: DataFrame): DataFrame = {
+      path: String, prevPrepared: DataFrame, newRows: DataFrame,
+      tag: String): DataFrame = {
     val meta = validateSqServing(path)
     require(lo != null, "prepare must run before append")
     val (l, h) = rangesOf(meta)
@@ -350,7 +350,7 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
     val inc = prepare(newRows.withColumn("id", col("id").cast("long")))
       .cache()
     try {
-      CodesLayout.appendGeneration(spark, path, writerTag,
+      CodesLayout.appendGeneration(spark, path, tag,
         () => validateSqServing(path).get("generations").asInt(),
         inc.withColumn("_nb", VectorBuckets.nb(
           meta.get("vec_buckets").asInt())),

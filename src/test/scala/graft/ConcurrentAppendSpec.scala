@@ -50,11 +50,10 @@ class ConcurrentAppendSpec extends SparkSpec {
     val prepared = strat.prepare(store).cache()
     val path = tmp("seq")
     strat.writeServingIndex(prepared.where($"id" < 300), path)
-    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 300 && $"id" < 400))
-    strat.writerTag = "writer-B"
-    strat.appendServingIndex(spark, path, store.where($"id" >= 400))
+      store.where($"id" >= 300 && $"id" < 400), "writer-A")
+    strat.appendServingIndex(spark, path, store.where($"id" >= 400),
+      "writer-B")
     assert(Generations.listClaims(spark, path)
       === Seq((1, "writer-A"), (2, "writer-B")))
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -79,9 +78,8 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 100)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 100 && $"id" < 150))
+      store.where($"id" >= 100 && $"id" < 150), "writer-A")
     // writer B's first sidecar read predates A's commit: readGens serves
     // the stale value once, then the real sidecar — the claim must land
     // on slot 2, not fail on A's spent claim of slot 1
@@ -104,10 +102,9 @@ class ConcurrentAppendSpec extends SparkSpec {
         // the holder claims the next slot and is still in flight
         assert(Generations.claimAppendGeneration(spark, path, holder,
           () => 1) === 1)
-        strat.writerTag = contender
         val e = intercept[IllegalStateException] {
           strat.appendServingIndex(spark, path,
-            store.where($"id" >= 200 && $"id" < 250))
+            store.where($"id" >= 200 && $"id" < 250), contender)
         }
         assert(e.getMessage.contains(holder) &&
           e.getMessage.contains(contender),
@@ -121,7 +118,7 @@ class ConcurrentAppendSpec extends SparkSpec {
         // contender's append goes through at the reopened slot
         Generations.breakClaim(spark, path, 1)
         strat.appendServingIndex(spark, path,
-          store.where($"id" >= 200 && $"id" < 250))
+          store.where($"id" >= 200 && $"id" < 250), contender)
         assert(Generations.listClaims(spark, path)
           === Seq((1, contender)))
         prepared.unpersist()
@@ -134,9 +131,8 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.writerTag = "writer-A"
     val delta = store.where($"id" >= 300 && $"id" < 400)
-    strat.appendServingIndex(spark, path, delta)
+    strat.appendServingIndex(spark, path, delta, "writer-A")
     // simulate the crash window: data + claim written, sidecar commit
     // lost — rewind generations to 1 (the ScaleDesignSpec idiom)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -147,13 +143,12 @@ class ConcurrentAppendSpec extends SparkSpec {
       mapper.writeValueAsString(meta))
     // a DIFFERENT writer cannot take the half-committed slot…
     val other = lsh()
-    other.writerTag = "writer-B"
     intercept[IllegalStateException] {
       other.appendServingIndex(spark, path,
-        store.where($"id" >= 400 && $"id" < 450))
+        store.where($"id" >= 400 && $"id" < 450), "writer-B")
     }
     // …but the owner's replay reclaims it and converges exactly-once
-    strat.appendServingIndex(spark, path, delta)
+    strat.appendServingIndex(spark, path, delta, "writer-A")
     val mem = strat.query(strat.prepare(store.where($"id" < 400)),
       queries, 10).collect().toSet
     assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
@@ -167,17 +162,16 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.writerTag = "writer-A"
     // ids already present → the freshness guard refuses AFTER the claim
     intercept[IllegalArgumentException] {
-      strat.appendServingIndex(spark, path, store.where($"id" < 50))
+      strat.appendServingIndex(spark, path, store.where($"id" < 50),
+        "writer-A")
     }
     assert(Generations.listClaims(spark, path).isEmpty,
       "a refused append must not leave its claim behind")
     // a different writer appends fresh rows at the same slot
-    strat.writerTag = "writer-B"
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 300 && $"id" < 350))
+      store.where($"id" >= 300 && $"id" < 350), "writer-B")
     assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
     prepared.unpersist()
   }
@@ -188,16 +182,14 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 300 && $"id" < 400))
+      store.where($"id" >= 300 && $"id" < 400), "writer-A")
     assert(Generations.listClaims(spark, path).nonEmpty)
     strat.compactServing(spark, path)
     assert(Generations.listClaims(spark, path).isEmpty,
       "compaction must sweep the spent claims with the count reset")
-    strat.writerTag = "writer-B"
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 400 && $"id" < 450))
+      store.where($"id" >= 400 && $"id" < 450), "writer-B")
     assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
     val mem = strat.query(strat.prepare(store.where($"id" < 450)),
       queries, 10).collect().toSet
@@ -262,9 +254,8 @@ class ConcurrentAppendSpec extends SparkSpec {
     val prepared = strat.prepare(store.where($"id" < 200)).cache()
     prepared.count()
     strat.writeGraphIndex(prepared, path)
-    strat.writerTag = "deleter-A"
     val n1 = strat.deleteFromDisk(spark, path,
-      store.where($"id" < 3).select($"id"))
+      store.where($"id" < 3).select($"id"), "deleter-A")
     assert(n1 === 3)
     assert(Generations.listClaims(spark, path, slot = "tomb")
       === Seq((0, "deleter-A")))
@@ -272,16 +263,15 @@ class ConcurrentAppendSpec extends SparkSpec {
     // deleter B loudly, naming the slot kind and the holder
     Generations.claimAppendGeneration(spark, path, "ghost", () => 1,
       slot = "tomb")
-    strat.writerTag = "deleter-B"
     val e = intercept[IllegalStateException] {
       strat.deleteFromDisk(spark, path,
-        store.where($"id" >= 3 && $"id" < 5).select($"id"))
+        store.where($"id" >= 3 && $"id" < 5).select($"id"), "deleter-B")
     }
     assert(e.getMessage.contains("ghost") &&
       e.getMessage.contains("tomb"))
     Generations.breakClaim(spark, path, 1, slot = "tomb")
     val n2 = strat.deleteFromDisk(spark, path,
-      store.where($"id" >= 3 && $"id" < 5).select($"id"))
+      store.where($"id" >= 3 && $"id" < 5).select($"id"), "deleter-B")
     assert(n2 === 2)
     assert(Generations.listClaims(spark, path, slot = "tomb")
       === Seq((0, "deleter-A"), (1, "deleter-B")))
@@ -308,12 +298,10 @@ class ConcurrentAppendSpec extends SparkSpec {
     val prep = strat.prepare(store.where($"id" < 300)).cache()
     prep.count()
     strat.writeServingIndex(prep, path)
-    strat.writerTag = "writer-A"
     val grown = strat.appendToServing(spark, path, prep,
-      store.where($"id" >= 300 && $"id" < 400))
-    strat.writerTag = "writer-B"
+      store.where($"id" >= 300 && $"id" < 400), "writer-A")
     strat.appendToServing(spark, path, grown,
-      store.where($"id" >= 400 && $"id" < 450))
+      store.where($"id" >= 400 && $"id" < 450), "writer-B")
     assert(Generations.listClaims(spark, path)
       === Seq((1, "writer-A"), (2, "writer-B")))
     // nprobe = nlist → provably exact: both increments fully served
@@ -326,10 +314,9 @@ class ConcurrentAppendSpec extends SparkSpec {
     // an in-flight foreign claim blocks the cell append loudly too
     assert(Generations.claimAppendGeneration(spark, path, "writer-C",
       () => 3) === 3)
-    strat.writerTag = "writer-D"
     val e = intercept[IllegalStateException] {
       strat.appendToServing(spark, path, grown,
-        store.where($"id" >= 450 && $"id" < 500))
+        store.where($"id" >= 450 && $"id" < 500), "writer-D")
     }
     assert(e.getMessage.contains("writer-C"))
     prep.unpersist()
@@ -342,9 +329,8 @@ class ConcurrentAppendSpec extends SparkSpec {
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 300)).cache()
     strat.writeServingIndex(prepared, path)
-    strat.writerTag = "writer-A"
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 300 && $"id" < 400))
+      store.where($"id" >= 300 && $"id" < 400), "writer-A")
     // order 1: append (claim) first, then maintenance — compact refuses
     Generations.claimAppendGeneration(spark, path, "ghost", () => 2)
     val e1 = intercept[IllegalStateException] {
@@ -361,7 +347,7 @@ class ConcurrentAppendSpec extends SparkSpec {
       Map("gen" -> 2))
     val e2 = intercept[IllegalStateException] {
       strat.appendServingIndex(spark, path,
-        store.where($"id" >= 400 && $"id" < 450))
+        store.where($"id" >= 400 && $"id" < 450), "writer-A")
     }
     assert(e2.getMessage.contains("maintainer") &&
       e2.getMessage.contains("maintenance"))
@@ -386,7 +372,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     strat.compactServing(spark, path)
     assert(Generations.listClaims(spark, path).isEmpty)
     strat.appendServingIndex(spark, path,
-      store.where($"id" >= 400 && $"id" < 450))
+      store.where($"id" >= 400 && $"id" < 450), "writer-B")
     val mem = strat.query(strat.prepare(store.where($"id" < 450)),
       queries, 10).collect().toSet
     assert(strat.queryFromDisk(spark, path, queries, 10).collect().toSet
@@ -404,17 +390,15 @@ class ConcurrentAppendSpec extends SparkSpec {
     prepared.count()
     strat.writeGraphIndex(prepared, path)
     // a delete commits first (tombstone counter -> 1)
-    strat.writerTag = "deleter"
     assert(strat.deleteFromDisk(spark, path,
-      store.where($"id" < 3).select($"id")) === 3)
+      store.where($"id" < 3).select($"id"), "deleter") === 3)
     val tombBytes = graft.core.FsIO.read(s"$path/_tomb_meta.json")
     // the append's commit must leave the tombstone sidecar BYTE-IDENTICAL
     // (the advice-r17 race: the old shared-file commit rewrote the
     // tombstone counter captured BEFORE the append's claim, silently
     // reverting any delete committed in between)
-    strat.writerTag = "appender"
     strat.appendGraphIndex(prepared,
-      store.where($"id" >= 200 && $"id" < 220), path)
+      store.where($"id" >= 200 && $"id" < 220), path, "appender")
     assert(graft.core.FsIO.read(s"$path/_tomb_meta.json") === tombBytes,
       "an append rewrote the tombstone sidecar")
     assert(GraphLayout.tombstoneGens(path) === 1,
@@ -422,12 +406,11 @@ class ConcurrentAppendSpec extends SparkSpec {
     // and symmetrically: a delete's commit must leave the graph meta
     // byte-identical (generations + entries are the append side's)
     val metaBytes = graft.core.FsIO.read(s"$path/_graph_meta.json")
-    strat.writerTag = "deleter"
     // delete one JUST-APPENDED id: the live-row read must see the fresh
     // append generation (the advice-r17 stale-gens read silently
     // no-op'd exactly this delete)
     assert(strat.deleteFromDisk(spark, path,
-      store.where($"id" === 205).select($"id")) === 1,
+      store.where($"id" === 205).select($"id"), "deleter") === 1,
       "a just-appended id was invisible to the delete's live-row read")
     assert(graft.core.FsIO.read(s"$path/_graph_meta.json") === metaBytes,
       "a delete rewrote the graph meta")
