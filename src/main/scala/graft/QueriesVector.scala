@@ -2702,13 +2702,11 @@ object QueriesVector {
         .orderBy("vec_id")
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toSeq).toSeq
-      val rows = Seq(1.1, 1.2).map { th =>
-        val (_, recall) = vic.evaluateThresholdFromDisk(path, qvecs, th,
-          maxK = Int.MaxValue)
-        val n = vic.queryThresholdFromDiskDf(path,
-          queriesDf(s, dir, 5)
-            .withColumn("qvector", col("qvector").cast("array<double>")),
-          th, Int.MaxValue).count()
+      // the GRID harness (r18, verdict r17 #3): one exact pass at the
+      // max radius + one served read per point reused for recall AND
+      // count — same rows as the per-point entry, half the served reads
+      val rows = vic.evaluateThresholdGridFromDisk(path, qvecs,
+        Seq(1.1, 1.2), maxK = Int.MaxValue).map { case (th, _, recall, n) =>
         (th,
           BigDecimal(recall).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble, n)
@@ -2776,12 +2774,10 @@ object QueriesVector {
         .select(col("embedding").cast("array<double>"))
         .collect().map(_.getSeq[Double](0).toSeq).toSeq
       val pred = col("item").cast("long") % 2 === 0
-      val rows = Seq(5, 10).map { k =>
-        val (_, recall) = vic.evaluateFilteredFromDisk(path, qvecs, k, pred)
-        val n = vic.queryFilteredFromDiskDf(path,
-          queriesDf(s, dir, 5)
-            .withColumn("qvector", col("qvector").cast("array<double>")),
-          k, pred).count()
+      // the GRID harness (r18, verdict r17 #3): one exact top-max(k)
+      // pass + one served read per point reused for recall AND count
+      val rows = vic.evaluateFilteredGridFromDisk(path, qvecs,
+        Seq(5, 10), pred).map { case (k, _, recall, n) =>
         (k.toLong,
           BigDecimal(recall).setScale(6, BigDecimal.RoundingMode.HALF_UP)
             .toDouble, n)

@@ -333,11 +333,21 @@ private[graft] object ServingFsck {
         col("component"), col("check"), col("status"), col("observed"))
     if (!fs.exists(p))
       return tag("", "", toDf(spark, Seq(Check("root", "present", Fail, 0L))))
-    val children = fs.listStatus(p).filter(_.isDirectory)
-      .map(_.getPath).sortBy(_.getName)
-    val frames = children.map { c => dispatchChild(spark, c) match {
-      case (family, df) => tag(c.getName, family, df)
-    } }
+    val (dirs, files) = fs.listStatus(p).sortBy(_.getPath.getName)
+      .partition(_.isDirectory)
+    // a PLAIN FILE under the serving root is just as foreign as an
+    // unrecognized directory (advice r17: the dirs-only filter silently
+    // skipped it, contradicting the no-silent-skip contract above) —
+    // write metadata (_SUCCESS, dotfiles) excepted
+    val fileRows = files.map(_.getPath.getName)
+      .filterNot(n => n == "_SUCCESS" || n.startsWith("."))
+      .map(n => tag(n, "unknown",
+        toDf(spark, Seq(Check("layout", "recognized", Fail, 0L)))))
+    val frames = dirs.map(_.getPath).map { c =>
+      dispatchChild(spark, c) match {
+        case (family, df) => tag(c.getName, family, df)
+      }
+    } ++ fileRows
     if (frames.isEmpty)
       tag("", "", toDf(spark, Seq(Check("root", "children", Ok, 0L))))
     else frames.reduce(_ unionByName _)

@@ -237,12 +237,21 @@ class ConcurrentAppendSpec extends SparkSpec {
       () => 1)
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(root, "not_a_layout"))
+    // a stray PLAIN FILE is just as foreign as an unrecognized dir
+    // (advice r17: the dirs-only filter used to skip it silently);
+    // write metadata stays exempt
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "stray.txt"), "junk".getBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_SUCCESS"), Array.empty[Byte])
     val fleet = graft.api.Vicinity.fsckAll(spark, root).collect()
       .map(r => ((r.getString(0), r.getString(2), r.getString(3)),
         (r.getString(4), r.getLong(5)))).toMap
     assert(fleet(("lshA", "claims", "unresolved")) === (("warn", 1L)))
     assert(fleet(("not_a_layout", "layout", "recognized"))
       === (("fail", 0L)))
+    assert(fleet(("stray.txt", "layout", "recognized")) === (("fail", 0L)))
+    assert(!fleet.contains(("_SUCCESS", "layout", "recognized")))
     prepared.unpersist()
   }
 

@@ -371,5 +371,26 @@ class ScaleFixesSpec extends SparkSpec {
       Backend.Basic, storeVectors = true)
     val cols = v.itemsAsColumns().columns.toSet
     assert(Set("a", "b", "c", "d").subsetOf(cols), cols.toString)
+    // a homogeneous object corpus promotes WITHOUT a _vicinity_items
+    // column (reference parity: huggingface.py:51-54)
+    assert(!cols.contains("_vicinity_items"), cols.toString)
+  }
+
+  test("itemsAsColumns routes a '{'-prefixed NON-JSON item to " +
+      "_vicinity_items (verdict r17 #4: isinstance-dict dispatch)") {
+    val items = Seq("""{"name": "doc-0"}""", "{not-json", "plain")
+    val vectors = Seq.fill(3)(Seq(1.0, 0.0))
+    val v = Vicinity.fromVectorsAndItems(spark, items, vectors,
+      Backend.Basic, storeVectors = true)
+    val out = v.itemsAsColumns().orderBy("id").collect()
+    val cols = v.itemsAsColumns().columns.toSeq
+    assert(cols.contains("name") && cols.contains("_vicinity_items"), cols)
+    val byId = out.map(r => r.getLong(cols.indexOf("id")) ->
+      (r.getAs[String]("name"), r.getAs[String]("_vicinity_items"))).toMap
+    assert(byId(0L) === (("doc-0", null)))
+    // the old startsWith-'{' dispatch promoted this row as all-NULL
+    // columns, silently losing the raw string
+    assert(byId(1L) === ((null, "{not-json")))
+    assert(byId(2L) === ((null, "plain")))
   }
 }
