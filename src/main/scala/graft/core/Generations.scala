@@ -52,8 +52,22 @@ object Generations {
   /** The two-rename swap of the compact protocol, factored out so other
     * compact-and-swap layouts (e.g. the HNSW disk index's generation
     * fold) share the exact discipline: retire live → promote staging,
-    * roll back on a failed promote, delete the retired dir last. */
-  def swapInto(spark: SparkSession, path: String, staging: String): Unit = {
+    * roll back on a failed promote, delete the retired dir last.
+    *
+    * READER CONTRACT (verdict r17 #6): between the two renames there is
+    * an instant where NO live directory exists — writers are excluded
+    * by the maintenance fence, but readers are deliberately lock-free.
+    * A reader that opens the path through [[readSwapSafe]] rides the
+    * window out (retry once, then the retired dir, whose content is the
+    * complete pre-compact state and serves identical committed rows). A
+    * plan that already LISTED its files before the swap may still fail
+    * mid-job if the old files are deleted under it — the inherent
+    * residual of any non-transactional filesystem table (a catalog with
+    * snapshot isolation is the at-scale answer); re-running the read is
+    * always correct. `betweenRenames` is a test-only injection hook for
+    * racing a reader into the exact window. */
+  def swapInto(spark: SparkSession, path: String, staging: String,
+      betweenRenames: () => Unit = () => ()): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val live = new Path(path)
     val st = new Path(staging)
@@ -62,12 +76,46 @@ object Generations {
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(live, old))
       throw new java.io.IOException(s"compact: cannot retire $live")
+    betweenRenames()
     if (!fs.rename(st, live)) {
       // roll back: put the live store back before failing
       fs.rename(old, live)
       throw new java.io.IOException(s"compact: cannot promote $st")
     }
     fs.delete(old, true)
+  }
+
+  /** Parquet read of a compact-and-swap TARGET that tolerates
+    * [[swapInto]]'s two-rename window (verdict r17 #6): on a
+    * missing-path failure, retry once after a short pause (the window
+    * is two metadata ops — normally microseconds), then fall back to
+    * the retired `__old` directory, which holds the complete
+    * pre-compact state and serves identical committed rows (compaction
+    * changes layout, never visible content). Rethrows anything that is
+    * not a missing-path condition, and rethrows the original failure
+    * when no fallback exists (a genuinely absent store must stay
+    * loud). */
+  def readSwapSafe(spark: SparkSession, path: String): DataFrame = {
+    def missing(e: Throwable): Boolean = e match {
+      case a: org.apache.spark.sql.AnalysisException =>
+        a.getMessage.contains("Path does not exist") ||
+          Option(a.getCondition).exists(_.contains("PATH_NOT_FOUND"))
+      case _ => false
+    }
+    try spark.read.parquet(path)
+    catch {
+      case e: Throwable if missing(e) =>
+        Thread.sleep(50L)
+        try spark.read.parquet(path)
+        catch {
+          case e2: Throwable if missing(e2) =>
+            val old = new Path(path.stripSuffix("/") + "__old")
+            val fs = old.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (fs.exists(old)) spark.read.parquet(old.toString)
+            else throw e2
+        }
+    }
   }
 
   // ------------------------------------------------------------------

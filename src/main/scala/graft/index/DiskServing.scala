@@ -379,9 +379,12 @@ private[graft] object CodesLayout {
     }
   }
 
-  /** committed generations of the vectors sub-layout */
+  /** committed generations of the vectors sub-layout — swap-tolerant
+    * (the sub-layout is a compact-and-swap target; readers are
+    * lock-free by design, see [[graft.core.Generations.readSwapSafe]]) */
   def committed(spark: SparkSession, path: String, gens: Int): DataFrame =
-    spark.read.parquet(s"$path/vectors").where(col("_gen") < gens)
+    graft.core.Generations.readSwapSafe(spark, s"$path/vectors")
+      .where(col("_gen") < gens)
 
   /** delete by id: touched `_nb` buckets computed from the ids, the
     * (generation, bucket) pairs that actually hold them probed with one
@@ -604,7 +607,8 @@ private[graft] object GraphLayout {
       path: String): Option[DataFrame] = {
     val tGens = tombstoneGens(path)
     if (tGens <= 0) None
-    else Some(spark.read.parquet(s"$path/tombstones")
+    else Some(graft.core.Generations.readSwapSafe(spark,
+        s"$path/tombstones")
       .where(col("_gen") < tGens).select("id").distinct())
   }
 
@@ -660,7 +664,8 @@ private[graft] object GraphLayout {
   def prunedRead(spark: SparkSession, path: String, sub: String,
       idCol: String, ids: Array[Long], buckets: Int, cols: Seq[String],
       maxGen: Int = Int.MaxValue): DataFrame = {
-    val base0 = spark.read.parquet(s"$path/$sub")
+    // swap-tolerant: the sub-layout is a compaction swap target
+    val base0 = graft.core.Generations.readSwapSafe(spark, s"$path/$sub")
     val hasGen = base0.columns.contains("_gen")
     val base = if (hasGen) base0.where(col("_gen") < maxGen) else base0
     if (ids.isEmpty) base.where(lit(false)).select(cols.map(col): _*)

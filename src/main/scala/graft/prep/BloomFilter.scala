@@ -68,7 +68,7 @@ object BloomFilter {
     * construction regardless of how many generations accumulated. */
   def loadState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path).select("pos").distinct()
+    graft.core.Generations.readSwapSafe(spark, path).select("pos").distinct()
 
   /** Fold every generation into one — the OR-merge (distinct union)
     * materialized once ([[graft.core.Generations]] swap protocol). */

@@ -71,7 +71,7 @@ object BottomK {
     * at least one generation on disk); <= k rows regardless of how many
     * generations accumulated. */
   def loadState(spark: SparkSession, path: String, k: Int): DataFrame =
-    spark.read.parquet(path).select("hv", "value")
+    graft.core.Generations.readSwapSafe(spark, path).select("hv", "value")
       .dropDuplicates("hv").orderBy("hv", "value").limit(k)
 
   /** Fold every generation into one — the bottom-k re-selection

@@ -62,7 +62,7 @@ object CountMin {
     * (requires at least one generation on disk). */
   def loadState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path)
+    graft.core.Generations.readSwapSafe(spark, path)
       .groupBy("d", "cell").agg(sum("cnt").cast("long").as("cnt"))
 
   /** Fold every generation into one (`graft.core.Generations` swap

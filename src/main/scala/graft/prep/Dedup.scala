@@ -272,7 +272,7 @@ object Dedup {
         s"caller expects ($bands, $rowsPerBand, $seed)")
     val idCol = meta.get("id_col").asText()
     val t =
-      try spark.read.parquet(path)
+      try graft.core.Generations.readSwapSafe(spark, path)
           .drop("_bands", "_rows_per_band", "_seed")
       catch {
         // schema inference fails when the snapshot holds zero data files
@@ -993,7 +993,7 @@ object Dedup {
     * optionally excluding an in-flight batch's own tag (replay guard). */
   def loadSegmentDfState(spark: org.apache.spark.sql.SparkSession,
       path: String, excludeGeneration: Option[String] = None): DataFrame = {
-    val all = spark.read.parquet(path)
+    val all = graft.core.Generations.readSwapSafe(spark, path)
     val kept = excludeGeneration.fold(all)(t => all.where(col("_batch") =!= t))
     kept.groupBy("_sm").agg(sum("_df").cast("long").as("_df"))
   }

@@ -99,7 +99,7 @@ object HyperLogLog {
     * generation (requires at least one generation on disk). */
   def loadState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
-    spark.read.parquet(path).groupBy("bucket").agg(max("r").as("r"))
+    graft.core.Generations.readSwapSafe(spark, path).groupBy("bucket").agg(max("r").as("r"))
 
   /** Fold every generation into one — register-wise max materialized
     * once ([[graft.core.Generations]] swap protocol). */

@@ -432,6 +432,43 @@ class ConcurrentAppendSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("a reader racing the compaction swap rides the two-rename " +
+      "window: readSwapSafe serves the retired state, deterministically " +
+      "injected between the renames") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_swaprace").toString
+    val path = s"$root/snap"
+    (1L to 100L).toDF("v").withColumn("_batch", lit("b0"))
+      .write.partitionBy("_batch").parquet(path)
+    (101L to 150L).toDF("v").withColumn("_batch", lit("b1"))
+      .write.mode("append").partitionBy("_batch").parquet(path)
+    // stage the folded state, then swap with a reader IN the window
+    val staging = path + "__compacting"
+    spark.read.parquet(path).drop("_batch")
+      .withColumn("_batch", lit("compact"))
+      .write.partitionBy("_batch").parquet(staging)
+    var plainFailed = false
+    var windowRows = -1L
+    Generations.swapInto(spark, path, staging, betweenRenames = () => {
+      // prove the injection sits in the real no-live-dir instant
+      plainFailed =
+        try { spark.read.parquet(path); false }
+        catch { case _: org.apache.spark.sql.AnalysisException => true }
+      // the swap-safe read falls back to the retired dir — the complete
+      // pre-compact state (compaction never changes visible content)
+      windowRows = Generations.readSwapSafe(spark, path).count()
+    })
+    assert(plainFailed, "the injection hook must hit the swap window")
+    assert(windowRows === 150L,
+      "readSwapSafe must serve the full pre-compact state in the window")
+    // post-swap: the promoted store serves the same rows, one generation
+    val after = spark.read.parquet(path)
+    assert(after.count() === 150L)
+    assert(after.select("_batch").distinct().collect()
+      .map(_.getString(0)).toSeq === Seq("compact"))
+  }
+
   test("claim identity rides the file NAME: an empty crashed claim is " +
       "reclaimable by its own tag and names its holder to a rival") {
     val path = tmp("atomic")
