@@ -119,10 +119,40 @@ class PipelineOpsSpec extends SparkSpec {
       maxHamming = 3, maxBucket = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(unbounded == boundedOut && unbounded.nonEmpty)
-    // the monitoring hook reports exactly the over-cap groups (one per band)
+    // the monitoring hook reports exactly the over-cap groups — identical
+    // fingerprints collide in every block-combination table (C(6,3) = 20
+    // at the default maxHamming = 3)
     val oc = Dedup.simhashOverCapBuckets(df, "doc_id", "sh", maxBucket = 100)
       .collect()
-    assert(oc.length == 4 && oc.forall(_.getLong(2) == 10000L))
+    assert(oc.length == 20 && oc.forall(_.getLong(2) == 10000L))
+  }
+
+  test("simhash block-combination candidates are EXACT: pair set equals " +
+      "the brute-force hamming join at every radius") {
+    import spark.implicits._
+    // 300 deterministic fingerprints with clustered low bits so pairs
+    // exist at every radius; brute truth vs the banded join, h = 0..5
+    // (combination scheme) and h = 6 (classic-band fallback)
+    val rnd = new scala.util.Random(7)
+    val fps = (0 until 300).map { i =>
+      (i.toLong, (rnd.nextInt(1 << 10).toLong << 22) | (i % 16).toLong |
+        ((i % 4).toLong << 13))
+    }
+    val df = fps.toDF("doc_id", "sh").cache()
+    val brute = df.as("l").join(df.as("r"),
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("i"), col("r.doc_id").as("j"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .cache()
+    for (h <- Seq(0, 1, 3, 5, 6)) {
+      val expect = brute.where(col("hamming") <= h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val got = Dedup.simhashPairs(df, "doc_id", "sh", maxHamming = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == expect,
+        s"h=$h: ${got.size} pairs vs brute ${expect.size}")
+    }
+    brute.unpersist(); df.unpersist()
   }
 
   test("incremental dedup pairs new docs only; old-old pair space untouched") {
