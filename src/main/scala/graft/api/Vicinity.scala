@@ -172,12 +172,19 @@ class Vicinity private (
     * families) or tombstone generation (graph family). `rows` must carry
     * `id`; the IVF family computes the touched cell FROM the vector, so
     * it requires `vector` too. Returns rows removed / newly tombstoned. */
-  def deleteFromDisk(path: String, rows: DataFrame): Long = {
+  def deleteFromDisk(path: String, rows: DataFrame,
+      writerTag: Option[String] = None): Long = {
     val d = diskServing
     if (!d.supportsDiskDelete) throw new UnsupportedOperationException(
       s"Backend ${backend.name} (${strategy.name}) does not delete " +
         "from disk.")
-    d.deleteFromDisk(spark, path, rows)
+    // the tag threads to the delete's claim (tomb slot on the graph
+    // families, the del lease on the rewrite families) exactly as
+    // insertIntoServing's does to the append claim (review r18: a
+    // crashed delete's replay in a NEW process needs its stable
+    // identity to reclaim its slot)
+    d.deleteFromDisk(spark, path, rows,
+      writerTag.getOrElse(graft.core.Generations.defaultWriterTag))
   }
 
   /** Compact the serving layout at `path` — fold committed append
@@ -186,12 +193,17 @@ class Vicinity private (
     * append/delete maintenance loop closes with its fold step behind
     * the same capability-gated facade). Served results are identical
     * before and after; appends continue on the compacted layout. */
-  def compactServing(path: String): Unit = {
+  def compactServing(path: String,
+      writerTag: Option[String] = None): Unit = {
     val d = diskServing
     if (!d.supportsCompaction) throw new UnsupportedOperationException(
       s"Backend ${backend.name} (${strategy.name}) has no compactable " +
         "serving layout.")
-    d.compactServing(spark, path)
+    // the tag is the maintenance marker's identity — a crashed
+    // compaction's re-run in a NEW process reclaims its marker only
+    // under the same stable tag (review r18)
+    d.compactServing(spark, path,
+      writerTag.getOrElse(graft.core.Generations.defaultWriterTag))
   }
 
   /** Ops dashboard for a serving layout (verdict r12 stretch #8 —
@@ -364,7 +376,8 @@ class Vicinity private (
     * every disk entry point: LSH/BQ refuse with a targeted message
     * (their hash state is seed-deterministic — nothing to retrain;
     * compactServing is their complete maintenance story). */
-  def rebuildServing(path: String): Vicinity = {
+  def rebuildServing(path: String,
+      writerTag: Option[String] = None): Vicinity = {
     val d = diskServing
     // Probe the layout's committed rows for the facade's 'item' column
     // BEFORE retraining (advice r16): d.rebuildServing atomically swaps
@@ -386,7 +399,8 @@ class Vicinity private (
           "the owning strategy's rebuildServing (refused before " +
           "mutating the layout)")
     } // capability refusals fall through to d.rebuildServing's message
-    val r = d.rebuildServing(spark, path)
+    val r = d.rebuildServing(spark, path,
+      writerTag.getOrElse(graft.core.Generations.defaultWriterTag))
     val cached = r.store
       .select(col("id").cast("long").as("id"), col("item"), col("vector"))
       .cache()
@@ -658,16 +672,19 @@ class Vicinity private (
     val fields = inferred.fields.filterNot(_.name == "_corrupt_record")
     val base =
       if (fields.nonEmpty) {
+        // the corrupt-record sentinel must not collide with a REAL item
+        // key (review r18: a duplicate field name breaks from_json)
+        val sentinel = Iterator.iterate("_graft_corrupt")(_ + "_")
+          .dropWhile(n => fields.exists(_.name == n)).next()
         val schema = StructType(fields :+ org.apache.spark.sql.types
-          .StructField("_graft_corrupt",
-            org.apache.spark.sql.types.StringType))
+          .StructField(sentinel, org.apache.spark.sql.types.StringType))
         val withParse = store.select(col("id"), col("item"),
           from_json(col("item"), schema,
-            Map("columnNameOfCorruptRecord" -> "_graft_corrupt"))
+            Map("columnNameOfCorruptRecord" -> sentinel))
             .as("_s"),
           col("vector"))
           .withColumn("_obj", ltrim(col("item")).startsWith("{") &&
-            col("_s").isNotNull && col("_s._graft_corrupt").isNull)
+            col("_s").isNotNull && col("_s")(sentinel).isNull)
         val promoted = fields.toSeq.map(f =>
           when(col("_obj"), col("_s")(f.name)).as(f.name))
         // reference parity on a homogeneous object corpus: no

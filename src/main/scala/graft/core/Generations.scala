@@ -112,8 +112,19 @@ object Generations {
             val old = new Path(path.stripSuffix("/") + "__old")
             val fs = old.getFileSystem(
               spark.sparkContext.hadoopConfiguration)
-            if (fs.exists(old)) spark.read.parquet(old.toString)
-            else throw e2
+            // the retired dir itself races the swap's FINAL delete: if
+            // it vanished between the exists check and the read, the
+            // swap completed — the live path is back, read it (review
+            // r18); only a genuinely absent store rethrows
+            if (fs.exists(old))
+              try spark.read.parquet(old.toString)
+              catch {
+                case e3: Throwable if missing(e3) =>
+                  spark.read.parquet(path)
+              }
+            else
+              try spark.read.parquet(path)
+              catch { case e4: Throwable if missing(e4) => throw e2 }
         }
     }
   }
@@ -186,13 +197,26 @@ object Generations {
       tag: String): Path =
     new Path(claimsDir(path), s"$slot-$gen.${encodeTag(tag)}")
 
-  /** parse `<slot>-<gen>.<enc-tag>` → (gen, tag); None for foreign names */
+  /** parse `<slot>-<gen>.<enc-tag>` → (gen, tag); None for foreign
+    * names. A PRE-r18 claim name (`<slot>-<gen>`, tag in content) stays
+    * VISIBLE as a claim whose holder is the legacy marker below — a
+    * crashed pre-upgrade append must keep blocking its slot loudly
+    * (operator resolves with [[breakClaim]]) rather than silently
+    * vanishing from the ledger and letting a contender overwrite the
+    * orphan's generation. */
+  private[core] val LegacyClaimHolder =
+    "<pre-r18 claim (tag in file content) — resolve with breakClaim>"
+
   private def parseClaim(name: String, slot: String): Option[(Int, String)] = {
     val pre = slot + "-"
     if (!name.startsWith(pre)) return None
     val rest = name.stripPrefix(pre)
     val dot = rest.indexOf('.')
-    if (dot <= 0) return None
+    if (dot <= 0) {
+      return if (rest.nonEmpty && rest.forall(_.isDigit))
+        Some((rest.toInt, LegacyClaimHolder))
+      else None
+    }
     val digits = rest.substring(0, dot)
     if (!digits.forall(_.isDigit)) return None
     Some((digits.toInt,

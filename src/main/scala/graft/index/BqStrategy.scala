@@ -358,7 +358,8 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     * layout are no-ops. Returns rows removed. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame, tag: String): Long = {
+      path: String, rows: DataFrame, tag: String): Long =
+      DiskServing.withDeleteLease(spark, path, tag) {
     val meta = validateServing(path)
     val nb = meta.get("vec_buckets").asInt()
     require(graft.core.FsIO.exists(s"$path/mih/_mih_meta.json"),
@@ -569,7 +570,8 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
   /** the maintenance fence's committed counters ([[DiskServing]]) */
   override def committedCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, Int] =
-    Map("gen" -> graft.core.Generations.sidecarCount(
+    Map("del" -> 0, // delete leases never spend: any present = in flight
+    "gen" -> graft.core.Generations.sidecarCount(
       s"$path/_bq_serving_meta.json", "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,

@@ -215,6 +215,28 @@ object DiskServing {
     * layout holds) */
   final case class Rebuilt(strategy: IndexStrategy with DiskServing,
       store: DataFrame, prepared: DataFrame)
+
+  /** Serialize a partition-rewrite DELETE against other deleters and
+    * the maintenance fence (review r18): the partition-rewrite families
+    * (cells, codes, LSH, BQ) delete by rewriting survivor partitions in
+    * place — no generation counter, so the claim protocol's slot
+    * numbering doesn't apply, but two concurrent deleters racing the
+    * SAME partitions would clobber each other's survivor rewrites, and
+    * a delete racing a compaction's fold-and-swap would be silently
+    * dropped or write into the retired directory. The delete takes the
+    * layout's single `del-0` slot as a LEASE for its duration — the
+    * claim path's maintenance-marker check makes delete-vs-maintenance
+    * fail loudly in both orders (the fence counts `del` claims as
+    * always-unresolved via committedCounts' `"del" -> 0`) — and always
+    * releases it on exit: a del claim never spends. */
+  def withDeleteLease[A](spark: SparkSession, path: String, tag: String)(
+      body: => A): A = {
+    graft.core.Generations.claimAppendGeneration(spark, path, tag,
+      () => 0, slot = "del")
+    try body
+    finally graft.core.Generations.releaseClaim(spark, path, 0, tag,
+      slot = "del")
+  }
 }
 
 /** Shared physical discipline for the id-bucketed RERANK-VECTORS
@@ -584,9 +606,20 @@ private[graft] object GraphLayout {
     * revert an append's generation count, hiding its rows. Absent file
     * = no tombstones, so pre-delete layouts and fresh rewrites read as
     * tombstone-free without a write. */
-  def tombstoneGens(path: String): Int =
-    graft.core.Generations.sidecarCount(s"$path/_tomb_meta.json",
-      "tombstone_generations")
+  def tombstoneGens(path: String): Int = {
+    // the split sidecar is authoritative when present (even at 0); a
+    // layout written BEFORE the split (review r18) carries the counter
+    // inside its graph meta — read it there rather than silently
+    // resurrecting its committed tombstones as "count 0"
+    if (graft.core.FsIO.exists(s"$path/_tomb_meta.json"))
+      graft.core.Generations.sidecarCount(s"$path/_tomb_meta.json",
+        "tombstone_generations")
+    else math.max(
+      graft.core.Generations.sidecarCount(s"$path/_graph_meta.json",
+        "tombstone_generations"),
+      graft.core.Generations.sidecarCount(s"$path/_nn_serving_meta.json",
+        "tombstone_generations"))
+  }
 
   def writeTombstoneGens(path: String, tGens: Int): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()

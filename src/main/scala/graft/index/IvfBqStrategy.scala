@@ -118,7 +118,7 @@ case class IvfBqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, tag: String): Long =
-    ivf.deleteCells(spark, path, name, rows)
+    ivf.deleteCells(spark, path, name, rows, tag)
 
   /** Append through the shared cell-generation machinery (r16): cells
     * assign with the trained centroids, signatures quantize train-free

@@ -310,7 +310,7 @@ case class IvfPqStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, deletes: DataFrame, tag: String): Long =
-    ivf.deleteCells(spark, path, name, deletes)
+    ivf.deleteCells(spark, path, name, deletes, tag)
 
   /** Append through the shared cell-generation machinery (r16): the
     * increment assigns to the trained cells and its RESIDUALS encode

@@ -474,7 +474,8 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   /** the maintenance fence's committed counters ([[DiskServing]]) */
   override def committedCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, Int] =
-    Map("gen" -> graft.core.Generations.sidecarCount(
+    Map("del" -> 0, // delete leases never spend: any present = in flight
+    "gen" -> graft.core.Generations.sidecarCount(
       servingMetaPath(path), "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
@@ -577,13 +578,15 @@ case class IvfStrategy(metric: Metric, nlist: Int = 100, nprobe: Int = 4,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, deletes: DataFrame, tag: String): Long =
-    deleteCells(spark, path, name, deletes)
+    deleteCells(spark, path, name, deletes, tag)
 
   /** family-parameterized body of [[deleteFromDisk]] — the composed
     * families delegate here with their own tag so a generation layout's
     * sidecar validation names the right family. */
   private[index] def deleteCells(spark: org.apache.spark.sql.SparkSession,
-      path: String, family: String, deletes: DataFrame): Long = {
+      path: String, family: String, deletes: DataFrame,
+      tag: String = graft.core.Generations.defaultWriterTag): Long =
+      DiskServing.withDeleteLease(spark, path, tag) {
     require(centroids != null, "IvfStrategy.prepare must run before delete")
     val del = maybeNormalize(deletes, "vector")
       .select(col("id"),

@@ -587,7 +587,8 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     * layout are no-ops. Returns rows removed. */
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame, tag: String): Long = {
+      path: String, rows: DataFrame, tag: String): Long =
+      DiskServing.withDeleteLease(spark, path, tag) {
     val meta = readMeta(path)
     val nb = meta.get("vec_buckets").asInt()
     val sb = meta.get("sub_buckets").asInt()
@@ -655,7 +656,8 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
   /** the maintenance fence's committed counters ([[DiskServing]]) */
   override def committedCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, Int] =
-    Map("gen" -> graft.core.Generations.sidecarCount(
+    Map("del" -> 0, // delete leases never spend: any present = in flight
+    "gen" -> graft.core.Generations.sidecarCount(
       s"$path/_lsh_meta.json", "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,

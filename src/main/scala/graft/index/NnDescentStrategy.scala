@@ -928,15 +928,21 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     if (tomb.nonEmpty) GraphLayout.writeTombstoneGens(path, 0)
     graft.core.FsIO.write(s"$path/_nn_serving_meta.json",
       mapper.writeValueAsString(root))
-    // the count resets (gen AND tomb slots): spent claims must not
-    // outlive them, or the first post-compact append/delete slot would
-    // read as foreign-claimed forever
-    graft.core.Generations.clearClaims(spark, path)
+    // the spent tombstones dir leaves BEFORE the ledger clears (review
+    // r18 — the HNSW ordering): clearClaims also sweeps the maintenance
+    // marker, reopening the layout to writers, and a delete entering
+    // between an early sweep and this directory delete would write a
+    // fresh tombstone generation this trailing delete then wipes —
+    // sidecar claiming tombstones over a missing directory
     if (tomb.nonEmpty) {
       val fs = new org.apache.hadoop.fs.Path(s"$path/tombstones")
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
     }
+    // the count resets (gen AND tomb slots): spent claims must not
+    // outlive them, or the first post-compact append/delete slot would
+    // read as foreign-claimed forever
+    graft.core.Generations.clearClaims(spark, path)
   }
 
   /** relearn the k-NN graph from the LIVE rows (the [[HnswStrategy

@@ -212,7 +212,7 @@ case class OpqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, tag: String): Long =
-    inner.deleteFromDiskAs(spark, path, name, rows)
+    inner.deleteFromDiskAs(spark, path, name, rows, tag)
 
   /** append rotates the increment with the INSTANCE matrix, guarded
     * equal to the layout's (the same string-equality discipline as the

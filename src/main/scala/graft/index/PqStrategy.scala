@@ -303,7 +303,8 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
   /** the maintenance fence's committed counters ([[DiskServing]]) */
   override def committedCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, Int] =
-    Map("gen" -> graft.core.Generations.sidecarCount(
+    Map("del" -> 0, // delete leases never spend: any present = in flight
+    "gen" -> graft.core.Generations.sidecarCount(
       s"$path/_pq_serving_meta.json", "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,
@@ -392,16 +393,18 @@ case class PqStrategy(metric: Metric, m: Int = 8, nbits: Int = 8,
     * doesn't have). */
   private[index] def deleteFromDiskAs(
       spark: org.apache.spark.sql.SparkSession, path: String,
-      family: String, rows: DataFrame): Long = {
-    val meta = validatePqServing(path, family)
-    CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
-      meta.get("generations").asInt(), rows)
-  }
+      family: String, rows: DataFrame,
+      tag: String = graft.core.Generations.defaultWriterTag): Long =
+    DiskServing.withDeleteLease(spark, path, tag) {
+      val meta = validatePqServing(path, family)
+      CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
+        meta.get("generations").asInt(), rows)
+    }
 
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
       path: String, rows: DataFrame, tag: String): Long =
-    deleteFromDiskAs(spark, path, name, rows)
+    deleteFromDiskAs(spark, path, name, rows, tag)
 
   /** append as a committed `_gen=N` generation — encode-with-trained-
     * codebooks is FAISS `add` after `train`; the instance's codebooks

@@ -154,10 +154,11 @@ private[graft] object ServingFsck {
     // on persistence (endMaintenance under the holder's tag clears it)
     val maint =
       if (slot != "gen") Seq.empty
-      else Seq(Check(component, "maintenance_marker",
-        if (graft.core.Generations.maintenanceHolder(spark, root).isEmpty)
-          Ok else Warn,
-        graft.core.Generations.maintenanceHolder(spark, root).size.toLong))
+      else {
+        val holder = graft.core.Generations.maintenanceHolder(spark, root)
+        Seq(Check(component, "maintenance_marker",
+          if (holder.isEmpty) Ok else Warn, holder.size.toLong))
+      }
     Seq(
       Check(component, "spent", Ok, cs.count(_._1 < committed).toLong),
       Check(component, "unresolved",

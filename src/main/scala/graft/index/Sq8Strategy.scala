@@ -318,11 +318,12 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
 
   override def supportsDiskDelete: Boolean = true
   override def deleteFromDisk(spark: org.apache.spark.sql.SparkSession,
-      path: String, rows: DataFrame, tag: String): Long = {
-    val meta = validateSqServing(path)
-    CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
-      meta.get("generations").asInt(), rows)
-  }
+      path: String, rows: DataFrame, tag: String): Long =
+    DiskServing.withDeleteLease(spark, path, tag) {
+      val meta = validateSqServing(path)
+      CodesLayout.deleteIds(spark, path, meta.get("vec_buckets").asInt(),
+        meta.get("generations").asInt(), rows)
+    }
 
   /** append as a committed `_gen=N` generation: quantize-with-trained-
     * ranges is FAISS `add` after `train`; the instance's ranges must
@@ -392,7 +393,8 @@ case class Sq8Strategy(metric: Metric, rerank: Boolean = true,
   /** the maintenance fence's committed counters ([[DiskServing]]) */
   override def committedCounts(spark: org.apache.spark.sql.SparkSession,
       path: String): Map[String, Int] =
-    Map("gen" -> graft.core.Generations.sidecarCount(
+    Map("del" -> 0, // delete leases never spend: any present = in flight
+    "gen" -> graft.core.Generations.sidecarCount(
       s"$path/_sq8_serving_meta.json", "generations"))
 
   override def fsckServing(spark: org.apache.spark.sql.SparkSession,

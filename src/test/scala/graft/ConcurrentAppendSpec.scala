@@ -432,6 +432,108 @@ class ConcurrentAppendSpec extends SparkSpec {
     prepared.unpersist()
   }
 
+  test("rewrite-family deletes hold the del lease: delete-vs-maintenance " +
+      "fails loudly in both orders; concurrent deleters serialize") {
+    val path = tmp("dellease")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 300)).cache()
+    strat.writeServingIndex(prepared, path)
+    // order 1: maintenance first — the delete's lease claim sees the
+    // marker and refuses
+    Generations.beginMaintenance(spark, path, "maintainer",
+      Map("gen" -> 1, "del" -> 0))
+    val e1 = intercept[IllegalStateException] {
+      strat.deleteFromDisk(spark, path,
+        store.where($"id" < 2).select($"id"), "deleter-A")
+    }
+    assert(e1.getMessage.contains("maintenance"))
+    assert(Generations.listClaims(spark, path, slot = "del").isEmpty,
+      "a fenced-out delete must release its lease")
+    Generations.endMaintenance(spark, path, "maintainer")
+    // order 2: delete in flight (lease held) — maintenance refuses,
+    // and a SECOND deleter refuses too (survivor rewrites would race)
+    Generations.claimAppendGeneration(spark, path, "deleter-A",
+      () => 0, slot = "del")
+    val e2 = intercept[IllegalStateException] {
+      strat.compactServing(spark, path)
+    }
+    assert(e2.getMessage.contains("deleter-A") &&
+      e2.getMessage.contains("del"))
+    val e3 = intercept[IllegalStateException] {
+      strat.deleteFromDisk(spark, path,
+        store.where($"id" < 2).select($"id"), "deleter-B")
+    }
+    assert(e3.getMessage.contains("deleter-A"))
+    Generations.releaseClaim(spark, path, 0, "deleter-A", slot = "del")
+    // lease released: the delete lands and leaves NO claim behind
+    assert(strat.deleteFromDisk(spark, path,
+      store.where($"id" < 2).select($"id"), "deleter-B") === 2)
+    assert(Generations.listClaims(spark, path, slot = "del").isEmpty,
+      "a completed delete must not leave its lease behind")
+    val dsk = strat.queryFromDisk(spark, path, queries, 10).collect()
+    assert(dsk.nonEmpty && !dsk.exists(_.getLong(1) < 2L))
+    prepared.unpersist()
+  }
+
+  test("a pre-r18 claim file (tag in content, no dot) stays VISIBLE: it " +
+      "blocks contenders loudly and breakClaim clears it") {
+    val path = tmp("legacyclaim")
+    val strat = lsh()
+    val prepared = strat.prepare(store.where($"id" < 100)).cache()
+    strat.writeServingIndex(prepared, path)
+    // plant an old-format claim: digits-only name, tag in content
+    val dir = new org.apache.hadoop.fs.Path(s"$path/_claims")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "gen-1"), false)
+    out.write("old-writer".getBytes("UTF-8")); out.close()
+    // a contender must NOT silently win over the legacy claim
+    val e = intercept[IllegalStateException] {
+      strat.appendServingIndex(spark, path,
+        store.where($"id" >= 100 && $"id" < 150), "writer-B")
+    }
+    assert(e.getMessage.contains("pre-r18"))
+    assert(Generations.listClaims(spark, path).map(_._1) === Seq(1))
+    // the operator override clears it; the contender proceeds
+    Generations.breakClaim(spark, path, 1)
+    strat.appendServingIndex(spark, path,
+      store.where($"id" >= 100 && $"id" < 150), "writer-B")
+    assert(Generations.listClaims(spark, path) === Seq((1, "writer-B")))
+    prepared.unpersist()
+  }
+
+  test("a pre-split graph layout's tombstone counter (inside the graph " +
+      "meta) is still honored — committed tombstones don't resurrect") {
+    import graft.index.{GraphLayout, HnswStrategy}
+    val path = tmp("legacytomb")
+    val strat = HnswStrategy(Metric.Cosine, m = 4)
+    val prepared = strat.prepare(store.where($"id" < 100)).cache()
+    prepared.count()
+    strat.writeGraphIndex(prepared, path)
+    assert(strat.deleteFromDisk(spark, path,
+      store.where($"id" < 3).select($"id"), "deleter") === 3)
+    // simulate the pre-split format: counter inside _graph_meta.json,
+    // no _tomb_meta.json
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val meta = mapper.readTree(
+      graft.core.FsIO.read(s"$path/_graph_meta.json"))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    meta.put("tombstone_generations", 1)
+    graft.core.FsIO.write(s"$path/_graph_meta.json",
+      mapper.writeValueAsString(meta))
+    val fs = new org.apache.hadoop.fs.Path(s"$path/_tomb_meta.json")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/_tomb_meta.json"),
+      false)
+    assert(GraphLayout.tombstoneGens(path) === 1,
+      "the legacy counter must be read, not silently treated as 0")
+    val dsk = strat.queryExhaustiveFromDisk(spark, path, queries, 100)
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(!dsk.exists(_ < 3L),
+      "a pre-split layout's committed tombstones resurrected")
+    prepared.unpersist()
+  }
+
   test("a reader racing the compaction swap rides the two-rename " +
       "window: readSwapSafe serves the retired state, deterministically " +
       "injected between the renames") {

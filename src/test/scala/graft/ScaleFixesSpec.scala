@@ -393,4 +393,18 @@ class ScaleFixesSpec extends SparkSpec {
     assert(byId(1L) === ((null, "{not-json")))
     assert(byId(2L) === ((null, "plain")))
   }
+
+  test("itemsAsColumns survives an item key that collides with the " +
+      "corrupt-record sentinel") {
+    val items = Seq("""{"_graft_corrupt": "x", "a": 1}""", "plain")
+    val vectors = Seq.fill(2)(Seq(1.0, 0.0))
+    val v = Vicinity.fromVectorsAndItems(spark, items, vectors,
+      Backend.Basic, storeVectors = true)
+    val out = v.itemsAsColumns().orderBy("id").collect()
+    val cols = v.itemsAsColumns().columns.toSeq
+    assert(cols.contains("a") && cols.contains("_graft_corrupt"), cols)
+    assert(out(0).getAs[String]("_graft_corrupt") === "x")
+    assert(out(0).getAs[Long]("a") === 1L)
+    assert(out(1).getAs[String]("_vicinity_items") === "plain")
+  }
 }
