@@ -549,14 +549,15 @@ object QueriesText {
       ORDER BY d.doc_id
     """))
 
-  /** exact n-gram Jaccard similarity join (prefix-filtered inverted-index
-    * plan, no signatures): 3-gram shingles, threshold 0.5 — the
+  /** exact n-gram Jaccard similarity join (k-extended PPJoin prefix
+    * filter, no signatures): 3-gram shingles, threshold 0.5 — the
     * deterministic complement to q_minhash_dedup's probabilistic candidate
-    * generation. 3-gram (not 2-gram) shingles matter for the plan: this
-    * corpus's small vocabulary makes 2-gram document frequencies huge
-    * (tens of millions of candidate pairs even prefix-filtered), while
-    * 3-grams are cubically rarer (regenerated sf0.1 corpus: max df 25,
-    * Σ df² ≈ 2.8M candidate rows — measured, see BENCH_NOTES r11). */
+    * generation. The plan (r19) indexes only each doc's rarest
+    * `n − ⌈t·n⌉ + 3` grams and demands ≥3 shared prefix grams plus the
+    * positional bound before the exact verify — lossless (see
+    * [[graft.prep.Dedup.ngramJaccardJoin]]), and on this fixed-vocabulary
+    * corpus it is the difference between a 114.8M-group pair aggregate and
+    * a 441K-pair verify at sf1 (measured in DuckDB, r19). */
   val qNgramJaccard = Q("q_ngram_jaccard",
     (s, dir) => Dedup.ngramJaccardJoin(PrepCache.shingledDocs(s, dir),
         "doc_id", "shingles", threshold = 0.5)

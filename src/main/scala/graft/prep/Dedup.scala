@@ -595,56 +595,119 @@ object Dedup {
 
   // ----------------------------------------------- exact n-gram Jaccard
 
-  /** Exact all-pairs n-gram Jaccard similarity join via a count-based
-    * inverted index: explode distinct shingles, equi-join on the shingle
-    * (each posting list joins only within its own gram), COUNT the shared
-    * grams per pair — that count IS `|A∩B|`, so no shingle array ever
-    * shuffles — then filter `|A∩B| / (|A|+|B|−|A∩B|) ≥ threshold`.
+  /** Exact all-pairs n-gram Jaccard similarity join via a LOSSLESS
+    * k-extended prefix filter (AllPairs/PPJoin family — Bayardo et al.
+    * WWW'07, Xiao et al. WWW'08 — with the prefix lengthened by k−1 grams
+    * so candidates must share ≥ k prefix grams, not 1):
     *
-    * EXACT by construction: any pair with Jaccard > 0 shares a gram, so
-    * every qualifying pair is generated (contrast [[minhashDedup]]'s
-    * bounded miss probability). The shuffle is keyed by gram and its volume
-    * is Σ_g df(g)² — fine when gram document frequencies are modest (pick
-    * the shingle width accordingly: on a small-vocabulary corpus 2-gram
-    * candidates run to tens of millions at sf0.1 while 3-gram max-df 25
-    * keeps Σ df² at ~2.8M). Measured dead end worth recording: AllPairs/PPJoin prefix
-    * filtering (index only each doc's ⌊(1−t)·|d|⌋+1 rarest grams — still
-    * exact) did NOT prune here — at t=0.5 prefixes keep half of every
-    * document and this corpus's common grams stay inside them (8.6M
-    * candidates, plus an array-shuffling verify stage); it pays off at high
-    * thresholds over heavy-tailed vocabularies, not here. For genuinely
-    * skewed profiles compose the other direction: generate candidates with
-    * [[minhashCandidates]] and verify with [[verifyJaccard]].
+    *  1. Canonical order: every document's distinct grams are sorted by
+    *     the global `(df, gram)` total order (rarest first) — one df
+    *     aggregate, one join, one row-local array sort.
+    *  2. Prefix postings: with α_probe = ⌈t·n⌉ and
+    *     α_idx = ⌈2t/(1+t)·n⌉ (the minimum overlap any qualifying
+    *     partner forces on a size-n doc from the larger / smaller side
+    *     respectively), the probe side indexes its first
+    *     `n − α_probe + k` grams and the index side its first
+    *     `n − α_idx + k`. Pigeonhole (ordered form): if J(x,y) ≥ t with
+    *     ny ≤ nx, the k smallest shared grams each have ≥ (o − i) shared
+    *     grams after them, so gram i sits at position ≤ n − o + i ≤
+    *     n − α + k in BOTH prefixes — the pair produces ≥ k join matches
+    *     (when a prefix is capped at the whole doc the guarantee weakens
+    *     to the per-pair `reqd` below, still exact).
+    *  3. One gram-keyed equi-join of the two posting tables (size-ordered,
+    *     with the size filter nr ≥ ⌈t·nl⌉), then a narrow pair aggregate
+    *     counting shared prefix grams and the positional upper bound
+    *     min(pl,pr) + min(nl−pl, nr−pr) ≥ α(x,y); pairs below the
+    *     per-pair guaranteed match count or the positional bound are
+    *     provably under-threshold and never reach verification.
+    *  4. Exact verify: survivors join the (one-row-per-doc) sorted gram
+    *     sets and compute `|A∩B|` row-locally.
+    *
+    * EXACT: steps 2–3 only discard pairs that provably cannot reach the
+    * threshold; step 4 computes true Jaccard. Why the k-extension matters
+    * (measured, r19): on a saturated fixed-vocabulary corpus every gram's
+    * df grows linearly with the store, so the classic k=1 prefix filter
+    * barely prunes (sf1: 24.3M of 137.8M candidate pairs survive it — and
+    * the old count-based index materialized a 114.8M-group pair aggregate).
+    * Random non-dup pairs share ~|d|²/|vocab| ≪ 1 grams while qualifying
+    * pairs must share ⌈t/(1+t)·(nl+nr)⌉ ≫ k, so demanding k=3 shared
+    * prefix grams collapses the verify set quadratically: 441K survivors
+    * at sf1, against 42K true pairs, with join volume only 32.6M rows —
+    * all through one narrow codegen'd aggregate. For skewed profiles where
+    * even that is too much, compose the probabilistic direction instead:
+    * [[minhashCandidates]] + [[verifyJaccard]].
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, shingleCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, minSharedPrefix: Int = 3): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // CONTRACT: the count-based index equates count(matching gram rows)
-    // with |A∩B|, which requires SET semantics per document — enforce it
-    // (array_distinct on an already-distinct array is a cheap linear scan,
-    // and a multiset input like shinglesOfWordsAll would otherwise inflate
-    // intersections past jaccard 1.0)
+    require(minSharedPrefix >= 1,
+      s"minSharedPrefix must be >= 1, got $minSharedPrefix")
+    val t = threshold
+    val k = minSharedPrefix
+    // ceil with a one-sided epsilon: FP noise may only LOWER the computed
+    // bound (longer prefix / weaker filter = still exact; a bound pushed
+    // one above the true integer would drop qualifying pairs)
+    def ceilSafe(c: Column): Column = ceil(c - lit(1e-9)).cast("int")
+    // CONTRACT: |A∩B| arithmetic requires SET semantics per document —
+    // enforce it (array_distinct on an already-distinct array is a cheap
+    // linear scan; a multiset input would inflate intersections past 1.0)
     val sets0 = df
       .select(col(idCol), array_distinct(col(shingleCol)).as(shingleCol))
       .where(size(col(shingleCol)) > 0)
-    val sets =
-      if (df.storageLevel.useMemory || df.storageLevel.useDisk) sets0
-      else sets0.cache()
-    val sizes = sets.select(col(idCol), size(col(shingleCol)).as("_n"))
-    val grams = sets.select(col(idCol), explode(col(shingleCol)).as("_g"))
-    val inter = grams.as("l")
-      .join(grams.as("r"),
-        col("l._g") === col("r._g") && col(s"l.$idCol") < col(s"r.$idCol"))
-      .groupBy(col(s"l.$idCol").as("i"), col(s"r.$idCol").as("j"))
-      .agg(count(lit(1)).as("_inter"))
-    inter
-      .join(sizes.select(col(idCol).as("i"), col("_n").as("_ni")), "i")
-      .join(sizes.select(col(idCol).as("j"), col("_n").as("_nj")), "j")
+    // one row per doc: grams sorted by global (df, gram) rarest-first
+    // order + size. Cached: consumed by both posting tables and by the
+    // verify stage, and recomputing it costs two shuffles.
+    val ranked = sets0
+      .select(col(idCol), explode(col(shingleCol)).as("_g"))
+      .join(sets0.select(explode(col(shingleCol)).as("_g"))
+        .groupBy("_g").agg(count(lit(1)).as("_df")), "_g")
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_g"))))
+        .as("_sorted"))
+      .select(col(idCol),
+        transform(col("_sorted"), s => s("_g")).as("_gs"),
+        size(col("_sorted")).as("_n"))
+      .cache()
+    val posting = ranked
+      .select(col(idCol), col("_n"), posexplode(col("_gs")).as(Seq("_p0", "_g")))
+      .select(col(idCol), col("_n"), (col("_p0") + 1).as("_pos"), col("_g"))
+    val probe = posting
+      .where(col("_pos") <= col("_n") - ceilSafe(col("_n") * t) + k)
+    val index = posting
+      .where(col("_pos") <=
+        col("_n") - ceilSafe(col("_n") * (2 * t / (1 + t))) + k)
+    val cand = probe.as("l")
+      .join(index.as("r"),
+        col("l._g") === col("r._g") &&
+          (col("r._n") < col("l._n") ||
+            (col("r._n") === col("l._n") &&
+              col(s"r.$idCol") < col(s"l.$idCol"))) &&
+          col("r._n") >= ceilSafe(col("l._n") * t))
+      .groupBy(col(s"l.$idCol").as("_il"), col(s"r.$idCol").as("_ir"))
+      .agg(first(col("l._n")).as("_nl"), first(col("r._n")).as("_nr"),
+        count(lit(1)).as("_shared"),
+        min(least(col("l._pos"), col("r._pos")) +
+          least(col("l._n") - col("l._pos"), col("r._n") - col("r._pos")))
+          .as("_ub"))
+    // per-pair minimum overlap, and the guaranteed number of prefix-join
+    // matches a qualifying pair must have produced (k, weakened when a
+    // prefix was capped at the whole short document)
+    val alpha = ceilSafe((col("_nl") + col("_nr")) * (t / (1 + t)))
+    val reqd = greatest(lit(1),
+      alpha - greatest(lit(0),
+        ceilSafe(col("_nl") * t) - k,
+        ceilSafe(col("_nr") * (2 * t / (1 + t))) - k))
+    cand
+      .where(col("_shared") >= reqd && col("_ub") >= alpha)
+      .join(ranked.select(col(idCol).as("_il"), col("_gs").as("_ga")), "_il")
+      .join(ranked.select(col(idCol).as("_ir"), col("_gs").as("_gb")), "_ir")
+      .withColumn("_inter", size(array_intersect(col("_ga"), col("_gb"))))
       .withColumn("jaccard",
-        col("_inter") / (col("_ni") + col("_nj") - col("_inter")))
+        col("_inter") / (col("_nl") + col("_nr") - col("_inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), col("jaccard"))
+      .select(least(col("_il"), col("_ir")).as("i"),
+        greatest(col("_il"), col("_ir")).as("j"), col("jaccard"))
   }
 
   /** PassJoin-style blocked edit-distance similarity join (Li, Deng, Feng

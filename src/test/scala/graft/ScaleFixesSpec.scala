@@ -336,6 +336,48 @@ class ScaleFixesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("ngramJaccardJoin prefix filter is lossless on edge corpora") {
+    // a planted corpus hitting every prune path: identical docs, docs
+    // SHORTER than the k-extension (prefix capped at the whole doc),
+    // size-mismatched pairs the size filter must drop, equal-size pairs
+    // (index-side tiebreak on id), and hot common grams shared by all
+    val docs = Seq(
+      Row(0L, Seq("a", "b")),                       // tiny, == doc 1
+      Row(1L, Seq("a", "b")),
+      Row(2L, Seq("a")),                            // single-gram
+      Row(3L, Seq("a", "b", "c", "d", "e", "f")),   // superset of 0/1
+      Row(4L, Seq("c", "d", "e", "f", "g", "h")),
+      Row(5L, Seq("c", "d", "e", "f", "g", "x")),   // near-dup of 4
+      Row(6L, Seq("hot", "c", "d", "e", "f", "g", "x")),
+      Row(7L, Seq("hot", "y1", "y2", "y3", "y4", "y5", "y6")),
+      Row(8L, Seq("hot", "z1", "z2", "z3", "z4", "z5", "z6", "z7", "z8",
+        "z9", "z10", "z11", "z12", "z13", "z14", "z15"))) // big vs tiny
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(docs, 2),
+      StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("shingles", ArrayType(StringType, containsNull = false),
+          nullable = false)))).cache()
+    val a = df.select(col("doc_id").as("i"), col("shingles").as("sa"))
+    val b = df.select(col("doc_id").as("j"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
+    val uni = (size(col("sa")) + size(col("sb"))).cast("double") - inter
+    for (t <- Seq(0.3, 0.5, 0.7, 1.0); k <- Seq(1, 3, 5)) {
+      val expected = a.crossJoin(b).where(col("i") < col("j"))
+        .withColumn("jaccard", inter / uni)
+        .where(col("jaccard") >= t)
+        .select("i", "j", "jaccard").orderBy("i", "j").collect().toSeq
+      val got = graft.prep.Dedup.ngramJaccardJoin(df, "doc_id", "shingles",
+          t, minSharedPrefix = k)
+        .select("i", "j", "jaccard").orderBy("i", "j").collect().toSeq
+      assert(got === expected, s"threshold=$t k=$k")
+    }
+    // identical tiny pair present at every threshold incl. 1.0
+    val atOne = graft.prep.Dedup
+      .ngramJaccardJoin(df, "doc_id", "shingles", 1.0)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(atOne.toSet == Set((0L, 1L)))
+  }
+
   test("threshold parity: BASIC inclusive, faiss-flat strict, range-search indexes uncapped") {
     // orthogonal unit vectors: cosine distance is exactly 1.0 / 0.0
     val ortho = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
