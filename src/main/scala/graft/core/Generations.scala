@@ -263,21 +263,32 @@ object Generations {
   private val atomicCreateSchemes =
     Set("file", "hdfs", "viewfs", "webhdfs", "abfs", "abfss")
 
-  private def ensureAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
+  /** S3A's conditional-create capability flag (HADOOP-19256, shipped in
+    * Hadoop 3.4.1+): when set, `create(path, overwrite = false)` issues a
+    * conditional If-None-Match PUT, making the claim create genuinely
+    * atomic on S3 — so an s3a layout with the capability ON passes the
+    * REAL check instead of needing the blanket ack (verdict r18 #7). */
+  private[graft] val s3aConditionalCreateKey =
+    "fs.s3a.create.conditional.enabled"
+
+  private[graft] def ensureAtomicCreate(fs: org.apache.hadoop.fs.FileSystem,
       conf: org.apache.hadoop.conf.Configuration): Unit = {
     val scheme = Option(fs.getScheme).getOrElse("").toLowerCase
     if (atomicCreateSchemes(scheme)) return
+    if (scheme == "s3a" &&
+      conf.getBoolean(s3aConditionalCreateKey, false)) return
     if (conf.getBoolean("graft.claims.atomic-create.ack", false)) return
     throw new IllegalStateException(
       s"the multi-writer claim protocol needs an atomic exclusive " +
         s"create, and filesystem scheme '$scheme' is not known to " +
         "provide one (plain S3 creates are check-then-write: two " +
         "writers could both claim a slot and silently clobber each " +
-        "other). Run the layout on HDFS/ABFS/local, or — if the store " +
-        "has conditional writes enabled (e.g. S3A on Hadoop >= 3.4.1 " +
-        "with conditional create) — set " +
-        "graft.claims.atomic-create.ack=true in the Hadoop conf to " +
-        "acknowledge it.")
+        "other). Run the layout on HDFS/ABFS/local; on S3A with " +
+        "Hadoop >= 3.4.1 enable conditional creates " +
+        s"($s3aConditionalCreateKey=true) so the claim create is a " +
+        "genuine If-None-Match PUT; for any other store with verified " +
+        "atomic exclusive create, acknowledge with " +
+        "graft.claims.atomic-create.ack=true in the Hadoop conf.")
   }
 
   private def tryClaim(spark: SparkSession, path: String, gen: Int,

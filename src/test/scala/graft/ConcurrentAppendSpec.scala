@@ -605,4 +605,34 @@ class ConcurrentAppendSpec extends SparkSpec {
     assert(Generations.listClaims(spark, path) === Seq((1, "writer-A")))
     prepared.unpersist()
   }
+
+  test("atomic-create probe: s3a admitted by the conditional-create " +
+      "capability, unknown schemes only by the blanket ack (verdict r18 #7)") {
+    // scheme is the only thing the probe reads off the FileSystem, so a
+    // local fs masquerading as s3a/s3n drives the real decision paths
+    def fsWithScheme(s: String) = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getScheme: String = s
+    }
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    // plain s3a: check-then-write, refused loudly, message names the fix
+    val e1 = intercept[IllegalStateException] {
+      Generations.ensureAtomicCreate(fsWithScheme("s3a"), conf)
+    }
+    assert(e1.getMessage.contains(Generations.s3aConditionalCreateKey))
+    // the REAL capability (HADOOP-19256 conditional If-None-Match PUT)
+    // admits s3a without the blanket ack
+    conf.setBoolean(Generations.s3aConditionalCreateKey, true)
+    Generations.ensureAtomicCreate(fsWithScheme("s3a"), conf)
+    // the s3a capability flag must NOT leak admission to other schemes
+    val e2 = intercept[IllegalStateException] {
+      Generations.ensureAtomicCreate(fsWithScheme("s3n"), conf)
+    }
+    assert(e2.getMessage.contains("s3n"))
+    // the blanket ack still admits a store the operator has verified
+    conf.setBoolean("graft.claims.atomic-create.ack", true)
+    Generations.ensureAtomicCreate(fsWithScheme("s3n"), conf)
+    // known-atomic schemes never consult either flag
+    Generations.ensureAtomicCreate(fsWithScheme("file"),
+      new org.apache.hadoop.conf.Configuration(false))
+  }
 }
