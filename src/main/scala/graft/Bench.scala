@@ -4,11 +4,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_WARMUP_PAR > 1 switches warmup from the default
+    // interleaved protocol to ONE upfront pool-parallel phase — an
+    // artifact-wall lever (measured r19 at sf0.1: warmup 266 → 112-125 s)
+    // that is OFF by default because it costs comparability: the timed
+    // pass runs ~15% above the interleaved protocol's level and the
+    // probe loop's generated class stays codegen-cached (reads ~0.15 s
+    // against the historical 0.30-0.50 s quiet band). The codegen class
+    // cache must then hold the whole surface: at the default 100 entries
+    // the timed pass RECOMPILED every query's generated code (+72%
+    // timed wall, measured) because 219 warmups evicted everything.
+    val warmupPar = sys.env.getOrElse("SPARK_GRAFT_WARMUP_PAR", "1").toInt
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (warmupPar > 1)
+      builder.config("spark.sql.codegen.cache.maxEntries", "10000")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Calibration instruments (verdict r12 #1a: the driver's r12 run was
     // 1.36× the builder's at the SAME HEAD and the artifact carried
@@ -84,12 +97,40 @@ object Bench {
     var warmupNanos = 0L
     val toRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // Opt-in upfront pool-parallel warmup (r19, verdict r18 #5 — see the
+    // builder comment above for why it is NOT the default): one-time
+    // registry/disk-layout builds overlap four at a time on local[32].
+    // Correctness under concurrency: every shared artifact lives in a
+    // per-(session, key) TrieMap whose getOrElseUpdate is atomic per
+    // key — two queries racing a key both observe the single stored
+    // instance (a losing thunk's build is discarded work, deterministic
+    // by seeding) — and mutation riders own their layouts under private
+    // keys. The timed pass stays strictly SEQUENTIAL either way.
+    if (warmupMode != "0" && warmupPar > 1) {
+      val w0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(warmupPar)
+      try {
+        toRun.map { case (_, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              // NonFatal only (advice r8): a warmup OOM/VM error must
+              // fail loudly, not leave the timed pass silently degraded
+              try {
+                val rdd = fn(spark, sfDir).queryExecution.toRdd // + codegen
+                if (warmupMode != "light") rdd.foreach(_ => ())
+              } catch { case scala.util.control.NonFatal(_) => () }
+          })
+        }.foreach(_.get()) // a fatal error re-surfaces here and aborts
+      } finally pool.shutdown()
+      warmupNanos = System.nanoTime() - w0
+    }
     var probeMid = -1.0
     val results = toRun.zipWithIndex.map { case ((name, fn), qi) =>
       if (qi == toRun.size / 2) probeMid = probe()
-      if (warmupMode != "0") {
-        // NonFatal only (advice r8): a warmup OOM/VM error must fail
-        // loudly, not leave the timed pass in a silently degraded heap
+      if (warmupMode != "0" && warmupPar <= 1) {
+        // default interleaved warmup: warm each query IMMEDIATELY before
+        // timing it (verdict r7 #6) — JIT, codegen cache, page cache and
+        // one-time builds land here, adjacent to the measurement
         val w0 = System.nanoTime()
         try {
           val rdd = fn(spark, sfDir).queryExecution.toRdd // plan + codegen

@@ -64,7 +64,7 @@ object BenchContention {
     def secs(n: Long) = math.round(n / 1e6) / 1e3
 
     def freshLayout(label: String): String = {
-      val p = java.nio.file.Files.createTempDirectory(s"graft_cont_$label")
+      val p = VerifyIO.scratchDir(s"graft_cont_$label")
         .resolve("index").toString
       ivf.writeServingIndex(prep, p)
       p

@@ -58,7 +58,7 @@ object Demo {
       implicit val sqlCtx = spark.sqlContext
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String, Seq[Double])]
-      val dir = java.nio.file.Files.createTempDirectory("graft_demo_stream")
+      val dir = VerifyIO.scratchDir("graft_demo_stream")
       val q = graft.streaming.StreamOps.appendVectorsToIndex(
         input.toDF().toDF("id", "item", "vector"),
         s"$dir/index", s"$dir/ckpt").start()

@@ -161,12 +161,9 @@ object PrepCache {
   def persistedHistorySignatures(s: SparkSession, dir: String): DataFrame =
     cacheOf(s).getOrElseUpdate(s"sigtable/$dir", {
       val hist = flaggedShingledDocs(s, dir).where(!col("is_new"))
-      val path = java.nio.file.Files.createTempDirectory("graft_sigs")
-        .toString
-      // the snapshot is a session-scoped scratch artifact: reclaim it at
-      // JVM exit so repeated bench/verify runs don't accumulate in /tmp
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        VerifyIO.deleteRec(new java.io.File(path))))
+      // session-scoped scratch artifact, reclaimed at JVM exit (the
+      // scratchDir hook) so repeated bench/verify runs don't accumulate
+      val path = VerifyIO.scratchDir("graft_sigs").toString
       Dedup.saveSignatureTable(hist, "doc_id", "shingles", path)
       sigPaths.synchronized {
         var m = sigPaths.get(s)

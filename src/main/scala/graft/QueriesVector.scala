@@ -530,7 +530,7 @@ object QueriesVector {
     val lsh = strat.asInstanceOf[LshStrategy]
     mapOf(diskIndexCaches, s)
       .getOrElseUpdate(s"$dir/lsh32x5/appended", {
-        val p = java.nio.file.Files.createTempDirectory("graft_lsh_app")
+        val p = VerifyIO.scratchDir("graft_lsh_app")
           .resolve("index").toString
         lsh.writeServingIndex(prepared.where(col("id") % 10 < 8), p)
         lsh.appendServingIndex(s, p,
@@ -613,7 +613,7 @@ object QueriesVector {
     (s, dir) => {
       val root = mapOf(diskIndexCaches, s).getOrElseUpdate(
         s"$dir/fleetroot", {
-          val r = java.nio.file.Files.createTempDirectory("graft_fleet")
+          val r = VerifyIO.scratchDir("graft_fleet")
             .toString
           val sub = cachedStore(s, dir).where(col("id") < 200)
           val lshS = LshStrategy(Metric.Cosine, nTables = 8, nBits = 5)
@@ -686,7 +686,7 @@ object QueriesVector {
       val lsh = strat.asInstanceOf[LshStrategy]
       val path = mapOf(diskIndexCaches, s)
         .getOrElseUpdate(s"$dir/lsh32x5/deleted", {
-          val p = java.nio.file.Files.createTempDirectory("graft_lsh_del")
+          val p = VerifyIO.scratchDir("graft_lsh_del")
             .resolve("index").toString
           lsh.writeServingIndex(prepared, p)
           import s.implicits._
@@ -716,7 +716,7 @@ object QueriesVector {
       val lsh = strat.asInstanceOf[LshStrategy]
       val path = mapOf(diskIndexCaches, s)
         .getOrElseUpdate(s"$dir/lsh32x5/compacted", {
-          val p = java.nio.file.Files.createTempDirectory("graft_lsh_cmp")
+          val p = VerifyIO.scratchDir("graft_lsh_cmp")
             .resolve("index").toString
           lsh.writeServingIndex(prepared.where(col("id") % 10 < 8), p)
           lsh.appendServingIndex(s, p,
@@ -1185,7 +1185,7 @@ object QueriesVector {
       val sq = strat.asInstanceOf[IvfSq8Strategy]
       val path = mapOf(diskIndexCaches, s)
         .getOrElseUpdate(s"$dir/ivfsq8x16-euclidean/deleted", {
-          val p = java.nio.file.Files.createTempDirectory("graft_sq8del")
+          val p = VerifyIO.scratchDir("graft_sq8del")
             .resolve("index").toString
           sq.writeIndex(prepared, p)
           sq.deleteFromDisk(s, p,
@@ -1226,7 +1226,7 @@ object QueriesVector {
       })
       val ivf = strat.asInstanceOf[IvfStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$key/appended", {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivfapp")
+        val p = VerifyIO.scratchDir("graft_ivfapp")
           .resolve("index").toString
         val prep = mapOf(indexCaches, s)(key)._2
         ivf.writeServingIndex(prep, p)
@@ -1267,7 +1267,7 @@ object QueriesVector {
       })
       val ivf = strat.asInstanceOf[IvfStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$key/conc", {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivfconc")
+        val p = VerifyIO.scratchDir("graft_ivfconc")
           .resolve("index").toString
         val prep = mapOf(indexCaches, s)(key)._2
         ivf.writeServingIndex(prep, p)
@@ -1315,7 +1315,7 @@ object QueriesVector {
       })
       val ivf = strat.asInstanceOf[IvfStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$key/fenced", {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivffence")
+        val p = VerifyIO.scratchDir("graft_ivffence")
           .resolve("index").toString
         val prep = mapOf(indexCaches, s)(key)._2
         ivf.writeServingIndex(prep, p)
@@ -1380,7 +1380,7 @@ object QueriesVector {
         val prep80 = st.prepare(
           cachedStore(s, dir).where(col("id") % 10 < 8)).cache()
         prep80.count()
-        val p = java.nio.file.Files.createTempDirectory("graft_ivfreb")
+        val p = VerifyIO.scratchDir("graft_ivfreb")
           .resolve("index").toString
         st.writeServingIndex(prep80, p)
         st.appendToServing(s, p, prep80,
@@ -1428,7 +1428,7 @@ object QueriesVector {
         val prep80 = st.prepare(
           cachedStore(s, dir).where(col("id") % 10 < 8)).cache()
         prep80.count()
-        val p = java.nio.file.Files.createTempDirectory("graft_opqreb")
+        val p = VerifyIO.scratchDir("graft_opqreb")
           .resolve("index").toString
         st.writeServingIndex(prep80, p)
         st.appendToServing(s, p, prep80,
@@ -1536,7 +1536,7 @@ object QueriesVector {
         HnswStrategy(Metric.Cosine))
       val h = strat.asInstanceOf[HnswStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16disk", {
-        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_disk")
+        val p = VerifyIO.scratchDir("graft_hnsw_disk")
           .resolve("index").toString
         h.writeGraphIndex(prepared, p)
         p
@@ -1562,7 +1562,7 @@ object QueriesVector {
         HnswStrategy(Metric.Cosine))
       val h = strat.asInstanceOf[HnswStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16disk", {
-        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_disk")
+        val p = VerifyIO.scratchDir("graft_hnsw_disk")
           .resolve("index").toString
         h.writeGraphIndex(prepared, p)
         p
@@ -1590,7 +1590,7 @@ object QueriesVector {
         HnswStrategy(Metric.Cosine))
       val h = strat.asInstanceOf[HnswStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16disklbl", {
-        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_lbl")
+        val p = VerifyIO.scratchDir("graft_hnsw_lbl")
           .resolve("index").toString
         // same graph, labels riding along: the build depends on
         // (id, vector) only, so the registry instance's layers serve the
@@ -1625,7 +1625,7 @@ object QueriesVector {
         HnswStrategy(Metric.Cosine))
       val h = strat.asInstanceOf[HnswStrategy]
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/hnsw16diskdel", {
-        val p = java.nio.file.Files.createTempDirectory("graft_hnsw_del")
+        val p = VerifyIO.scratchDir("graft_hnsw_del")
           .resolve("index").toString
         h.writeGraphIndex(prepared, p)
         import s.implicits._
@@ -1910,7 +1910,7 @@ object QueriesVector {
       val (strat, prepared) = preparedIndex(s, dir, "bq")(
         BqStrategy(Metric.Cosine, rerank = false))
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/bq_mih8", {
-        val p = java.nio.file.Files.createTempDirectory("graft_bq_mih8")
+        val p = VerifyIO.scratchDir("graft_bq_mih8")
           .resolve("index").toString
         graft.index.BqStrategy.writeMihIndex(prepared, p, chunkBits = 8)
         p
@@ -1949,7 +1949,7 @@ object QueriesVector {
   val qMatryoshkaDisk = Q("q_matryoshka_disk",
     (s, dir) => {
       val path = mapOf(diskIndexCaches, s).getOrElseUpdate(s"$dir/mrl16", {
-        val p = java.nio.file.Files.createTempDirectory("graft_mrl16")
+        val p = VerifyIO.scratchDir("graft_mrl16")
           .resolve("index").toString
         Knn.writeMatryoshkaIndex(
           store(s, dir).withColumn("vector",
@@ -2555,7 +2555,7 @@ object QueriesVector {
     // reuse whichever layout was written first
     mapOf(diskIndexCaches, s).getOrElseUpdate(
       s"$dir/$key/${if (serving) "serving" else "cells"}", {
-      val path = java.nio.file.Files.createTempDirectory(s"graft_$key")
+      val path = VerifyIO.scratchDir(s"graft_$key")
         .resolve("index").toString
       // serving = families whose layout entry point is the DiskServing
       // face rather than the cell write (LSH's postings+vectors pair)
@@ -2708,8 +2708,7 @@ object QueriesVector {
         graft.core.Backend.Faiss,
         Some(graft.core.BackendArgs.FaissArgs(Metric.Euclidean,
           indexType = "ivf", nlist = 4)))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_facade_ivf4")
+      val p = VerifyIO.scratchDir("graft_facade_ivf4")
         .resolve("index").toString
       v.writeServingIndex(p)
       (v, p)
@@ -2774,8 +2773,7 @@ object QueriesVector {
         col("embedding").cast("array<double>").as("vector"))
       val v = graft.api.Vicinity.fromDataFrame(emb, "item", "vector",
         graft.core.Backend.Hnsw)
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_facade_hnsw")
+      val p = VerifyIO.scratchDir("graft_facade_hnsw")
         .resolve("index").toString
       v.writeServingIndex(p)
       (v, p)
@@ -2840,8 +2838,7 @@ object QueriesVector {
         graft.core.Backend.Faiss,
         Some(graft.core.BackendArgs.FaissArgs(Metric.Cosine,
           indexType = "binary")))
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_facade_bq")
+      val p = VerifyIO.scratchDir("graft_facade_bq")
         .resolve("index").toString
       v.writeServingIndex(p)
       (v, p)
@@ -2951,8 +2948,7 @@ object QueriesVector {
             col("embedding").cast("array<double>").as("vector"))
           val v0 = graft.api.Vicinity.fromDataFrame(emb, "item", "vector",
             graft.core.Backend.Basic, storeVectors = true)
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_mixed").resolve("store").toString
+          val p = VerifyIO.scratchDir("graft_mixed").resolve("store").toString
           v0.save(p)
           (graft.api.Vicinity.load(s, p), p)
         })
@@ -3008,8 +3004,7 @@ object QueriesVector {
             graft.core.Backend.Faiss,
             Some(graft.core.BackendArgs.FaissArgs(Metric.Cosine,
               indexType = "binary")))
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_facade_bqdel")
+          val p = VerifyIO.scratchDir("graft_facade_bqdel")
             .resolve("index").toString
           v.writeServingIndex(p)
           val victims = v.store.where(col("item").isin("10", "11", "12"))
@@ -3065,8 +3060,7 @@ object QueriesVector {
             graft.core.Backend.Faiss,
             Some(graft.core.BackendArgs.FaissArgs(Metric.Cosine,
               indexType = "binary")))
-          val p = java.nio.file.Files
-            .createTempDirectory("graft_facade_bqins")
+          val p = VerifyIO.scratchDir("graft_facade_bqins")
             .resolve("index").toString
           v.writeServingIndex(p)
           // the increment arrives as the facade's driver-side insert
@@ -3267,7 +3261,7 @@ object QueriesVector {
       val nd = strat.asInstanceOf[NnDescentStrategy]
       val path = mapOf(diskIndexCaches, s)
         .getOrElseUpdate(s"$dir/nnd15/deleted", {
-          val p = java.nio.file.Files.createTempDirectory("graft_nnd_del")
+          val p = VerifyIO.scratchDir("graft_nnd_del")
             .resolve("index").toString
           nd.writeServingIndex(prepared, p)
           import s.implicits._

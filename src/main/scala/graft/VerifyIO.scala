@@ -28,4 +28,18 @@ private[graft] object VerifyIO {
     if (f.isDirectory) f.listFiles().foreach(deleteRec)
     f.delete()
   }
+
+  /** JVM-scoped scratch directory: created now, recursively deleted at
+    * JVM exit. EVERY session-lifetime temp layout (disk-serving riders,
+    * persisted snapshots, demo streams) must come from here — bare
+    * `Files.createTempDirectory` leaks the layout past the process, and
+    * a day of bench/verify sessions measurably degraded the box (r19:
+    * 3,853 leaked `graft_*` dirs, 7 GB, directory-heavy queries +0.5-1.4 s
+    * each until /tmp was scrubbed). */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRec(p.toFile)))
+    p
+  }
 }

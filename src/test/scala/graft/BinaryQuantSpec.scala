@@ -165,7 +165,7 @@ class BinaryQuantSpec extends SparkSpec {
       "partitions; absent ids are no-ops; both query shapes honor it") {
     val strat = BqStrategy(Metric.Cosine)
     val prepared = strat.prepare(store)
-    val root = java.nio.file.Files.createTempDirectory("graft_bqdel")
+    val root = graft.VerifyIO.scratchDir("graft_bqdel")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     // the r15 serving layout nests _gen above the fan key: flatten to

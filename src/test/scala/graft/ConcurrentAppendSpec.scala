@@ -39,8 +39,7 @@ class ConcurrentAppendSpec extends SparkSpec {
   private lazy val queries: DataFrame = store.where($"id" < 5)
     .select($"id".as("query_id"), $"vector".as("qvector"))
 
-  private def tmp(tag: String): String = java.nio.file.Files
-    .createTempDirectory(s"graft_conc_$tag").resolve("index").toString
+  private def tmp(tag: String): String = graft.VerifyIO.scratchDir(s"graft_conc_$tag").resolve("index").toString
 
   private def lsh() = LshStrategy(Metric.Cosine, nTables = 8, nBits = 5)
 
@@ -207,8 +206,7 @@ class ConcurrentAppendSpec extends SparkSpec {
     val items = (0 until 60).map(i => s"item$i")
     val v = Vicinity.fromVectorsAndItems(spark, items.take(50),
       vectors.take(50), Backend.Hnsw)
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_conc_fleet").toString
+    val root = graft.VerifyIO.scratchDir("graft_conc_fleet").toString
     val path = s"$root/serving_hnsw"
     v.writeServingIndex(path)
     val v2 = v.insertIntoServing(path, items.slice(50, 55),
@@ -227,8 +225,7 @@ class ConcurrentAppendSpec extends SparkSpec {
 
   test("fleet doctor: a conflicted layout's unresolved claim rides the " +
       "fleet frame as warn; a foreign child is a loud fail row") {
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_conc_fleet2").toString
+    val root = graft.VerifyIO.scratchDir("graft_conc_fleet2").toString
     val strat = lsh()
     val prepared = strat.prepare(store.where($"id" < 100)).cache()
     strat.writeServingIndex(prepared, s"$root/lshA")
@@ -538,8 +535,7 @@ class ConcurrentAppendSpec extends SparkSpec {
       "window: readSwapSafe serves the retired state, deterministically " +
       "injected between the renames") {
     import spark.implicits._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_swaprace").toString
+    val root = graft.VerifyIO.scratchDir("graft_swaprace").toString
     val path = s"$root/snap"
     (1L to 100L).toDF("v").withColumn("_batch", lit("b0"))
       .write.partitionBy("_batch").parquet(path)
@@ -604,6 +600,36 @@ class ConcurrentAppendSpec extends SparkSpec {
     Generations.releaseClaim(spark, path, 2, odd)
     assert(Generations.listClaims(spark, path) === Seq((1, "writer-A")))
     prepared.unpersist()
+  }
+
+  test("FsIO.write is atomically visible: concurrent readers never " +
+      "observe a partial or empty sidecar (r19 contention-bench find)") {
+    spark.sparkContext // FsIO resolves filesystems off the active session
+    val path = graft.VerifyIO.scratchDir("graft_fsio")
+      .resolve("meta.json").toString
+    // payloads long enough that a truncate-then-write window (the old
+    // in-place create) would be observable as a prefix read
+    def payload(tag: String) =
+      s"""{"family":"$tag","generations":7,"pad":"${tag * 2048}"}"""
+    val a = payload("a"); val b = payload("b")
+    graft.core.FsIO.write(path, a)
+    @volatile var stop = false
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (0 until 4).map(_ => new Thread(() => {
+      while (!stop && bad.get == null) {
+        val s = graft.core.FsIO.read(path)
+        if (s != a && s != b) bad.set(s.take(120))
+      }
+    }))
+    readers.foreach(_.start())
+    (0 until 200).foreach(i =>
+      graft.core.FsIO.write(path, if (i % 2 == 0) b else a))
+    stop = true
+    readers.foreach(_.join())
+    assert(bad.get == null,
+      s"a reader observed a non-committed sidecar state: '${bad.get}'")
+    // and the final content is the last committed write, crc-free
+    assert(graft.core.FsIO.read(path) === a)
   }
 
   test("atomic-create probe: s3a admitted by the conditional-create " +

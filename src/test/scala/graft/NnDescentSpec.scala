@@ -194,7 +194,7 @@ class NnDescentSpec extends SparkSpec {
     val strat = NnDescentStrategy(Metric.Cosine)
     val prepared = strat.prepare(labeled).cache()
     val q = queriesOf(labeled, 5)
-    val root = java.nio.file.Files.createTempDirectory("graft_nnddisk")
+    val root = graft.VerifyIO.scratchDir("graft_nnddisk")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     // 1. the disk walk is the in-memory walk, decision for decision —

@@ -202,7 +202,7 @@ class PipelineOpsSpec extends SparkSpec {
       .toDF("doc_id", "shingles")
     val batch = Seq((40L, sh2), (41L, sh3), (42L, sh3))
       .toDF("doc_id", "shingles")
-    val tmp = java.nio.file.Files.createTempDirectory("sigspec").toString
+    val tmp = graft.VerifyIO.scratchDir("sigspec").toString
     Dedup.saveSignatureTable(hist, "doc_id", "shingles", tmp)
     val sigs = Dedup.loadSignatureTable(spark, tmp)
     // loaded table is exactly the recomputed banding (set equality)
@@ -258,7 +258,7 @@ class PipelineOpsSpec extends SparkSpec {
     // day-1 bootstrap: an EMPTY snapshot loads as an empty frame (schema
     // from the meta sidecar, no parquet inference crash) and the persisted
     // dedup degrades to within-batch-only pairs
-    val tmp2 = java.nio.file.Files.createTempDirectory("sigspec2").toString
+    val tmp2 = graft.VerifyIO.scratchDir("sigspec2").toString
     Dedup.saveSignatureTable(hist.limit(0), "doc_id", "shingles", tmp2)
     val emptySigs = Dedup.loadSignatureTable(spark, tmp2)
     assert(emptySigs.isEmpty &&
@@ -319,7 +319,7 @@ class PipelineOpsSpec extends SparkSpec {
       val text = (1 to nw).map(i => s"w$i").mkString(" ")
       val docs = Seq((1L, text, "en", "s", text.length.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_chunk")
+      val tmp = graft.VerifyIO.scratchDir("graft_chunk")
       docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       val out = Queries.queryMap("q_chunk_overlap")(spark, tmp.toString)
         .select("chunk_start", "chunk_len").collect()
@@ -1575,7 +1575,7 @@ class PipelineOpsSpec extends SparkSpec {
   test("Generations.hasGenerations: first-batch vs mid-compaction are " +
       "distinguished (advice r11 — no catch-all on AnalysisException)") {
     import graft.core.Generations
-    val root = java.nio.file.Files.createTempDirectory("graft_gens")
+    val root = graft.VerifyIO.scratchDir("graft_gens")
     val live = root.resolve("store").toString
     // no dir at all → legitimate first batch
     assert(!Generations.hasGenerations(spark, live))

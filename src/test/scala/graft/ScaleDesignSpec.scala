@@ -196,7 +196,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
     val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 4)
     val prepared = strat.prepare(store).cache()
-    val path = java.nio.file.Files.createTempDirectory("graft_ivfdisk")
+    val path = graft.VerifyIO.scratchDir("graft_ivfdisk")
       .resolve("index").toString
     strat.writeIndex(prepared, path)
     val queries = store.where($"id" < 3)
@@ -240,7 +240,7 @@ class ScaleDesignSpec extends SparkSpec {
         $"embedding".cast("array<double>").as("vector"), $"label")
     val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 4)
     val prepared = strat.prepare(store).cache()
-    val path = java.nio.file.Files.createTempDirectory("graft_ivffilt")
+    val path = graft.VerifyIO.scratchDir("graft_ivffilt")
       .resolve("index").toString
     strat.writeIndex(prepared, path)
     val queries = store.where($"id" < 3)
@@ -285,7 +285,7 @@ class ScaleDesignSpec extends SparkSpec {
         $"embedding".cast("array<double>").as("vector"), $"label")
     val strat = LshStrategy(graft.core.Metric.Cosine, nTables = 8, nBits = 5)
     val prepared = strat.prepare(store).cache()
-    val path = java.nio.file.Files.createTempDirectory("graft_lshdisk")
+    val path = graft.VerifyIO.scratchDir("graft_lshdisk")
       .resolve("index").toString
     strat.writeServingIndex(prepared, path)
     val queries = store.where($"id" < 3)
@@ -355,7 +355,7 @@ class ScaleDesignSpec extends SparkSpec {
     val delta = store.where($"id" >= 400)
     val queries = store.where($"id" < 5)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_lshapp")
+    val root = graft.VerifyIO.scratchDir("graft_lshapp")
     val path = root.resolve("grown").toString
     strat.writeServingIndex(base, path)
     strat.appendServingIndex(spark, path, delta)
@@ -415,7 +415,7 @@ class ScaleDesignSpec extends SparkSpec {
     val prepared = strat.prepare(store).cache()
     val queries = store.where($"id" < 5)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_lshdel")
+    val root = graft.VerifyIO.scratchDir("graft_lshdel")
     val path = root.resolve("index").toString
     // an APPENDED layout, so the delete must resolve generations too
     strat.writeServingIndex(prepared.where($"id" < 400), path)
@@ -471,7 +471,7 @@ class ScaleDesignSpec extends SparkSpec {
     val prepared = strat.prepare(store).cache()
     val queries = store.where($"id" < 5)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_lshcmp")
+    val root = graft.VerifyIO.scratchDir("graft_lshcmp")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared.where($"id" < 300), path)
     strat.appendServingIndex(spark, path,
@@ -511,7 +511,7 @@ class ScaleDesignSpec extends SparkSpec {
     val prepared = strat.prepare(store).cache()
     val queries = store.where($"id" < 3)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_nndel")
+    val root = graft.VerifyIO.scratchDir("graft_nndel")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     // tombstone two live ids + an absent one
@@ -561,7 +561,7 @@ class ScaleDesignSpec extends SparkSpec {
     val strat = NnDescentStrategy(graft.core.Metric.Cosine, nNeighbors = 8,
       nSeeds = 3)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_nnreseed")
+    val root = graft.VerifyIO.scratchDir("graft_nnreseed")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -609,7 +609,7 @@ class ScaleDesignSpec extends SparkSpec {
         m = 4, nbits = 8, rerank = true, rerankFactor = 8)
     ).foreach { strat =>
       val prepared = strat.prepare(store).cache()
-      val root = java.nio.file.Files.createTempDirectory("graft_qdel")
+      val root = graft.VerifyIO.scratchDir("graft_qdel")
       val path = root.resolve("index").toString
       strat.writeIndex(prepared, path)
       val nBefore = spark.read.parquet(path).count()
@@ -640,7 +640,7 @@ class ScaleDesignSpec extends SparkSpec {
     val fullPrepared = strat.prepare(store).cache()
     val queries = store.where($"id" < 5)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_bqapp")
+    val root = graft.VerifyIO.scratchDir("graft_bqapp")
     val path = root.resolve("grown").toString
     strat.writeServingIndex(fullPrepared.where($"id" < 400), path)
     val grownPrep = strat.appendToServing(spark, path,
@@ -719,7 +719,7 @@ class ScaleDesignSpec extends SparkSpec {
     val pred = $"id" % 2 === 0
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val root = java.nio.file.Files.createTempDirectory("graft_qtf")
+    val root = graft.VerifyIO.scratchDir("graft_qtf")
     // IvfSq8: filtered disk == in-memory pre-filter
     val sq = IvfSq8Strategy(graft.core.Metric.Cosine, nlist = 8, nprobe = 4)
     val sqPrep = sq.prepare(store).cache()
@@ -762,7 +762,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
     val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 16)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfdel")
+    val root = graft.VerifyIO.scratchDir("graft_ivfdel")
     val path = root.resolve("index").toString
     strat.writeIndex(prepared, path)
 
@@ -820,7 +820,7 @@ class ScaleDesignSpec extends SparkSpec {
     val strat = IvfPqStrategy(graft.core.Metric.Cosine, nlist = 16,
       nprobe = 4, m = 8)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfpqdisk")
+    val root = graft.VerifyIO.scratchDir("graft_ivfpqdisk")
     val path = root.resolve("index").toString
     strat.writeIndex(prepared, path)
     val queries = store.where($"id" < 3)
@@ -870,7 +870,7 @@ class ScaleDesignSpec extends SparkSpec {
     val strat = IvfSq8Strategy(graft.core.Metric.Euclidean, nlist = 16,
       nprobe = 4, rerank = false)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfsq8disk")
+    val root = graft.VerifyIO.scratchDir("graft_ivfsq8disk")
     val path = root.resolve("index").toString
     strat.writeIndex(prepared, path)
     val queries = store.where($"id" < 3)
@@ -915,7 +915,7 @@ class ScaleDesignSpec extends SparkSpec {
       .where($"id" < 150).cache()
     val queries = store.where($"id" < 3)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_codes_fresh")
+    val root = graft.VerifyIO.scratchDir("graft_codes_fresh")
     def pin(tag: String, trained: graft.index.IndexStrategy
         with graft.index.DiskServing, fresh: graft.index.IndexStrategy
         with graft.index.DiskServing): Unit = {
@@ -948,7 +948,7 @@ class ScaleDesignSpec extends SparkSpec {
     val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 4)
     val base = store.where($"id" < 400)
     val prepared = strat.prepare(base).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_gencell_plan")
+    val root = graft.VerifyIO.scratchDir("graft_gencell_plan")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     // append a second generation so the layout genuinely nests
@@ -988,7 +988,7 @@ class ScaleDesignSpec extends SparkSpec {
     val strat = IvfStrategy(graft.core.Metric.Cosine, nlist = 16, nprobe = 16)
     val base = store.where($"id" < 400)
     val prepared = strat.prepare(base).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_orphan_gen")
+    val root = graft.VerifyIO.scratchDir("graft_orphan_gen")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     // the batch that WILL commit next, and the cells it assigns to
@@ -1027,7 +1027,7 @@ class ScaleDesignSpec extends SparkSpec {
       "gen>0 write — VectorBuckets and GraphLayout orphan hygiene") {
     import graft.index.{GraphLayout, VectorBuckets}
     // VectorBuckets (LSH/BQ/codes sub-layouts): pre-keyed _nb
-    val rootV = java.nio.file.Files.createTempDirectory("graft_orphan_vb")
+    val rootV = graft.VerifyIO.scratchDir("graft_orphan_vb")
     val subV = rootV.resolve("vectors").toString
     VectorBuckets.writeGeneration(
       Seq((1L, "base")).toDF("id", "payload").withColumn("_nb", lit(0L)),
@@ -1044,7 +1044,7 @@ class ScaleDesignSpec extends SparkSpec {
       s"VectorBuckets gen-1 should hold only the real batch, got $gen1V")
     VerifyIO.deleteRec(rootV.toFile)
     // GraphLayout (graph vectors/adjacency/tombstones): _nb = id % buckets
-    val rootG = java.nio.file.Files.createTempDirectory("graft_orphan_gl")
+    val rootG = graft.VerifyIO.scratchDir("graft_orphan_gl")
     val subG = rootG.resolve("vectors").toString
     GraphLayout.writeGeneration(Seq((4L, "base")).toDF("id", "payload"),
       "id", subG, buckets = 4, gen = 0)
@@ -1071,7 +1071,7 @@ class ScaleDesignSpec extends SparkSpec {
     // pass, so the executed plan's scan IS the I/O claim under test
     val strat = Sq8Strategy(graft.core.Metric.Euclidean, rerank = false)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_codes_plan")
+    val root = graft.VerifyIO.scratchDir("graft_codes_plan")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     val queries = store.where($"id" < 3)
@@ -1131,7 +1131,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
     val strat = BqStrategy(Metric.Cosine, rerank = false)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_mihdisk")
+    val root = graft.VerifyIO.scratchDir("graft_mihdisk")
     val path = root.resolve("index").toString
     BqStrategy.writeMihIndex(prepared, path, chunkBits = 8)
     // a single query keeps the probe-bucket set well under the layout's
@@ -1179,7 +1179,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"vec_id".as("id"), $"embedding".cast("array<double>").as("vector"))
     val queries = store.where($"id" < 3)
       .select($"id".as("query_id"), $"vector".as("qvector"))
-    val root = java.nio.file.Files.createTempDirectory("graft_mrldisk")
+    val root = graft.VerifyIO.scratchDir("graft_mrldisk")
     val path = root.resolve("index").toString
     Knn.writeMatryoshkaIndex(store, path, coarseDims = 16)
     val fromDisk = Knn.matryoshkaFromDisk(spark, path, queries,
@@ -1222,7 +1222,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"id".as("query_id"), $"vector".as("qvector"))
     val strat = HnswStrategy(graft.core.Metric.Cosine)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_hnswdisk")
+    val root = graft.VerifyIO.scratchDir("graft_hnswdisk")
     val path = root.resolve("index").toString
     strat.writeGraphIndex(prepared, path)
     // 1. the disk walk is the in-memory walk, decision for decision —
@@ -1279,7 +1279,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"id".as("query_id"), $"vector".as("qvector"))
     val strat = HnswStrategy(graft.core.Metric.Cosine)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_hnswins")
+    val root = graft.VerifyIO.scratchDir("graft_hnswins")
     val path = root.resolve("index").toString
     strat.writeGraphIndex(prepared, path)
     // three inserts: exact copies of stored rows 0-2 under fresh ids, so
@@ -1331,7 +1331,7 @@ class ScaleDesignSpec extends SparkSpec {
       .select($"id".as("query_id"), $"vector".as("qvector"))
     val strat = HnswStrategy(graft.core.Metric.Cosine)
     val prepared = strat.prepare(store).cache()
-    val root = java.nio.file.Files.createTempDirectory("graft_hnswdel")
+    val root = graft.VerifyIO.scratchDir("graft_hnswdel")
     val path = root.resolve("index").toString
     strat.writeGraphIndex(prepared, path)
     val delIds = Seq(0L, 1L).toDF("id")
@@ -1432,7 +1432,7 @@ class ScaleDesignSpec extends SparkSpec {
         threshold: Double): Unit = {
       val base = store.where($"id" < 160)
       val prepared = strat.prepare(base).cache()
-      val root = java.nio.file.Files.createTempDirectory(s"graft_codes_$tag")
+      val root = graft.VerifyIO.scratchDir(s"graft_codes_$tag")
       val path = root.resolve("index").toString
       // the doctor rides the whole lifecycle (r16): every mutation must
       // leave a layout with NO fail/warn rows — mutations sweep their
@@ -1517,7 +1517,7 @@ class ScaleDesignSpec extends SparkSpec {
     // serve an OPQ layout (rotated vectors) with plausible results
     val opq = OpqStrategy(Metric.Cosine, m = 4, nbits = 8)
     val opqPrep = opq.prepare(store.where($"id" < 50))
-    val root = java.nio.file.Files.createTempDirectory("graft_codes_x")
+    val root = graft.VerifyIO.scratchDir("graft_codes_x")
     val xPath = root.resolve("index").toString
     opq.writeServingIndex(opqPrep, xPath)
     val err = intercept[IllegalArgumentException] {
@@ -1563,7 +1563,7 @@ class ScaleDesignSpec extends SparkSpec {
         "/nonexistent", Seq((0L, Seq(0.0))).toDF("query_id", "qvector"),
         2, 10)
     }
-    val flatRoot = java.nio.file.Files.createTempDirectory("graft_flatapp")
+    val flatRoot = graft.VerifyIO.scratchDir("graft_flatapp")
     val flat = flatRoot.resolve("index").toString
     val st = sf("embeddings")
       .select($"vec_id".as("id"),

@@ -38,8 +38,7 @@ class ServingDoctorSpec extends SparkSpec {
   private lazy val queries: DataFrame = store.where($"id" < 5)
     .select($"id".as("query_id"), $"vector".as("qvector"))
 
-  private def tmp(tag: String): String = java.nio.file.Files
-    .createTempDirectory(s"graft_doc_$tag").resolve("index").toString
+  private def tmp(tag: String): String = graft.VerifyIO.scratchDir(s"graft_doc_$tag").resolve("index").toString
 
   private def checks(df: DataFrame): Map[(String, String), (String, Long)] =
     df.collect().map(r => ((r.getString(0), r.getString(1)),
@@ -248,7 +247,7 @@ class ServingDoctorSpec extends SparkSpec {
       .select($"doc_id",
         TF.shinglesOfWords(TF.words($"text"), 3).as("shingles"))
       .cache()
-    val path = java.nio.file.Files.createTempDirectory("graft_doc_snap")
+    val path = graft.VerifyIO.scratchDir("graft_doc_snap")
       .toString
     Dedup.saveSignatureTable(docs.where($"doc_id" < 30), "doc_id",
       "shingles", path)
@@ -282,7 +281,7 @@ class ServingDoctorSpec extends SparkSpec {
 
   test("snapshot doctor: an empty bootstrap store is first-class; a missing one fails") {
     import graft.streaming.StreamOps
-    val empty = java.nio.file.Files.createTempDirectory("graft_doc_empty")
+    val empty = graft.VerifyIO.scratchDir("graft_doc_empty")
       .toString
     val c = checks(StreamOps.fsckSnapshot(spark, empty))
     assert(c(("store", "batch_generations")) === ("ok", 0L))
@@ -296,7 +295,7 @@ class ServingDoctorSpec extends SparkSpec {
     val docs = sf("documents")
       .select($"doc_id",
         TF.shinglesOfWords(TF.words($"text"), 3).as("shingles"))
-    val path = java.nio.file.Files.createTempDirectory("graft_doc_crash")
+    val path = graft.VerifyIO.scratchDir("graft_doc_crash")
       .toString
     Dedup.saveSignatureTable(docs.where($"doc_id" < 20), "doc_id",
       "shingles", path)

@@ -10,7 +10,7 @@ class SourcesSpec extends SparkSpec {
   private lazy val docs = sf("documents").select("doc_id", "lang", "n_chars")
 
   private def roundtrip(fmt: String): Unit = {
-    val dir = java.nio.file.Files.createTempDirectory(s"graft_src_$fmt").toString
+    val dir = graft.VerifyIO.scratchDir(s"graft_src_$fmt").toString
     val writer = docs.write.mode("overwrite")
     (fmt match {
       case "parquet" => writer.parquet(dir)
@@ -43,8 +43,8 @@ class SourcesSpec extends SparkSpec {
     // Both generations must yield identical derived epoch-second columns.
     import spark.implicits._
     val base = Seq((1L, 1704067200L), (2L, 1704070861L), (3L, 1704074522L))
-    val dirA = java.nio.file.Files.createTempDirectory("graft_ev_nanos").toString
-    val dirB = java.nio.file.Files.createTempDirectory("graft_ev_micros").toString
+    val dirA = graft.VerifyIO.scratchDir("graft_ev_nanos").toString
+    val dirB = graft.VerifyIO.scratchDir("graft_ev_micros").toString
     base.toDF("event_id", "secs")
       .select(col("event_id"),
         (col("secs") * 1000000000L + 179575000L).as("ts"))

@@ -120,7 +120,7 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming index append + batch query of the grown index") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_stream_idx")
+    val dir = graft.VerifyIO.scratchDir("graft_stream_idx")
     val input = MemoryStream[(Long, String, Seq[Double])]
     val q = StreamOps.appendVectorsToIndex(
       input.toDF().toDF("id", "item", "vector"),
@@ -140,7 +140,7 @@ class StreamingSpec extends SparkSpec {
 
   test("compactIndex merges micro-batch files without changing the data") {
     implicit val sqlCtx = spark.sqlContext
-    val dir = java.nio.file.Files.createTempDirectory("graft_compact")
+    val dir = graft.VerifyIO.scratchDir("graft_compact")
     val input = MemoryStream[(Long, String, Seq[Double])]
     val q = StreamOps.appendVectorsToIndex(
       input.toDF().toDF("id", "item", "vector"),
@@ -238,7 +238,7 @@ class StreamingSpec extends SparkSpec {
     val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
     val strat = HnswStrategy(Metric.Cosine)
     @volatile var prepared = strat.prepare(store)
-    val root = java.nio.file.Files.createTempDirectory("graft_hnsw_stream")
+    val root = graft.VerifyIO.scratchDir("graft_hnsw_stream")
     val path = root.resolve("index").toString
     strat.writeGraphIndex(prepared, path)
     @volatile var nextId = 60L
@@ -292,7 +292,7 @@ class StreamingSpec extends SparkSpec {
     val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
     val strat = LshStrategy(Metric.Cosine, nTables = 8, nBits = 4)
     val prepared = strat.prepare(store)
-    val root = java.nio.file.Files.createTempDirectory("graft_lsh_stream")
+    val root = graft.VerifyIO.scratchDir("graft_lsh_stream")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     @volatile var nextId = 60L
@@ -362,7 +362,7 @@ class StreamingSpec extends SparkSpec {
     val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
     val strat = BqStrategy(Metric.Cosine)
     @volatile var prepared = strat.prepare(store)
-    val root = java.nio.file.Files.createTempDirectory("graft_bq_stream")
+    val root = graft.VerifyIO.scratchDir("graft_bq_stream")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     @volatile var nextId = 60L
@@ -446,7 +446,7 @@ class StreamingSpec extends SparkSpec {
     val store = (0 until 60).map(i => (i.toLong, vec())).toDF("id", "vector")
     val strat = IvfStrategy(Metric.Cosine, nlist = 4, nprobe = 4)
     @volatile var prepared = strat.prepare(store)
-    val root = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    val root = graft.VerifyIO.scratchDir("graft_ivf_stream")
     val path = root.resolve("index").toString
     strat.writeServingIndex(prepared, path)
     @volatile var nextId = 60L
@@ -518,9 +518,9 @@ class StreamingSpec extends SparkSpec {
     val sh = Seq("a b c", "b c d", "c d e")
     val sh2 = Seq("x y z", "y z w", "z w v")
     val hist = Seq((1L, sh), (2L, sh2)).toDF("doc_id", "shingles")
-    val sig = java.nio.file.Files.createTempDirectory("graft_sig_stream")
+    val sig = graft.VerifyIO.scratchDir("graft_sig_stream")
       .toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sig_ckpt")
+    val ckpt = graft.VerifyIO.scratchDir("graft_sig_ckpt")
       .toString
     Dedup.saveSignatureTable(hist, "doc_id", "shingles", sig)
     @volatile var corpus = hist // history text, grown between batches
@@ -565,8 +565,8 @@ class StreamingSpec extends SparkSpec {
     val c = vec((32 until 64).toSet) // hamming(a,c) = hamming(b,c) = 32... far from both
     def flip(v: Seq[Double], dims: Set[Int]) =
       v.zipWithIndex.map { case (x, i) => if (dims(i)) -x else x }
-    val sig = java.nio.file.Files.createTempDirectory("graft_bq_sig").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_bq_ckpt").toString
+    val sig = graft.VerifyIO.scratchDir("graft_bq_sig").toString
+    val ckpt = graft.VerifyIO.scratchDir("graft_bq_ckpt").toString
     // bootstrap: corpus doc 1 = pattern a, signed as its own generation
     BqStrategy.writeSignatures(
       Seq((1L, a)).toDF("id", "vector")
@@ -655,10 +655,10 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.{CountMin, HyperLogLog}
     val (depth, width) = (4, 256)
-    val cmPath = java.nio.file.Files.createTempDirectory("graft_cm").toString
-    val cmCkpt = java.nio.file.Files.createTempDirectory("graft_cmc").toString
-    val hllPath = java.nio.file.Files.createTempDirectory("graft_hll").toString
-    val hllCkpt = java.nio.file.Files.createTempDirectory("graft_hlc").toString
+    val cmPath = graft.VerifyIO.scratchDir("graft_cm").toString
+    val cmCkpt = graft.VerifyIO.scratchDir("graft_cmc").toString
+    val hllPath = graft.VerifyIO.scratchDir("graft_hll").toString
+    val hllCkpt = graft.VerifyIO.scratchDir("graft_hlc").toString
     val batches = Seq(
       Seq("a b", "b c", "a b", "c d"),
       Seq("a b", "d e", "e f"),
@@ -706,8 +706,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.BloomFilter
     val (k, m) = (3, 1024)
-    val path = java.nio.file.Files.createTempDirectory("graft_bf").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_bfc").toString
+    val path = graft.VerifyIO.scratchDir("graft_bf").toString
+    val ckpt = graft.VerifyIO.scratchDir("graft_bfc").toString
     val batches = Seq(
       Seq("alpha beta", "beta gamma", "gamma delta"),
       Seq("delta epsilon", "zeta eta"),
@@ -740,8 +740,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.BottomK
     val k = 16
-    val path = java.nio.file.Files.createTempDirectory("graft_bk").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_bkc").toString
+    val path = graft.VerifyIO.scratchDir("graft_bk").toString
+    val ckpt = graft.VerifyIO.scratchDir("graft_bkc").toString
     val batches = Seq(
       (1L to 40L).map(i => (i, i * 3)),
       (41L to 80L).map(i => (i, i * 3)),
@@ -773,7 +773,7 @@ class StreamingSpec extends SparkSpec {
     // count-min: the NON-idempotent cell-sum family — the state must be
     // bit-identical across the swap, and a post-compact generation must
     // keep merging
-    val cmPath = java.nio.file.Files.createTempDirectory("graft_cm_cp").toString
+    val cmPath = graft.VerifyIO.scratchDir("graft_cm_cp").toString
     def cmGen(lo: Long, hi: Long) = CountMin.build(
       (lo to hi).map(i => (s"item${i % 7}", 1L)).toDF("g", "n"), "g", "n", 4, 64)
     CountMin.saveGeneration(cmGen(1, 40), cmPath, "stream-0")
@@ -795,7 +795,7 @@ class StreamingSpec extends SparkSpec {
     before.foreach { case (d, c, n) =>
       assert(grown((d, c)) >= n, s"cell ($d,$c) shrank after post-compact append") }
     // bottom-k: the bounded-selection family through the same swap
-    val bkPath = java.nio.file.Files.createTempDirectory("graft_bk_cp").toString
+    val bkPath = graft.VerifyIO.scratchDir("graft_bk_cp").toString
     BottomK.saveGeneration(BottomK.sketch(
       (1L to 50L).map(i => (i, i)).toDF("id", "v"), "id", "v", 16), bkPath, "stream-0")
     BottomK.saveGeneration(BottomK.sketch(
@@ -814,7 +814,7 @@ class StreamingSpec extends SparkSpec {
 
   test("signature-table compaction keeps the sidecar and the band layout") {
     import graft.prep.Dedup
-    val sig = java.nio.file.Files.createTempDirectory("graft_sig_cp").toString
+    val sig = graft.VerifyIO.scratchDir("graft_sig_cp").toString
     val d1 = Seq((1L, Seq("a b c", "b c d"))).toDF("doc_id", "shingles")
     val d2 = Seq((2L, Seq("x y z", "y z w"))).toDF("doc_id", "shingles")
     Dedup.saveSignatureTable(d1, "doc_id", "shingles", sig)
@@ -838,8 +838,8 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     import graft.prep.Dedup
     val boiler = "b1 b2 b3"
-    val path = java.nio.file.Files.createTempDirectory("graft_segdf").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_segdfc").toString
+    val path = graft.VerifyIO.scratchDir("graft_segdf").toString
+    val ckpt = graft.VerifyIO.scratchDir("graft_segdfc").toString
     val input = MemoryStream[(Long, String)]
     val out = scala.collection.mutable.Map[Long, (Long, String)]()
     val q = StreamOps.lineDedupOnIngest(

@@ -423,7 +423,7 @@ class VicinitySpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("qvector",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
-    val root = java.nio.file.Files.createTempDirectory("graft_facade_disk")
+    val root = graft.VerifyIO.scratchDir("graft_facade_disk")
     def served(v: graft.api.Vicinity, sub: String) = {
       val p = root.resolve(sub).toString
       v.writeServingIndex(p)
@@ -473,7 +473,7 @@ class VicinitySpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("qvector",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
-    val root = java.nio.file.Files.createTempDirectory("graft_facade_crud")
+    val root = graft.VerifyIO.scratchDir("graft_facade_crud")
     // exact probe (nlist=4 → nprobe floor 4 covers every cell): the
     // facade disk paths must be decision-for-decision ≡ their in-memory
     // facade siblings
@@ -559,7 +559,7 @@ class VicinitySpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("qvector",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
-    val root = java.nio.file.Files.createTempDirectory("graft_facade_nnd")
+    val root = graft.VerifyIO.scratchDir("graft_facade_nnd")
     val nnd = build(Backend.Pynndescent)
     val p = root.resolve("nnd").toString
     nnd.writeServingIndex(p)
@@ -595,7 +595,7 @@ class VicinitySpec extends SparkSpec {
 
   test("insertIntoServing: the increment lands in memory AND the layout " +
       "in one facade call (graph + LSH families); gating is honest") {
-    val root = java.nio.file.Files.createTempDirectory("graft_ins_srv")
+    val root = graft.VerifyIO.scratchDir("graft_ins_srv")
     val probe = Seq.fill(dim)(0.123)
     def q(v: Seq[Double]) = basic.spark.createDataFrame(
       basic.spark.sparkContext.parallelize(Seq(
@@ -674,7 +674,7 @@ class VicinitySpec extends SparkSpec {
       "recall == in-memory recall, qps > 0") {
     val opq = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "opq")))
-    val root = java.nio.file.Files.createTempDirectory("graft_evalopq")
+    val root = graft.VerifyIO.scratchDir("graft_evalopq")
     val p = root.resolve("index").toString
     opq.writeServingIndex(p)
     val qs = vectors.take(8)
@@ -696,7 +696,7 @@ class VicinitySpec extends SparkSpec {
     // the in-memory strategy and its disk layout (same probe decisions)
     val ivf = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "ivf", nlist = 32)))
-    val root = java.nio.file.Files.createTempDirectory("graft_evaldisk")
+    val root = graft.VerifyIO.scratchDir("graft_evaldisk")
     val p = root.resolve("index").toString
     ivf.writeServingIndex(p)
     val qs = vectors.take(8)
@@ -718,7 +718,7 @@ class VicinitySpec extends SparkSpec {
       "below the true radius set shows up as lost recall; gating honest") {
     val ivf = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "ivf", nlist = 32)))
-    val root = java.nio.file.Files.createTempDirectory("graft_evalth")
+    val root = graft.VerifyIO.scratchDir("graft_evalth")
     val p = root.resolve("index").toString
     ivf.writeServingIndex(p)
     val qs = vectors.take(8)
@@ -756,7 +756,7 @@ class VicinitySpec extends SparkSpec {
       "is exact (recall 1.0); gating honest") {
     val pred = org.apache.spark.sql.functions.col("id") % 2 === 0
     val qs = vectors.take(8)
-    val root = java.nio.file.Files.createTempDirectory("graft_evalfl")
+    val root = graft.VerifyIO.scratchDir("graft_evalfl")
     // pruned IVF: recall may be < 1 and MUST agree memory vs disk
     val ivf = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "ivf", nlist = 32)))
@@ -785,7 +785,7 @@ class VicinitySpec extends SparkSpec {
       "pigeonhole, so recall == 1.0; qps measured; gating honest") {
     val bq = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "binary")))
-    val root = java.nio.file.Files.createTempDirectory("graft_evalham")
+    val root = graft.VerifyIO.scratchDir("graft_evalham")
     val p = root.resolve("index").toString
     bq.writeServingIndex(p)
     val qs = vectors.take(8)
@@ -804,7 +804,7 @@ class VicinitySpec extends SparkSpec {
       "continues; cell families and BASIC gate honestly") {
     val lsh = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "lsh")))
-    val root = java.nio.file.Files.createTempDirectory("graft_cmp_srv")
+    val root = graft.VerifyIO.scratchDir("graft_cmp_srv")
     val p = root.resolve("lsh").toString
     lsh.writeServingIndex(p)
     val probe = Seq.fill(dim)(0.321)
@@ -868,7 +868,7 @@ class VicinitySpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("qvector",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
-    val root = java.nio.file.Files.createTempDirectory("graft_facade_bin")
+    val root = graft.VerifyIO.scratchDir("graft_facade_bin")
     val bq = build(Backend.Faiss, args = Some(
       BackendArgs.FaissArgs(indexType = "binary")))
     val bp = root.resolve("bq").toString
