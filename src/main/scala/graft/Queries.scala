@@ -25,6 +25,21 @@ object Queries {
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scale-adaptive parallelism floor (r20, guide §2.2/§2.5): when a scan
+    * yields fewer partitions than the session's parallelism — the
+    * one-row-group tiny-file case, where every downstream row-local map
+    * and partial aggregate runs on ONE core — round-robin repartition up
+    * to the core count. At production scale the input has far more
+    * splits than cores and this is the identity (no shuffle appears in
+    * the plan). Apply ONLY where results are partition-order-free:
+    * row-local maps, integer/count aggregates, order-insensitive sketch
+    * merges — never above a floating-point sum whose partial grouping
+    * the repartition would re-draw. */
+  private[graft] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The events table, normalized across testdata generations. `ts` has
     * shipped both as parquet TIMESTAMP(NANOS) — which Spark's reader only
     * accepts as a nano-epoch long under `nanosAsLong` — and as

@@ -760,33 +760,52 @@ object QueriesAnalytics {
           (col("_mx") - col("_last")).as("recency"),
           col("frequency"),
           floor(col("_tc") / 100000L).cast("long").as("monetary_k"))
-        .cache()
-      // the three boundary pairs are 1-row aggregates — pull them to the
-      // driver HERE (three actions over the cached base) so the cache can
-      // be dropped inside the closure instead of accumulating across a
-      // long bench/correctness session (advice r11); the scoring pass
-      // then recomputes the per-customer frame once, with the terciles
-      // inlined as literals (no broadcast exchanges at all)
-      def bounds(c: String): (Long, Long) = {
-        val hist = rfm.groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
-        val cum = hist.select(col("v"), col("cnt"))
-          .join(hist.select(col("v").as("v2"), col("cnt").as("cnt2")),
-            col("v2") <= col("v"))
-          .groupBy("v").agg(sum("cnt2").as("cle"))
-        val n = rfm.agg(count(lit(1)).as("_n"))
-        val row = cum.crossJoin(n)
-          .agg(
-            min(when(col("cle") >=
-              floor(lit(1.0 / 3) * (col("_n") - 1)) + 1, col("v"))),
-            min(when(col("cle") >=
-              floor(lit(2.0 / 3) * (col("_n") - 1)) + 1, col("v"))))
-          .first()
-        (row.getLong(0), row.getLong(1))
-      }
-      val (r1, r2) = bounds("recency")
-      val (f1, f2) = bounds("frequency")
-      val (m1, m2) = bounds("monetary_k")
-      rfm.unpersist()
+      // ONE driver action computes all three tercile pairs (r20, guide
+      // §2.4/§2.6: the r19 shape ran THREE sequential bounds() actions —
+      // ~39 driver-scheduled jobs for this query — plus a cache to make
+      // the repetition affordable): the three metrics melt into one
+      // (metric, v) stream, the per-metric histogram / cumulative-count
+      // ≤-join / boundary aggregate run once grouped by metric, and a
+      // single 3-row collect carries every boundary. Arithmetic is
+      // unchanged per metric (same histogram, same cle, same
+      // floor((n-1)/3)+1 ranks), so the emitted terciles are identical;
+      // with only one pass left, the cache (and its session-lifetime
+      // pinning) is unnecessary.
+      val melted = rfm.select(explode(array(
+          struct(lit("r").as("m"), col("recency").as("v")),
+          struct(lit("f").as("m"), col("frequency").as("v")),
+          struct(lit("m").as("m"), col("monetary_k").as("v")))).as("kv"))
+        .select(col("kv.m").as("m"), col("kv.v").as("v"))
+      val hist = melted.groupBy("m", "v").agg(count(lit(1)).as("cnt"))
+      // two-level cumulative per metric (r20 — the q_revenue_concentration
+      // restructure): super-bin prefix ≤-join over ~values/1024 rows +
+      // a PARTITIONED window inside each (metric, super-bin); identical
+      // exact-long cle, never values² join pairs
+      val binned = hist.withColumn("_sb", floor(col("v") / 1024L).cast("long"))
+      val sbTot = binned.groupBy("m", "_sb").agg(sum("cnt").as("_sc"))
+      val sbPrefix = sbTot.select(col("m"), col("_sb"), col("_sc"))
+        .join(sbTot.select(col("m").as("_m2"), col("_sb").as("_sb2"),
+            col("_sc").as("_sc2")),
+          col("_m2") === col("m") && col("_sb2") < col("_sb"), "left")
+        .groupBy("m", "_sb").agg(coalesce(sum("_sc2"), lit(0L)).as("_pre"))
+      val wCum = Window.partitionBy("m", "_sb").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = binned
+        .withColumn("_wc", sum("cnt").over(wCum))
+        .join(broadcast(sbPrefix), Seq("m", "_sb"))
+        .select(col("m"), col("v"), (col("_pre") + col("_wc")).as("cle"))
+      val n = rfm.agg(count(lit(1)).as("_n"))
+      val boundRows = cum.crossJoin(broadcast(n))
+        .groupBy("m").agg(
+          min(when(col("cle") >=
+            floor(lit(1.0 / 3) * (col("_n") - 1)) + 1, col("v"))).as("t1"),
+          min(when(col("cle") >=
+            floor(lit(2.0 / 3) * (col("_n") - 1)) + 1, col("v"))).as("t2"))
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val (r1, r2) = boundRows("r")
+      val (f1, f2) = boundRows("f")
+      val (m1, m2) = boundRows("m")
       def score(c: String, t1: Long, t2: Long): org.apache.spark.sql.Column =
         when(col(c) <= t1, 1L).when(col(c) <= t2, 2L).otherwise(3L)
       rfm.select(score("recency", r1, r2).as("r_score"),
@@ -868,10 +887,25 @@ object QueriesAnalytics {
         .withColumn("bin", floor(col("v") / 10000L).cast("long"))
       val hist = perCust.groupBy("bin")
         .agg(count(lit(1)).as("c"), sum("v").as("sv"))
-      val cum = hist.select(col("bin"), col("c"))
-        .join(hist.select(col("bin").as("b2"), col("c").as("c2")),
-          col("b2") <= col("bin"))
-        .groupBy("bin").agg(sum("c2").as("cle"))
+      // two-level cumulative (r20, guide §2): the flat ≤-self-join was
+      // bins² pairs — ~12K distinct bins at sf0.1 made it a 144M-row
+      // join for a 12K-row cumulative (and it grows with the square of
+      // the spend range). Level 1: super-bin (bin div 1024) totals,
+      // ≤-joined over ~bins/1024 rows; level 2: a PARTITIONED window
+      // inside each super-bin. cle(bin) = prefix(sb) + within-cum(bin)
+      // — identical exact-long values, never an unpartitioned window.
+      val binned = hist.withColumn("_sb", floor(col("bin") / 1024L).cast("long"))
+      val sbTot = binned.groupBy("_sb").agg(sum("c").as("_sc"))
+      val sbPrefix = sbTot.select(col("_sb"), col("_sc"))
+        .join(sbTot.select(col("_sb").as("_sb2"), col("_sc").as("_sc2")),
+          col("_sb2") < col("_sb"), "left")
+        .groupBy("_sb").agg(coalesce(sum("_sc2"), lit(0L)).as("_pre"))
+      val wCum = Window.partitionBy("_sb").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = binned
+        .withColumn("_wc", sum("c").over(wCum))
+        .join(broadcast(sbPrefix), "_sb")
+        .select(col("bin"), (col("_pre") + col("_wc")).as("cle"))
       val scalars = perCust.agg(count(lit(1)).as("n"), sum("v").as("t"))
       val agg = hist.join(cum, Seq("bin"))
         .withColumn("b", col("cle") - col("c"))

@@ -966,10 +966,19 @@ object QueriesPipeline {
     // the √-bound the planner cannot see — legitimate under the
     // unbounded-hint net because the checkpointed scan is not a
     // base-table read.
+    // LAZY checkpoint (r20): the lineage is severed at plan time either
+    // way (the CartesianProduct-estimate fix only needs the LogicalRDD
+    // boundary + the explicit broadcast below); eager, each skewOf call
+    // paid its own sequential construction-time job before the query's
+    // single action even started.
     val hist = counts.groupBy("_c").agg(count(lit(1)).as("_nk"))
-      .localCheckpoint()
-    val tot = counts.agg(count(lit(1)).as("_keys"), sum("_c").as("_rows"),
-      max("_c").as("_maxc"))
+      .localCheckpoint(false)
+    // scalars from the √-bounded HISTOGRAM, not a second aggregation of
+    // the base table (r20): keys = Σ nk, rows = Σ c·nk, max = max c —
+    // exact long arithmetic, same values, one fewer full scan + shuffle
+    // of the input in the final plan
+    val tot = hist.agg(sum("_nk").as("_keys"),
+      sum(col("_c") * col("_nk")).as("_rows"), max("_c").as("_maxc"))
     val cum = hist.as("a")
       .join(broadcast(hist.as("b")), col("b._c") <= col("a._c"))
       .groupBy(col("a._c").as("_c2")).agg(sum(col("b._nk")).as("_cum"))

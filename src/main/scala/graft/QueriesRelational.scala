@@ -292,7 +292,12 @@ object QueriesRelational {
     val li = basketLines
       .withColumn("_bs", count(lit(1)).over(w))
       .where(col("_bs") <= maxBasket).drop("_bs")
-    val n = li.select("ok").distinct().count()
+    // the order-universe size rides as a broadcast 1-row frame (r20): the
+    // r19 `val n = li.distinct().count()` ran a full eager scan+shuffle
+    // at CONSTRUCTION time, then the action recomputed li from scratch —
+    // one extra pass over the input per invocation. `n * N` stays
+    // long·long and `/` long→double exactly as with the literal.
+    val nFrame = li.select("ok").distinct().agg(count(lit(1)).as("_N"))
     val per = li.groupBy("pk").agg(count(lit(1)).as("np"))
     val pairs = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
@@ -302,8 +307,9 @@ object QueriesRelational {
     pairs
       .join(per.select(col("pk").as("p1"), col("np").as("_na")), Seq("p1"))
       .join(per.select(col("pk").as("p2"), col("np").as("_nb")), Seq("p2"))
+      .crossJoin(broadcast(nFrame))
       .select(col("p1"), col("p2"), col("n"),
-        round(col("n") * lit(n) / (col("_na") * col("_nb")), 6).as("lift"))
+        round(col("n") * col("_N") / (col("_na") * col("_nb")), 6).as("lift"))
       .orderBy(desc("n"), col("p1"), col("p2"))
   }
 
@@ -405,7 +411,11 @@ object QueriesRelational {
     (s, dir) => {
       import graft.prep.HyperLogLog
       val cols = Seq("l_orderkey", "l_quantity", "l_discount", "l_returnflag")
-      val melted = t(s, dir, "lineitem").selectExpr(
+      // widen (r20): the 11 MB single-row-group local file scans as ~3
+      // partitions, so the 4×-amplified melt + register hashing ran
+      // near-serial; every aggregate here is order-free (long counts,
+      // exact distinct, register max), so the parallelism floor is safe
+      val melted = Queries.widen(t(s, dir, "lineitem")).selectExpr(
         "stack(4, " + cols.map(c => s"'$c', cast($c as string)")
           .mkString(", ") + ") as (col_name, v)")
       val stats = melted.groupBy("col_name").agg(

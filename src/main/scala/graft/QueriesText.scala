@@ -1291,7 +1291,9 @@ object QueriesText {
     (s, dir) => {
       val merges = cachedBpeMerges(s, dir, 3)
       val tokCount = TF.bpeTokenCountUdf(merges.map(m => (m._2, m._3)))
-      t(s, dir, "documents")
+      // widen (r20): the BPE merge-loop UDF is the whole cost and is
+      // purely row-local — the parallelism floor moves it off one core
+      Queries.widen(t(s, dir, "documents"))
         .select(col("doc_id"),
           filter(split(lower(col("text")), "[^a-z]+"),
             w => length(w) > 0).as("_ws"))
@@ -1461,8 +1463,11 @@ object QueriesText {
     * Complements the SET-based near-dup family (minhash/simhash/jaccard
     * score whole documents; this localizes the duplicated PASSAGES). */
   val qSpanDedup = Q("q_span_dedup",
-    (s, dir) => Dedup.spanCoverage(t(s, dir, "documents"), "doc_id",
-        col("text"), n = 5, minDocs = 2)
+    // widen (r20): the gram explode + span accounting are row-local maps
+    // and integer aggregates over a single-row-group file — the
+    // parallelism floor moves them off one core; no float sums anywhere
+    (s, dir) => Dedup.spanCoverage(Queries.widen(t(s, dir, "documents")),
+        "doc_id", col("text"), n = 5, minDocs = 2)
       .orderBy("doc_id"),
     Some("""
       WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -588,22 +588,26 @@ case class BqStrategy(metric: Metric, rerank: Boolean = true,
     val mihMeta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(s"$path/mih/_mih_meta.json"))
     val gens = committedGens(meta)
-    val vecs = committedOrAll(spark, s"$path/vectors", gens)
-      .select("id").cache()
-    try {
-      val mih = committedOrAll(spark, s"$path/mih", gens)
-      val nVec = vecs.count()
-      toDf(spark, sc ++ scMih ++
-        generations(spark, s"$path/vectors", gens, "vectors") ++
-        generations(spark, s"$path/mih", gens, "mih") ++
-        Seq(Check("vectors", "rows", Ok, nVec),
-          duplicateIds(vecs, "vectors"),
-          rowCount(mih, "mih"),
-          consistent("mih_rows_per_vector", mih.count(),
-            nVec * mihMeta.get("num_chunks").asInt())) ++
-        claims(spark, path, gens) ++
-        crashLeftovers(spark, path))
-    } finally vecs.unpersist()
+    val vecs = committedOrAll(spark, s"$path/vectors", gens).select("id")
+    val mih = committedOrAll(spark, s"$path/mih", gens)
+    // two independent sub-layout aggregates run CONCURRENTLY, each ONE
+    // job (r20 — the LshStrategy.fsckServing restructure, same shape)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fVec = Future(rowsAndDuplicates(vecs, "vectors"))
+    val fMih = Future(mih.count())
+    val (rowsCk, dupCk) = Await.result(fVec, Duration.Inf)
+    val nMih = Await.result(fMih, Duration.Inf)
+    toDf(spark, sc ++ scMih ++
+      generations(spark, s"$path/vectors", gens, "vectors") ++
+      generations(spark, s"$path/mih", gens, "mih") ++
+      Seq(rowsCk, dupCk,
+        Check("mih", "rows", Ok, nMih),
+        consistent("mih_rows_per_vector", nMih,
+          rowsCk.observed * mihMeta.get("num_chunks").asInt())) ++
+      claims(spark, path, gens) ++
+      crashLeftovers(spark, path))
   }
 }
 

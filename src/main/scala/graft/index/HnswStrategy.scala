@@ -539,45 +539,74 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
     def pruned(sub: String, idCol: String, ids: Array[Long],
         cols: Seq[String]): DataFrame =
       prunedRead(spark, path, sub, idCol, ids, buckets, cols, gens)
-    def expandFrom(beam: DataFrame, layerSub: String): DataFrame = {
-      val srcIds = beam.select("id").distinct().collect().map(_.getLong(0))
-      val adj = pruned(layerSub, "src", srcIds, Seq("src", "dst"))
-        .withColumnRenamed("src", "id")
-      val frontier = beam.select("query_id", "id").join(adj, Seq("id"))
-        .select(col("query_id"), col("dst").as("id")).distinct()
-        .localCheckpoint()
-      val candIds = frontier.select("id").distinct().collect()
-        .map(_.getLong(0))
-      beam.unionByName(kn.scoreCandidates(
-          pruned("vectors", "id", candIds, Seq("id", "vector")), q, frontier))
-        .groupBy("query_id", "id").agg(min("dist").as("dist"))
-    }
     import spark.implicits._
+    // The walk's state between hops is DRIVER-RESIDENT (r20, guide §2.6/§5):
+    // the beam is ≤ max(descent_width, ef) × batch rows by construction and
+    // its ids were ALREADY pulled per hop to build the IN-list prune, so
+    // holding (query_id, id, dist) driver-side adds nothing to the driver
+    // bound while collapsing each hop to exactly ONE Spark job (the r19
+    // shape paid per hop: a srcIds collect, an eager frontier
+    // localCheckpoint, a candIds collect, and an eager beam localCheckpoint
+    // — ~4 driver-scheduled jobs; 67 jobs total for the 5-query walk,
+    // measured). Distances round-trip driver↔executor as exact binary
+    // doubles (no recompute), so scores, tie-breaks, and ranks are
+    // bit-identical to the r19 plan.
+    def topKRows(scored: DataFrame, width: Int): Array[(Long, Long, Double)] =
+      TopK.topKPerGroup(scored, Seq("query_id"), "id", "dist", width)
+        .select("query_id", "id", "dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def beamDf(rows: Array[(Long, Long, Double)]): DataFrame =
+      rows.toSeq.toDF("query_id", "id", "dist")
+    // one hop = one job: adjacency of the beam's ids is enumerated
+    // DRIVER-SIDE from the pruned layer read (the same bounded rows the
+    // r19 frontier checkpoint held), then the (old beam ∪ scored
+    // frontier) → per-pair min → top-width aggregate runs as a single
+    // action over the IN-list-pruned vector read.
+    def hop(beam: Array[(Long, Long, Double)], layerSub: String,
+        width: Int): Array[(Long, Long, Double)] = {
+      val srcIds = beam.map(_._2).distinct
+      val adjRows = pruned(layerSub, "src", srcIds, Seq("src", "dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val adj = adjRows.groupBy(_._1)
+      // dedup the frontier against the beam HERE: a (query_id, id) pair
+      // already in the beam would rescore to the identical distance (same
+      // kernel, same stored vector), so the r19 per-pair min-aggregate was
+      // a dedup — doing it driver-side removes that whole shuffle stage
+      // from the hop's single job
+      val beamKeys = beam.map(t => (t._1, t._2)).toSet
+      val frontierPairs = beam.flatMap { case (qid, id, _) =>
+        adj.getOrElse(id, Array.empty[(Long, Long)])
+          .map { case (_, dst) => (qid, dst) }
+      }.distinct.filterNot(beamKeys)
+      val candIds = frontierPairs.map(_._2).distinct
+      val frontier = frontierPairs.toSeq.toDF("query_id", "id")
+      val scored = beamDf(beam).unionByName(kn.scoreCandidates(
+          pruned("vectors", "id", candIds, Seq("id", "vector")), q, frontier))
+      topKRows(scored, width)
+    }
     val entryPairs = entries.toSeq.toDF("id")
       .crossJoin(q.select("query_id"))
-    var ep = TopK.topKPerGroup(
-        kn.scoreCandidates(pruned("vectors", "id", entries,
-          Seq("id", "vector")), q, entryPairs),
-        Seq("query_id"), "id", "dist", diskDw)
-      .select("query_id", "id", "dist").localCheckpoint()
-    for (l <- (nLayers - 1) to 1 by -1) {
-      ep = TopK.topKPerGroup(expandFrom(ep, s"layer_$l"),
-          Seq("query_id"), "id", "dist", diskDw)
-        .select("query_id", "id", "dist").localCheckpoint()
-    }
-    var beam = TopK.topKPerGroup(ep, Seq("query_id"), "id", "dist", diskEf)
-      .select("query_id", "id", "dist").localCheckpoint()
-    for (_ <- 1 to diskHops) {
-      beam = TopK.topKPerGroup(expandFrom(beam, "layer_0"),
-          Seq("query_id"), "id", "dist", diskEf)
-        .select("query_id", "id", "dist").localCheckpoint()
-    }
+    var ep = topKRows(
+      kn.scoreCandidates(pruned("vectors", "id", entries,
+        Seq("id", "vector")), q, entryPairs), diskDw)
+    for (l <- (nLayers - 1) to 1 by -1)
+      ep = hop(ep, s"layer_$l", diskDw)
+    // descent beam → ef beam: a pure per-query (dist, id) re-cut, done
+    // driver-side (the r19 plan ran it as its own TopK job)
+    def cut(rows: Array[(Long, Long, Double)],
+        width: Int): Array[(Long, Long, Double)] =
+      rows.groupBy(_._1).values.flatMap(g =>
+        g.sortBy(t => (t._3, t._2)).take(width)).toArray
+    var beam = cut(ep, diskEf)
+    for (_ <- 1 to diskHops)
+      beam = hop(beam, "layer_0", diskEf)
     // tombstones (disk delete): deleted nodes still ROUTE — the walk
     // traverses them exactly as before, the hnswlib mark-deleted
     // semantics — but are excluded from the served results; the ef-wide
     // beam is what absorbs the filter (up to ef candidates survive it)
+    val beamF = beamDf(beam)
     val served = GraphLayout.tombstoneFrame(spark, path)
-      .fold(beam)(t => beam.join(t, Seq("id"), "left_anti"))
+      .fold(beamF)(t => beamF.join(t, Seq("id"), "left_anti"))
     TopK.topKPerGroup(served, Seq("query_id"), "id", "dist", k)
   }
 

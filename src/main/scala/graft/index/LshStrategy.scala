@@ -671,22 +671,28 @@ case class LshStrategy(metric: Metric, nTables: Int = 16, nBits: Int = 6,
     val meta = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(graft.core.FsIO.read(file))
     val gens = meta.get("generations").asInt()
-    val vecs = committedOrAll(spark, s"$path/vectors", gens)
-      .select("id").cache()
-    try {
-      val posts = committedOrAll(spark, s"$path/postings", gens)
-      val nVec = vecs.count()
-      toDf(spark, sc ++
-        generations(spark, s"$path/vectors", gens, "vectors") ++
-        generations(spark, s"$path/postings", gens, "postings") ++
-        Seq(Check("vectors", "rows", Ok, nVec),
-          duplicateIds(vecs, "vectors"),
-          rowCount(posts, "postings"),
-          consistent("postings_rows_per_table", posts.count(),
-            nVec * meta.get("n_tables").asInt())) ++
-        claims(spark, path, gens) ++
-        crashLeftovers(spark, path))
-    } finally vecs.unpersist()
+    val vecs = committedOrAll(spark, s"$path/vectors", gens).select("id")
+    val posts = committedOrAll(spark, s"$path/postings", gens)
+    // two independent sub-layout aggregates run CONCURRENTLY, each ONE
+    // job (r20: the r19 doctor ran vectors count, duplicate-id count, a
+    // postings count, and a SECOND identical postings count — four
+    // sequential jobs — plus a cache pin on the id set)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fVec = Future(rowsAndDuplicates(vecs, "vectors"))
+    val fPosts = Future(posts.count())
+    val (rowsCk, dupCk) = Await.result(fVec, Duration.Inf)
+    val nPosts = Await.result(fPosts, Duration.Inf)
+    toDf(spark, sc ++
+      generations(spark, s"$path/vectors", gens, "vectors") ++
+      generations(spark, s"$path/postings", gens, "postings") ++
+      Seq(rowsCk, dupCk,
+        Check("postings", "rows", Ok, nPosts),
+        consistent("postings_rows_per_table", nPosts,
+          rowsCk.observed * meta.get("n_tables").asInt())) ++
+      claims(spark, path, gens) ++
+      crashLeftovers(spark, path))
   }
 }
 

@@ -173,6 +173,23 @@ private[graft] object ServingFsck {
     Check(component, "duplicate_ids", if (d == 0) Ok else Fail, d)
   }
 
+  /** `rows` + `duplicate_ids` from ONE aggregation job (r20): the row
+    * count is Σ per-id multiplicities and the duplicate count is the
+    * number of ids with multiplicity > 1 — both fall out of the same
+    * groupBy(id) pass, where the r19 doctors paid one full scan + shuffle
+    * per check. Returns (rowsCheck, duplicateIdsCheck), values identical
+    * to [[rowCount]] + [[duplicateIds]]. */
+  def rowsAndDuplicates(rows: DataFrame, component: String): (Check, Check) = {
+    val r = rows.select(col("id")).groupBy("id")
+      .agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum("_c"), lit(0L)).as("_n"),
+        coalesce(sum(when(col("_c") > 1, 1L).otherwise(0L)), lit(0L)).as("_d"))
+      .first()
+    val (n, d) = (r.getLong(0), r.getLong(1))
+    (Check(component, "rows", Ok, n),
+      Check(component, "duplicate_ids", if (d == 0) Ok else Fail, d))
+  }
+
   /** plain committed row count — trendable, and the cross-sub-layout
     * consistency checks build on it */
   def rowCount(rows: DataFrame, component: String,
@@ -219,14 +236,35 @@ private[graft] object ServingFsck {
     // the tombstone counter's own sidecar (advice r17 split)
     val tGens = GraphLayout.tombstoneGens(path)
     val nLayers = Option(meta.get("n_layers")).map(_.asInt()).getOrElse(1)
-    val vecs = committedOrAll(spark, s"$path/vectors", gens)
-      .select("id").cache()
+    val hasTombs = tGens > 0
+    val vecs0 = committedOrAll(spark, s"$path/vectors", gens).select("id")
+    // with tombstones three checks consume the stored-id set; without,
+    // the single fused aggregate below is the only consumer (r20) and a
+    // cache would be pure overhead
+    val vecs = if (hasTombs) vecs0.cache() else vecs0
     var ts: Option[DataFrame] = None
     try {
       val adjChecks = adjacencySubs(nLayers).flatMap(sub =>
         generations(spark, s"$path/$sub", gens, sub))
-      val (tombChecks, live) =
-        if (tGens <= 0) (Seq.empty[Check], vecs)
+      val entryIds = Option(meta.get("entries")).map { arr =>
+        (0 until arr.size()).map(arr.get(_).asLong())
+      }.getOrElse(Seq.empty)
+      // rows, duplicate ids, and entry resolvability from ONE aggregation
+      // job (r20; the r19 doctor ran one scan per check): all three are
+      // functions of the per-id multiplicity frame
+      val isEntry = if (entryIds.isEmpty) lit(false)
+        else col("id").isin(entryIds.map(java.lang.Long.valueOf): _*)
+      val agg = vecs.groupBy("id").agg(count(lit(1)).as("_c"))
+        .agg(coalesce(sum("_c"), lit(0L)).as("_n"),
+          coalesce(sum(when(col("_c") > 1, 1L).otherwise(0L)), lit(0L))
+            .as("_d"),
+          coalesce(sum(when(isEntry, col("_c")).otherwise(0L)), lit(0L))
+            .as("_e"))
+        .first()
+      val (nVec, dupIds, liveEntries) =
+        (agg.getLong(0), agg.getLong(1), agg.getLong(2))
+      val (tombChecks, liveCount) =
+        if (!hasTombs) (Seq.empty[Check], nVec)
         else {
           val t = committedOrAll(spark, s"$path/tombstones", tGens)
             .select("id").cache()
@@ -237,21 +275,15 @@ private[graft] object ServingFsck {
             generations(spark, s"$path/tombstones", tGens,
               "tombstones").find(_.check == "orphan_generations").get,
             Check("tombstones", "reference_stored_ids",
-              if (dangling == 0) Ok else Fail, dangling)), liveRows)
+              if (dangling == 0) Ok else Fail, dangling)), liveRows.count())
         }
-      val entryIds = Option(meta.get("entries")).map { arr =>
-        (0 until arr.size()).map(arr.get(_).asLong())
-      }.getOrElse(Seq.empty)
-      val liveEntries =
-        if (entryIds.isEmpty) 0L
-        else vecs.where(col("id").isin(
-          entryIds.map(java.lang.Long.valueOf): _*)).count()
       toDf(spark, sc ++
         generations(spark, s"$path/vectors", gens, "vectors") ++
         adjChecks ++ tombChecks ++
-        Seq(rowCount(vecs, "vectors"),
-          Check("vectors", "live_rows", Ok, live.count()),
-          duplicateIds(vecs, "vectors"),
+        Seq(Check("vectors", "rows", Ok, nVec),
+          Check("vectors", "live_rows", Ok, liveCount),
+          Check("vectors", "duplicate_ids", if (dupIds == 0) Ok else Fail,
+            dupIds),
           Check("entries", "resolvable",
             if (liveEntries > 0) Ok else Fail, liveEntries)) ++
         claims(spark, path, gens) ++
@@ -344,11 +376,19 @@ private[graft] object ServingFsck {
       .filterNot(n => n == "_SUCCESS" || n.startsWith("."))
       .map(n => tag(n, "unknown",
         toDf(spark, Seq(Check("layout", "recognized", Fail, 0L)))))
+    // children are independent layouts: dispatch them CONCURRENTLY (r20,
+    // guide §2.6) — each child's doctor schedules its own accounting jobs
+    // and the r19 sequential walk serialized every one of them. Futures
+    // are awaited in sorted-name order, so the emitted frame is
+    // unchanged.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val frames = dirs.map(_.getPath).map { c =>
-      dispatchChild(spark, c) match {
+      Future(dispatchChild(spark, c) match {
         case (family, df) => tag(c.getName, family, df)
-      }
-    } ++ fileRows
+      })
+    }.map(Await.result(_, Duration.Inf)) ++ fileRows
     if (frames.isEmpty)
       tag("", "", toDf(spark, Seq(Check("root", "children", Ok, 0L))))
     else frames.reduce(_ unionByName _)
@@ -416,13 +456,13 @@ private[graft] object ServingFsck {
       .readTree(graft.core.FsIO.read(s"$path/$metaFile"))
     val gens = meta.get("generations").asInt()
     val committed = CodesLayout.committed(spark, path, gens)
+    val (rowsCk, dupCk) = rowsAndDuplicates(committed, "vectors")
     toDf(spark, sc ++
       Seq(Check("sidecar", "family_matches",
         if (meta.get("family").asText() == family) Ok else Fail,
         if (meta.get("family").asText() == family) 1L else 0L)) ++
       generations(spark, s"$path/vectors", gens, "vectors") ++
-      Seq(rowCount(committed, "vectors"),
-        duplicateIds(committed, "vectors")) ++
+      Seq(rowsCk, dupCk) ++
       claims(spark, path, gens) ++
       crashLeftovers(spark, path))
   }

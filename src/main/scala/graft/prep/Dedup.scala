@@ -656,8 +656,16 @@ object Dedup {
       .select(col(idCol), array_distinct(col(shingleCol)).as(shingleCol))
       .where(size(col(shingleCol)) > 0)
     // one row per doc: grams sorted by global (df, gram) rarest-first
-    // order + size. Cached: consumed by both posting tables and by the
-    // verify stage, and recomputing it costs two shuffles.
+    // order + size. Consumed by both posting tables and the verify stage,
+    // so it MUST be materialized once — measured r20: un-materialized,
+    // the four consumers re-run the df-join + sort aggregate (AQE does
+    // not reuse the exchanges across the self-join's renamed branches)
+    // and the query went 1.1 s → 24 s at sf0.1. The r19 `.cache()` was
+    // never unpersisted (advice r19) and pinned executor storage for the
+    // session lifetime per invocation; a LAZY localCheckpoint keeps the
+    // compute-once property with RDD-block storage the ContextCleaner
+    // reclaims when the result frame is dropped, instead of a
+    // CacheManager entry nothing ever evicts.
     val ranked = sets0
       .select(col(idCol), explode(col(shingleCol)).as("_g"))
       .join(sets0.select(explode(col(shingleCol)).as("_g"))
@@ -668,7 +676,7 @@ object Dedup {
       .select(col(idCol),
         transform(col("_sorted"), s => s("_g")).as("_gs"),
         size(col("_sorted")).as("_n"))
-      .cache()
+      .localCheckpoint(false)
     val posting = ranked
       .select(col(idCol), col("_n"), posexplode(col("_gs")).as(Seq("_p0", "_g")))
       .select(col(idCol), col("_n"), (col("_p0") + 1).as("_pos"), col("_g"))

@@ -57,25 +57,32 @@ object Pca {
     * d×d array; the aggregation is the distributed part). */
   def covariance(df: DataFrame, vecCol: String): (Long, Array[Double], Array[Array[Double]]) = {
     val x = df.select(col(vecCol).cast("array<double>").as("_x"))
-    val meanRows = x
-      .select(posexplode(col("_x")).as(Seq("_p", "_v")))
+    // ONE full pass (r20, guide §1.2): first moments ride the same
+    // row-local explode as the outer products — positions [0, d²) carry
+    // x_i·x_j, positions [d², d² + d) carry x_i — so the moment
+    // aggregation reads the store once instead of twice. Per-position
+    // sums are the identical values the two-pass shape summed (same
+    // grouping, same addends); d falls out of the row count (d² + d).
+    val rows = x
+      .select(posexplode(concat(
+        flatten(transform(col("_x"),
+          xi => transform(col("_x"), xj => xi * xj))),
+        col("_x"))).as(Seq("_p", "_v")))
       .groupBy("_p").agg(sum("_v").as("_s"), count(lit(1)).as("_n"))
       .collect()
-    val d = meanRows.length
-    val n = meanRows.head.getLong(2)
+    val d = ((math.sqrt(1.0 + 4.0 * rows.length) - 1) / 2).round.toInt
+    val n = rows.head.getLong(2)
     val mean = new Array[Double](d)
-    meanRows.foreach(r => mean(r.getInt(0)) = r6(r.getDouble(1) / n))
-    // second moments: row-local outer product (d² values) → hash agg;
-    // map-side combine keeps the shuffle at partitions × d² cells
-    val prodRows = x
-      .select(posexplode(flatten(transform(col("_x"),
-        xi => transform(col("_x"), xj => xi * xj)))).as(Seq("_p", "_v")))
-      .groupBy("_p").agg(sum("_v").as("_s"))
-      .collect()
+    rows.foreach { r =>
+      if (r.getInt(0) >= d * d) mean(r.getInt(0) - d * d) = r6(r.getDouble(1) / n)
+    }
     val c = Array.ofDim[Double](d, d)
-    prodRows.foreach { r =>
-      val p = r.getInt(0); val i = p / d; val j = p % d
-      c(i)(j) = r6(r.getDouble(1) / n - mean(i) * mean(j))
+    rows.foreach { r =>
+      val p = r.getInt(0)
+      if (p < d * d) {
+        val i = p / d; val j = p % d
+        c(i)(j) = r6(r.getDouble(1) / n - mean(i) * mean(j))
+      }
     }
     (n, mean, c)
   }
