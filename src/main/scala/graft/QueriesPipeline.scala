@@ -327,7 +327,9 @@ object QueriesPipeline {
   val qTfidf = Q("q_tfidf",
     (s, dir) => {
       val docs = t(s, dir, "documents")
-      val toks = docs.select(col("doc_id"),
+      // widen (r20): tokenization is row-local, tf/df are long counts,
+      // tfidf is row-local arithmetic on counts — partition-order-free
+      val toks = graft.Queries.widen(docs).select(col("doc_id"),
         explode(TF.words(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -369,7 +371,8 @@ object QueriesPipeline {
     * 2-gram ratios stay row-local array expressions. */
   val qRepetition = Q("q_repetition",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      // widen (r20): row-local tokenize + integer count aggregates
+      val docs = graft.Queries.widen(t(s, dir, "documents"))
       val counts = docs
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
@@ -568,7 +571,8 @@ object QueriesPipeline {
     (s, dir) => {
       // materialize the regex chain once: referenced twice below, inlining
       // it would run the replaces per output column (8.3 s → ~1 s at sf0.1)
-      t(s, dir, "documents")
+      // widen (r20): the regex chain is pure row-local work
+      graft.Queries.widen(t(s, dir, "documents"))
         .withColumn("_norm", TF.normalizeText(col("text")))
         .select(col("doc_id"), md5(col("_norm").cast("binary")).as("norm_md5"),
           length(col("_norm")).cast("long").as("norm_len"))
@@ -853,7 +857,8 @@ object QueriesPipeline {
     * only leaked grams reach the per-doc aggregate — no corpus self-shuffle. */
   val qContamination = Q("q_contamination",
     (s, dir) => {
-      val grams = t(s, dir, "documents")
+      // widen (r20): row-local shingling; integer distinct counts
+      val grams = graft.Queries.widen(t(s, dir, "documents"))
         .withColumn("_w", TF.words(col("text")))
         .select(col("doc_id"),
           explode(TF.shinglesOfWords(col("_w"), 5)).as("g"))
@@ -896,7 +901,9 @@ object QueriesPipeline {
     * so the DuckDB oracle replays the filter bit-for-bit. */
   val qBloomContamination = Q("q_bloom_contamination",
     (s, dir) => {
-      val grams = t(s, dir, "documents")
+      // widen (r20): shingling + per-gram md5 are row-local over a
+      // single-row-group scan; all aggregates downstream are long counts
+      val grams = graft.Queries.widen(t(s, dir, "documents"))
         .withColumn("_w", TF.words(col("text")))
         .select(col("doc_id"),
           explode(TF.shinglesOfWords(col("_w"), 5)).as("g"))
@@ -1723,7 +1730,8 @@ object QueriesPipeline {
     * aggregate — no row leaves the partition un-combined). */
   val qGramDiversity = Q("q_gram_diversity",
     (s, dir) => {
-      val g = t(s, dir, "documents")
+      // widen (r20): row-local shingling; long counts + exact distinct
+      val g = graft.Queries.widen(t(s, dir, "documents"))
         .select(col("source"), TF.words(col("text")).as("_w"))
         .select(col("source"),
           explode(TF.shinglesOfWordsAll(col("_w"), 3)).as("g"))

@@ -289,9 +289,18 @@ object QueriesRelational {
     // below then reuses (same key), instead of two extra stages —
     // measured 3.4 s vs 2.1 s at sf0.1 for the join formulation
     val w = Window.partitionBy("ok")
+    // materialize the gated basket-lines frame ONCE (r20): four
+    // consumers read it (order universe, per-item support, both pair-join
+    // sides) and AQE does not reuse the distinct+window exchanges across
+    // the self-join's aliased branches — un-materialized, the scan +
+    // distinct + window ran four times (measured ~4× task time at
+    // sf0.1). Lazy localCheckpoint = computed inside the query's own
+    // action, RDD blocks reclaimed by the ContextCleaner (the
+    // ngramJaccardJoin discipline).
     val li = basketLines
       .withColumn("_bs", count(lit(1)).over(w))
       .where(col("_bs") <= maxBasket).drop("_bs")
+      .localCheckpoint(false)
     // the order-universe size rides as a broadcast 1-row frame (r20): the
     // r19 `val n = li.distinct().count()` ran a full eager scan+shuffle
     // at CONSTRUCTION time, then the action recomputed li from scratch —

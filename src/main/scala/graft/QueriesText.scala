@@ -108,7 +108,8 @@ object QueriesText {
       // langScore(text) form re-split the text 10× (4.5 s at sf0.1)
       val scoreCols = TF.langMarkers.map { case (code, m) =>
         TF.langScoreOfWords(col("_w"), m).as(s"_s_$code") }
-      val scored = t(s, dir, "documents")
+      // widen (r20): per-language scoring is row-local over one split
+      val scored = Queries.widen(t(s, dir, "documents"))
         .withColumn("_w", TF.words(col("text")))
         .select(col("doc_id") +: col("lang") +: scoreCols: _*)
       scored.select(col("doc_id"), col("lang"),
@@ -149,7 +150,8 @@ object QueriesText {
     (s, dir) => {
       val scoreCols = TF.langMarkers.map { case (code, m) =>
         TF.langScoreOfWords(col("_w"), m).as(s"_s_$code") }
-      val scored = t(s, dir, "documents")
+      // widen (r20): per-language scoring is row-local over one split
+      val scored = Queries.widen(t(s, dir, "documents"))
         .withColumn("_w", TF.words(col("text")))
         .select(col("doc_id") +: col("lang") +: scoreCols: _*)
         .select(col("lang"),
@@ -199,7 +201,8 @@ object QueriesText {
     * ties broken on the word. */
   val qDocKeywords = Q("q_doc_keywords",
     (s, dir) => {
-      val tf = t(s, dir, "documents")
+      // widen (r20): same argument as q_tfidf — counts + row-local score
+      val tf = Queries.widen(t(s, dir, "documents"))
         .select(col("doc_id"), explode(TF.words(col("text"))).as("w"))
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
@@ -347,7 +350,8 @@ object QueriesText {
 
   /** md5 + winnowing (min rolling-window hash) fingerprints */
   val qFingerprint = Q("q_fingerprint",
-    (s, dir) => t(s, dir, "documents")
+    // widen (r20): winnowing is row-local (per-doc md5 window scan)
+    (s, dir) => Queries.widen(t(s, dir, "documents"))
       .select(col("doc_id"),
         TF.fingerprint(col("text")).as("md5_fp"),
         TF.winnowFingerprint(col("text")).as("winnow_fp"))
@@ -596,7 +600,8 @@ object QueriesText {
     * quality/gopher. */
   val qReadability = Q("q_readability",
     (s, dir) => {
-      val d = t(s, dir, "documents")
+      // widen (r20): three regexp_count passes per row, purely row-local
+      val d = Queries.widen(t(s, dir, "documents"))
         .select(col("doc_id"),
           TF.wordCount(col("text")).cast("long").as("n_words"),
           greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1))
@@ -742,7 +747,9 @@ object QueriesText {
     * equals the brute-force all-pairs hamming computation in the oracle. */
   val qSimhashPairs = Q("q_simhash_pairs",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      // widen (r20): simhash32 is a row-local fold; banding join +
+      // integer Hamming verify are partition-order-free
+      val docs = Queries.widen(t(s, dir, "documents"))
         .select(col("doc_id"), Dedup.simhash32(TF.words(col("text"))).as("sh"))
       Dedup.simhashPairs(docs, "doc_id", "sh", maxHamming = 3)
         .select(col("i"), col("j"), col("hamming").cast("long").as("hamming"))
@@ -819,7 +826,8 @@ object QueriesText {
   /** token counting three ways: whitespace words, BPE-ish regex tokens
     * (letter runs | digit runs | single punctuation), chars/4 estimate */
   val qTokenCount = Q("q_token_count",
-    (s, dir) => t(s, dir, "documents")
+    // widen (r20): two regex passes + token estimate, row-local
+    (s, dir) => Queries.widen(t(s, dir, "documents"))
       .select(col("doc_id"),
         TF.wordCount(col("text")).cast("long").as("n_words"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
@@ -901,7 +909,8 @@ object QueriesText {
   val qGopherRules = Q("q_gopher_rules",
     (s, dir) => {
       val sw = array(TF.stopwords.map(lit): _*)
-      t(s, dir, "documents")
+      // widen (r20): every Gopher signal is a row-local expression
+      Queries.widen(t(s, dir, "documents"))
         .withColumn("_w", TF.words(col("text")))
         .withColumn("_nw", size(col("_w")))
         .withColumn("_g", TF.shinglesOfWordsAll(col("_w"), 2))
@@ -1366,7 +1375,11 @@ object QueriesText {
       val scored = t(s, dir, "documents").select(col("doc_id"),
         round(TF.qualityScore(col("text")), 6).as("score"),
         TF.tokenEstimate(col("text")).as("n_tokens"))
+      // materialize the ≤ |distinct scores|-row histogram once (r20): the
+      // coarse and fine boundary collects both read it, and without the
+      // checkpoint each re-ran the full per-row scoring pass
       val per = scored.groupBy("score").agg(sum("n_tokens").as("_st"))
+        .localCheckpoint(false)
       // level 1: coarse milli-bucket histogram, <= 1001 rows
       val coarse = per
         .groupBy(floor(col("score") * 1000).cast("long").as("_b"))
@@ -1500,7 +1513,9 @@ object QueriesText {
     * (q_fuzzy_contamination). */
   val qSpanContamination = Q("q_span_contamination",
     (s, dir) => {
-      val docs = t(s, dir, "documents")
+      // widen (r20): gram explode + integer span accounting (the
+      // q_span_dedup argument)
+      val docs = Queries.widen(t(s, dir, "documents"))
       Dedup.spanContamination(
         docs.where(col("doc_id") >= 20), docs.where(col("doc_id") < 20),
         "doc_id", col("text"), col("text"), n = 5)
@@ -1545,7 +1560,8 @@ object QueriesText {
       // signal reads the materialized _w column — the raw-text TF forms
       // would re-split the text once per reference; the
       // langScoreOfWords pitfall, TextFunctions scaladoc)
-      val scored = withQualityZ(t(s, dir, "documents"))
+      // widen (r20): every quality signal is a row-local expression
+      val scored = withQualityZ(Queries.widen(t(s, dir, "documents")))
       scored.select(col("doc_id"),
           round(col("_z"), 6).as("logit"),
           round(lit(1.0) / (lit(1.0) + exp(-col("_z"))), 6).as("score"),
@@ -1583,7 +1599,8 @@ object QueriesText {
         expr("repeat(concat('node 10.0.', cast(doc_id % 256 as string), " +
           "'.7 '), cast(doc_id % 2 as int))"),
         col("text"))
-      t(s, dir, "documents")
+      // widen (r20): the scrub regexes are pure row-local work
+      Queries.widen(t(s, dir, "documents"))
         .select(col("doc_id"), injected.as("_t"))
         .select(col("doc_id"),
           TF.piiCount(col("_t"), TF.emailRe).as("n_emails"),
