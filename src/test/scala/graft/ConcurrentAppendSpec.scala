@@ -632,33 +632,46 @@ class ConcurrentAppendSpec extends SparkSpec {
     assert(graft.core.FsIO.read(path) === a)
   }
 
-  test("atomic-create probe: s3a admitted by the conditional-create " +
-      "capability, unknown schemes only by the blanket ack (verdict r18 #7)") {
-    // scheme is the only thing the probe reads off the FileSystem, so a
-    // local fs masquerading as s3a/s3n drives the real decision paths
-    def fsWithScheme(s: String) = new org.apache.hadoop.fs.RawLocalFileSystem {
-      override def getScheme: String = s
-    }
+  test("atomic-create probe: s3a admitted by the ACTUAL path capability, " +
+      "config flag alone refused, unknown schemes only by the blanket ack " +
+      "(verdict r18 #7 + advice r19)") {
+    // scheme + hasPathCapability are the only things the probe reads off
+    // the FileSystem, so a local fs masquerading as s3a/s3n with a
+    // controllable capability answer drives every real decision path
+    def fsWith(s: String, cap: Boolean) =
+      new org.apache.hadoop.fs.RawLocalFileSystem {
+        override def getScheme: String = s
+        override def hasPathCapability(p: org.apache.hadoop.fs.Path,
+            c: String): Boolean =
+          cap && c == Generations.s3aConditionalCreateKey
+      }
     val conf = new org.apache.hadoop.conf.Configuration(false)
     // plain s3a: check-then-write, refused loudly, message names the fix
     val e1 = intercept[IllegalStateException] {
-      Generations.ensureAtomicCreate(fsWithScheme("s3a"), conf)
+      Generations.ensureAtomicCreate(fsWith("s3a", cap = false), conf)
     }
     assert(e1.getMessage.contains(Generations.s3aConditionalCreateKey))
-    // the REAL capability (HADOOP-19256 conditional If-None-Match PUT)
-    // admits s3a without the blanket ack
+    // the CONFIG FLAG alone must not admit (advice r19): an s3a client
+    // too old for HADOOP-19256 ignores the key silently — the probe
+    // asks the filesystem, not the conf
     conf.setBoolean(Generations.s3aConditionalCreateKey, true)
-    Generations.ensureAtomicCreate(fsWithScheme("s3a"), conf)
-    // the s3a capability flag must NOT leak admission to other schemes
+    intercept[IllegalStateException] {
+      Generations.ensureAtomicCreate(fsWith("s3a", cap = false), conf)
+    }
+    // the REAL capability (HADOOP-19256 conditional If-None-Match PUT)
+    // admits s3a without the blanket ack, conf flag or not
+    Generations.ensureAtomicCreate(fsWith("s3a", cap = true),
+      new org.apache.hadoop.conf.Configuration(false))
+    // the s3a capability must NOT leak admission to other schemes
     val e2 = intercept[IllegalStateException] {
-      Generations.ensureAtomicCreate(fsWithScheme("s3n"), conf)
+      Generations.ensureAtomicCreate(fsWith("s3n", cap = true), conf)
     }
     assert(e2.getMessage.contains("s3n"))
     // the blanket ack still admits a store the operator has verified
     conf.setBoolean("graft.claims.atomic-create.ack", true)
-    Generations.ensureAtomicCreate(fsWithScheme("s3n"), conf)
-    // known-atomic schemes never consult either flag
-    Generations.ensureAtomicCreate(fsWithScheme("file"),
+    Generations.ensureAtomicCreate(fsWith("s3n", cap = false), conf)
+    // known-atomic schemes never consult capability or flags
+    Generations.ensureAtomicCreate(fsWith("file", cap = false),
       new org.apache.hadoop.conf.Configuration(false))
   }
 }
