@@ -18,6 +18,16 @@ object Bench {
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Partition-dir LISTING stays driver-side on local filesystems
+      // (r21): Spark launches a DISTRIBUTED listing job (1 task per
+      // directory) whenever a scan has > threshold dirs, which on
+      // file:// turns a ~50 µs/dir stat loop into hundreds of 20 ms
+      // tasks per serving-layout read (measured: 512 of q_serving_fsck's
+      // 607 tasks were listing tasks). Parameterised for deployments:
+      // on an object store set SPARK_GRAFT_LIST_PAR_THRESHOLD back to
+      // ~32 so wide listings fan out across executors.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "10000"))
       .config("spark.ui.enabled", "false")
     if (warmupPar > 1)
       builder.config("spark.sql.codegen.cache.maxEntries", "10000")

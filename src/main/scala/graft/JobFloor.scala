@@ -8,10 +8,14 @@ import org.apache.spark.sql.SparkSession
   * evidence for how much of a 219-query surface's wall is fixed job
   * overhead rather than data work.
   *
-  * Usage: runMain graft.JobFloor
+  * Usage: runMain graft.JobFloor [sfDir]   (default $SPARK_GRAFT_SF_DIR,
+  * falling back to /root/testdata/sf0.1 — advice r20: the tool was pinned
+  * to this machine's path)
   */
 object JobFloor {
   def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +30,7 @@ object JobFloor {
       (System.nanoTime() - t0) / 1e9 / n
     }
     import spark.implicits._
-    val small = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val small = spark.read.parquet(s"$sfDir/documents.parquet")
     small.count()
     for (aqe <- Seq("true", "false")) {
       spark.conf.set("spark.sql.adaptive.enabled", aqe)

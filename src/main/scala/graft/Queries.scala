@@ -37,7 +37,13 @@ object Queries {
     * the repartition would re-draw. */
   private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // probe partition count off the frame's OWN QueryExecution (advice
+    // r20): `df.rdd` built a SECOND QueryExecution plus a row-deserializer
+    // RDD per probe — pure construction overhead on every widened query —
+    // while `toRdd` reuses the memoized physical plan
+    if (df.queryExecution.toRdd.getNumPartitions < target)
+      df.repartition(target)
+    else df
   }
 
   /** The events table, normalized across testdata generations. `ts` has

@@ -803,9 +803,14 @@ object QueriesAnalytics {
             floor(lit(2.0 / 3) * (col("_n") - 1)) + 1, col("v"))).as("t2"))
         .collect()
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val (r1, r2) = boundRows("r")
-      val (f1, f2) = boundRows("f")
-      val (m1, m2) = boundRows("m")
+      // empty-orders guard (advice r20): with zero customers the melted
+      // histogram has no groups and the map is empty — the final frame is
+      // empty regardless of thresholds, so any bound works
+      def bound(m: String): (Long, Long) =
+        boundRows.getOrElse(m, (Long.MaxValue, Long.MaxValue))
+      val (r1, r2) = bound("r")
+      val (f1, f2) = bound("f")
+      val (m1, m2) = bound("m")
       def score(c: String, t1: Long, t2: Long): org.apache.spark.sql.Column =
         when(col(c) <= t1, 1L).when(col(c) <= t2, 2L).otherwise(3L)
       rfm.select(score("recency", r1, r2).as("r_score"),

@@ -424,7 +424,11 @@ object QueriesRelational {
       // partitions, so the 4×-amplified melt + register hashing ran
       // near-serial; every aggregate here is order-free (long counts,
       // exact distinct, register max), so the parallelism floor is safe
-      val melted = Queries.widen(t(s, dir, "lineitem")).selectExpr(
+      // project the 4 profiled columns BEFORE the widen exchange (guide
+      // §2.3: the r20 shape repartitioned all 16 lineitem columns only to
+      // stack 4 of them — the exchange carried 4× the bytes it needed)
+      val melted = Queries.widen(t(s, dir, "lineitem")
+        .select(cols.map(col): _*)).selectExpr(
         "stack(4, " + cols.map(c => s"'$c', cast($c as string)")
           .mkString(", ") + ") as (col_name, v)")
       val stats = melted.groupBy("col_name").agg(

@@ -24,6 +24,9 @@ object QueryProfile {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // driver-side partition-dir listing on local fs (r21, see Bench)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PAR_THRESHOLD", "10000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -31,14 +34,40 @@ object QueryProfile {
     val stages = new AtomicInteger(0)
     val tasks = new AtomicInteger(0)
     val taskMs = new AtomicLong(0L)
+    // SPARK_GRAFT_PROFILE_JOBS=1: per-job drill-down (r21) — job id,
+    // first-stage name, task count, summed task ms — to attribute a
+    // query's tasks to the operator that scheduled them
+    val perJob = sys.env.getOrElse("SPARK_GRAFT_PROFILE_JOBS", "0") == "1"
+    val jobName = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobTasks = new java.util.concurrent.ConcurrentHashMap[Int, AtomicInteger]()
+    val jobTaskMs = new java.util.concurrent.ConcurrentHashMap[Int, AtomicLong]()
+    val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit =
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (perJob) {
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+          jobName.put(j.jobId, if (desc.nonEmpty) desc else site)
+          jobTasks.put(j.jobId, new AtomicInteger(0))
+          jobTaskMs.put(j.jobId, new AtomicLong(0L))
+          j.stageIds.foreach(sid => stageJob.put(sid, j.jobId))
+        }
+      }
       override def onStageCompleted(st: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         tasks.incrementAndGet()
         if (t.taskInfo != null) taskMs.addAndGet(t.taskInfo.duration)
+        if (perJob && t.taskInfo != null) {
+          val jid = stageJob.getOrDefault(t.stageId, -1)
+          if (jid >= 0) {
+            jobTasks.get(jid).incrementAndGet()
+            jobTaskMs.get(jid).addAndGet(t.taskInfo.duration)
+          }
+        }
       }
     })
     val names =
@@ -56,6 +85,7 @@ object QueryProfile {
         System.err.println(s"[profile] $name warmup FAILED: ${e.getMessage}") }
       System.gc()
       jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0L)
+      jobName.clear(); jobTasks.clear(); jobTaskMs.clear(); stageJob.clear()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
@@ -69,6 +99,13 @@ object QueryProfile {
         "%.3f".formatLocal(java.util.Locale.ROOT, (b - a) / 1e9)
       println(s"$name,${s(t0, t2)},${s(t0, t1)},${s(t1, t2)}," +
         s"${jobs.get},${stages.get},${tasks.get},${taskMs.get}")
+      if (perJob) {
+        import scala.jdk.CollectionConverters._
+        jobName.asScala.toSeq.sortBy(_._1).foreach { case (jid, nm) =>
+          println(f"  job $jid%4d tasks=${jobTasks.get(jid).get}%4d " +
+            f"task_ms=${jobTaskMs.get(jid).get}%6d  ${nm.take(110)}")
+        }
+      }
     }
     spark.stop()
   }

@@ -888,10 +888,13 @@ class Vicinity private (
     pairs.count()
     val cnt = org.apache.spark.sql.functions.count(lit(1))
     val res = bitsGrid.map { bits =>
+      // LAZY truth (r21): it reads only the cached `pairs`, and its sole
+      // consumer is the recall job AFTER the timed served read — the old
+      // cache()+count() paid one sequential driver job per grid point for
+      // a frame the recall job recomputes cheaply off the cache
       val truth = graft.functions.TopK.topKPerGroup(
         pairs.where(col("dist") <= bits), Seq("query_id"), "id",
-        "dist", maxK).select("query_id", "id").cache()
-      truth.count()
+        "dist", maxK).select("query_id", "id")
       val t0 = System.nanoTime()
       val approx = d.queryHammingFromDisk(spark, path, q, bits, maxK)
         .cache()
@@ -909,7 +912,7 @@ class Vicinity private (
           .otherwise(coalesce(col("h"), lit(0L)).cast("double") / col("t"))
           .as("r"))
         .agg(avg("r")).head.getDouble(0)
-      truth.unpersist(); approx.unpersist()
+      approx.unpersist()
       (bits, qps, recall, n)
     }
     pairs.unpersist()
@@ -947,9 +950,11 @@ class Vicinity private (
     pairs.count()
     val cnt = org.apache.spark.sql.functions.count(lit(1))
     val res = thresholdGrid.map { th =>
+      // LAZY truth (r21): a filter over the cached `pairs`, consumed only
+      // by the recall job after the timed read — the per-point
+      // cache()+count() job bought nothing (see the Hamming grid)
       val truth = pairs.where(col("dist") < th)
-        .select("query_id", "id").cache()
-      truth.count()
+        .select("query_id", "id")
       val t0 = System.nanoTime()
       val approx = d.queryThresholdFromDisk(spark, path, q, th, maxK)
         .cache()
@@ -967,7 +972,7 @@ class Vicinity private (
           .otherwise(coalesce(col("h"), lit(0L)).cast("double") / col("t"))
           .as("r"))
         .agg(avg("r")).head.getDouble(0)
-      truth.unpersist(); approx.unpersist()
+      approx.unpersist()
       (th, qps, recall, n)
     }
     pairs.unpersist()
@@ -1000,9 +1005,11 @@ class Vicinity private (
     val ranked = exact.query(exactPrepared, q, kGrid.max).cache()
     ranked.count()
     val res = kGrid.map { k =>
+      // LAZY per-point cut (r21): `gt` is a rank filter + tiny aggregate
+      // over the cached `ranked` superset, consumed only by the recall
+      // job after the timed read — no per-point materialization job
       val gt = ranked.where(col("rank") <= k)
-        .groupBy("query_id").agg(max("dist").as("gt_kth")).cache()
-      gt.count()
+        .groupBy("query_id").agg(max("dist").as("gt_kth"))
       val t0 = System.nanoTime()
       val approx = d.queryFilteredFromDisk(spark, path, q, k, predicate)
         .cache()
@@ -1017,7 +1024,7 @@ class Vicinity private (
         .join(hits, Seq("query_id"), "left")
         .select((coalesce(col("hits"), lit(0)) / k.toDouble).as("r"))
         .agg(avg("r")).head.getDouble(0)
-      gt.unpersist(); approx.unpersist()
+      approx.unpersist()
       (k, qps, recall, n)
     }
     ranked.unpersist(); exactPrepared.unpersist()
@@ -1028,8 +1035,11 @@ class Vicinity private (
       truthFor: DataFrame => DataFrame,
       run: DataFrame => DataFrame): (Double, Double) = {
     val q = queriesDf(queryVectors)
+    // cached but LAZY (r21): both truth consumers live in the ONE recall
+    // job scheduled after the timed served read, so the upfront count()
+    // was a pure extra sequential driver job; the cache still makes the
+    // second consumer read the first's materialization within that job
     val truth = truthFor(q).select("query_id", "id").cache()
-    truth.count()
     val t0 = System.nanoTime()
     val approx = run(q).cache()
     approx.count()

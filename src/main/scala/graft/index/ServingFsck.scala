@@ -381,14 +381,26 @@ private[graft] object ServingFsck {
     // and the r19 sequential walk serialized every one of them. Futures
     // are awaited in sorted-name order, so the emitted frame is
     // unchanged.
-    import scala.concurrent.{Await, Future}
+    // BOUNDED dispatch pool (advice r20: the r20 shape fanned every child
+    // onto the unbounded global ExecutionContext), and each task pins the
+    // CALLER's session as the thread's active one so FsIO's
+    // SparkSession.active resolution inside the child doctors cannot pick
+    // up a different default session in multi-session applications
+    import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val frames = dirs.map(_.getPath).map { c =>
-      Future(dispatchChild(spark, c) match {
-        case (family, df) => tag(c.getName, family, df)
-      })
-    }.map(Await.result(_, Duration.Inf)) ++ fileRows
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, dirs.length)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val frames = try {
+      dirs.map(_.getPath).map { c =>
+        Future {
+          SparkSession.setActiveSession(spark)
+          dispatchChild(spark, c) match {
+            case (family, df) => tag(c.getName, family, df)
+          }
+        }
+      }.map(Await.result(_, Duration.Inf)) ++ fileRows
+    } finally pool.shutdown()
     if (frames.isEmpty)
       tag("", "", toDf(spark, Seq(Check("root", "children", Ok, 0L))))
     else frames.reduce(_ unionByName _)
