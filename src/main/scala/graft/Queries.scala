@@ -23,7 +23,51 @@ object Queries {
       oracle: Option[String])
 
   private def table(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    readTable(s, s"$dir/$name.parquet")
+
+  /** Base-table read with a per-(session, path) SCHEMA cache (r21):
+    * `spark.read.parquet(path)` schedules a 1-task Spark job just to
+    * infer the footer schema — per-job profiling showed 1–2 such jobs in
+    * EVERY query's construction (~57 ms each on this box's job floor,
+    * ~1.5 jobs × 219 queries ≈ 15 s of the bench paid for re-deriving an
+    * immutable schema). The schema of a testdata table never changes
+    * within a session, so it is inferred once and every later
+    * construction passes it explicitly — `.schema(...)` schedules no
+    * job. Results are computed from the parquet files on every action,
+    * exactly as before; only the metadata job is skipped (the same class
+    * of reuse as Spark's own FileStatusCache). Serving-LAYOUT paths are
+    * deliberately NOT routed through this cache: layouts gain partition
+    * values and sidecar-driven shape across generations.
+    *
+    * The events table is conf-sensitive at INFERENCE time (nano-epoch
+    * generations need `nanosAsLong`; micros generations must infer
+    * TIMESTAMP, not TIMESTAMP_NTZ, for the epoch cast to be legal), and
+    * with a cache the FIRST reader pins the schema for the session — so
+    * both confs are pinned here before any events inference, giving
+    * every consumer the shape [[eventsTable]] documents regardless of
+    * which query reads events first. */
+  private val schemaCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        org.apache.spark.sql.types.StructType]]()
+
+  private[graft] def readTable(s: SparkSession, path: String): DataFrame = {
+    if (path.endsWith("/events.parquet")) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    }
+    val cache = schemaCache.synchronized {
+      var m = schemaCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent
+          .TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+        schemaCache.put(s, m)
+      }
+      m
+    }
+    val sch = cache.getOrElseUpdate(path, s.read.parquet(path).schema)
+    s.read.schema(sch).parquet(path)
+  }
 
   /** Scale-adaptive parallelism floor (r20, guide §2.2/§2.5): when a scan
     * yields fewer partitions than the session's parallelism — the
@@ -55,12 +99,10 @@ object Queries {
     * matching DuckDB's `floor(epoch(ts))`) and `ts_t` = second-truncated
     * timestamp for the window/streaming operators. */
   def eventsTable(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // micros-generation files carry naive timestamps; read them as TIMESTAMP
-    // (not TIMESTAMP_NTZ) so the epoch cast below is legal — sessions run
-    // with UTC session time, so the two types agree on the value
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    // nanosAsLong + TIMESTAMP-not-NTZ inference confs are pinned inside
+    // [[readTable]]'s events branch (r21), so they hold no matter which
+    // query touches events first
+    val raw = readTable(s, s"$dir/events.parquet")
     val tsS = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         floor(col("ts") / 1000000000L).cast("long")

@@ -14,7 +14,7 @@ import graft.operators.{AsofJoin, RangeJoin}
 object QueriesAnalytics {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Queries.readTable(s, s"$dir/$name.parquet")
 
   private def events(s: SparkSession, dir: String): DataFrame =
     Queries.eventsTable(s, dir)

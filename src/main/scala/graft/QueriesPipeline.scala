@@ -20,7 +20,7 @@ import graft.prep.{BloomFilter, BottomK, CountMin, Dedup, HyperLogLog, TextFunct
 object QueriesPipeline {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Queries.readTable(s, s"$dir/$name.parquet")
 
   /** word-3-gram shingle + set-size CTEs (identical text to the
     * q_minhash_dedup / q_ngram_jaccard oracles) — the shared head of every

@@ -14,7 +14,7 @@ import graft.Queries.Q
 object QueriesRelational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Queries.readTable(s, s"$dir/$name.parquet")
 
   /** events with `ts_s` (exact epoch seconds) and `ts_t` (timestamp) —
     * schema-adaptive across testdata generations, see

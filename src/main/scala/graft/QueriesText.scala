@@ -13,7 +13,7 @@ import graft.prep.{Dedup, TextFunctions => TF}
 object QueriesText {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Queries.readTable(s, s"$dir/$name.parquet")
 
   /** DuckDB literal list of [[TF.stopwords]] — shared with
     * [[QueriesPipeline]]'s oracles so there is exactly one rendering */

@@ -17,7 +17,7 @@ import graft.operators.Knn
 object QueriesVector {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.Queries.readTable(s, s"$dir/$name.parquet")
 
   private def store(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
