@@ -694,13 +694,33 @@ private[graft] object GraphLayout {
     * from a crashed append is ignored); for a key an append touched, the
     * LATEST generation's rows replace the earlier ones. Pre-generation
     * layouts (no `_gen` column) read unchanged. */
-  def prunedRead(spark: SparkSession, path: String, sub: String,
-      idCol: String, ids: Array[Long], buckets: Int, cols: Seq[String],
+  /** The committed-generations base frame of one sub-layout, resolved
+    * swap-safely — split out of [[prunedRead]] (r21) so an ITERATIVE
+    * walk can resolve each sub once per call instead of paying a fresh
+    * relation (schema-inference job + listing) per hop: the hnsw disk
+    * walk measured 11 one-task `parquet at` jobs per 5-query serve, all
+    * re-deriving the same layout schema. A walk holding one base per sub
+    * also reads ONE consistent snapshot of the layout across its hops. */
+  def swapSafeBase(spark: SparkSession, path: String, sub: String,
       maxGen: Int = Int.MaxValue): DataFrame = {
     // swap-tolerant: the sub-layout is a compaction swap target
     val base0 = graft.core.Generations.readSwapSafe(spark, s"$path/$sub")
     val hasGen = base0.columns.contains("_gen")
-    val base = if (hasGen) base0.where(col("_gen") < maxGen) else base0
+    if (hasGen) base0.where(col("_gen") < maxGen) else base0
+  }
+
+  def prunedRead(spark: SparkSession, path: String, sub: String,
+      idCol: String, ids: Array[Long], buckets: Int, cols: Seq[String],
+      maxGen: Int = Int.MaxValue): DataFrame =
+    pruneIds(swapSafeBase(spark, path, sub, maxGen), idCol, ids, buckets,
+      cols, maxGen)
+
+  /** the IN-list prune of [[prunedRead]], applied to a pre-resolved
+    * [[swapSafeBase]] frame */
+  def pruneIds(base: DataFrame, idCol: String, ids: Array[Long],
+      buckets: Int, cols: Seq[String],
+      maxGen: Int = Int.MaxValue): DataFrame = {
+    val hasGen = base.columns.contains("_gen")
     if (ids.isEmpty) base.where(lit(false)).select(cols.map(col): _*)
     else {
       val nbs = ids.map(i => (((i % buckets) + buckets) % buckets).toInt)

@@ -536,9 +536,18 @@ case class HnswStrategy(metric: Metric, m: Int = 16,
       .takeWhile(_.hasNext).map(_.next().asLong()).toArray
     val kn = scoringKernel
     val q = kn.walkQueries(queries)
+    // each sub-layout's swap-safe base is resolved ONCE per walk (r21):
+    // the per-hop prunedRead built a fresh relation per hop — a one-task
+    // schema-inference job plus a re-listing each time (11 such jobs per
+    // 5-query serve, measured) — and a walk reading one snapshot of the
+    // layout across its hops is also the more consistent serve
+    val bases = scala.collection.mutable.Map.empty[String, DataFrame]
     def pruned(sub: String, idCol: String, ids: Array[Long],
         cols: Seq[String]): DataFrame =
-      prunedRead(spark, path, sub, idCol, ids, buckets, cols, gens)
+      GraphLayout.pruneIds(
+        bases.getOrElseUpdate(sub,
+          GraphLayout.swapSafeBase(spark, path, sub, gens)),
+        idCol, ids, buckets, cols, gens)
     import spark.implicits._
     // The walk's state between hops is DRIVER-RESIDENT (r20, guide §2.6/§5):
     // the beam is ≤ max(descent_width, ef) × batch rows by construction and

@@ -685,10 +685,16 @@ case class NnDescentStrategy(metric: Metric, nNeighbors: Int = 15,
     val entries = Iterator.continually(eIt)
       .takeWhile(_.hasNext).map(_.next().asLong()).toArray
     val q = walkQueries(queries)
+    // each sub-layout's swap-safe base resolved ONCE per walk (r21, the
+    // HnswStrategy.queryFromDisk discipline): no per-hop schema-inference
+    // job / re-listing, one consistent layout snapshot across hops
+    val bases = scala.collection.mutable.Map.empty[String, DataFrame]
     def pruned(sub: String, idCol: String, ids: Array[Long],
         cols: Seq[String]): DataFrame =
-      GraphLayout.prunedRead(spark, path, sub, idCol, ids, buckets, cols,
-        gens)
+      GraphLayout.pruneIds(
+        bases.getOrElseUpdate(sub,
+          GraphLayout.swapSafeBase(spark, path, sub, gens)),
+        idCol, ids, buckets, cols, gens)
     import spark.implicits._
     val entryPairs = entries.toSeq.toDF("id")
       .crossJoin(q.select("query_id"))
