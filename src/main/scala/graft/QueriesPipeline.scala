@@ -960,13 +960,11 @@ object QueriesPipeline {
     * unpartitioned window, never a global sort. The two 1-row scalar
     * frames are the only broadcast hints (the accepted bounded shape). */
   private[graft] def skewOf(df: DataFrame, label: String, key: Column): DataFrame = {
-    // single-key form kept STRUCTURALLY distinct from [[skewOfAll]] (r21):
-    // its broadcast build sides are global aggregates (keys=[], provably
-    // one row) — the shape PlanAuditSpec's unbounded-hinted-broadcast net
-    // verifies mechanically. The fused form's label-keyed aggregates are
-    // bounded by the static input count, but that bound is invisible to a
-    // plan-text audit, so consumers over audited base tables
-    // (q_ivf_cell_skew's embeddings-derived assignment) stay on this form.
+    // broadcast build sides are global aggregates (keys=[], provably one
+    // row) — the shape PlanAuditSpec's unbounded-hinted-broadcast net
+    // verifies mechanically. (r21 note: a label-melted multi-key fusion
+    // was built, measured ~0.2 s slower on q_skew_stats — AQE already
+    // runs independent subtrees' stages concurrently — and reverted.)
     val counts = df.groupBy(key.as("_k")).agg(count(lit(1)).as("_c"))
     val hist = counts.groupBy("_c").agg(count(lit(1)).as("_nk"))
       .localCheckpoint(false)
@@ -986,69 +984,6 @@ object QueriesPipeline {
       .agg(min("_k").as("top_key"))
     tot.join(broadcast(pct)).join(broadcast(top))
       .select(lit(label).as("key_name"),
-        col("_rows").cast("long").as("n_rows"),
-        col("_keys").cast("long").as("n_keys"),
-        col("_maxc").cast("long").as("max_cnt"),
-        round(col("_rows") / col("_keys"), 6).as("avg_cnt"),
-        round(col("_maxc") * col("_keys") / col("_rows"), 6).as("skew_ratio"),
-        col("p50_cnt").cast("long").as("p50_cnt"),
-        col("p99_cnt").cast("long").as("p99_cnt"),
-        col("top_key").cast("long").as("top_key"))
-  }
-
-  /** [[skewOf]] for SEVERAL keys in ONE plan (r21, guide §2.4): the r20
-    * q_skew_stats ran three independent skewOf subplans — ~15 AQE stage
-    * jobs each, sequenced by the driver — when every aggregate involved
-    * is keyed arithmetic that fuses by tagging rows with their key_name
-    * and adding it to every grouping. Per-key values are bit-identical:
-    * counts/histogram/totals are exact longs grouped per key either way,
-    * and the rounded doubles divide the same operands. */
-  private[graft] def skewOfAll(inputs: Seq[(String, DataFrame)]): DataFrame = {
-    val melted = inputs.map { case (label, keyed) =>
-        keyed.select(lit(label).as("_lbl"), col("_k"))
-      }.reduce(_ unionByName _)
-    val counts = melted.groupBy("_lbl", "_k").agg(count(lit(1)).as("_c"))
-    // The count-of-counts histogram is PROVABLY small — distinct
-    // multiplicity values ≤ √(2·rows), ~1.4M rows (~22 MB) at 10¹² — but
-    // its lineage-derived size ESTIMATE is whatever the input's worst
-    // case is, so under a join-heavy input (q_ivf_cell_skew's Lloyd's
-    // assignment) the non-equi cumulative self-join below planned a
-    // CartesianProduct on a cold session (estimate-dependent, flaky —
-    // caught by PlanAuditSpec r15). localCheckpoint severs the lineage
-    // (one materialization serves both join sides instead of recomputing
-    // the input twice), and the explicit broadcast of the b side encodes
-    // the √-bound the planner cannot see — legitimate under the
-    // unbounded-hint net because the checkpointed scan is not a
-    // base-table read.
-    // LAZY checkpoint (r20): the lineage is severed at plan time either
-    // way (the CartesianProduct-estimate fix only needs the LogicalRDD
-    // boundary + the explicit broadcast below); eager, each skewOf call
-    // paid its own sequential construction-time job before the query's
-    // single action even started.
-    val hist = counts.groupBy("_lbl", "_c").agg(count(lit(1)).as("_nk"))
-      .localCheckpoint(false)
-    // scalars from the √-bounded HISTOGRAM, not a second aggregation of
-    // the base table (r20): keys = Σ nk, rows = Σ c·nk, max = max c —
-    // exact long arithmetic, same values, one fewer full scan + shuffle
-    // of the input in the final plan
-    val tot = hist.groupBy("_lbl").agg(sum("_nk").as("_keys"),
-      sum(col("_c") * col("_nk")).as("_rows"), max("_c").as("_maxc"))
-    val cum = hist.as("a")
-      .join(broadcast(hist.as("b")),
-        col("b._lbl") === col("a._lbl") && col("b._c") <= col("a._c"))
-      .groupBy(col("a._lbl").as("_lbl"), col("a._c").as("_c2"))
-      .agg(sum(col("b._nk")).as("_cum"))
-    val pct = cum.join(broadcast(tot), "_lbl")
-      .groupBy("_lbl").agg(
-        min(when(col("_cum") >= ceil(col("_keys") * 0.5), col("_c2")))
-          .as("p50_cnt"),
-        min(when(col("_cum") >= ceil(col("_keys") * 0.99), col("_c2")))
-          .as("p99_cnt"))
-    val top = counts.join(broadcast(tot), "_lbl")
-      .where(col("_c") === col("_maxc"))
-      .groupBy("_lbl").agg(min("_k").as("top_key"))
-    tot.join(broadcast(pct), "_lbl").join(broadcast(top), "_lbl")
-      .select(col("_lbl").as("key_name"),
         col("_rows").cast("long").as("n_rows"),
         col("_keys").cast("long").as("n_keys"),
         col("_maxc").cast("long").as("max_cnt"),
@@ -1093,16 +1028,16 @@ object QueriesPipeline {
     (s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = graft.Queries.eventsTable(s, dir)
-      // ONE fused plan over the three keys (r21, [[skewOfAll]]): the r20
-      // union of three independent skewOf subplans sequenced ~45 AQE
-      // stage jobs; the melted form runs the same per-key arithmetic in
-      // one job chain (measured 46 → 20 jobs)
-      skewOfAll(Seq(
-        ("events.user_id", ev.select(col("user_id").cast("long").as("_k"))),
-        ("lineitem.l_orderkey",
-          t(s, dir, "lineitem").select(col("l_orderkey").cast("long").as("_k"))),
-        ("orders.o_custkey",
-          t(s, dir, "orders").select(col("o_custkey").cast("long").as("_k")))))
+      // kept as three UNION'd skewOf subplans (r21 measured-and-reverted:
+      // a label-melted single-plan fusion cut 46 → 20 AQE stage jobs but
+      // read consistently ~0.2 s SLOWER — AQE schedules the three
+      // independent subtrees' stages concurrently, so the fusion traded
+      // parallel stages for one serial chain)
+      skewOf(ev, "events.user_id", col("user_id"))
+        .unionByName(skewOf(t(s, dir, "lineitem"), "lineitem.l_orderkey",
+          col("l_orderkey")))
+        .unionByName(skewOf(t(s, dir, "orders"), "orders.o_custkey",
+          col("o_custkey")))
         .orderBy("key_name")
     },
     Some(s"""
